@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation +
+row materialization, no driver collect bottleneck). A warmup run of the
+flagship amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sigma_rx7_spark import registry  # noqa: E402
+from sigma_rx7_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_agg_pricing_summary",
+    "q_filter_pred",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_window_rank",
+    "q_window_frame",
+    "q_join_self_interval",
+    "q_join_asof",
+    "q_math_score",
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="sigma-rx7-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run("q_agg_pricing_summary")  # warmup
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

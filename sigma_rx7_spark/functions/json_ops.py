@@ -1,0 +1,104 @@
+"""JSON + array/map functions, nested construction/extraction
+(SURVEY.md §2.8 F6-F9, §2.1 S4/S6).
+
+Reference capability: parse nested FHIR JSON input (reference
+README.md:3,76) and construct draft FHIR ``MedicationRequest`` resources
+(README.md:10,29,71). The full domain-shaped FHIR schemas live in
+``domain/fhir.py``; this module exercises the primitive families on the
+harness tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+    tags=("F7", "F9", "S4"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (FHIR-input parse shape,
+    README.md:3,76): path extraction + typed cast, pure JVM."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT
+      vec_id,
+      label,
+      len(embedding) AS dim,
+      embedding[1] AS first_val,
+      list_max(embedding) AS max_val,
+      list_min(embedding) AS min_val
+    FROM embeddings
+    """,
+    tags=("F8",),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array primitive family over a vector column (the collected-set /
+    FHIR-array shape, README.md:9-10): size, indexing, extrema — exact
+    float comparisons, no summation, engine-safe."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+    )
+
+
+@query(
+    "q_nested_export",
+    oracle=None,  # JSON text formatting is engine-specific => rows-only
+    tags=("F6", "S6", "rows-only"),
+)
+def q_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-resource construction + JSON serialization — the draft FHIR
+    ``MedicationRequest`` export (README.md:10,29,71) in harness shape:
+    one nested resource per order. ``struct``/``to_json`` are codegen'd;
+    at scale this is the write-path of a 100 TB JSON export sink."""
+    o = load(spark, sf_dir, "orders")
+    resource = F.struct(
+        F.lit("MedicationRequest").alias("resourceType"),
+        F.concat(F.lit("order-"), F.col("o_orderkey")).alias("id"),
+        F.lit("draft").alias("status"),
+        F.struct(
+            F.concat(F.lit("Patient/"), F.col("o_custkey"))
+            .alias("reference"),
+        ).alias("subject"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("https://example.org/priority").alias("system"),
+                    F.col("o_orderpriority").alias("code"),
+                )
+            ).alias("coding"),
+        ).alias("medicationCodeableConcept"),
+        F.col("o_totalprice").alias("estimatedCost"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(resource).alias("fhir_json"),
+    )

@@ -1,0 +1,88 @@
+"""String normalization and parsing (SURVEY.md §2.8 F1-F2).
+
+Reference capability: normalize free-text drug names before RxNorm code
+matching (reference README.md:3,7) and split HL7 v2 pipe/caret-delimited
+segments into fields (README.md:3,76 ``etl/loaders.py``).
+
+Spark-first: every function here is a built-in Catalyst expression
+(``lower/trim/regexp_*/split``) — whole-stage-codegen'd JVM code, no
+Python in the row path. The HL7-specific composite parser lives in
+``domain/hl7.py``; this module exercises the primitive family on the
+harness tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def normalize_name(col: Column) -> Column:
+    """Drug-name normalization (README.md:7 'standardise medications'):
+    lowercase, trim, collapse whitespace, strip non-alphanumerics."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.regexp_replace(c, r"[^a-z0-9 ]", "")
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      lower(trim(p_name)) AS norm_name,
+      upper(p_type) AS type_uc,
+      length(p_name) AS name_len,
+      substr(p_name, 1, 3) AS name_prefix,
+      regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+      concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+    tags=("F1",),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization primitive family (lower/trim/length/substr/replace/
+    concat) — the RxNorm name-matching prep (README.md:7)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim("p_name")).alias("norm_name"),
+        F.upper("p_type").alias("type_uc"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type"))
+        .alias("brand_type"),
+    )
+
+
+@query(
+    "q_string_parse",
+    oracle="""
+    SELECT
+      p_partkey,
+      string_split(p_name, ' ')[1] AS color,
+      string_split(p_name, ' ')[2] AS object,
+      CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT)
+        AS brand_num,
+      len(string_split(p_name, ' ')) AS n_fields
+    FROM part
+    """,
+    tags=("F2", "S3"),
+)
+def q_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-field parsing (split + indexed access + regexp group
+    extraction) — the HL7 segment/field split shape (README.md:3,76)."""
+    p = load(spark, sf_dir, "part")
+    fields = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        fields.getItem(0).alias("color"),
+        fields.getItem(1).alias("object"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("bigint")
+        .alias("brand_num"),
+        F.size(fields).cast("bigint").alias("n_fields"),
+    )

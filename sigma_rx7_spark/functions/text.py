@@ -1,0 +1,161 @@
+"""Text analysis over the documents table (SURVEY.md §2.11 L3).
+
+North-star LLM-pipeline operators (BASELINE.json mandate; absent from the
+reference): token counting, quality scoring, language-ID heuristics,
+document fingerprinting. Everything here is built-in expressions
+(split/filter/regexp/md5) — no Python in the row path, so the same code
+tokenizes a 100 TB corpus at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import o_davg
+from ..io import load
+from ..registry import query
+
+# Tiny English stopword list for the language-ID heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal — identical
+    semantics in Spark and the DuckDB oracle."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars,
+      SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        AS total_tokens,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("L3",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, characters, token
+    counts (whitespace tokenizer)."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("bigint")
+    return (
+        d.select("lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1)))
+            .alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT
+      doc_id,
+      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+      length(replace(text, ' ', '')) AS n_chars_nospace,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS avg_token_len,
+      length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digits,
+      len(list_filter(string_split(text, ' '), x -> x <> '')) < 30
+        AS is_short
+    FROM documents
+    """,
+    tags=("L3", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length / token shape / digit count)
+    — the filter stage of a pre-training data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    nospace = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        nospace.cast("bigint").alias("n_chars_nospace"),
+        (nospace.cast("double") / n_tokens).alias("avg_token_len"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("n_digits"),
+        (n_tokens < 30).alias("is_short"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      len(list_filter(string_split(text, ' '),
+          x -> x IN {tuple(EN_STOPWORDS)!r})) AS en_stop_hits,
+      CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
+        / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS en_stop_ratio,
+      CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
+        / len(list_filter(string_split(text, ' '), x -> x <> '')) > 0.12
+        AS pred_en
+    FROM documents
+    """,
+    tags=("L3", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic: the n-gram/stopword family of
+    cheap language classifiers, as pure column expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda x: x.isin(*EN_STOPWORDS))
+    ).cast("bigint")
+    ratio = stop_hits.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        stop_hits.alias("en_stop_hits"),
+        ratio.alias("en_stop_ratio"),
+        (ratio > 0.12).alias("pred_en"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+        AS fingerprint,
+      substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))), 1, 8)
+        AS fp_prefix
+    FROM documents
+    """,
+    tags=("L3", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 over alphanumeric-only lowercase
+    text) — format-robust exact-dup key; the rolling-hash variant lives in
+    llm/dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )

@@ -1,0 +1,150 @@
+"""Harness-table IO: schemas + loaders.
+
+The reference's storage layer is a single embedded DuckDB file whose fixed
+schema is created by a bootstrap script (reference README.md:7,36,55-58);
+the Spark-native equivalent is schema-checked Parquet reads (here) plus
+managed-table writes (see ``write_table``). Explicit schemas mean a corrupt
+or drifted input fails loudly at plan time instead of poisoning results.
+
+Scale notes (100 TB design):
+- Readers take a directory of per-table parquet; on a cluster this is a
+  partitioned table path — the same ``spark.read.parquet`` call prunes
+  partitions and pushes filters (verified via .explain in tests/bench).
+- ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark 4 cannot
+  map to TimestampType (PARQUET_TYPE_ILLEGAL). We read it as raw int64
+  (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
+  ``timestamp_micros(ts div 1000)`` — a pure JVM expression, zero Python
+  cost, identical to the DuckDB oracle's ``CAST(ts AS TIMESTAMP)``
+  truncation (verified bit-exact in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import ensure_session_conf
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Logical schemas of the harness tables (FIXTURES.md §A). `events.ts` is
+# declared here with its *post-conversion* logical type (timestamp); the
+# physical read sees int64 nanos first.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]),
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table as a DataFrame with its logical schema."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_conf(spark)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events":
+        # int64 nanos -> microsecond TimestampType; matches the oracle's
+        # CAST(ts AS TIMESTAMP) truncation bit-for-bit.
+        # Integer division — ns values exceed 2^53, so a double division
+        # here would silently round the microsecond (caught by the oracle
+        # mirror test).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every harness table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Columnar sink (SURVEY.md §2.1 S8): partitioned parquet staging.
+
+    At 100 TB the partition columns (date/source) are what make downstream
+    partition pruning possible; locally it is just a directory layout.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,245 @@
+"""Document deduplication (SURVEY.md §2.11 L1): exact, MinHash-LSH,
+n-gram Jaccard, SimHash.
+
+North-star operators for a training-data pipeline (BASELINE.json mandate).
+Scale design — the entire family avoids O(n²) comparisons:
+
+- **Exact**: hash → groupBy — one shuffle keyed by digest; at 100 TB the
+  shuffle carries (digest, doc_id), never the text.
+- **MinHash-LSH**: shingle → k hash-mins (one pass, partial-aggregated)
+  → band buckets → equi-join on (band, band_hash). Only documents sharing
+  a band bucket are ever paired, so candidate count tracks true-duplicate
+  count, not n².
+- **n-gram Jaccard** (verification stage): exact set similarity via
+  array_intersect/union — used on the *candidate* pairs, or (as here, for
+  oracle-checkability) on a restricted pair space.
+- **SimHash**: 64-bit signed-bit-sum signature; Hamming-adjacent buckets.
+
+Everything is built-in expressions (split, xxhash64, explode, groupBy) —
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..io import load
+from ..registry import query
+
+MINHASH_K = 32          # signature length
+LSH_BANDS = 8           # bands of 4 rows each -> catches jaccard >~ 0.5
+SHINGLE_N = 3           # words per shingle
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT
+      md5(text) AS text_hash,
+      MIN(doc_id) AS keeper_doc_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("L1", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest → group → keep min doc_id. The shuffle key is
+    the 32-byte digest, not the document text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle_hash) pairs: n-word shingles hashed to int64.
+
+    Shingles are built with transform over index sequences — a per-row
+    array op, no window/sort needed, so it parallelizes embarrassingly.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_hash"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig: array<bigint>[k]) MinHash signatures.
+
+    The k hash functions are xxhash64(shingle_hash, seed_i); each min is a
+    partial-aggregatable agg, so the signature pass is one map + one
+    shuffle of k longs per doc.
+    """
+    sh = shingle_hashes(docs)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle_hash"), F.lit(i))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
+                        k: int = MINHASH_K) -> DataFrame:
+    """(a_doc_id, b_doc_id) candidates sharing ≥1 LSH band bucket."""
+    r = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.xxhash64(*[F.element_at("sig", j * r + i + 1)
+                         for i in range(r)]).alias("band_hash"),
+        )
+        for j in range(bands)
+    ])
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+        )
+        .distinct()
+    )
+
+
+@query("q_dedup_near", oracle=None, tags=("L1", "dedup", "rows-only"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with signature-estimated Jaccard ≥ 0.5.
+    Rows-only: hash-family randomness is engine-specific by nature."""
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sig)
+    a_sig = sig.select(F.col("doc_id").alias("a_doc_id"),
+                       F.col("sig").alias("a_sig"))
+    b_sig = sig.select(F.col("doc_id").alias("b_doc_id"),
+                       F.col("sig").alias("b_sig"))
+    est = F.aggregate(
+        F.zip_with("a_sig", "b_sig",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(MINHASH_K))
+    return (
+        cand.join(a_sig, "a_doc_id")
+        .join(b_sig, "b_doc_id")
+        .select("a_doc_id", "b_doc_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    SELECT
+      a.doc_id AS a_doc_id,
+      b.doc_id AS b_doc_id,
+      len(list_distinct(list_intersect(
+        list_filter(string_split(a.text, ' '), x -> x <> ''),
+        list_filter(string_split(b.text, ' '), x -> x <> '')))) AS n_common,
+      CAST(len(list_distinct(list_intersect(
+             list_filter(string_split(a.text, ' '), x -> x <> ''),
+             list_filter(string_split(b.text, ' '), x -> x <> ''))))
+           AS DOUBLE)
+        / (len(list_distinct(list_filter(string_split(a.text, ' '), x -> x <> '')))
+           + len(list_distinct(list_filter(string_split(b.text, ' '), x -> x <> '')))
+           - len(list_distinct(list_intersect(
+               list_filter(string_split(a.text, ' '), x -> x <> ''),
+               list_filter(string_split(b.text, ' '), x -> x <> '')))))
+        AS jaccard
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("L1", "dedup"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard on a blocked pair space (same lang+source —
+    the blocking key plays the LSH-bucket role). This is the verification
+    stage of near-dedup; oracle-checkable because set ops are exact."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a_doc_id"), "lang", "source",
+                 F.array_distinct(tokens(F.col("text"))).alias("a_words"))
+    b = d.select(F.col("doc_id").alias("b_doc_id"),
+                 F.col("lang").alias("b_lang"),
+                 F.col("source").alias("b_source"),
+                 F.array_distinct(tokens(F.col("text"))).alias("b_words"))
+    n_common = F.size(F.array_intersect("a_words", "b_words")).cast("bigint")
+    jaccard = n_common.cast("double") / (
+        F.size("a_words") + F.size("b_words")
+        - F.size(F.array_intersect("a_words", "b_words"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("source") == F.col("b_source"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .select("a_doc_id", "b_doc_id",
+                n_common.alias("n_common"), jaccard.alias("jaccard"))
+    )
+
+
+@query("q_dedup_simhash", oracle=None, tags=("L1", "dedup", "rows-only"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: sum ±1 per bit over token hashes,
+    signature bit i = sign of the sum. Near-dups share most bits; pairs
+    are found by bucketing on 16-bit signature quarters (Hamming ≤ 3 ⇒
+    at least one identical quarter). Output: per-doc signature + bucket
+    keys (rows-only: hash-dependent)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    # bit i contribution: +1 if hash bit set else -1 (shiftleft wraps at
+    # bit 63 with JVM two's-complement semantics, which is what we want)
+    def mask(i: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("bigint"), i)
+
+    contribs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*contribs)
+    simhash = F.lit(0).cast("bigint")
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, mask(i)).otherwise(
+            F.lit(0).cast("bigint"))
+        simhash = simhash.bitwiseOR(bit)
+    sig = sums.select("doc_id", simhash.alias("simhash"))
+    quarters = [
+        F.col("simhash")
+        .bitwiseAND(F.shiftleft(F.lit(0xFFFF).cast("bigint"), 16 * j))
+        .alias(f"q{j}")
+        for j in range(4)
+    ]
+    return sig.select("doc_id", "simhash", *quarters)

@@ -1,0 +1,134 @@
+"""Similarity search over embeddings (SURVEY.md §2.11 L2).
+
+North-star operator (BASELINE.json mandate): top-k cosine neighbors over
+an ``array<float>`` column.
+
+Scale design: brute-force (query-set × corpus) is the exactness baseline
+— fine when the query side broadcasts. The scale path is coarse
+quantization (IVF-style): assign every vector to its nearest of C
+centroids, search only the probe's closest cells — implemented here as
+``ivf_assign``/``q_sim_topk_ivf`` with deterministic data-derived
+centroids. Vector math uses ``zip_with``/``aggregate`` higher-order
+functions: JVM codegen, no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the probe set in the harness queries
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_bruteforce(queries: DataFrame, corpus: DataFrame,
+                    k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k: broadcast the query side, rank per query.
+
+    queries: (q_id, q_vec); corpus: (c_id, c_vec). The corpus is the big
+    side and is never shuffled — each task scores its partition against
+    the broadcast queries; the window ranks within q_id partitions.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "c_id", cosine("q_vec", "c_vec").alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+@query("q_sim_topk", oracle=None, tags=("L2", "rows-only"))
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors. Rows-only: float
+    dot-product summation order is engine-specific."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return topk_bruteforce(queries, corpus)
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (max cosine).
+
+    centroids: (cell_id, cent_vec), broadcast-sized (C ≈ √N cells). Output
+    adds ``cell_id`` — the coarse-quantization partition key. At 100 TB
+    the corpus is written partitioned by cell_id so a probe touches only
+    its nprobe cells' files.
+    """
+    w = Window.partitionBy("c_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "c_id", "c_vec", "cell_id",
+            cosine("c_vec", "cent_vec").alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "cent_sim")
+    )
+
+
+@query("q_sim_topk_ivf", oracle=None, tags=("L2", "rows-only"))
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 deterministic centroids (every 32nd corpus
+    vector), nprobe=4 cells per query, exact rerank inside the probed
+    cells. The approximate counterpart of q_sim_topk."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    # Deterministic centroids: a strided sample standing in for k-means
+    # (the index build would be an offline job at scale).
+    centroids = (
+        corpus.where(F.col("c_id") % 32 == 5)
+        .select((F.col("c_id") / 32).cast("int").alias("cell_id"),
+                F.col("c_vec").alias("cent_vec"))
+    )
+    assigned = ivf_assign(corpus, centroids)
+    # nprobe=4: each query searches its 4 nearest cells only.
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id"))
+    probe_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_vec", "cell_id",
+                cosine("q_vec", "cent_vec").alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 4)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    scored = probe_cells.join(assigned, "cell_id").select(
+        "q_id", "c_id", cosine("q_vec", "c_vec").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )

@@ -1,0 +1,187 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Reference capability: duplicate-therapy counting per (patient, class) with
+HAVING (README.md:3,9,23) and min/avg/sum cost comparisons (README.md:3,8).
+Spark-first: ``groupBy().agg()`` — Catalyst always plans partial (map-side)
++ final aggregation, so at 100 TB the shuffle carries one row per
+(partition × group), not per input row. Float measures follow the
+decimal-quantization convention in ``compat`` so results hash-match the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import davg, dsum, o_davg, o_dsum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "q_agg_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {o_dsum('l_quantity', 'sum_qty')},
+      {o_dsum('l_extendedprice', 'sum_base_price')},
+      {o_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+      {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+      {o_davg('l_quantity', 'avg_qty')},
+      {o_davg('l_extendedprice', 'avg_price')},
+      {o_davg('l_discount', 'avg_disc')},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "flagship"),
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — pricing summary (TPC-H Q1 shape): the reference's
+    "cost comparisons" capability (README.md:3,8) as a multi-measure
+    grouped aggregate. One scan, one shuffle of 6 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 10
+    """,
+    tags=("A1",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-count + HAVING — the duplicate-therapy core (same patient ×
+    same drug class, count > 1; README.md:3,9,23) over the harness shape
+    (user × event_type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > 10)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A3",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (distinct drug classes per patient shape,
+    README.md:3,8). Catalyst plans distinct-agg as a two-phase expand."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_approx",
+    oracle=None,  # approximate — rows-only check (SURVEY.md §5)
+    tags=("A4", "rows-only"),
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++): the 100 TB-scale variant of
+    q_agg_distinct — constant memory per group instead of a distinct
+    shuffle. Not hash-comparable to an exact oracle by design."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT
+      COALESCE(r_name, 'ALL') AS region_name,
+      COALESCE(n_name, 'ALL') AS nation_name,
+      COUNT(*) AS n_customers,
+      {o_dsum('c_acctbal', 'sum_acctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("A5",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (per-patient / per-class / overall dashboard
+    pivots, README.md:11): region → nation → grand total in one pass."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum("c_acctbal", "sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT
+      user_id,
+      array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+      COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A6",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering (the overlapping-med-set
+    payload the reference UI shows, README.md:9,71). Serialized to CSV so
+    the value-hash is engine-independent."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+        .alias("types_csv"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -1,0 +1,244 @@
+"""Joins (SURVEY.md §2.3 J1-J2, J4-J7, J9-J10).
+
+Reference capability: the rules layer is join-dominated — "Join
+prescriptions to drug classes, Orange Book brand/generic links and public
+pricing/formulary data" (reference README.md:8), formulary alignment with
+missing-row flags (README.md:9,25), existence checks for the UI
+(README.md:69-70).
+
+Spark-first scale strategy:
+- Dimension lookups (J1/J4): ``broadcast()`` the small side — no shuffle
+  of the 100 TB fact table, map-side hash join in every task.
+- Large-large (J2 fact⋈fact): let AQE pick sort-merge vs shuffled-hash and
+  split skewed partitions; we only fix the join *keys*, not the strategy.
+- Semi/anti: expressed as ``left_semi``/``left_anti`` so Spark never
+  materializes the probe side's payload columns.
+- Theta (J9): keep the small side broadcast-sized — a broadcast
+  nested-loop join over a 5-row bands table costs nothing; the same plan
+  against two large sides would be the bug, not the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import dsum, o_dsum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT
+      p_brand,
+      COUNT(*) AS n_lines,
+      {o_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("J1",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension lookup join (meds→drug_classes shape, README.md:8):
+    fact table joined to a broadcast dimension, then aggregated. The fact
+    side is never shuffled for the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue"))
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT
+      n_name,
+      {o_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("J2",),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (prescriptions⋈classes⋈OrangeBook⋈pricing⋈
+    formulary shape, README.md:8-9; TPC-H Q5 shape here). The two fact
+    tables join on their keys; the three dimensions broadcast, and the
+    region filter prunes before the big join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_join_lookup_filter",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber, p_brand,
+      l_extendedprice - p_retailprice * l_quantity AS margin
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+      AND l_extendedprice - p_retailprice * l_quantity > 0
+    """,
+    tags=("J4",),
+)
+def q_join_lookup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join + price-comparison filter (brand→generic substitution
+    shape: join Orange Book, keep the cheaper option; README.md:3,8,24)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    margin = F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(margin > 0)
+        .select("l_orderkey", "l_linenumber", "p_brand",
+                margin.alias("margin"))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT
+      c_custkey,
+      COUNT(o_orderkey) AS n_open_orders,
+      COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 0.0)
+        AS open_total,
+      COUNT(o_orderkey) = 0 AS has_none
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("J5",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join keeping unmatched rows as flags (formulary
+    alignment: keep meds with no formulary row to flag them,
+    README.md:9,25)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_open_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("open_total"),
+            (F.count("o_orderkey") == 0).alias("has_none"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    tags=("J6",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — existence check ("patients that have ≥1
+    recommendation" UI dropdown shape, README.md:69-70). left_semi never
+    materializes order payload columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    tags=("J7",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the negative space of J4/J5 (meds NOT on formulary /
+    brands with no generic link, README.md:8-9)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('tiny', 0, 10), ('small', 11, 20), ('medium', 21, 30),
+             ('large', 31, 40), ('jumbo', 41, 1000000)
+    )
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS sum_price
+    FROM part
+    JOIN bands ON p_size >= lo AND p_size <= hi
+    GROUP BY band
+    """,
+    tags=("J9", "J10"),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against an in-memory band table (age-band ×
+    dosing-rule shape, README.md:9). Broadcast nested-loop join — correct
+    exactly because the band side is tiny."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("tiny", 0, 10), ("small", 11, 20), ("medium", 21, 30),
+         ("large", 31, 40), ("jumbo", 41, 1_000_000)],
+        "band string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_size >= bands.lo) & (p.p_size <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             dsum("p_retailprice", "sum_price"))
+    )

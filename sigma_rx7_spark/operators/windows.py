@@ -1,0 +1,168 @@
+"""Window functions + top-k (SURVEY.md §2.5-2.6).
+
+Reference capability: rank generic candidates by price within a brand and
+keep the cheapest (README.md:3,8-9,24); most-recent prescription/coverage
+row per patient ("clinical history", README.md:3,7); gaps between
+consecutive prescriptions; ordered top recommendations in the UI
+(README.md:11,71).
+
+Spark-first: one ``Window.partitionBy(key).orderBy(...)`` per family —
+a single hash-partition shuffle + in-partition sort, no self-joins.
+Every window here carries a *total* ordering (unique tiebreak column) so
+the selected rows are engine-independent, and global top-k goes through
+``orderBy().limit()`` which Spark plans as TakeOrderedAndProject (per-
+partition heaps + driver merge — no full sort at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("W1",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group by rank (cheapest-generic-per-brand shape,
+    README.md:24): row_number with a unique tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    tags=("W2",),
+)
+def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (most recent prescription/coverage row
+    per patient, README.md:3,7)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             AS gap_us
+    FROM events
+    """,
+    tags=("W3",),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): gap to the previous same-user event (refill-continuity gap
+    shape, README.md:3). First event per user keeps NULL."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W4",),
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 10-row frame (rolling med count / cost over
+    time, README.md:3). Decimal-quantized so sliding-window summation
+    order can't cause engine drift."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("O1", "O2"),
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (top recommendations in the UI, README.md:11,71):
+    orderBy+limit → TakeOrderedAndProject, not a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )

@@ -1,0 +1,74 @@
+"""Query registry: the single source of truth behind ``__spark_entry__``.
+
+Each operator family registers named queries with the DataFrame
+implementation and (when SQL-expressible) the DuckDB oracle SQL *side by
+side*, so the pair can never drift apart. ``__spark_entry__.queries()`` /
+``oracle_sql()`` are thin views over this registry.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries on import.
+_QUERY_MODULES = (
+    "sigma_rx7_spark.operators.scans",
+    "sigma_rx7_spark.operators.joins",
+    "sigma_rx7_spark.operators.interval",
+    "sigma_rx7_spark.operators.aggregates",
+    "sigma_rx7_spark.operators.windows",
+    "sigma_rx7_spark.operators.sets",
+    "sigma_rx7_spark.functions.strings",
+    "sigma_rx7_spark.functions.dates",
+    "sigma_rx7_spark.functions.scoring",
+    "sigma_rx7_spark.functions.json_ops",
+    "sigma_rx7_spark.functions.text",
+    "sigma_rx7_spark.llm.dedup",
+    "sigma_rx7_spark.llm.similarity",
+    "sigma_rx7_spark.streaming.jobs",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def doc(self) -> str:
+        return (self.fn.__doc__ or "").strip()
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags))
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    global _LOADED
+    if not _LOADED:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    return load_all()[name]

@@ -1,0 +1,194 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 T1-T7).
+
+The reference's "real-time" is request/response recomputation (reference
+README.md:11,69-71); the Spark-native design expresses the same rule
+queries incrementally over an event stream. Each job here reads the
+harness ``events`` table *as a stream* (file source + availableNow
+trigger), so the driver's batch harness can still verify it: availableNow
+processes the full input and terminates, and the result must equal the
+batch equivalent — which is exactly the oracle SQL attached to each query
+(the batch-equivalence test of SURVEY.md §5.5, enforced by the driver's
+own DuckDB comparison).
+
+At scale the same code points at a Kafka/file-drop source with a real
+watermark bounding state; nothing else changes — that is the point of the
+Structured Streaming API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+from ..session import ensure_session_conf
+
+# Physical schema of events.parquet (ts is INT64 nanos on disk; streaming
+# file sources require an explicit schema).
+_EVENTS_PHYSICAL = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 streaming source: the events table as an append stream with the
+    same ns→µs timestamp conversion as the batch loader."""
+    ensure_session_conf(spark)
+    # The file source needs a directory; pathGlobFilter narrows it to the
+    # events table inside the shared sf_dir.
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame with availableNow into a memory sink
+    and return the materialized result (T1 sink side, batch-verifiable)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "q_stream_hourly_counts",
+    oracle="""
+    SELECT
+      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "T2", "T3", "streaming"),
+)
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation with a watermark (T2+T3):
+    events per (hour, type). availableNow ⇒ result equals the batch
+    GROUP BY, which is the oracle."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    return run_to_memory(agg, "stream_hourly_counts")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("T5", "streaming"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (T5): first-seen (user, type) pairs survive;
+    projecting only the key columns makes the result order-independent
+    and equal to batch DISTINCT."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"])
+    return run_to_memory(dedup, "stream_dedup", output_mode="append")
+
+
+@query(
+    "q_stream_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                  OR LAG(ts_us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("T4", "streaming"),
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (T4): 30-minute-gap sessionization per user — the
+    encounter-sessionization shape. Oracle = the classic gaps-and-islands
+    SQL; session_window.start equals MIN(ts) of the island."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start"))
+            .alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "stream_sessions")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id + 1 = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("T7", "streaming"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (T7): the event stream joined to the
+    static customer dimension (the KB-table enrichment of README.md:8,
+    streamed), then aggregated per segment."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id + 1 == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+        .alias("sum_value"),
+    )
+    return run_to_memory(agg, "stream_static_join")
