@@ -1,0 +1,230 @@
+"""The reference's rule engine re-expressed as DataFrame pipelines.
+
+Reference capabilities (reference README.md:3,8-9,23-27):
+- ``overlap_pairs``          — app/rules/overlap.py (R:23): therapeutic
+  duplication via same-patient, same-class interval-overlap self-join.
+- ``generic_substitutions``  — app/rules/generics.py (R:24): Orange Book
+  brand→generic mapping + as-of pricing + cheapest-candidate ranking.
+- ``formulary_alignment``    — app/rules/payer.py (R:25): left join onto
+  the patient's plan formulary, flagging uncovered meds.
+- ``recommendations``        — the composed E1 request path (R:69-71)
+  with denial-risk scoring (R:9,27,77).
+
+Scale notes: every join here keys on (patient, …) or an rxcui dimension.
+KB tables (classes, Orange Book, prices, formulary) are broadcast — they
+are the small side at any scale. The overlap self-join keys on
+(patient_id, drug_class): per-key cardinality is medically bounded
+(active prescriptions per patient), so the equi-join + interval predicate
+never degenerates; no time-bucketing needed, unlike the unbounded event
+streams handled by operators/interval.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scoring import logistic_score
+
+# Open-ended prescriptions (stop_date NULL) are active "forever".
+_OPEN_END = "9999-12-31"
+
+
+def _stop(col: str) -> Column:
+    return F.coalesce(F.col(col), F.lit(_OPEN_END).cast("date"))
+
+
+def overlap_pairs(meds: DataFrame) -> DataFrame:
+    """Therapeutic-duplication pairs (README.md:3,9,23).
+
+    Pair semantics (FIXTURES.md §B golden rule): same patient + same
+    drug_class, ``a.start <= coalesce(b.stop, ∞) AND b.start <=
+    coalesce(a.stop, ∞)`` (touching endpoints DO overlap), with
+    ``a.med_id < b.med_id`` for one row per unordered pair.
+    """
+    cols = ["med_id", "drug_name", "rxcui", "start_date", "stop_date"]
+    a = meds.select(
+        "patient_id", "drug_class",
+        *[F.col(c).alias(f"a_{c}") for c in cols],
+    )
+    b = meds.select(
+        F.col("patient_id").alias("b_patient_id"),
+        F.col("drug_class").alias("b_drug_class"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    overlap_days = (
+        F.datediff(
+            F.least(_stop("a_stop_date"), _stop("b_stop_date")),
+            F.greatest(F.col("a_start_date"), F.col("b_start_date")),
+        ) + 1
+    )
+    return (
+        a.join(
+            b,
+            (F.col("patient_id") == F.col("b_patient_id"))
+            & (F.col("drug_class") == F.col("b_drug_class"))
+            & (F.col("a_med_id") < F.col("b_med_id"))
+            & (F.col("a_start_date") <= _stop("b_stop_date"))
+            & (F.col("b_start_date") <= _stop("a_stop_date")),
+        )
+        .select(
+            "patient_id", "drug_class",
+            "a_med_id", "a_drug_name", "a_start_date", "a_stop_date",
+            "b_med_id", "b_drug_name", "b_start_date", "b_stop_date",
+            overlap_days.alias("overlap_days"),
+        )
+    )
+
+
+def price_asof(prices: DataFrame, keys: DataFrame,
+               key_col: str = "rxcui", date_col: str = "as_of_date",
+               ) -> DataFrame:
+    """Price in effect at each (rxcui, date) — README.md:8's
+    time-versioned pricing as a windowed as-of lookup.
+
+    keys: distinct (rxcui, as_of_date) pairs. Implemented as join +
+    latest-effective filter; the KB price table broadcasts.
+    """
+    w = Window.partitionBy(key_col, date_col).orderBy(
+        F.desc("effective_date"))
+    return (
+        keys.join(F.broadcast(prices), on=key_col, how="left")
+        .where(F.col("effective_date") <= F.col(date_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key_col, date_col, "price", "effective_date")
+    )
+
+
+def generic_substitutions(meds: DataFrame, orange_book: DataFrame,
+                          prices: DataFrame) -> DataFrame:
+    """Brand→generic suggestions with savings (README.md:3,8,24).
+
+    Per brand prescription: AB-rated generic equivalents from the Orange
+    Book, both sides priced as of the prescription start date, cheapest
+    generic picked by window rank, kept only when it actually saves.
+    """
+    brands = meds.where(F.col("is_brand")).select(
+        "med_id", "patient_id", "drug_name", "rxcui", "start_date")
+    ob = orange_book.where(F.col("te_code") == "AB")
+    cand = brands.join(
+        F.broadcast(ob), brands.rxcui == ob.brand_rxcui
+    )
+    brand_price_keys = cand.select(
+        F.col("rxcui"), F.col("start_date").alias("as_of_date")
+    ).distinct()
+    gen_price_keys = cand.select(
+        F.col("generic_rxcui").alias("rxcui"),
+        F.col("start_date").alias("as_of_date"),
+    ).distinct()
+    bp = price_asof(prices, brand_price_keys).select(
+        F.col("rxcui"), F.col("as_of_date"),
+        F.col("price").alias("brand_price"))
+    gp = price_asof(prices, gen_price_keys).select(
+        F.col("rxcui").alias("generic_rxcui"), F.col("as_of_date"),
+        F.col("price").alias("generic_price"))
+    priced = (
+        cand.join(bp, [cand.rxcui == bp.rxcui,
+                       cand.start_date == bp.as_of_date])
+        .drop(bp.rxcui).drop(bp.as_of_date)
+        .join(gp, [cand.generic_rxcui == gp.generic_rxcui,
+                   cand.start_date == gp.as_of_date])
+        .drop(gp.generic_rxcui).drop(gp.as_of_date)
+    )
+    w = Window.partitionBy("med_id").orderBy(
+        "generic_price", "generic_rxcui")
+    return (
+        priced.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("generic_price") < F.col("brand_price"))
+        .select(
+            "med_id", "patient_id", "drug_name",
+            F.col("rxcui").alias("brand_rxcui"), "generic_rxcui",
+            "brand_price", "generic_price",
+            (F.col("brand_price") - F.col("generic_price"))
+            .alias("savings"),
+        )
+    )
+
+
+def formulary_alignment(meds: DataFrame, coverage: DataFrame,
+                        formulary: DataFrame) -> DataFrame:
+    """Formulary lookup with not-covered flags (README.md:9,25).
+
+    meds ⋈ patient's plan (coverage) ⋈ formulary (left) — unmatched rows
+    survive with ``on_formulary = false`` so the payer rule can flag
+    them, exactly the reference's negative-space requirement.
+    """
+    plan = coverage.select("patient_id", "plan_id")
+    withplan = meds.join(F.broadcast(plan), "patient_id", "left")
+    fm = formulary.select(
+        F.col("plan_id").alias("f_plan_id"),
+        F.col("rxcui").alias("f_rxcui"),
+        "tier", "prior_auth", "covered",
+    )
+    return (
+        withplan.join(
+            F.broadcast(fm),
+            (withplan.plan_id == fm.f_plan_id)
+            & (withplan.rxcui == fm.f_rxcui),
+            "left",
+        )
+        .select(
+            "med_id", "patient_id", "drug_name", "rxcui", "drug_class",
+            "daily_cost", "is_brand", "plan_id",
+            F.col("tier").isNotNull().alias("on_formulary"),
+            F.coalesce("tier", F.lit(4)).alias("tier"),
+            F.coalesce("prior_auth", F.lit(True)).alias("prior_auth"),
+            F.coalesce("covered", F.lit(False)).alias("covered"),
+        )
+    )
+
+
+def denial_scores(aligned: DataFrame) -> DataFrame:
+    """Denial-risk per aligned med (README.md:9,27,77): the logistic
+    native-expression over (daily_cost, tier, prior_auth)."""
+    return aligned.withColumn(
+        "denial_risk",
+        logistic_score(
+            price=F.col("daily_cost"),
+            tier=F.col("tier"),
+            prior_auth=F.col("prior_auth"),
+        ),
+    )
+
+
+def recommendations(tables: dict[str, DataFrame]) -> DataFrame:
+    """The composed E1 recommendation pipeline (README.md:69-71):
+    overlap alerts ∪ substitution suggestions, enriched with formulary
+    flags and denial scores, ranked per patient."""
+    meds = tables["meds"]
+    overlaps = overlap_pairs(meds).select(
+        "patient_id",
+        F.lit("overlap").alias("rec_type"),
+        F.col("a_med_id").alias("med_id"),
+        F.concat(
+            F.lit("duplicate "), F.col("drug_class"),
+            F.lit(": "), F.col("a_drug_name"),
+            F.lit(" + "), F.col("b_drug_name"),
+        ).alias("message"),
+        F.lit(0.0).alias("savings"),
+    )
+    subs = generic_substitutions(
+        meds, tables["orange_book"], tables["prices"]
+    ).select(
+        "patient_id",
+        F.lit("generic_substitution").alias("rec_type"),
+        "med_id",
+        F.concat(
+            F.lit("switch "), F.col("drug_name"),
+            F.lit(" to "), F.col("generic_rxcui"),
+        ).alias("message"),
+        "savings",
+    )
+    scored = denial_scores(
+        formulary_alignment(meds, tables["coverage"], tables["formulary"])
+    ).select("med_id", "tier", "prior_auth", "denial_risk")
+    recs = overlaps.unionByName(subs).join(scored, "med_id", "left")
+    w = Window.partitionBy("patient_id").orderBy(
+        F.desc("savings"), F.asc("med_id"), F.asc("rec_type"))
+    return recs.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,241 @@
+"""Unit tests for the clinical domain layer (SURVEY.md §5.3-5.4):
+interval-overlap edge cases, substitution ranking, formulary flags,
+scoring fixed points/monotonicity, FHIR roundtrip, HL7 parsing — plus a
+differential test of overlap_pairs against a pure-Python reference on
+seeded random data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import json
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sigma_rx7_spark.domain import fixtures, fhir, hl7, rules, schemas
+from sigma_rx7_spark.functions.scoring import DENIAL_WEIGHTS, logistic_score
+
+
+def _meds_df(spark, rows):
+    """rows: (med_id, patient_id, drug_class, start, stop) shorthand."""
+    full = [
+        (m, p, f"drug{m}", f"RX{m}", c,
+         dt.date.fromisoformat(s),
+         dt.date.fromisoformat(e) if e else None,
+         1.0, False)
+        for (m, p, c, s, e) in rows
+    ]
+    return spark.createDataFrame(full, schemas.meds)
+
+
+class TestOverlap:
+    def test_basic_and_edges(self, spark):
+        df = _meds_df(spark, [
+            # touching endpoints => overlap (inclusive semantics)
+            (1, 1, "statin", "2023-01-01", "2023-02-01"),
+            (2, 1, "statin", "2023-02-01", "2023-03-01"),
+            # disjoint => no overlap
+            (3, 1, "ssri", "2023-01-01", "2023-01-10"),
+            (4, 1, "ssri", "2023-01-11", "2023-02-01"),
+            # open-ended stop overlaps everything later
+            (5, 2, "ppi", "2023-01-01", None),
+            (6, 2, "ppi", "2024-06-01", "2024-06-30"),
+            # same class, different patient => no pair
+            (7, 3, "statin", "2023-01-01", "2023-02-01"),
+        ])
+        pairs = {(r.a_med_id, r.b_med_id)
+                 for r in rules.overlap_pairs(df).collect()}
+        assert pairs == {(1, 2), (5, 6)}
+
+    def test_pair_dedup_and_irreflexivity(self, spark):
+        df = _meds_df(spark, [
+            (1, 1, "statin", "2023-01-01", "2023-03-01"),
+            (2, 1, "statin", "2023-02-01", "2023-04-01"),
+            (3, 1, "statin", "2023-02-15", "2023-02-20"),
+        ])
+        got = rules.overlap_pairs(df).collect()
+        pairs = [(r.a_med_id, r.b_med_id) for r in got]
+        assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+        assert all(a < b for a, b in pairs)
+
+    def test_differential_vs_python_reference(self, spark):
+        rng = random.Random(7)
+        rows = []
+        for m in range(300):
+            start = dt.date(2023, 1, 1) + dt.timedelta(
+                days=rng.randint(0, 200))
+            stop = (None if rng.random() < 0.2
+                    else start + dt.timedelta(days=rng.randint(0, 60)))
+            rows.append((m, rng.randint(1, 12), rng.choice(["a", "b", "c"]),
+                         start.isoformat(),
+                         stop.isoformat() if stop else None))
+        df = _meds_df(spark, rows)
+        got = {(r.a_med_id, r.b_med_id)
+               for r in rules.overlap_pairs(df).collect()}
+
+        far = dt.date(9999, 12, 31)
+        def olap(x, y):
+            (_, px, cx, sx, ex), (_, py, cy, sy, ey) = x, y
+            if px != py or cx != cy:
+                return False
+            sx, sy = dt.date.fromisoformat(sx), dt.date.fromisoformat(sy)
+            ex = dt.date.fromisoformat(ex) if ex else far
+            ey = dt.date.fromisoformat(ey) if ey else far
+            return sx <= ey and sy <= ex
+        want = {(x[0], y[0])
+                for x, y in itertools.combinations(rows, 2) if olap(x, y)}
+        assert got == want
+
+
+class TestGenerics:
+    def test_cheapest_generic_and_asof_price(self, spark):
+        meds = spark.createDataFrame(
+            [(1, 10, "brandmed", "B1", "statin",
+              dt.date(2023, 7, 15), None, 5.0, True)],
+            schemas.meds)
+        ob = spark.createDataFrame(
+            [("B1", "G1", "AB"), ("B1", "G2", "AB"), ("B1", "G3", "BX")],
+            schemas.orange_book)
+        prices = spark.createDataFrame([
+            ("B1", 30.0, dt.date(2023, 1, 1)),
+            ("B1", 33.0, dt.date(2023, 7, 1)),   # in effect on 7/15
+            ("B1", 40.0, dt.date(2023, 8, 1)),   # future: ignored
+            ("G1", 10.0, dt.date(2023, 1, 1)),
+            ("G2", 8.0, dt.date(2023, 1, 1)),
+            ("G3", 1.0, dt.date(2023, 1, 1)),    # BX-rated: excluded
+        ], schemas.prices)
+        got = rules.generic_substitutions(meds, ob, prices).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.generic_rxcui == "G2"          # cheapest AB generic
+        assert r.brand_price == 33.0            # as-of 2023-07-15
+        assert r.generic_price == 8.0
+        assert r.savings == 25.0
+
+    def test_no_substitution_when_not_cheaper(self, spark):
+        meds = spark.createDataFrame(
+            [(1, 10, "brandmed", "B1", "statin",
+              dt.date(2023, 2, 1), None, 5.0, True)],
+            schemas.meds)
+        ob = spark.createDataFrame([("B1", "G1", "AB")], schemas.orange_book)
+        prices = spark.createDataFrame([
+            ("B1", 5.0, dt.date(2023, 1, 1)),
+            ("G1", 9.0, dt.date(2023, 1, 1)),
+        ], schemas.prices)
+        assert rules.generic_substitutions(meds, ob, prices).count() == 0
+
+
+class TestFormulary:
+    def test_uncovered_flags(self, spark):
+        meds = spark.createDataFrame([
+            (1, 10, "m1", "R1", "statin", dt.date(2023, 1, 1), None,
+             2.0, False),
+            (2, 10, "m2", "R2", "ssri", dt.date(2023, 1, 1), None,
+             3.0, True),
+        ], schemas.meds)
+        coverage = spark.createDataFrame(
+            [(1, 10, "acme", "planA", dt.date(2023, 1, 1))],
+            schemas.coverage)
+        formulary = spark.createDataFrame(
+            [("planA", "R1", 1, False, True)], schemas.formulary)
+        got = {r.med_id: r for r in rules.formulary_alignment(
+            meds, coverage, formulary).collect()}
+        assert got[1].on_formulary and got[1].tier == 1
+        assert not got[1].prior_auth and got[1].covered
+        # R2 absent from formulary => flagged with worst-case defaults
+        assert not got[2].on_formulary and got[2].tier == 4
+        assert got[2].prior_auth and not got[2].covered
+
+
+class TestScoring:
+    def test_fixed_point_and_monotonicity(self, spark):
+        df = spark.createDataFrame(
+            [(0.0, 0, False), (10.0, 1, False), (10.0, 1, True),
+             (10.0, 3, True), (100.0, 3, True)],
+            "price double, tier int, pa boolean")
+        scores = [r.s for r in df.select(
+            logistic_score(F.col("price"), F.col("tier"), F.col("pa"))
+            .alias("s")).collect()]
+        w0, w1, w2, w3 = DENIAL_WEIGHTS
+        assert scores[0] == pytest.approx(1 / (1 + math.exp(-w0)))
+        assert scores == sorted(scores)  # monotone in each input
+        assert all(0.0 < s < 1.0 for s in scores)
+
+
+class TestFhir:
+    def test_export_parse_roundtrip(self, spark):
+        subs = spark.createDataFrame(
+            [(10, 1, "brandmed", "B1", "G2", 33.0, 8.0, 25.0)],
+            "patient_id long, med_id long, drug_name string, "
+            "brand_rxcui string, generic_rxcui string, "
+            "brand_price double, generic_price double, savings double")
+        exported = fhir.export_medication_requests(subs).collect()[0]
+        doc = json.loads(exported.fhir_json)
+        assert doc["resourceType"] == "MedicationRequest"
+        assert doc["status"] == "draft"
+        coding = doc["medicationCodeableConcept"]["coding"][0]
+        assert coding["code"] == "G2"
+        assert coding["system"] == fhir.RXNORM_SYSTEM
+        assert doc["subject"]["reference"] == "Patient/10"
+
+        bundle = json.dumps({
+            "resourceType": "Bundle",
+            "entry": [{"resource": {**doc, "id": "mr-1",
+                                    "authoredOn": "2023-07-15"}}],
+        })
+        bdf = spark.createDataFrame([(bundle,)], "bundle_json string")
+        parsed = fhir.parse_medication_requests(bdf).collect()[0]
+        assert parsed.patient_id == 10
+        assert parsed.rxcui == "G2"
+        assert parsed.start_date == dt.date(2023, 7, 15)
+
+
+class TestHl7:
+    MSG = (
+        "MSH|^~\\&|PHARM|HOSP|RX|HOSP|202301010800||RDE^O11|1|P|2.5\r"
+        "PID|1||42||Doe^Jane||19800115|F\r"
+        "RXE|1^daily|777^lisinopril 10mg^RXNORM|10||mg"
+    )
+
+    def test_hl7_to_meds(self, spark):
+        msgs = spark.createDataFrame([(self.MSG,)], "message string")
+        got = hl7.hl7_to_meds(msgs).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.patient_id == 42
+        assert r.rxcui == "777"
+        assert r.drug_name == "lisinopril 10mg"
+
+    def test_patient_fields(self, spark):
+        msgs = spark.createDataFrame([(self.MSG,)], "message string")
+        segs = hl7.explode_segments(msgs)
+        assert {r.seg_type for r in segs.collect()} == {"MSH", "PID", "RXE"}
+        p = hl7.parse_patients(segs).collect()[0]
+        assert p.name == "Jane Doe"
+        assert p.birth_date == dt.date(1980, 1, 15)
+        assert p.gender == "F"
+
+
+class TestPipeline:
+    def test_recommendations_end_to_end(self, spark):
+        tables = fixtures.build_domain_tables(spark)
+        recs = rules.recommendations(tables)
+        rows = recs.collect()
+        assert len(rows) > 0
+        types = {r.rec_type for r in rows}
+        assert types == {"overlap", "generic_substitution"}
+        # every substitution row carries a positive saving and a score
+        for r in rows:
+            if r.rec_type == "generic_substitution":
+                assert r.savings > 0
+                assert 0.0 <= r.denial_risk <= 1.0
+        # rank is a proper per-patient permutation
+        by_patient: dict[int, list[int]] = {}
+        for r in rows:
+            by_patient.setdefault(r.patient_id, []).append(r.rank)
+        for ranks in by_patient.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
