@@ -133,7 +133,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard ≥ 0.5.
     Rows-only: hash-family randomness is engine-specific by nature."""
     d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    # The signature relation feeds three consumers (banding + both sides
+    # of the verification join); persist so the shingle explode + 32-way
+    # min aggregation runs once. At warehouse scale this is a staging
+    # table write instead of an in-memory persist.
+    sig = minhash_signatures(d).persist()
     cand = lsh_candidate_pairs(sig)
     a_sig = sig.select(F.col("doc_id").alias("a_doc_id"),
                        F.col("sig").alias("a_sig"))
