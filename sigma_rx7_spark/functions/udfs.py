@@ -1,0 +1,115 @@
+"""Pandas UDF / UDAF surface (SURVEY.md §2.10 X1, X3).
+
+The engine's rule is: native Column expressions in every hot path
+(functions/scoring.py implements the reference's 'ML' scorer that way).
+This module is the documented *slow path* — the Arrow-batched patterns to
+reach for only when logic genuinely cannot be expressed in built-ins:
+
+- X1: a scalar ``pandas_udf`` variant of the denial logistic, kept as the
+  pattern example (vectorized numpy, ~10-100× faster than row-at-a-time
+  Python UDFs, still slower than codegen).
+- X3: a GROUPED_AGG ``pandas_udf`` custom aggregate (tier-weighted price
+  in integer cents — integer arithmetic so the result is engine-exact
+  and therefore oracle-checkable even through Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import q
+from ..io import load
+from ..registry import query
+from .scoring import DENIAL_WEIGHTS
+
+
+# pandas_udf parses its DDL return type against the active session, so
+# the UDFs are built lazily (module import must not require Spark).
+
+def denial_score_pandas():
+    """X1 slow-path twin of functions.scoring.logistic_score (reference
+    README.md:9,27,77). Vectorized over Arrow batches."""
+    @F.pandas_udf("double")
+    def _udf(price: pd.Series, tier: pd.Series,
+             pa: pd.Series) -> pd.Series:
+        w0, w1, w2, w3 = DENIAL_WEIGHTS
+        z = w0 + w1 * price + w2 * tier + w3 * pa.astype("int64")
+        return 1.0 / (1.0 + np.exp(-z))
+    return _udf
+
+
+def sum_weighted_cents():
+    """X3 custom aggregate: Σ round(price*100)·weight as exact int64.
+
+    Integer arithmetic end-to-end ⇒ no float summation-order hazard, so
+    a Python aggregate can still hash-match the SQL oracle.
+    """
+    @F.pandas_udf("long")
+    def _udf(price: pd.Series, weight: pd.Series) -> int:
+        cents = (price * 100).round().astype("int64")
+        return int((cents * weight.astype("int64")).sum())
+    return _udf
+
+
+@query(
+    "q_udf_score",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(
+        1.0 / (1.0 + exp(-(-2.0
+          + 0.01 * (o_totalprice / 1000.0)
+          + 0.4 * CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+          + 1.5 * CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)))
+        AS DECIMAL(20,6))) AS DOUBLE) AS sum_score
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("X1",),
+)
+def q_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf scoring path, decimal-quantized before aggregation
+    so numpy-vs-DuckDB libm ulp drift cannot surface (compat hazard #2).
+    Exists to prove the slow path still meets the correctness gate; the
+    native-expression twin is q_math_score."""
+    o = load(spark, sf_dir, "orders")
+    score = denial_score_pandas()(
+        F.col("o_totalprice") / F.lit(1000.0),
+        F.substring("o_orderpriority", 1, 1).cast("int"),
+        (F.col("o_orderstatus") == "F").cast("boolean"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(q(score)).cast("double").alias("sum_score"),
+    )
+
+
+@query(
+    "q_udaf_weighted",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+          * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+        AS weighted_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("X3",),
+)
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPED_AGG aggregate (X3): tier-weighted price in exact
+    integer cents per priority."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        sum_weighted_cents()(F.col("price"), F.col("w"))
+        .alias("weighted_cents"),
+    )

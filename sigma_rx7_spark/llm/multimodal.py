@@ -1,0 +1,172 @@
+"""Multimodal columns (SURVEY.md §2.11 L4): image/audio/video as opaque
+binary columns with typed metadata, processed via Arrow-batched Pandas
+UDFs.
+
+North-star operator (BASELINE.json mandate). The container has no
+image/audio codecs, so the *decode kernels* are deterministic fakes (or
+``NotImplementedError`` for real formats — clearly marked below), while
+everything Spark-owned is real and tested: the schema, the binary-column
+fixtures, the ``mapInPandas`` batch shape, the row-expansion semantics
+(frame sampling), and the partitioning story.
+
+Scale design: payloads stay opaque bytes end-to-end — Spark shuffles and
+stores them without interpretation; only the Pandas UDF touches content,
+one Arrow batch at a time (bounded memory regardless of corpus size).
+Feature extraction emits fixed-width vectors so downstream similarity
+(llm/similarity.py) applies unchanged. On a cluster the media table is
+written ``partitionBy(kind)`` so per-modality jobs prune at the scan
+(io.write_table).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("payload", T.BinaryType()),    # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ])),
+])
+
+# Fake wire format for fixtures: magic 'SGMA' + width + height + n_frames
+# + pixel bytes. Stands in for JPEG/WAV/MP4 so the decode path has real
+# bytes to parse deterministically.
+_MAGIC = b"SGMA"
+_HEADER = struct.Struct(">4sHHH")
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_intensity", T.DoubleType()),
+    T.StructField("histogram", T.ArrayType(T.LongType())),  # 16 bins
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def encode_fake_media(media_id: int, kind: str, width: int, height: int,
+                      n_frames: int = 1) -> tuple:
+    """One deterministic fixture row (pure function of media_id)."""
+    body = bytes(
+        (media_id * 31 + i * 7) % 256
+        for i in range(width * height * n_frames)
+    )
+    payload = _HEADER.pack(_MAGIC, width, height, n_frames) + body
+    return (media_id, kind, payload,
+            {"format": "sgma", "width": width, "height": height,
+             "n_frames": n_frames})
+
+
+def build_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media fixture: images and tiny 'videos'."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            rows.append(encode_fake_media(i, "video", 8, 6, n_frames=5))
+        else:
+            rows.append(encode_fake_media(i, "image", 16, 12))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode one payload -> (width, height, n_frames, pixels).
+
+    STUB BOUNDARY: real formats would dispatch to PIL/ffmpeg here; this
+    container has neither, so only the deterministic 'sgma' fixture
+    format decodes and anything else raises.
+    """
+    magic, width, height, n_frames = _HEADER.unpack_from(payload)
+    if magic != _MAGIC:
+        raise NotImplementedError(
+            "real image/audio codecs unavailable in this environment; "
+            "only the deterministic 'sgma' fixture format is decodable")
+    return width, height, n_frames, payload[_HEADER.size:]
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Image → fixed-width features via mapInPandas (Arrow batches).
+
+    Emits mean intensity + a 16-bin byte histogram per media row — the
+    feature-extraction stage an embedding model would replace, with the
+    identical batch shape and output contract.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, px = _decode(bytes(payload))
+                frame = px[: w * h]
+                hist = [0] * 16
+                for b in frame:
+                    hist[b >> 4] += 1
+                out.append((
+                    mid, w, h,
+                    (sum(frame) / len(frame)) if frame else 0.0,
+                    hist,
+                ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Video → one row per sampled frame (row-expanding mapInPandas):
+    the frame-sampling stage of a video pipeline."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n_frames, px = _decode(bytes(payload))
+                size = w * h
+                for f_idx in range(0, n_frames, stride):
+                    out.append(
+                        (mid, f_idx, px[f_idx * size:(f_idx + 1) * size]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+@query("q_multimodal_features", oracle=None, tags=("L4", "rows-only"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract the media fixture; aggregate per (width,
+    height) to keep the output stable. sf_dir ignored (engine fixture)."""
+    media = build_media_table(spark)
+    feats = decode_features(media)
+    return feats.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("mean_intensity").cast("decimal(20,6)"))
+        .cast("double").alias("sum_intensity"),
+    )
+
+
+@query("q_multimodal_frames", oracle=None, tags=("L4", "rows-only"))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per kept frame with frame byte length."""
+    media = build_media_table(spark)
+    return sample_frames(media).select(
+        "media_id", "frame_idx",
+        F.length("frame_bytes").alias("frame_len"),
+    )

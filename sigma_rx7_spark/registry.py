@@ -32,6 +32,9 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.llm.dedup",
     "sigma_rx7_spark.llm.similarity",
     "sigma_rx7_spark.streaming.jobs",
+    "sigma_rx7_spark.streaming.stateful",
+    "sigma_rx7_spark.llm.multimodal",
+    "sigma_rx7_spark.functions.udfs",
     "sigma_rx7_spark.domain.queries",
 )
 
