@@ -164,6 +164,96 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_stats",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      quantile_cont(o_totalprice, 0.5) AS median_price,
+      (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,6))
+                     * CAST(o_totalprice AS DECIMAL(20,6))
+                     AS DECIMAL(38,12))) AS DOUBLE)
+       - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) ** 2
+         / COUNT(*)) / (COUNT(*) - 1) AS var_price,
+      sqrt((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,6))
+                          * CAST(o_totalprice AS DECIMAL(20,6))
+                          AS DECIMAL(38,12))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) ** 2
+              / COUNT(*)) / (COUNT(*) - 1)) AS std_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A2", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile per group: min/max/median/variance/stddev — the
+    distribution-shape summary a data-quality dashboard needs on top of
+    plain sums (README.md:8 "cost comparisons", README.md:11).
+
+    Determinism: variance uses the two-sum formula over EXACT decimal sums
+    (sum x, sum x² quantized per compat.py), so partial/final aggregation
+    order can't perturb the double result — verified bit-equal to the
+    DuckDB oracle. The exact median (continuous interpolation) matches
+    ``quantile_cont``; at 100 TB swap in ``approx_percentile`` the same
+    way q_agg_approx relaxes q_agg_distinct."""
+    o = load(spark, sf_dir, "orders")
+    qp = F.col("o_totalprice").cast("decimal(20,6)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(qp).cast("double")
+    s2 = F.sum((qp * qp).cast("decimal(38,12)")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    )
+
+
+PIVOT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+      COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+      COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+      COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+      COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A5", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per status × priority — the
+    dashboard cross-tab shape (README.md:11). Listing the pivot values
+    explicitly keeps the plan a single pass (no extra distinct-values job
+    — essential at 100 TB) and makes the output schema static."""
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PIVOT_PRIORITIES))
+        .count()
+    )
+    renamed = [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(
+            "p" + v.split("-", 1)[0]
+            + "_" + v.split("-", 1)[1].lower().replace(" ", "_"))
+        for v in PIVOT_PRIORITIES
+    ]
+    return wide.select("o_orderstatus", *renamed)
+
+
+@query(
     "q_agg_collect",
     oracle="""
     SELECT
