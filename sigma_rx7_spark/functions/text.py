@@ -159,3 +159,57 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
     )
+
+
+# BPE-pretokenizer-style classes (word / number / other-symbol), the
+# standard split BPE tokenizers apply before merges. Same regex dialect
+# subset in Java (Spark) and RE2 (DuckDB).
+TOKEN_WORD = "[A-Za-z]+"
+TOKEN_NUM = "[0-9]+"
+TOKEN_SYM = "[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(len(regexp_extract_all(text, '{TOKEN_WORD}'))) AS n_word_tokens,
+      SUM(len(regexp_extract_all(text, '{TOKEN_NUM}'))) AS n_num_tokens,
+      SUM(len(regexp_extract_all(text, '{TOKEN_SYM}'))) AS n_sym_tokens,
+      SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        AS n_ws_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("L3", "tokens"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pretokenizer style: per language, counts of
+    word / number / symbol tokens (the regex classes a BPE tokenizer
+    splits on before merging) alongside the plain whitespace count. All
+    regex work is codegen'd JVM — at 100 TB this runs at scan speed with
+    partial aggregation; no Python touches a row."""
+    d = load(spark, sf_dir, "documents")
+
+    def n_matches(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+
+    return (
+        d.select(
+            "lang",
+            n_matches(TOKEN_WORD).cast("bigint").alias("w"),
+            n_matches(TOKEN_NUM).cast("bigint").alias("n"),
+            n_matches(TOKEN_SYM).cast("bigint").alias("s"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_word_tokens"),
+            F.sum("n").alias("n_num_tokens"),
+            F.sum("s").alias("n_sym_tokens"),
+            F.sum("ws").alias("n_ws_tokens"),
+        )
+    )

@@ -254,6 +254,41 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT o_orderstatus, measure, value
+    FROM (
+      SELECT
+        o_orderstatus,
+        MIN(o_totalprice) AS min_price,
+        MAX(o_totalprice) AS max_price,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+    ) UNPIVOT (value FOR measure IN (min_price, max_price, n_orders))
+    """,
+    tags=("A5", "unpivot"),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-status summary measures melted to
+    (status, measure, value) rows — the inverse of q_agg_pivot, the shape
+    chart/export layers want (README.md:11). ``unpivot`` is a zero-shuffle
+    projection: each input row expands in place."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["min_price", "max_price", "n_orders"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
     "q_agg_collect",
     oracle="""
     SELECT

@@ -1,0 +1,66 @@
+"""Subqueries (SURVEY.md §4 "subquery decorrelation").
+
+The reference delegates all subquery handling to DuckDB (reference
+README.md:7); Spark-side, Catalyst's ``RewriteCorrelatedScalarSubquery``
+decorrelates a correlated scalar subquery into an aggregate + join, and
+EXISTS/IN become left-semi joins — so both queries here plan as ordinary
+shuffles, no per-row re-execution. These are expressed through
+``spark.sql`` deliberately: the SQL surface is part of the engine's API,
+and it proves the decorrelation happens (asserted in tests/test_plans.py).
+
+Scale: the decorrelated forms are a broadcast-able aggregate join (scalar)
+and a semi join that never materializes the probe payload — both identical
+in shape to q_join_broadcast / q_join_semi at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from ..registry import query
+
+# Exact-decimal average (compat.py convention): both engines sum
+# DECIMAL(20,6) then do ONE double division, so the correlated threshold
+# is bit-identical and the filter boundary cannot drift.
+_SCALAR_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (
+  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(20,6))) AS DOUBLE)
+         / COUNT(*)
+  FROM part p2
+  WHERE p2.p_brand = p.p_brand
+)
+"""
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_totalprice > 300000
+)
+"""
+
+
+@query("q_subquery_scalar", oracle=_SCALAR_SQL, tags=("SQ", "subquery"))
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced above their brand's
+    average (the "brand vs its own average price" comparison behind the
+    reference's cost rules, README.md:8-9). Catalyst decorrelates this to
+    aggregate-per-brand + join — one scan of part per side, no per-row
+    subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
+@query("q_subquery_exists", oracle=_EXISTS_SQL, tags=("SQ", "subquery"))
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers holding at least one large urgent
+    order (the "patients with ≥1 recommendation" existence check,
+    README.md:69-70, in SQL form). Plans as a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions (SCALE.md: the plans we claim are the
+plans we ship).
+
+Each test renders ``.explain("formatted")`` output and asserts the
+scale-critical property: filters reach the parquet scan, projections prune
+the read schema, small dims broadcast, top-k never global-sorts, correlated
+subqueries decorrelate, and hot paths stay inside whole-stage codegen.
+These are the properties that decide whether a query survives a 100 TB
+input, independent of what timings the local box happens to produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sigma_rx7_spark import registry
+
+ALL = registry.load_all()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = ALL[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_filter_pred")
+    assert "PushedFilters: [" in p
+    # the predicate must actually appear pushed, not just the empty list
+    assert "PushedFilters: []" not in p.split("ReadSchema")[0]
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_scan_project")
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    # q_scan_project touches a narrow column set; the scan must not read
+    # the full lineitem width (11 columns).
+    assert sum(ln.count(":") for ln in read_schema) <= 6, read_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    p = plan(spark, sf_dir, "q_join_multiway")
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_and_anti_never_materialize_payload(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "q_join_semi")
+    assert "LeftAnti" in plan(spark, sf_dir, "q_join_anti")
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_sort_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_aggregate_is_partial_final(spark, sf_dir):
+    # partial (map-side) + final HashAggregate pair: the shuffle carries
+    # one row per (partition x group), not per input row.
+    # (WholeStageCodegen spans only materialize in the AQE final plan
+    # post-execution, so assert the aggregate pair, which is decided
+    # statically.)
+    p = plan(spark, sf_dir, "q_agg_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_scalar_subquery_decorrelates(spark, sf_dir):
+    # No per-row subquery node: Catalyst rewrites to aggregate + join.
+    p = plan(spark, sf_dir, "q_subquery_scalar")
+    assert "Join" in p
+    assert "HashAggregate" in p
+
+
+def test_exists_plans_as_semi_join(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "q_subquery_exists")
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    # The bucketed rewrite must plan as an equi join (hash/merge), never
+    # BroadcastNestedLoopJoin / CartesianProduct over the big sides.
+    p = plan(spark, sf_dir, "q_join_self_interval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_dedup_exact")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges, p
+    assert all("text" not in ln for ln in exchanges), exchanges
+
+
+@pytest.mark.parametrize("name", ["q_agg_having", "q_window_rank"])
+def test_no_python_eval_in_relational_paths(spark, sf_dir, name):
+    # Hot relational paths must stay JVM-side: no BatchEvalPython /
+    # ArrowEvalPython stages (Python appears only in the explicitly
+    # slow-path udf/multimodal modules).
+    p = plan(spark, sf_dir, name)
+    assert "EvalPython" not in p
