@@ -25,6 +25,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.windows",
     "sigma_rx7_spark.operators.sets",
     "sigma_rx7_spark.operators.subqueries",
+    "sigma_rx7_spark.sources.formats",
     "sigma_rx7_spark.functions.strings",
     "sigma_rx7_spark.functions.dates",
     "sigma_rx7_spark.functions.scoring",

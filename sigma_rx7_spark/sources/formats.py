@@ -1,0 +1,160 @@
+"""File-format sources beyond parquet (SURVEY.md §2.1 S3/S4/S5).
+
+The reference ingests flat enrichment files ("drug classes, Orange Book
+brand/generic links and public pricing/formulary data", reference
+README.md:8 — CSV/TSV-shaped open data) and nested FHIR JSON (README.md:3,
+76). Spark-first, those are ``spark.read.csv`` / ``spark.read.json`` with
+EXPLICIT schemas — never inference, which at 100 TB would mean an extra
+full pass over the data and silently drifting types.
+
+The two registered queries prove the loaders end-to-end: stage a harness
+table out to the format, read it back through the typed loader, aggregate,
+and hash-match the DuckDB oracle computed on the ORIGINAL parquet — so any
+loss or type drift in the format round-trip fails the gate. (Doubles
+survive because both writers emit shortest-roundtrip decimal strings.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compat import dsum, o_dsum
+from ..io import load
+from ..registry import query
+
+# Staging root lives inside the repo (the only writable area); per-sf
+# subdirs keep concurrent scale factors apart.
+STAGING = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".staging")
+
+
+def _stage_dir(kind: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(STAGING, f"{kind}_{tag}")
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """Typed CSV reader (S5 open-data enrichment shape): explicit schema,
+    malformed rows fail loudly (FAILFAST) instead of nulling out."""
+    return (spark.read.schema(schema)
+            .option("header", header).option("sep", sep)
+            .option("mode", "FAILFAST").csv(path))
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType) -> DataFrame:
+    """Typed JSON-lines reader (S4 FHIR-bundle shape)."""
+    return (spark.read.schema(schema)
+            .option("mode", "FAILFAST").json(path))
+
+
+CSV_ORDERS_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType()),
+    T.StructField("o_orderstatus", T.StringType()),
+    T.StructField("o_totalprice", T.DoubleType()),
+    T.StructField("o_orderpriority", T.StringType()),
+])
+
+JSON_EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@query(
+    "q_source_csv",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      {o_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("S5", "source-csv"),
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: stage orders to CSV, re-read through the typed
+    loader, aggregate. The oracle runs on the ORIGINAL parquet, so the
+    hash match proves the CSV path is lossless for keys, categoricals,
+    and doubles."""
+    path = _stage_dir("csv_orders", sf_dir)
+    (load(spark, sf_dir, "orders")
+     .select(*[f.name for f in CSV_ORDERS_SCHEMA.fields])
+     .write.mode("overwrite").option("header", True).csv(path))
+    staged = read_csv(spark, path, CSV_ORDERS_SCHEMA)
+    return staged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@query(
+    "q_source_json",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      {o_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("S4", "source-json"),
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip: stage events to JSON, re-read through the
+    typed loader, aggregate. Same lossless-round-trip proof as
+    q_source_csv, for the nested-ingest (FHIR, README.md:3,76) format
+    family."""
+    path = _stage_dir("json_events", sf_dir)
+    (load(spark, sf_dir, "events")
+     .select(*[f.name for f in JSON_EVENTS_SCHEMA.fields])
+     .write.mode("overwrite").json(path))
+    staged = read_json(spark, path, JSON_EVENTS_SCHEMA)
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", "sum_value"),
+    )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle=f"""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      {o_dsum('value', 'sum_value')}
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("S8", "sink-partitioned"),
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned re-read (S8): stage events
+    partitioned by event_type, then aggregate ONE partition. The filter
+    on the partition column prunes directories at plan time (asserted in
+    tests/test_plans.py) — at 100 TB this is the difference between
+    scanning one event type and scanning the fleet's full history. The
+    oracle aggregates the original parquet, proving the partitioned
+    round-trip is lossless."""
+    path = _stage_dir("part_events", sf_dir)
+    (load(spark, sf_dir, "events")
+     .select("event_id", "user_id", "value", "event_type")
+     .write.mode("overwrite").partitionBy("event_type").parquet(path))
+    staged = spark.read.parquet(path)
+    return (
+        staged.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+    )

@@ -100,3 +100,15 @@ def test_no_python_eval_in_relational_paths(spark, sf_dir, name):
     # slow-path udf/multimodal modules).
     p = plan(spark, sf_dir, name)
     assert "EvalPython" not in p
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    # The staged re-read must select one event_type directory, not all:
+    # PartitionFilters carries the predicate, and it leaves the data
+    # filter list (the column exists only in directory names).
+    df = ALL["q_sink_partitioned"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_type" in seg, seg

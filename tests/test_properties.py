@@ -1,0 +1,116 @@
+"""Property-based tests (SURVEY.md §5.4) for the hand-built operators —
+the two joins with no single Spark primitive and the scoring expression.
+
+Strategy: hypothesis generates small adversarial inputs (duplicate
+timestamps, equal ids, boundary gaps exactly at the window edge); each
+property is checked against an independent pure-Python model. Example
+counts are kept small because every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sigma_rx7_spark.functions.scoring import logistic_score
+from sigma_rx7_spark.operators.interval import asof_join, interval_self_join
+
+SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+
+ROW = st.tuples(
+    st.integers(0, 2),          # key
+    st.integers(-5, 5),         # ts (small => boundary collisions likely)
+    st.integers(0, 9),          # id
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("k", T.IntegerType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("id", T.IntegerType()),
+])
+
+WINDOW = 2
+
+
+@given(rows=st.lists(ROW, max_size=14, unique_by=lambda r: r[2]))
+@SETTINGS
+def test_interval_join_matches_naive_model(spark, rows):
+    df = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rows], EVENT_SCHEMA)
+    got = {
+        (r["_a_id"], r["_b_id"])
+        for r in interval_self_join(
+            df, key="k", ts_us="ts", id_col="id", window_us=WINDOW
+        ).collect()
+    }
+    want = {
+        (a[2], b[2])
+        for a in rows for b in rows
+        if a[0] == b[0] and a[2] < b[2] and abs(a[1] - b[1]) <= WINDOW
+    }
+    assert got == want
+    # irreflexive + canonical orientation (a < b) => no symmetric dupes
+    assert all(a < b for a, b in got)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5)),
+                   max_size=8),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5)),
+                    max_size=8, unique=True),
+)
+@SETTINGS
+def test_asof_join_matches_naive_model(spark, lefts, rights):
+    lschema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("lts", T.LongType()),
+        T.StructField("lid", T.IntegerType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("rts", T.LongType()),
+        T.StructField("payload", T.LongType()),
+    ])
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], lschema)
+    # rights unique per (k, ts) by construction (unique=True on tuples)
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + t) for k, t in rights], rschema)
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(ldf, rdf, key="k", left_ts="lts",
+                           right_ts="rts",
+                           right_payload=("payload",)).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [rt for rk, rt in rights if rk == k and rt <= t]
+        want[i] = (100 + max(cands)) if cands else None
+    assert got == want
+
+
+@given(
+    price=st.floats(0, 1000, allow_nan=False),
+    bump=st.floats(0.1, 100, allow_nan=False),
+    tier=st.integers(1, 5),
+)
+@SETTINGS
+def test_logistic_score_monotone_and_bounded(spark, price, bump, tier):
+    df = spark.createDataFrame(
+        [(float(price), float(price + bump), int(tier))],
+        "p1 double, p2 double, tier int")
+    row = df.select(
+        logistic_score(F.col("p1"), F.col("tier"), F.lit(False)).alias("s1"),
+        logistic_score(F.col("p2"), F.col("tier"), F.lit(False)).alias("s2"),
+        logistic_score(F.col("p1"), F.col("tier"), F.lit(True)).alias("s_pa"),
+    ).collect()[0]
+    assert 0.0 < row["s1"] < 1.0
+    # monotone in price and in the prior-auth flag (weights are positive)
+    assert row["s2"] >= row["s1"]
+    assert row["s_pa"] > row["s1"]
