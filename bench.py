@@ -40,6 +40,12 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_near",
     "q_sim_topk",
+    "q_subquery_scalar",
+    "q_agg_stats",
+    "q_agg_pivot",
+    "q_split_train_test",
+    "q_text_tokens",
+    "q_sim_topk_ivf",
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..io import load
 from ..registry import query
-from .similarity import cosine
+from .similarity import dot, normalized
 
 MINHASH_K = 32          # signature length
 LSH_BANDS = 8           # bands of 4 rows each -> catches jaccard >~ 0.5
@@ -219,48 +219,48 @@ COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
 @query(
     "q_dedup_cosine",
     oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    )
     SELECT
       a.vec_id AS a_vec_id,
       b.vec_id AS b_vec_id,
-      list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[]))
-        / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[]))))
-        AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[]))
-        / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[]))))
-        >= {COSINE_DUP_THRESHOLD}
+      list_inner_product(a.nv, b.nv) AS cos_sim
+    FROM n a
+    JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.nv, b.nv) >= {COSINE_DUP_THRESHOLD}
     """,
     tags=("L1", "dedup", "embedding"),
 )
 def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs whose vectors' cosine similarity
     clears the duplicate threshold. Exact all-pairs here (the oracle-able
-    baseline — Spark's left-fold dot product is bit-equal to DuckDB's
-    ``list_inner_product``, verified in tests). Scale path: this exact
-    scorer runs on *candidate* pairs from LSH bucketing — random-
-    hyperplane signs for vectors (the q_dedup_simhash construction) or
-    IVF cells (``similarity.ivf_assign``) — so the pair space tracks true
-    duplicates, not n². The broadcast side is the smaller relation; the
-    corpus side never shuffles."""
+    baseline); both sides unit-normalize ONCE so each pair costs a single
+    dot product, and Spark's left-fold arithmetic is bit-equal to
+    DuckDB's ``list_transform``/``list_inner_product`` mirror (verified
+    in tests — which is why this float-heavy query is hash-gated, not
+    rows-only). Scale path: this exact scorer runs on *candidate* pairs
+    from LSH bucketing — random-hyperplane signs for vectors (the
+    q_dedup_simhash construction) or IVF cells (``similarity.
+    ivf_assign``) — so the pair space tracks true duplicates, not n².
+    The broadcast side is the smaller relation; the corpus side never
+    shuffles."""
     e = load(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("a_vec_id"),
-                 F.col("embedding").alias("a_vec"))
+                 normalized("embedding").alias("a_vec"))
     b = e.select(F.col("vec_id").alias("b_vec_id"),
-                 F.col("embedding").alias("b_vec"))
+                 normalized("embedding").alias("b_vec"))
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("a_vec_id") < F.col("b_vec_id"))
         .select("a_vec_id", "b_vec_id",
-                cosine("a_vec", "b_vec").alias("cos_sim"))
+                dot("a_vec", "b_vec").alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
 

@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset splits (north-star training-pipeline
+operator, BASELINE.json mandate).
+
+A training corpus needs reproducible train/val/test assignment that (a)
+never depends on row order or partitioning, (b) needs no global state or
+shuffle, and (c) gives the same answer on every engine that touches the
+data. The standard construction: hash a stable key, bucket the digest.
+``md5`` is used (not ``xxhash64``) because the digest must be identical in
+Spark and in the DuckDB oracle — determinism across *engines* is the
+point of the operator, and the gate proves it.
+
+Scale: split assignment is a pure per-row projection — zero shuffle, runs
+at scan speed, and the same expression works as a partition column for
+`write.partitionBy("split")` so downstream training jobs read only their
+split's files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# 16 hex buckets on the first digest nibble: 12/2/2 => 75% / 12.5% / 12.5%.
+TRAIN_NIBBLES = tuple("0123456789ab")
+VAL_NIBBLES = ("c", "d")
+
+
+def hash_split(key: Column) -> Column:
+    """Stable split label from a key column (engine-independent)."""
+    nib = F.substring(F.md5(key.cast("string")), 1, 1)
+    return (
+        F.when(nib.isin(*TRAIN_NIBBLES), "train")
+        .when(nib.isin(*VAL_NIBBLES), "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    SELECT
+      CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+          THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+          THEN 'val'
+        ELSE 'test'
+      END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("L5", "sampling"),
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by key digest,
+    summarized per (split, language). Assignment is row-order- and
+    partitioning-independent, so a 1000-executor run reproduces this
+    byte-for-byte — the property that makes dataset versioning possible
+    without materializing membership lists."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(hash_split(F.col("doc_id")).alias("split"),
+                 "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )

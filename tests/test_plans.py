@@ -14,14 +14,13 @@ from __future__ import annotations
 import pytest
 
 from sigma_rx7_spark import registry
+from sigma_rx7_spark.plans.inspect import formatted_plan
 
 ALL = registry.load_all()
 
 
 def plan(spark, sf_dir, name: str) -> str:
-    df = ALL[name].fn(spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+    return formatted_plan(ALL[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -106,9 +105,9 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     # The staged re-read must select one event_type directory, not all:
     # PartitionFilters carries the predicate, and it leaves the data
     # filter list (the column exists only in directory names).
+    from sigma_rx7_spark.plans.inspect import partition_filters
+
     df = ALL["q_sink_partitioned"].fn(spark, sf_dir)
-    p = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
-    assert "PartitionFilters" in p
-    seg = p.split("PartitionFilters")[1].splitlines()[0]
-    assert "event_type" in seg, seg
+    pf = partition_filters(df)
+    assert pf, "no PartitionFilters in plan"
+    assert any("event_type" in seg for seg in pf), pf
