@@ -242,3 +242,38 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"),
              dsum("p_retailprice", "sum_price"))
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-salted equi-join: identical result to ``left.join(right, key,
+    how)``, but a hot key's rows spread over ``n_salt`` shuffle partitions
+    instead of landing on one straggler executor.
+
+    Mechanics: the (large, skewed) left side gets a salt derived from a
+    per-row hash; the (smaller) right side replicates each row across all
+    n_salt salt values; the join key becomes (key, salt). Replication
+    costs n_salt× the right side — use when the right side is modest and
+    the left has pathological keys AQE's skew splitting can't fix (e.g. a
+    single key holding >1 partition-size of rows feeding a sort-merge
+    join). AQE skew-join handles most cases; this is the explicit escape
+    hatch, and a unit test pins result-equality with the plain join.
+
+    Only inner/left joins are legal here: right/full outer would produce
+    n_salt copies of right rows with no left match.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+                  F.lit(n_salt)).cast("int")
+    salted_l = left.withColumn("_salt", salt)
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumnRenamed(key, "_r_key")
+    out = salted_l.join(
+        salted_r,
+        (salted_l[key] == salted_r["_r_key"])
+        & (salted_l["_salt"] == salted_r["_salt"]),
+        how,
+    )
+    return out.drop("_salt", "_r_key")

@@ -114,3 +114,30 @@ def test_logistic_score_monotone_and_bounded(spark, price, bump, tier):
     # monotone in price and in the prior-auth flag (weights are positive)
     assert row["s2"] >= row["s1"]
     assert row["s_pa"] > row["s1"]
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                   max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                    max_size=6),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, lefts, rights, how):
+    from sigma_rx7_spark.operators.joins import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in lefts], "k int, lv int")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rights], "k int, rv int")
+    got = sorted(
+        tuple(r) for r in
+        salted_join(ldf, rdf, "k", n_salt=4, how=how)
+        .select("k", "lv", "rv").collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        ldf.join(rdf, "k", how).select("k", "lv", "rv").collect()
+    )
+    assert got == want
