@@ -148,3 +148,19 @@ def write_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) ->
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   sort: bool = True) -> None:
+    """Bucketed managed table (SURVEY.md §2.1 S8 scale variant).
+
+    Writing both sides of a hot join bucketed (and sorted) by the join
+    key makes the join shuffle-free: each task reads matching bucket
+    files from both tables — at 100 TB this converts the recurring
+    fact⋈fact shuffle into a one-time layout cost paid at ingest.
+    Bucket counts must match across the joined tables.
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -111,3 +111,28 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     pf = partition_filters(df)
     assert pf, "no PartitionFilters in plan"
     assert any("event_type" in seg for seg in pf), pf
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    # Co-located bucketed layout => join plans with no shuffle exchange
+    # on either side (SCALE.md: the one-time-layout-vs-recurring-shuffle
+    # trade). Sorted buckets also kill the per-task sort for SMJ.
+    from sigma_rx7_spark.io import load, write_bucketed
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", 8)
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"), "l_orderkey")
+    p = formatted_plan(joined)
+    assert "Exchange" not in p, p
+    # same join without the bucketed layout DOES shuffle both sides
+    p_plain = formatted_plan(
+        li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey")
+                .hint("merge"), "l_orderkey"))
+    assert "Exchange" in p_plain
