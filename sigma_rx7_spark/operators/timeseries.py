@@ -1,0 +1,98 @@
+"""Time-series resample / hypertable rollup (SURVEY.md §2.5 W4 family,
+extended per the north-star custom-operator mandate).
+
+The reference's "clinical history" queries (reference README.md:3) imply
+regular-grid views over irregular event times; the general operator is
+*resample with gap fill*: bucket events to a fixed grain, then emit every
+grid bucket in each key's active range — including empty ones — so
+downstream windows/exports see a dense series.
+
+Spark-first: the dense grid is ``sequence(min_bucket, max_bucket,
+interval)`` exploded per key — generated, never materialized as input —
+then a left join from grid to the bucketed aggregate. Both shuffles key
+on (user, bucket); at 100 TB the grid side is tiny relative to events
+(one row per key-bucket, bounded by range/grain, independent of event
+volume) and AQE picks the join strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def resample_gapfill(events: DataFrame, key: str, ts: str, grain: str,
+                     aggs: list, fill: dict) -> DataFrame:
+    """Dense per-key time grid at ``grain`` with gap-filled aggregates.
+
+    aggs: list of aggregate Columns over the bucketed events; fill: map
+    of output column -> fill value for empty buckets.
+    """
+    bucketed = events.select(
+        F.col(key), F.date_trunc(grain, F.col(ts)).alias("_bucket"),
+        *[c for c in events.columns if c not in (key, ts)],
+    )
+    per_bucket = bucketed.groupBy(key, "_bucket").agg(*aggs)
+    grid = (
+        bucketed.groupBy(key)
+        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence(
+                "_lo", "_hi", F.expr(f"interval 1 {grain}")
+            )).alias("_bucket"),
+        )
+    )
+    out = grid.join(per_bucket, [key, "_bucket"], "left")
+    for col, val in fill.items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out
+
+
+@query(
+    "q_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket
+      FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM b GROUP BY user_id)
+    )
+    SELECT g.user_id,
+           g.bucket AS hour_start,
+           COALESCE(b.n, 0) AS n_events,
+           COALESCE(b.sv, 0.0) AS sum_value
+    FROM grid g
+    LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    """,
+    tags=("W4", "timeseries", "gapfill"),
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap fill per user: every hour in each user's
+    active range appears, empty hours as (0, 0.0) — the hypertable-
+    rollup/dense-series operator. The grid is generated per key with
+    ``sequence``, never read as input."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_gapfill(
+        ev, key="user_id", ts="ts", grain="hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        ],
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select(
+        "user_id", F.col("_bucket").alias("hour_start"),
+        "n_events", "sum_value",
+    )
