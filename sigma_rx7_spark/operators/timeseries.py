@@ -96,3 +96,45 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("_bucket").alias("hour_start"),
         "n_events", "sum_value",
     )
+
+
+@query(
+    "q_fill_forward",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      LAST_VALUE(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                 IGNORE NULLS)
+        OVER (PARTITION BY user_id
+              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+              ROWS UNBOUNDED PRECEDING) AS value_filled
+    FROM events
+    """,
+    tags=("W5", "timeseries", "locf"),
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / LOCF: carry the last observed value over gaps per
+    key (here 'view' events are treated as missing observations) — the
+    standard way a sparse clinical measurement becomes a dense covariate
+    series (reference README.md:3 "clinical history"). One window, one
+    shuffle; the (ts, event_id) tiebreak makes the fill total-ordered and
+    therefore partition-count-independent."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    observed = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id",
+                  F.unix_micros("ts").alias("ts_us"),
+                  observed.alias("_obs"))
+        .select("user_id", "event_id", "ts_us",
+                F.last("_obs", ignorenulls=True).over(w)
+                .alias("value_filled"))
+    )
