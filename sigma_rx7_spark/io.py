@@ -20,6 +20,9 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -160,6 +163,16 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
     fact⋈fact shuffle into a one-time layout cost paid at ingest.
     Bucket counts must match across the joined tables.
     """
+    spark = df.sparkSession
+    # Idempotence across sessions: a prior run's managed-table directory
+    # may exist while the (in-memory) catalog does not know the table —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse")
+    location = os.path.join(
+        warehouse.removeprefix("file:"), table.lower())
+    shutil.rmtree(location, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
