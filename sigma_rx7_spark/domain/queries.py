@@ -1,27 +1,155 @@
 """Harness exposure of the clinical domain pipeline.
 
-The domain tables are engine-generated fixtures (domain/fixtures.py), not
-harness parquet, so these entries are rows-only (no DuckDB oracle view
-exists for them); correctness is covered by tests/test_domain.py's unit +
-differential tests. sf_dir is accepted for signature parity and ignored.
+The domain tables are engine-generated fixtures (domain/fixtures.py, the
+reference's bootstrap seeding — README.md:36,55-58,75). To make the E1
+recommendation pipeline hash-gateable, the query stages the fixtures to
+parquet first and BOTH engines read the staged files: Spark runs the
+DataFrame rules (domain/rules.py), the DuckDB oracle runs the SQL mirror
+below over ``read_parquet`` of the same paths. The logistic score passes
+through a transcendental (`exp`), so it is decimal-quantized at 6 dp on
+both sides per the compat.py convention before comparison.
+
+The FHIR export stays rows-only: JSON text formatting (key order,
+spacing) is engine-specific by nature.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
 from . import fixtures, rules
 from .fhir import export_medication_requests
 
+_STAGE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".staging", "domain")
+_STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary")
 
-@query("q_domain_recommendations", oracle=None,
-       tags=("domain", "rows-only"))
+
+def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    """Write the deterministic fixtures to parquet and read them back, so
+    the Spark pipeline and the DuckDB oracle consume identical bytes."""
+    tables = fixtures.build_domain_tables(spark)
+    staged = {}
+    for t in _STAGED_TABLES:
+        path = os.path.join(_STAGE, t)
+        tables[t].coalesce(1).write.mode("overwrite").parquet(path)
+        staged[t] = spark.read.parquet(path)
+    return staged
+
+
+def _p(table: str) -> str:
+    return f"read_parquet('{os.path.join(_STAGE, table)}/*.parquet')"
+
+
+_RECS_ORACLE = f"""
+WITH meds AS (SELECT * FROM {_p('meds')}),
+ob AS (SELECT * FROM {_p('orange_book')} WHERE te_code = 'AB'),
+prices AS (SELECT * FROM {_p('prices')}),
+coverage AS (SELECT * FROM {_p('coverage')}),
+formulary AS (SELECT * FROM {_p('formulary')}),
+dup_pairs AS (
+  SELECT a.patient_id,
+         'overlap' AS rec_type,
+         a.med_id,
+         'duplicate ' || a.drug_class || ': ' || a.drug_name
+           || ' + ' || b.drug_name AS message,
+         0.0 AS savings
+  FROM meds a
+  JOIN meds b
+    ON a.patient_id = b.patient_id
+   AND a.drug_class = b.drug_class
+   AND a.med_id < b.med_id
+   AND a.start_date <= COALESCE(b.stop_date, DATE '9999-12-31')
+   AND b.start_date <= COALESCE(a.stop_date, DATE '9999-12-31')
+),
+cand AS (
+  SELECT m.med_id, m.patient_id, m.drug_name, m.rxcui, m.start_date,
+         ob.generic_rxcui
+  FROM meds m JOIN ob ON m.rxcui = ob.brand_rxcui
+  WHERE m.is_brand
+),
+bp AS (
+  SELECT rxcui, as_of_date, price AS brand_price FROM (
+    SELECT k.rxcui, k.as_of_date, p.price,
+           ROW_NUMBER() OVER (PARTITION BY k.rxcui, k.as_of_date
+                              ORDER BY p.effective_date DESC) AS rn
+    FROM (SELECT DISTINCT rxcui, start_date AS as_of_date FROM cand) k
+    JOIN prices p
+      ON p.rxcui = k.rxcui AND p.effective_date <= k.as_of_date
+  ) WHERE rn = 1
+),
+gp AS (
+  SELECT rxcui AS generic_rxcui, as_of_date, price AS generic_price FROM (
+    SELECT k.rxcui, k.as_of_date, p.price,
+           ROW_NUMBER() OVER (PARTITION BY k.rxcui, k.as_of_date
+                              ORDER BY p.effective_date DESC) AS rn
+    FROM (SELECT DISTINCT generic_rxcui AS rxcui,
+                 start_date AS as_of_date FROM cand) k
+    JOIN prices p
+      ON p.rxcui = k.rxcui AND p.effective_date <= k.as_of_date
+  ) WHERE rn = 1
+),
+subs AS (
+  SELECT patient_id,
+         'generic_substitution' AS rec_type,
+         med_id,
+         'switch ' || drug_name || ' to ' || generic_rxcui AS message,
+         brand_price - generic_price AS savings
+  FROM (
+    SELECT c.*, bp.brand_price, gp.generic_price,
+           ROW_NUMBER() OVER (PARTITION BY c.med_id
+                              ORDER BY gp.generic_price,
+                                       c.generic_rxcui) AS rn
+    FROM cand c
+    JOIN bp ON c.rxcui = bp.rxcui AND c.start_date = bp.as_of_date
+    JOIN gp ON c.generic_rxcui = gp.generic_rxcui
+           AND c.start_date = gp.as_of_date
+  ) WHERE rn = 1 AND generic_price < brand_price
+),
+scored AS (
+  SELECT m.med_id,
+         COALESCE(f.tier, 4) AS tier,
+         COALESCE(f.prior_auth, TRUE) AS prior_auth,
+         CAST(CAST(
+           1.0 / (1.0 + exp(-(-2.0
+             + 0.01 * m.daily_cost
+             + 0.4 * COALESCE(f.tier, 4)
+             + 1.5 * CASE WHEN COALESCE(f.prior_auth, TRUE)
+                          THEN 1 ELSE 0 END)))
+           AS DECIMAL(18,6)) AS DOUBLE) AS denial_risk
+  FROM meds m
+  LEFT JOIN coverage c ON m.patient_id = c.patient_id
+  LEFT JOIN formulary f
+    ON c.plan_id = f.plan_id AND m.rxcui = f.rxcui
+),
+recs AS (
+  SELECT * FROM dup_pairs UNION ALL SELECT * FROM subs
+)
+SELECT r.patient_id, r.rec_type, r.med_id, r.message, r.savings,
+       s.tier, s.prior_auth, s.denial_risk,
+       ROW_NUMBER() OVER (PARTITION BY r.patient_id
+                          ORDER BY r.savings DESC, r.med_id,
+                                   r.rec_type, r.message) AS rank
+FROM recs r LEFT JOIN scored s ON r.med_id = s.med_id
+"""
+
+
+@query("q_domain_recommendations", oracle=_RECS_ORACLE, tags=("domain",))
 def q_domain_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's E1 flow end-to-end (README.md:69-71): overlap
     alerts + generic substitutions + formulary flags + denial scores,
-    ranked per patient, over the bootstrap fixtures."""
-    return rules.recommendations(fixtures.build_domain_tables(spark))
+    ranked per patient, over the staged bootstrap fixtures. Hash-gated:
+    the oracle SQL mirrors every rule over the same staged parquet, with
+    the post-`exp` score quantized at 6 dp on both sides."""
+    tables = stage_domain_tables(spark)
+    recs = rules.recommendations(tables)
+    return recs.withColumn(
+        "denial_risk",
+        F.col("denial_risk").cast("decimal(18,6)").cast("double"))
 
 
 @query("q_domain_fhir_export", oracle=None, tags=("domain", "rows-only"))

@@ -225,6 +225,10 @@ def recommendations(tables: dict[str, DataFrame]) -> DataFrame:
         formulary_alignment(meds, tables["coverage"], tables["formulary"])
     ).select("med_id", "tier", "prior_auth", "denial_risk")
     recs = overlaps.unionByName(subs).join(scored, "med_id", "left")
+    # Total ordering: a med can appear in several overlap pairs (same
+    # savings/med_id/rec_type), so "message" completes the tiebreak —
+    # rank assignment must be engine- and partitioning-independent.
     w = Window.partitionBy("patient_id").orderBy(
-        F.desc("savings"), F.asc("med_id"), F.asc("rec_type"))
+        F.desc("savings"), F.asc("med_id"), F.asc("rec_type"),
+        F.asc("message"))
     return recs.withColumn("rank", F.row_number().over(w))
