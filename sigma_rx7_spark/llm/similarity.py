@@ -155,3 +155,79 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# ---- Staged IVF index (the warehouse-scale ANN layout) -------------------
+
+def build_ivf_index(corpus: DataFrame, centroids: DataFrame,
+                    path: str) -> None:
+    """Materialize the IVF layout: corpus vectors assigned to their cell
+    and written ``partitionBy(cell_id)``; centroids stored alongside.
+
+    This is the offline index-build job: at 100 TB the corpus lands once
+    in cell-partitioned parquet, and every probe afterwards reads only
+    its nprobe cells' files (directory pruning — asserted on the probe
+    plan in tests). Inputs must carry unit vectors (see ``normalized``).
+    """
+    assigned = ivf_assign(corpus, centroids)
+    (assigned.write.mode("overwrite")
+     .partitionBy("cell_id").parquet(f"{path}/cells"))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
+                    nprobe: int = 4, k: int = TOP_K) -> DataFrame:
+    """Top-k search against a staged IVF index.
+
+    The probe-cell set is tiny (n_queries × nprobe ints), so it is
+    collected as plan-time metadata and pushed into the scan filter —
+    that is what turns the read into an nprobe-cells directory prune
+    instead of a full-corpus scan.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id"))
+    probe_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_vec", "cell_id",
+                dot("q_vec", "cent_vec").alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    cell_ids = sorted({r["cell_id"] for r in
+                       probe_cells.select("cell_id").distinct().collect()})
+    cells = (spark.read.parquet(f"{path}/cells")
+             .where(F.col("cell_id").isin(cell_ids)))
+    scored = probe_cells.join(cells, "cell_id").select(
+        "q_id", "c_id", dot("q_vec", "c_vec").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+@query("q_sim_topk_ivf_staged", oracle=None, tags=("L2", "rows-only"))
+def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the STAGED IVF index: build the cell-partitioned
+    layout once, then probe it with partition pruning — the persistent-
+    index form of q_sim_topk_ivf (same centroids, same results; equality
+    asserted in tests)."""
+    import os
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), normalized("embedding").alias("q_vec"))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), normalized("embedding").alias("c_vec"))
+    centroids = (
+        corpus.where(F.col("c_id") % 32 == 5)
+        .select((F.col("c_id") / 32).cast("int").alias("cell_id"),
+                F.col("c_vec").alias("cent_vec"))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".staging",
+        f"ivf_{tag}")
+    build_ivf_index(corpus, centroids, path)
+    return probe_ivf_index(spark, path, queries)

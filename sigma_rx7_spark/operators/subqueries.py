@@ -64,3 +64,29 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:69-70, in SQL form). Plans as a left-semi join."""
     register_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(r_name, 'ALL') AS region_name,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  GROUPING(r_name) AS g_region,
+  GROUPING(o_orderpriority) AS g_priority,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+"""
+
+
+@query("q_agg_grouping_sets", oracle=_GROUPING_SETS_SQL,
+       tags=("A5", "grouping-sets"))
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent pivots + grand total in
+    ONE pass via the Expand operator — rollup's general form; the
+    reference's dashboard summary family, README.md:11). GROUPING()
+    flags disambiguate real NULL group keys from subtotal rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

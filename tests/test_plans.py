@@ -136,3 +136,19 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey")
                 .hint("merge"), "l_orderkey"))
     assert "Exchange" in p_plain
+
+
+def test_staged_ivf_probe_prunes_cells(spark, sf_dir):
+    # The probe must read only its nprobe cells' directories: the scan
+    # carries cell_id in PartitionFilters, and the result set is
+    # identical to the inline (non-staged) IVF query.
+    from sigma_rx7_spark.plans.inspect import formatted_plan as fp
+
+    staged = ALL["q_sim_topk_ivf_staged"].fn(spark, sf_dir)
+    p = fp(staged)
+    assert "PartitionFilters" in p
+    seg = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln for ln in seg), seg
+    inline = ALL["q_sim_topk_ivf"].fn(spark, sf_dir)
+    assert (sorted(map(tuple, staged.collect()))
+            == sorted(map(tuple, inline.collect())))
