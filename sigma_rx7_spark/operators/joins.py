@@ -277,3 +277,44 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
         how,
     )
     return out.drop("_salt", "_r_key")
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH o AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS status_key, o_totalprice
+      FROM orders
+    ), dim(status_key, label) AS (
+      VALUES ('F', 'fulfilled'), ('O', 'open'), (NULL, 'pending')
+    )
+    SELECT d.label,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM o JOIN dim d ON o.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY d.label
+    """,
+    tags=("J11", "null-safe"),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match a designated NULL dimension row instead of vanishing — the
+    unknown-code fallback lookup every coding-system join needs
+    (unmapped RxNorm codes, README.md:7). Plans as a hash join exactly
+    like ``=``; the null bucket is just another key value."""
+    o = load(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("F", "fulfilled"), ("O", "open"), (None, "pending")],
+        "status_key string, label string",
+    )
+    return (
+        o.join(F.broadcast(dim),
+               o.status_key.eqNullSafe(dim.status_key))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "sum_price"))
+    )

@@ -166,3 +166,45 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderstatus,
+      NTILE(4) OVER w AS price_quartile,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume,
+      NTH_VALUE(o_orderkey, 1) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS cheapest_in_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W7", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (ntile),
+    relative standing (percent_rank/cume_dist, rounded at 6dp: their
+    division is engine-deterministic but quantized for safety), and
+    nth_value — the percentile-placement family a cost dashboard needs
+    (README.md:8,11). The (price, orderkey) tiebreak totalizes the
+    order, making every output partition-count-independent."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 1).over(w_full)
+        .alias("cheapest_in_status"),
+    )
