@@ -86,3 +86,40 @@ def q_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("brand_num"),
         F.size(fields).cast("bigint").alias("n_fields"),
     )
+
+
+@query(
+    "q_string_fuzzy",
+    oracle="""
+    SELECT a.p_partkey AS a_partkey,
+           b.p_partkey AS b_partkey,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    """,
+    tags=("F1", "fuzzy"),
+)
+def q_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching — the RxNorm-normalization fallback when
+    codes are missing (README.md:3,7): blocked candidate pairs (same
+    brand + size, the blocking key bounding the pair space) scored by
+    Levenshtein edit distance. Same shape as the dedup verification
+    stage: block first, score exactly inside blocks — never all-pairs."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("a_partkey"), "p_brand",
+                 "p_size", F.col("p_name").alias("a_name"))
+    b = p.select(F.col("p_partkey").alias("b_partkey"),
+                 F.col("p_brand").alias("b_brand"),
+                 F.col("p_size").alias("b_size"),
+                 F.col("p_name").alias("b_name"))
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, (F.col("p_brand") == F.col("b_brand"))
+               & (F.col("p_size") == F.col("b_size"))
+               & (F.col("a_partkey") < F.col("b_partkey")))
+        .where(dist <= 10)
+        .select("a_partkey", "b_partkey", dist.alias("edit_dist"))
+    )
