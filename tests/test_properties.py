@@ -117,10 +117,10 @@ def test_logistic_score_monotone_and_bounded(spark, price, bump, tier):
 
 
 @given(
-    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
-                   max_size=12),
-    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
-                    max_size=6),
+    lefts=st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                             st.integers(0, 100)), max_size=12),
+    rights=st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                              st.integers(0, 100)), max_size=6),
     how=st.sampled_from(["inner", "left"]),
 )
 @SETTINGS
@@ -132,12 +132,13 @@ def test_salted_join_equals_plain_join(spark, lefts, rights, how):
     rdf = spark.createDataFrame(
         [(k, v) for k, v in rights], "k int, rv int")
     got = sorted(
-        tuple(r) for r in
-        salted_join(ldf, rdf, "k", n_salt=4, how=how)
-        .select("k", "lv", "rv").collect()
+        (tuple(r) for r in
+         salted_join(ldf, rdf, "k", n_salt=4, how=how)
+         .select("k", "lv", "rv").collect()), key=repr
     )
     want = sorted(
-        tuple(r) for r in
-        ldf.join(rdf, "k", how).select("k", "lv", "rv").collect()
+        (tuple(r) for r in
+         ldf.join(rdf, "k", how).select("k", "lv", "rv").collect()),
+        key=repr
     )
     assert got == want
