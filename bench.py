@@ -46,6 +46,8 @@ HEADLINE = [
     "q_split_train_test",
     "q_text_tokens",
     "q_sim_topk_ivf",
+    "q_merge_upsert",
+    "q_sessionize_batch",
 ]
 
 

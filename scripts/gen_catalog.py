@@ -26,6 +26,8 @@ FAMILY_ORDER = [
     ("Subqueries", ("q_subquery",)),
     ("Aggregation", ("q_agg",)),
     ("Windows / top-k", ("q_window", "q_sort")),
+    ("Time-series / incremental", ("q_resample", "q_fill", "q_sessionize",
+                                   "q_merge")),
     ("Set operations", ("q_set",)),
     ("Scalar functions", ("q_string", "q_date", "q_math", "q_conditional",
                           "q_json", "q_array", "q_nested")),
@@ -36,6 +38,7 @@ FAMILY_ORDER = [
     ("LLM pipeline: text / sampling / multimodal",
      ("q_text", "q_split", "q_multimodal")),
     ("Reference-domain composites", ("q_domain",)),
+    ("Other", ()),  # fallback — renders anything no prefix claims
 ]
 
 

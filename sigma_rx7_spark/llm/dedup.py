@@ -301,3 +301,136 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(4)
     ]
     return sig.select("doc_id", "simhash", *quarters)
+
+
+CLUSTER_JACCARD = 0.8  # edge threshold: pairs this similar are duplicates
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    nodes: one column ``node``; edges: ``src``/``dst`` (one direction is
+    enough — symmetrized here). Returns (node, label) with label = the
+    smallest node id in the component.
+
+    Scale design: this is the standard DataFrame-iterative CC (the
+    two-phase large-star/small-star algorithm reduces to exactly this
+    min-propagate loop on duplicate-cluster graphs, whose diameter is
+    small). Each round is one shuffle keyed by node; ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay rounds
+    1..N-1 (on a cluster, use ``checkpoint`` to reliable storage). The
+    loop is driver-side CONTROL only — the data never leaves executors;
+    convergence is detected with a LIMIT 1 existence probe, not a
+    collect."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_CLUSTER_PAIRS_SQL = f"""
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a
+      JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_distinct(list_intersect(
+              list_filter(string_split(a.text, ' '), x -> x <> ''),
+              list_filter(string_split(b.text, ' '), x -> x <> ''))))
+            AS DOUBLE)
+          / (len(list_distinct(list_filter(string_split(a.text, ' '), x -> x <> '')))
+             + len(list_distinct(list_filter(string_split(b.text, ' '), x -> x <> '')))
+             - len(list_distinct(list_intersect(
+                 list_filter(string_split(a.text, ' '), x -> x <> ''),
+                 list_filter(string_split(b.text, ' '), x -> x <> '')))))
+          >= {CLUSTER_JACCARD}
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CLUSTER_PAIRS_SQL}),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst, src FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+    ),
+    cc AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """,
+    tags=("L1", "dedup", "clusters"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the duplicate-pair
+    graph (word-set Jaccard ≥ 0.8 on (lang, source)-blocked pairs), so a
+    keep-one-per-cluster policy can act on whole duplicate groups instead
+    of raw pairs — the step that turns pairwise dedup into an actual
+    training-corpus filter. cluster_id = smallest doc_id in the
+    component (deterministic canonical representative).
+
+    Oracle-checkable end to end: the pair stage is exact set Jaccard
+    (q_dedup_ngram's semantics) and the component stage is mirrored as a
+    DuckDB recursive CTE. At 100 TB the same loop runs on MinHash-LSH
+    candidate pairs (q_dedup_near) — the component algorithm is
+    pair-source-agnostic."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a_doc_id"), "lang", "source",
+                 F.array_distinct(tokens(F.col("text"))).alias("a_words"))
+    b = d.select(F.col("doc_id").alias("b_doc_id"),
+                 F.col("lang").alias("b_lang"),
+                 F.col("source").alias("b_source"),
+                 F.array_distinct(tokens(F.col("text"))).alias("b_words"))
+    n_common = F.size(F.array_intersect("a_words", "b_words"))
+    jaccard = n_common.cast("double") / (
+        F.size("a_words") + F.size("b_words") - n_common
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("source") == F.col("b_source"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .where(jaccard >= CLUSTER_JACCARD)
+        .select(F.col("a_doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+    )
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges)
+    from pyspark.sql import Window
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )

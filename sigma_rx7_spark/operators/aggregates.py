@@ -214,6 +214,68 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      arg_max(o_orderkey,
+              CAST(o_totalprice AS DECIMAL(18,6)) * 10000000000
+              + o_orderkey) AS top_orderkey,
+      MAX(o_totalprice) AS top_price,
+      arg_min(o_orderkey,
+              CAST(o_totalprice AS DECIMAL(18,6)) * 10000000000
+              + o_orderkey) AS bottom_orderkey,
+      MIN(o_totalprice) AS bottom_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A2", "argmax"),
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (``max_by``/``min_by``): the single
+    best/worst row per group WITHOUT a window sort — the "cheapest generic
+    per brand" lookup (README.md:8-9) when only the winner is needed.
+
+    One partial+final aggregation (each partition keeps one candidate per
+    group) versus a full per-group sort for the window formulation — at
+    100 TB that's a shuffle of G rows instead of N. Determinism: ties on
+    price are broken by packing (price, orderkey) into one exact decimal
+    ordering value — ``price * 1e10 + key`` is lexicographic because keys
+    are < 1e10 and prices are exact at 6 dp in both engines."""
+    o = load(spark, sf_dir, "orders")
+    packed = (F.col("o_totalprice").cast("decimal(18,6)")
+              * F.lit(10_000_000_000).cast("decimal(11,0)")
+              + F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", packed).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", packed).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle=None,  # sketch-based — rows-only check, like q_agg_approx
+    tags=("A4", "A8", "rows-only"),
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB-scale
+    variant of q_agg_stats' exact median — mergeable constant-memory
+    sketches per partition instead of a per-group sort. Accuracy is bound
+    by the relative-error argument (1%% here), so the answer is stable but
+    not hash-comparable to ``quantile_cont`` by design."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.lit(100),
+        ).alias("price_p50_p95_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 PIVOT_PRIORITIES = (
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 

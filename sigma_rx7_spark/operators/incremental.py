@@ -1,0 +1,129 @@
+"""Incremental upsert / MERGE (SURVEY.md §2.4 family, M1).
+
+The reference refreshes its DuckDB tables by re-running the bootstrap
+script (reference README.md:36,55-58,75) — a full rewrite. A 100 TB
+warehouse cannot rewrite; it applies *change batches* to a base snapshot:
+``MERGE INTO base USING changes WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+THEN INSERT``. Spark-first that is a keyed full-outer join of
+latest-per-key relations with change-side precedence — one sort-merge
+shuffle per batch, and with both sides bucketed by the merge key (see
+``io.write_bucketed``) the shuffle disappears entirely.
+
+Scale notes:
+- The window-dedup ("latest wins") runs on the *change batch*, which is
+  small relative to base; the base side is already one-row-per-key.
+- At warehouse scale the same plan is what Delta/Iceberg MERGE compiles
+  to; expressing it as plain DataFrame ops keeps the engine portable.
+- The merge key (user_id, event_type) is the natural bucketing key; AQE
+  handles skewed hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# Events strictly before the cutoff form the base snapshot; the rest are
+# the incoming change batch.
+MERGE_CUTOFF = "2024-01-16 00:00:00"
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_col: str,
+                   tiebreak: str) -> DataFrame:
+    """One row per key: greatest (order_col, tiebreak). Total ordering via
+    the unique tiebreak makes the selection engine-independent."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """MERGE: change rows override matching base keys; unmatched change
+    keys insert; unmatched base keys carry over. Both inputs must be
+    one-row-per-key. Non-key columns are coalesced change-first."""
+    value_cols = [c for c in base.columns if c not in keys]
+    b = base.withColumn("_b_present", F.lit(True)).alias("b")
+    c = changes.withColumn("_c_present", F.lit(True)).alias("c")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    picked = [
+        F.when(F.col("c._c_present"), F.col(f"c.{v}"))
+        .otherwise(F.col(f"b.{v}")).alias(v)
+        for v in value_cols
+    ]
+    key_cols = [
+        F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in keys
+    ]
+    src = (
+        F.when(F.col("c._c_present").isNull(), F.lit("base"))
+        .when(F.col("b._b_present").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("src")
+    )
+    return b.join(c, cond, "full_outer").select(*key_cols, *picked, src)
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+    ), base AS (
+      SELECT user_id, event_type, event_id, value FROM latest WHERE rn = 1
+    ), chg_latest AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
+    ), changes AS (
+      SELECT user_id, event_type, event_id, value
+      FROM chg_latest WHERE rn = 1
+    )
+    SELECT
+      COALESCE(b.user_id, c.user_id) AS user_id,
+      COALESCE(b.event_type, c.event_type) AS event_type,
+      CASE WHEN c.user_id IS NOT NULL THEN c.event_id
+           ELSE b.event_id END AS event_id,
+      CASE WHEN c.user_id IS NOT NULL THEN c.value
+           ELSE b.value END AS value,
+      CASE WHEN c.user_id IS NULL THEN 'base'
+           WHEN b.user_id IS NULL THEN 'insert'
+           ELSE 'update' END AS src
+    FROM base b
+    FULL OUTER JOIN changes c
+      ON b.user_id = c.user_id AND b.event_type = c.event_type
+    """,
+    tags=("M1", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert: apply the latest change-batch row per (user_id,
+    event_type) onto the pre-cutoff base snapshot — update matched keys,
+    insert new keys, carry unmatched base keys, tagging each output row
+    with its provenance. The incremental-refresh primitive the
+    reference's full-rewrite bootstrap becomes at warehouse scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    base = latest_per_key(
+        ev.where(F.col("ts") < cutoff), keys, "ts", "event_id"
+    ).drop("ts")
+    changes = latest_per_key(
+        ev.where(F.col("ts") >= cutoff), keys, "ts", "event_id"
+    ).drop("ts")
+    return merge_upsert(base, changes, keys)

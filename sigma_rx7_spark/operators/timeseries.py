@@ -138,3 +138,74 @@ def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.last("_obs", ignorenulls=True).over(w)
                 .alias("value_filled"))
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+@query(
+    "q_sessionize_batch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t
+    ), numbered AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+    tags=("W5", "timeseries", "sessionize"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user sessions split at
+    >30 min of inactivity — the encounter-grouping view of a visit/event
+    history (reference README.md:3), and the batch mirror of the streaming
+    ``session_window`` query (q_stream_sessions).
+
+    One window pass (lag + running sum share the same (user, ts, id)
+    ordering, so Catalyst plans ONE sort/shuffle) feeding one hash
+    aggregate — no self-join, no driver logic. The (ts_us, event_id)
+    tiebreak gives a total order, so session boundaries are identical at
+    any partition count and in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    prev = F.lag("ts_us").over(order_w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1
+    ).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id", "event_id", "ts_us", new_session.alias("new_session"))
+    numbered = flagged.select(
+        "user_id", "event_id", "ts_us",
+        F.sum("new_session").over(run_w).alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

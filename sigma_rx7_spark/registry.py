@@ -24,6 +24,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.aggregates",
     "sigma_rx7_spark.operators.windows",
     "sigma_rx7_spark.operators.timeseries",
+    "sigma_rx7_spark.operators.incremental",
     "sigma_rx7_spark.operators.sets",
     "sigma_rx7_spark.operators.subqueries",
     "sigma_rx7_spark.sources.formats",

@@ -1,0 +1,68 @@
+"""Unit semantics: MERGE/upsert (operators/incremental.py) and
+connected components (llm/dedup.py) on tiny in-memory inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sigma_rx7_spark.llm.dedup import connected_components
+from sigma_rx7_spark.operators.incremental import latest_per_key, merge_upsert
+
+
+def test_merge_update_insert_carry(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, t string, v double")
+    changes = spark.createDataFrame(
+        [(1, "a", 99.0), (3, "c", 30.0)], "k int, t string, v double")
+    got = {
+        (r.k, r.t): (r.v, r.src)
+        for r in merge_upsert(base, changes, ["k", "t"]).collect()
+    }
+    assert got == {
+        (1, "a"): (99.0, "update"),
+        (2, "b"): (20.0, "base"),
+        (3, "c"): (30.0, "insert"),
+    }
+
+
+def test_merge_null_change_value_wins(spark):
+    # A matched change row with NULL value must overwrite (DELETE-marker
+    # semantics), not fall back to the base value.
+    base = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    changes = spark.createDataFrame([(1, None)], "k int, v double")
+    [row] = merge_upsert(base, changes, ["k"]).collect()
+    assert row.v is None and row.src == "update"
+
+
+def test_merge_null_key_matches_nullsafely(spark):
+    base = spark.createDataFrame([(None, 1.0)], "k int, v double")
+    changes = spark.createDataFrame([(None, 2.0)], "k int, v double")
+    [row] = merge_upsert(base, changes, ["k"]).collect()
+    assert row.v == 2.0 and row.src == "update"
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 100, 1.0), (1, 5, 101, 2.0), (1, 4, 999, 3.0)],
+        "k int, ts int, id int, v double")
+    [row] = latest_per_key(df, ["k"], "ts", "id").collect()
+    assert (row.ts, row.id, row.v) == (5, 101, 2.0)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node int")
+    # chain 1-2-3, pair 4-5 (reversed direction), singleton 6
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "src int, dst int")
+    got = {r.node: r.label
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node int")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int")
+    labels = connected_components(nodes, edges)
+    assert labels.agg(F.count_distinct("label")).first()[0] == 1
+    assert labels.agg(F.min("label"), F.max("label")).first() == (1, 1)
