@@ -152,3 +152,30 @@ def test_staged_ivf_probe_prunes_cells(spark, sf_dir):
     inline = ALL["q_sim_topk_ivf"].fn(spark, sf_dir)
     assert (sorted(map(tuple, staged.collect()))
             == sorted(map(tuple, inline.collect())))
+
+
+def test_sessionize_single_shuffle_single_sort(spark, sf_dir):
+    # lag, running sum, and the final aggregate all share one (user_id)
+    # hash partitioning and one (user_id, ts, id) sort — no session state
+    # materialization, no extra exchange.
+    import re
+
+    p = plan(spark, sf_dir, "q_sessionize_batch")
+    # "(N) Exchange" / "(N) Sort" detail headers = one per physical node
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+
+
+def test_argmax_is_single_aggregation_no_sort(spark, sf_dir):
+    # max_by keeps per-group winners inside partial/final aggregation —
+    # no Window, no Sort anywhere in the plan.
+    p = plan(spark, sf_dir, "q_agg_argmax")
+    assert "Window" not in p
+    assert "Sort [" not in p
+    assert "partial_max_by" in p or "partial_max" in p, p
+
+
+def test_merge_upsert_is_sort_merge_full_outer(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_merge_upsert")
+    assert "SortMergeJoin" in p and "FullOuter" in p, p
