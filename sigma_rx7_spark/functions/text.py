@@ -213,3 +213,64 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws").alias("n_ws_tokens"),
         )
     )
+
+
+NGRAM_TOP_K = 5
+
+
+@query(
+    "q_text_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    ), counted AS (
+      SELECT lang, bigram, COUNT(*) AS n
+      FROM grams GROUP BY lang, bigram
+    ), ranked AS (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+      FROM counted
+    )
+    SELECT lang, bigram, n, rnk
+    FROM ranked WHERE rnk <= {NGRAM_TOP_K}
+    """,
+    tags=("L3", "ngrams"),
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency: top-5 bigrams per language — the
+    vocabulary/phrase profile a tokenizer-training or contamination-check
+    stage reads. Bigrams are generated per row with a higher-order
+    transform (no join, no Python), counted with partial aggregation, and
+    ranked with a deterministic (count desc, bigram) tiebreak. At 100 TB
+    the count shuffle carries (lang, bigram) pairs — already aggregated
+    map-side — and the final top-k window sees one partition per
+    language, each pre-shrunk by the count aggregation."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    grams = (
+        d.where(F.size(toks) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    counted = grams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= NGRAM_TOP_K)
+    )

@@ -72,3 +72,64 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
     )
+
+
+
+# Per-stratum keep thresholds over the first two hex digits of the key
+# digest (lexicographic compare: "00".."ff"; "g" sorts after every hex
+# digit = keep all). Rebalances the corpus: downsample the dominant
+# language hard, keep the rest dense.
+STRATUM_KEEP_HEX: dict[str, str] = {
+    "en": "40",   # 64/256  = 25%
+    "de": "c0",   # 192/256 = 75%
+    "fr": "c0",   # 192/256 = 75%
+    "es": "g",    # 100%
+}
+DEFAULT_KEEP_HEX = "80"  # 50% for unlisted strata
+
+
+def stratified_keep(key: Column, stratum: Column) -> Column:
+    """Deterministic per-stratum Bernoulli filter: keep iff the first two
+    hex digits of md5(key) sort below the stratum's threshold. Same
+    digest and same ASCII compare in every engine and at every
+    partitioning — membership is a pure function of (key, stratum)."""
+    prefix = F.substring(F.md5(key.cast("string")), 1, 2)
+    thresh = F.lit(DEFAULT_KEEP_HEX)
+    for s, keep in STRATUM_KEEP_HEX.items():
+        thresh = F.when(stratum == s, F.lit(keep)).otherwise(thresh)
+    return prefix < thresh
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           SUM(n_chars) AS kept_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang
+              WHEN 'en' THEN '{STRATUM_KEEP_HEX["en"]}'
+              WHEN 'de' THEN '{STRATUM_KEEP_HEX["de"]}'
+              WHEN 'fr' THEN '{STRATUM_KEEP_HEX["fr"]}'
+              WHEN 'es' THEN '{STRATUM_KEEP_HEX["es"]}'
+              ELSE '{DEFAULT_KEEP_HEX}' END
+    GROUP BY lang
+    """,
+    tags=("L5", "sampling", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (corpus
+    rebalancing — downsample the dominant language, keep the tail dense),
+    summarized per stratum. Like q_split_train_test this is a zero-shuffle
+    per-row projection over a stable digest, so a 1000-executor run keeps
+    EXACTLY the same documents as this one — no sampling seed, no
+    row-order dependence, and the filter composes with partition pruning
+    because it's an ordinary predicate."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(stratified_keep(F.col("doc_id"), F.col("lang")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("n_chars").alias("kept_chars"))
+    )
