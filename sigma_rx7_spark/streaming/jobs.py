@@ -192,3 +192,61 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return run_to_memory(agg, "stream_static_join")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           epoch_us(CAST(b.ts AS TIMESTAMP))
+             - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+                                     + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    tags=("T8", "streaming"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (T8): views joined to same-user
+    purchases within the following hour — the attribution/conversion
+    shape, and the streaming form of the J3/J8 time-condition joins.
+
+    Both sides carry a 2-hour watermark and the join has an event-time
+    range bound, so Spark can expire buffered state: a view older than
+    watermark - 1 hour can never match again and is dropped. State is
+    therefore bounded by stream rate × 3 hours, independent of total
+    history — the property that lets this run forever at 100 TB/day.
+    availableNow ⇒ one micro-batch ⇒ equals the batch interval join
+    (the DuckDB oracle)."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("interval 1 hour")),
+    )
+    out = joined.select(
+        "user_id", "view_id", "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    return run_to_memory(out, "stream_stream_join", output_mode="append")
