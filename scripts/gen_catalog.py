@@ -36,7 +36,8 @@ FAMILY_ORDER = [
     ("LLM pipeline: dedup", ("q_dedup",)),
     ("LLM pipeline: similarity", ("q_sim",)),
     ("LLM pipeline: text / sampling / multimodal",
-     ("q_text", "q_split", "q_multimodal")),
+     ("q_text", "q_split", "q_sample", "q_multimodal")),
+    ("LLM pipeline: composite", ("q_pipeline",)),
     ("Reference-domain composites", ("q_domain",)),
     ("Other", ()),  # fallback — renders anything no prefix claims
 ]

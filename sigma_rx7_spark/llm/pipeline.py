@@ -1,0 +1,82 @@
+"""End-to-end corpus curation pipeline (north-star composite: L3 → L1 →
+L5 in ONE Catalyst plan).
+
+The reference's analog is its composite rule pipeline (overlap ∘ generics
+∘ payer ∘ scoring — reference README.md:3,9; mirrored in
+domain/queries.py). This is the training-data counterpart: quality
+filter → exact dedup → deterministic split, composed from the same
+library stages the individual queries use, so the whole curation pass is
+one declarative plan — one scan of the corpus, one window for the dedup
+keeper choice, one aggregate for the report. Nothing materializes between
+stages; Catalyst fuses the filter into the scan and prunes columns across
+stage boundaries, which is exactly what makes a multi-stage curation
+affordable at 100 TB (a stage-per-job pipeline would rescan the corpus
+once per stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..io import load
+from ..registry import query
+from .sampling import TRAIN_NIBBLES, VAL_NIBBLES, hash_split
+
+MIN_TOKENS = 30  # quality gate: drop degenerate short documents
+
+
+@query(
+    "q_pipeline_corpus_curation",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+            >= {MIN_TOKENS}
+    ), keeper AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM quality
+    ), deduped AS (
+      SELECT doc_id, lang, n_chars FROM keeper WHERE rn = 1
+    )
+    SELECT
+      CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN {tuple(TRAIN_NIBBLES)!r} THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN {tuple(VAL_NIBBLES)!r} THEN 'val'
+        ELSE 'test'
+      END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+    tags=("L1", "L3", "L5", "pipeline"),
+)
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation end-to-end: quality-filter (≥30 tokens) → exact
+    dedup (keep smallest doc_id per content digest) → deterministic
+    train/val/test split → per-(split, lang) size report. One scan, one
+    window, one aggregate — the composed form of q_text_quality,
+    q_dedup_exact and q_split_train_test, proving the library stages
+    fuse into a single plan instead of a job chain."""
+    d = load(spark, sf_dir, "documents")
+    quality = d.where(F.size(tokens(F.col("text"))) >= MIN_TOKENS)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        deduped.select(hash_split(F.col("doc_id")).alias("split"),
+                       "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
