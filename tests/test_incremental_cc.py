@@ -66,3 +66,67 @@ def test_connected_components_converges_on_cycle(spark):
     labels = connected_components(nodes, edges)
     assert labels.agg(F.count_distinct("label")).first()[0] == 1
     assert labels.agg(F.min("label"), F.max("label")).first() == (1, 1)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.floats(-5, 5, allow_nan=False)),
+    max_size=8,
+)
+
+
+def _latest(rows):
+    # model: one row per key, last occurrence wins (mirrors the unique-id
+    # precedence the dataframe build below encodes via index order)
+    out = {}
+    for k, v in rows:
+        out[k] = v
+    return out
+
+
+def _df(spark, rows):
+    # encode list position as the tiebreak id so "latest" is well-defined
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    return spark.createDataFrame(data, "k int, id int, v double")
+
+
+@given(base=_ROWS, changes=_ROWS)
+@_SETTINGS
+def test_merge_upsert_matches_dict_semantics(spark, base, changes):
+    from sigma_rx7_spark.operators.incremental import (latest_per_key,
+                                                       merge_upsert)
+    b = latest_per_key(_df(spark, base), ["k"], "id", "id").drop("id")
+    c = latest_per_key(_df(spark, changes), ["k"], "id", "id").drop("id")
+    got = {r.k: (r.v, r.src) for r in merge_upsert(b, c, ["k"]).collect()}
+    mb, mc = _latest(base), _latest(changes)
+    want = {}
+    for k in set(mb) | set(mc):
+        if k in mc and k in mb:
+            want[k] = (mc[k], "update")
+        elif k in mc:
+            want[k] = (mc[k], "insert")
+        else:
+            want[k] = (mb[k], "base")
+    assert got == want
+
+
+@given(base=_ROWS, changes=_ROWS)
+@_SETTINGS
+def test_merge_upsert_idempotent(spark, base, changes):
+    # applying the same change batch twice must equal applying it once
+    from sigma_rx7_spark.operators.incremental import (latest_per_key,
+                                                       merge_upsert)
+    b = latest_per_key(_df(spark, base), ["k"], "id", "id").drop("id")
+    c = latest_per_key(_df(spark, changes), ["k"], "id", "id").drop("id")
+    once = merge_upsert(b, c, ["k"]).drop("src")
+    twice = merge_upsert(once, c, ["k"]).drop("src")
+    assert (sorted(map(tuple, once.collect()))
+            == sorted(map(tuple, twice.collect())))
