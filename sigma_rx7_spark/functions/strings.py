@@ -123,3 +123,43 @@ def q_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 10)
         .select("a_partkey", "b_partkey", dist.alias("edit_dist"))
     )
+
+
+# PII masking patterns: digit runs (ids / phone fragments / account
+# numbers) and email-shaped tokens. Character classes only — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB).
+PII_NUM = "[0-9]+"
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    SELECT
+      event_id,
+      regexp_replace(regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_NUM}', '<NUM>', 'g') AS props_masked,
+      len(regexp_extract_all(props, '{PII_NUM}')) AS n_num_masked,
+      len(regexp_extract_all(props, '{PII_EMAIL}')) AS n_email_masked
+    FROM events
+    """,
+    tags=("L3", "pii"),
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over semi-structured payloads: mask
+    email-shaped tokens then digit runs, and count the redactions per
+    record — the masking stage every training-data pipeline runs before
+    a corpus leaves staging. Pure ``regexp_replace``/``regexp_extract_all``
+    column expressions (codegen'd, zero shuffle) so at 100 TB it runs at
+    scan speed and the redaction counts aggregate for an audit report."""
+    e = load(spark, sf_dir, "events")
+    masked = F.regexp_replace(
+        F.regexp_replace("props", PII_EMAIL, "<EMAIL>"), PII_NUM, "<NUM>")
+    return e.select(
+        "event_id",
+        masked.alias("props_masked"),
+        F.size(F.regexp_extract_all("props", F.lit(PII_NUM), F.lit(0)))
+        .cast("bigint").alias("n_num_masked"),
+        F.size(F.regexp_extract_all("props", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_email_masked"),
+    )

@@ -215,6 +215,77 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPETITION_THRESHOLD = 0.25
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      FROM t
+    )
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_distinct_tokens,
+      CASE WHEN len(toks) > 0 THEN
+        1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      END AS dup_token_ratio,
+      CASE WHEN len(toks) >= 2 THEN
+        1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+      END AS dup_bigram_ratio,
+      CASE WHEN len(toks) >= 2 THEN
+        (1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs))
+          > {REPETITION_THRESHOLD}
+      END AS is_repetitive
+    FROM b
+    """,
+    tags=("L3", "quality", "repetition"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText repetition
+    filters): per document, the fraction of duplicate tokens and
+    duplicate bigrams — high values flag boilerplate/spam/generated
+    loops that length filters miss. Distinct counting happens inside
+    each row (``array_distinct`` on the token array), so the operator is
+    embarrassingly parallel: no shuffle at all, scan speed at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    dup_tok = F.when(
+        n_tokens > 0,
+        F.lit(1.0) - n_distinct.cast("double") / n_tokens)
+    dup_bg = F.when(
+        n_tokens >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double")
+        / n_bigrams)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_bg.alias("dup_bigram_ratio"),
+        (dup_bg > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
 NGRAM_TOP_K = 5
 
 

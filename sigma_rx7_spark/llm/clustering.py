@@ -1,0 +1,150 @@
+"""Embedding clustering (SURVEY.md §2.11 L2 scale path).
+
+The reference has no vector operations at all (its snapshot is a DuckDB
+ETL app, reference README.md:7); these are north-star LLM-pipeline
+operators mandated by BASELINE.json. Clustering is the building block
+behind IVF indexing (``similarity.py``), corpus diversity sampling, and
+semantic dedup: compute k centroids, assign every vector to its nearest
+one. Here k = the label cardinality and seeding is the per-label mean, so
+both steps are exactly mirrorable in the DuckDB oracle (a k-means E-step
+with deterministic M-step seeding) — the iterative variant just repeats
+these two plans.
+
+Scale posture (100 TB):
+- Centroids are tiny (k × dim rows) — computed with one partial+final
+  aggregation over the exploded components, then implicitly broadcast to
+  the assignment join (Catalyst auto-broadcasts the k×dim side; the
+  vector relation never shuffles for the join, only for the final
+  per-vector argmin aggregation which carries k rows per vector).
+- All arithmetic is codegen'd Column expressions; floats go through the
+  compat.py decimal-quantization so a 1000-executor sum reproduces the
+  single-node answer bit-for-bit (and matches DuckDB with no tolerance).
+- The exploded-component form trades 64× row inflation for pure
+  hash-aggregation — no Python, no UDF, map-side partial aggregation
+  shrinks it back to k×dim before the shuffle. The array-fold form
+  (``F.aggregate`` over ``zip_with``) halves memory but is not
+  oracle-mirrorable term-for-term; at cluster scale either works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import q
+from ..io import load
+from ..registry import query
+
+# Exploded (vec_id, label, pos, x) view of the embeddings table, shared
+# by both queries; pos is 1-based to match the DuckDB mirror.
+_ORACLE_EXPLODED = """
+    ex AS (
+      SELECT vec_id, label, u.pos AS pos, CAST(u.x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(
+                 range(1, len(embedding) + 1),
+                 i -> struct_pack(pos := i, x := embedding[i]))) AS u
+        FROM embeddings)
+    )"""
+
+_ORACLE_CENTROIDS = """
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(x)
+               AS centroid
+      FROM ex GROUP BY label, pos
+    )"""
+
+
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id", "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+
+
+def _centroids(ex: DataFrame) -> DataFrame:
+    """Per-label mean vector in exploded form: exact decimal sum over the
+    quantized components, one double division — order- and
+    partitioning-independent (compat.py convention)."""
+    return ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (F.sum(q("x")).cast("double") / F.count("x")).alias("centroid")
+    )
+
+
+@query(
+    "q_cluster_centroids",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED}
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(x)
+             AS centroid,
+           COUNT(*) AS n_vecs
+    FROM ex
+    GROUP BY label, pos
+    """,
+    tags=("L2", "clustering"),
+)
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (k-means M-step /
+    class prototypes): explode components, exact-decimal mean per
+    (label, dimension). One partial+final hash aggregation; output is
+    k×dim rows regardless of corpus size."""
+    ex = _exploded(spark, sf_dir)
+    return ex.groupBy("label", "pos").agg(
+        (F.sum(q("x")).cast("double") / F.count("x")).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "q_cluster_assign",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    {_ORACLE_CENTROIDS},
+    d AS (
+      SELECT ex.vec_id, ex.label, cent.c_label,
+             CAST(SUM(CAST((ex.x - cent.centroid) * (ex.x - cent.centroid)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label, cent.c_label
+    ),
+    r AS (
+      SELECT vec_id, label, c_label, dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+      FROM d
+    )
+    SELECT vec_id, label, c_label AS assigned_label, dist2
+    FROM r WHERE rn = 1
+    """,
+    tags=("L2", "clustering"),
+)
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (k-means E-step / prototype
+    classifier): squared L2 distance from every vector to every label
+    centroid, keep the argmin (ties broken by centroid label — total
+    ordering, engine-independent). Per-term decimal quantization makes
+    the distance sums bit-identical across engines and partitionings.
+    The centroid side is k×dim rows — broadcast; the per-vector argmin
+    is a k-row window per vector after aggregation."""
+    ex = _exploded(spark, sf_dir)
+    cent = _centroids(ex)
+    term = (F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid"))
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(q(term)).cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label",
+                F.col("c_label").alias("assigned_label"), "dist2")
+    )

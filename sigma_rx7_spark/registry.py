@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.llm.similarity",
     "sigma_rx7_spark.llm.sampling",
     "sigma_rx7_spark.llm.pipeline",
+    "sigma_rx7_spark.llm.clustering",
     "sigma_rx7_spark.streaming.jobs",
     "sigma_rx7_spark.streaming.stateful",
     "sigma_rx7_spark.llm.multimodal",
