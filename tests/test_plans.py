@@ -179,3 +179,18 @@ def test_argmax_is_single_aggregation_no_sort(spark, sf_dir):
 def test_merge_upsert_is_sort_merge_full_outer(spark, sf_dir):
     p = plan(spark, sf_dir, "q_merge_upsert")
     assert "SortMergeJoin" in p and "FullOuter" in p, p
+
+
+def test_cluster_assign_broadcasts_centroids(spark, sf_dir):
+    # The k×dim centroid relation broadcasts; the exploded vector side
+    # shuffles only for its own aggregations, never for the join.
+    p = plan(spark, sf_dir, "q_cluster_assign")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_repetition_and_pii_have_no_shuffle(spark, sf_dir):
+    # Both are per-row column pipelines — any Exchange means a regression.
+    for name in ("q_text_repetition", "q_text_pii_scrub"):
+        p = plan(spark, sf_dir, name)
+        assert "Exchange" not in p, (name, p)
