@@ -345,3 +345,57 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= NGRAM_TOP_K)
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf,
+           COUNT(*) OVER (PARTITION BY token) AS df,
+           CAST(tf * CAST(ln(CAST(n.n_docs AS DOUBLE)
+                             / COUNT(*) OVER (PARTITION BY token))
+                          AS DECIMAL(18,6)) AS DOUBLE) AS tf_idf
+    FROM tf CROSS JOIN n
+    """,
+    tags=("L3", "tfidf"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over the corpus: per (doc, token) term
+    frequency, document frequency, and tf·ln(N/df) — the weighting
+    behind keyword extraction, near-dup shingle weighting, and
+    quality-classifier features. One explode + one (doc, token) hash
+    aggregation; df comes from a window over the *aggregated* tf
+    relation (vocabulary-sized, not token-occurrence-sized), so the
+    second shuffle carries one row per distinct (doc, token). The corpus
+    row count joins in as a broadcast scalar. ``ln`` output is
+    decimal-quantized (compat.py hazard 2) so the weight is bit-equal
+    across engines."""
+    from pyspark.sql import Window
+
+    from ..compat import QDEC
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_c = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df")).cast(QDEC)
+    return (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", df_c)
+        .select(
+            "doc_id", "token", "tf", "df",
+            (F.col("tf") * idf).cast("double").alias("tf_idf"),
+        )
+    )
