@@ -148,3 +148,71 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label",
                 F.col("c_label").alias("assigned_label"), "dist2")
     )
+
+
+def _assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid label per vector (shared E-step)."""
+    term = (F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid"))
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(q(term)).cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned"))
+    )
+
+
+@query(
+    "q_cluster_kmeans_step",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    {_ORACLE_CENTROIDS},
+    d AS (
+      SELECT ex.vec_id, cent.c_label,
+             CAST(SUM(CAST((ex.x - cent.centroid) * (ex.x - cent.centroid)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, cent.c_label
+    ),
+    a AS (
+      SELECT vec_id, c_label AS assigned
+      FROM (SELECT vec_id, c_label, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+            FROM d)
+      WHERE rn = 1
+    )
+    SELECT a.assigned AS cluster, ex.pos,
+           CAST(SUM(CAST(ex.x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(ex.x)
+             AS centroid,
+           COUNT(DISTINCT ex.vec_id) AS n_vecs
+    FROM ex JOIN a ON ex.vec_id = a.vec_id
+    GROUP BY a.assigned, ex.pos
+    """,
+    tags=("L2", "clustering"),
+)
+def q_cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means refinement iteration: seed centroids from the
+    per-label means, reassign every vector to its nearest centroid
+    (E-step), recompute centroids over the new assignment (M-step).
+    The iterative algorithm is this plan in a loop (with
+    ``localCheckpoint`` truncating lineage each round, exactly as the
+    connected-components loop in ``incremental.py`` does); one
+    oracle-gated iteration proves both steps bit-exact, which is the
+    part a recursive oracle can't check cheaply. Per iteration: the
+    corpus shuffles once for the assignment argmin and once for the
+    (cluster, pos) re-aggregation — centroids stay broadcast-sized
+    throughout."""
+    ex = _exploded(spark, sf_dir)
+    assign = _assign(ex, _centroids(ex))
+    return (
+        ex.join(assign, "vec_id")
+        .groupBy(F.col("assigned").alias("cluster"), "pos")
+        .agg(
+            (F.sum(q("x")).cast("double") / F.count("x")).alias("centroid"),
+            F.countDistinct("vec_id").alias("n_vecs"),
+        )
+    )
