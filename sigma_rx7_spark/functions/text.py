@@ -32,9 +32,9 @@ def tokens(text: Column) -> Column:
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars,
-      SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
-        AS total_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS BIGINT) AS total_tokens,
       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
            AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents
@@ -175,11 +175,14 @@ TOKEN_SYM = "[^A-Za-z0-9 ]"
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(len(regexp_extract_all(text, '{TOKEN_WORD}'))) AS n_word_tokens,
-      SUM(len(regexp_extract_all(text, '{TOKEN_NUM}'))) AS n_num_tokens,
-      SUM(len(regexp_extract_all(text, '{TOKEN_SYM}'))) AS n_sym_tokens,
-      SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
-        AS n_ws_tokens
+      CAST(SUM(len(regexp_extract_all(text, '{TOKEN_WORD}')))
+           AS BIGINT) AS n_word_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '{TOKEN_NUM}')))
+           AS BIGINT) AS n_num_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '{TOKEN_SYM}')))
+           AS BIGINT) AS n_sym_tokens,
+      CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS BIGINT) AS n_ws_tokens
     FROM documents
     GROUP BY lang
     """,

@@ -93,9 +93,10 @@ def q_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o_orderpriority,
-      SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-          * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
-        AS weighted_cents
+      -- DuckDB SUM over BIGINT yields HUGEINT; cast to match Spark bigint.
+      CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+           AS BIGINT) AS weighted_cents
     FROM orders
     GROUP BY o_orderpriority
     """,

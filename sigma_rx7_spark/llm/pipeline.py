@@ -53,7 +53,7 @@ MIN_TOKENS = 30  # quality gate: drop degenerate short documents
       END AS split,
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM deduped
     GROUP BY 1, 2
     """,

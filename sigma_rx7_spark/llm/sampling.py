@@ -52,7 +52,7 @@ def hash_split(key: Column) -> Column:
       END AS split,
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -105,7 +105,7 @@ def stratified_keep(key: Column, stratum: Column) -> Column:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS kept_chars
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
           < CASE lang

@@ -265,14 +265,26 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of q_agg_stats' exact median — mergeable constant-memory
     sketches per partition instead of a per-group sort. Accuracy is bound
     by the relative-error argument (1%% here), so the answer is stable but
-    not hash-comparable to ``quantile_cont`` by design."""
+    not hash-comparable to ``quantile_cont`` by design.
+
+    The three percentiles come back as scalar columns (one sketch, three
+    ``element_at`` projections) — array-typed result columns are avoided
+    throughout the harness surface because downstream pandas
+    canonicalization cannot sort on them."""
     li = load(spark, sf_dir, "lineitem")
+    pct = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+        F.lit(100),
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-            F.lit(100),
-        ).alias("price_p50_p95_p99"),
+        pct.alias("_pct"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag",
+        F.element_at("_pct", 1).alias("price_p50"),
+        F.element_at("_pct", 2).alias("price_p95"),
+        F.element_at("_pct", 3).alias("price_p99"),
+        "n_rows",
     )
 
 

@@ -161,10 +161,12 @@ SESSION_GAP_MIN = 30  # inactivity gap that closes a session
       FROM t
     ), numbered AS (
       SELECT user_id, event_id, ts_us,
-             SUM(new_session) OVER (
+             -- DuckDB windowed SUM(int) yields HUGEINT, which the harness
+             -- canonicalizes as float64; cast to match Spark's bigint.
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id
                ORDER BY ts_us, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx,

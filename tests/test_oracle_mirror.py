@@ -88,6 +88,32 @@ def test_oracle_parity(name, spark, sf_dir):
     if name not in MAY_BE_EMPTY:
         assert len(s_rows) > 0, f"{name}: unexpectedly empty result"
 
+    # Driver-faithful dtype gate: the external harness canonicalizes BOTH
+    # results through pandas before hashing, where Python-level equality
+    # (1 == 1.0) no longer saves us — e.g. DuckDB's HUGEINT (windowed /
+    # plain SUM over integers) lands as float64 against Spark's int64 and
+    # hash-mismatches despite equal values. Compare pandas dtype *kinds*
+    # per column so that trap fails locally first.
+    s_pd = sdf.toPandas()
+    con2 = _duck(sf_dir)
+    k_pd = con2.execute(spec.oracle).df()
+    con2.close()
+    for col in sorted(s_cols):
+        sk, dk = s_pd[col].dtype.kind, k_pd[col].dtype.kind
+        # Nullable ints surface as float64 ('f') on whichever side holds
+        # the NULL; only flag the int-vs-float split when both columns are
+        # fully non-null (the deterministic HUGEINT signature).
+        if {sk, dk} == {"i", "f"} and (
+            s_pd[col].isna().any() or k_pd[col].isna().any()
+        ):
+            continue
+        numeric = {"i", "u", "f"}
+        compatible = sk == dk or (sk in {"i", "u"} and dk in {"i", "u"})
+        assert compatible or (sk not in numeric and dk not in numeric), (
+            f"{name}.{col}: pandas dtype kind mismatch spark={sk} "
+            f"duck={dk} — the driver's canonicalizer will hash-mismatch "
+            f"(HUGEINT→float64 trap? cast the oracle to BIGINT/DOUBLE)")
+
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
@@ -97,6 +123,14 @@ def test_rows_only_runs(name, spark, sf_dir):
     assert isinstance(rows, list)
     if name not in MAY_BE_EMPTY:
         assert len(rows) > 0, f"{name}: unexpectedly empty result"
+    # The driver's canonicalizer sorts result cells; list-typed cells make
+    # it crash with "unhashable type: 'list'" (q_agg_approx_quantile, r1).
+    # Keep every harness-facing result column scalar.
+    if rows:
+        for col, v in zip(sdf.columns, rows[0]):
+            assert not isinstance(v, (list, dict, set)), (
+                f"{name}.{col}: non-scalar result cell {type(v).__name__} "
+                f"— the driver canonicalizer cannot sort it")
 
 
 def test_entry_smoke(spark):
