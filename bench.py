@@ -48,6 +48,10 @@ HEADLINE = [
     "q_sim_topk_ivf",
     "q_merge_upsert",
     "q_sessionize_batch",
+    # LLM-pipeline path: composite curation + graph clustering, so the
+    # bench covers the north-star operators, not just the relational core.
+    "q_pipeline_corpus_curation",
+    "q_dedup_clusters",
 ]
 
 

@@ -81,10 +81,41 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame,
     )
 
 
-@query("q_sim_topk", oracle=None, tags=("L2", "rows-only"))
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS c_id, nv AS c_nv FROM n WHERE vec_id >= {N_QUERIES}
+    ), scored AS (
+      SELECT q_id, c_id, list_inner_product(q_nv, c_nv) AS cos_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT q_id, c_id, cos_sim, rank FROM (
+      SELECT q_id, c_id, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("L2",),
+)
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for 5 probe vectors. Rows-only: float
-    dot-product summation order is engine-specific."""
+    """Brute-force cosine top-10 for 5 probe vectors. Hash-gated, not
+    rows-only: both engines unit-normalize once then take a single
+    left-fold dot product per pair (Spark ``aggregate``/``zip_with`` vs
+    DuckDB ``list_inner_product`` — bit-equal, same construction as
+    q_dedup_cosine), and (cos_sim DESC, c_id) is a total order, so the
+    returned top-k set and every float in it match exactly."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))

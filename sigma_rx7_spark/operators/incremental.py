@@ -82,7 +82,8 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
       FROM events
       WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
     ), base AS (
-      SELECT user_id, event_type, event_id, value FROM latest WHERE rn = 1
+      SELECT user_id, event_type, event_id, value, TRUE AS b_present
+      FROM latest WHERE rn = 1
     ), chg_latest AS (
       SELECT user_id, event_type, event_id, value,
              ROW_NUMBER() OVER (
@@ -91,22 +92,27 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
       FROM events
       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
     ), changes AS (
-      SELECT user_id, event_type, event_id, value
+      SELECT user_id, event_type, event_id, value, TRUE AS c_present
       FROM chg_latest WHERE rn = 1
     )
+    -- Null-safe join + presence flags mirror merge_upsert exactly: a NULL
+    -- in a merge-key column matches across sides (IS NOT DISTINCT FROM ==
+    -- Spark eqNullSafe) instead of silently splitting into base+insert
+    -- rows, and match detection never keys off column nullness.
     SELECT
       COALESCE(b.user_id, c.user_id) AS user_id,
       COALESCE(b.event_type, c.event_type) AS event_type,
-      CASE WHEN c.user_id IS NOT NULL THEN c.event_id
+      CASE WHEN c.c_present THEN c.event_id
            ELSE b.event_id END AS event_id,
-      CASE WHEN c.user_id IS NOT NULL THEN c.value
+      CASE WHEN c.c_present THEN c.value
            ELSE b.value END AS value,
-      CASE WHEN c.user_id IS NULL THEN 'base'
-           WHEN b.user_id IS NULL THEN 'insert'
+      CASE WHEN c.c_present IS NULL THEN 'base'
+           WHEN b.b_present IS NULL THEN 'insert'
            ELSE 'update' END AS src
     FROM base b
     FULL OUTER JOIN changes c
-      ON b.user_id = c.user_id AND b.event_type = c.event_type
+      ON b.user_id IS NOT DISTINCT FROM c.user_id
+     AND b.event_type IS NOT DISTINCT FROM c.event_type
     """,
     tags=("M1", "merge"),
 )

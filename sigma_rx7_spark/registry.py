@@ -107,6 +107,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # Oracle or semantics changed this round — re-prove.
     "q_sessionize_batch",
     "q_merge_upsert",
+    # Newly oracle-gated this round (was rows-only in r1).
+    "q_sim_topk",
 )
 
 
