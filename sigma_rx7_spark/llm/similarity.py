@@ -124,6 +124,49 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(queries, corpus)
 
 
+def train_ivf_centroids(corpus: DataFrame, seeds: DataFrame,
+                        n_iter: int = 2) -> DataFrame:
+    """Refine seed centroids with ``n_iter`` spherical k-means rounds.
+
+    E-step: ``ivf_assign`` (nearest centroid by dot product — inputs are
+    unit vectors). M-step: component-wise mean per cell, re-normalized to
+    unit length (spherical k-means — the centroid update that matches
+    cosine assignment). Cells that lose all members drop out, so the
+    trained index can have ≤ the seeded cell count.
+
+    Scale posture: each round is one broadcast-join assignment over the
+    corpus plus a (cell, pos)-keyed partial+final aggregation whose
+    output is k×dim rows; the corpus never shuffles. Component sums go
+    through decimal quantization (``compat.q``) so the trained centroids
+    are bit-identical across partitionings and re-runs — which is what
+    lets the staged and inline IVF queries assert result equality.
+    Centroids stay driver-small; ``localCheckpoint`` materializes each
+    round so round N's plan doesn't replay rounds 1..N-1.
+    """
+    from ..compat import q as _q
+
+    cent = seeds
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cent)
+        comp = assigned.select(
+            "cell_id", F.posexplode("c_vec").alias("pos", "x"))
+        means = comp.groupBy("cell_id", "pos").agg(
+            (F.sum(_q("x")).cast("double") / F.count("x")).alias("m"))
+        # Reassemble the mean vector: collect_list order is executor-
+        # dependent, so sort by the struct's leading pos field first.
+        mean_vec = (
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("s"))
+            .select("cell_id",
+                    F.transform("s", lambda s: s["m"]).alias("mv"))
+        )
+        cent = mean_vec.select(
+            "cell_id", normalized(F.col("mv")).alias("cent_vec")
+        ).localCheckpoint(eager=True)
+    return cent
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (max cosine).
 
@@ -148,25 +191,38 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@query("q_sim_topk_ivf", oracle=None, tags=("L2", "rows-only"))
-def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 16 deterministic centroids (every 32nd corpus
-    vector), nprobe=4 cells per query, exact rerank inside the probed
-    cells. The approximate counterpart of q_sim_topk. Every vector is
-    unit-normalized once up front; all downstream scores are dot
-    products."""
+def _ivf_parts(spark: SparkSession,
+               sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(queries, corpus, trained centroids) shared by both IVF queries.
+
+    Seeding is a deterministic strided sample (every 32nd corpus vector);
+    the seeds are then refined with two spherical k-means rounds
+    (``train_ivf_centroids``) — the real index-build procedure, run
+    inline here because the harness corpus is small. At 100 TB the
+    training loop is the same plan executed as an offline job against a
+    vector sample, with the trained centroids persisted next to the
+    index (``build_ivf_index``)."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), normalized("embedding").alias("q_vec"))
     corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("c_id"), normalized("embedding").alias("c_vec"))
-    # Deterministic centroids: a strided sample standing in for k-means
-    # (the index build would be an offline job at scale).
-    centroids = (
+    seeds = (
         corpus.where(F.col("c_id") % 32 == 5)
         .select((F.col("c_id") / 32).cast("int").alias("cell_id"),
                 F.col("c_vec").alias("cent_vec"))
     )
+    return queries, corpus, train_ivf_centroids(corpus, seeds)
+
+
+@query("q_sim_topk_ivf", oracle=None, tags=("L2", "rows-only"))
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means-trained centroids (strided seed + two
+    spherical refinement rounds), nprobe=4 cells per query, exact rerank
+    inside the probed cells. The approximate counterpart of q_sim_topk.
+    Every vector is unit-normalized once up front; all downstream scores
+    are dot products."""
+    queries, corpus, centroids = _ivf_parts(spark, sf_dir)
     assigned = ivf_assign(corpus, centroids)
     # nprobe=4: each query searches its 4 nearest cells only.
     wq = Window.partitionBy("q_id").orderBy(
@@ -242,20 +298,12 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
 @query("q_sim_topk_ivf_staged", oracle=None, tags=("L2", "rows-only"))
 def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN against the STAGED IVF index: build the cell-partitioned
-    layout once, then probe it with partition pruning — the persistent-
-    index form of q_sim_topk_ivf (same centroids, same results; equality
+    layout once (k-means-trained centroids, same training as the inline
+    query), then probe it with partition pruning — the persistent-index
+    form of q_sim_topk_ivf (same centroids, same results; equality
     asserted in tests)."""
     import os
-    e = load(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), normalized("embedding").alias("q_vec"))
-    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"), normalized("embedding").alias("c_vec"))
-    centroids = (
-        corpus.where(F.col("c_id") % 32 == 5)
-        .select((F.col("c_id") / 32).cast("int").alias("cell_id"),
-                F.col("c_vec").alias("cent_vec"))
-    )
+    queries, corpus, centroids = _ivf_parts(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".staging",
