@@ -212,6 +212,177 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- LSH -> exact-Jaccard composition (the production dedup path) --------
+
+MD5_MINHASH_K = 16      # md5-string MinHash signature length
+MD5_LSH_BANDS = 4       # 4 bands of 4 rows -> catches jaccard >~ 0.5
+LSH_VERIFY_JACCARD = 0.5
+
+
+def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingle STRINGS (not hashes) for a document."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def md5_minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           k: int = MD5_MINHASH_K) -> DataFrame:
+    """(doc_id, m0..m{k-1}) MinHash signature built from md5 HEX STRINGS:
+    hash function i is ``md5(shingle || '#i')`` and the min is the
+    lexicographic minimum of the hex digests.
+
+    Engine-portable by construction — both Spark and DuckDB produce the
+    same lowercase-hex md5 and the same string ordering, so (unlike the
+    xxhash64 family in ``minhash_signatures``) the signature, the LSH
+    buckets, and therefore the candidate-pair SET are bit-identical
+    across engines. That is what makes the composed LSH->verify pipeline
+    below oracle-checkable end to end. Same scale shape as the xxhash64
+    path: one shingle explode, k partial-aggregated mins per doc.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
+        .alias(f"m{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def md5_lsh_candidates(sig: DataFrame, bands: int = MD5_LSH_BANDS,
+                       k: int = MD5_MINHASH_K) -> DataFrame:
+    """(a_doc_id, b_doc_id) pairs sharing ≥1 md5-band bucket."""
+    r = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.md5(F.concat_ws(
+                "|", *[f"m{j * r + i}" for i in range(r)])).alias("band_hash"),
+        )
+        for j in range(bands)
+    ])
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_doc_id"),
+                F.col("b.doc_id").alias("b_doc_id"))
+        .distinct()
+    )
+
+
+def _oracle_minhash_sig(k: int = MD5_MINHASH_K) -> str:
+    mins = ",\n        ".join(
+        f"MIN(md5(shingle || '#{i}')) AS m{i}" for i in range(k))
+    return f"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {SHINGLE_N}, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
+                                    ' ')))) AS shingle
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+def _oracle_bands(bands: int = MD5_LSH_BANDS, k: int = MD5_MINHASH_K) -> str:
+    r = k // bands
+    parts = [
+        f"""SELECT doc_id, {j} AS band_idx,
+               md5({" || '|' || ".join(f"m{j * r + i}" for i in range(r))})
+                 AS band_hash FROM sig"""
+        for j in range(bands)
+    ]
+    return "bands AS (\n      " + "\n      UNION ALL\n      ".join(parts) \
+        + "\n    )"
+
+
+@query(
+    "q_dedup_lsh_verified",
+    oracle=f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT a_doc_id, b_doc_id,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+             / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+             AS jaccard
+    FROM cand
+    JOIN words wa ON wa.doc_id = a_doc_id
+    JOIN words wb ON wb.doc_id = b_doc_id
+    WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+            / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+          >= {LSH_VERIFY_JACCARD}
+    """,
+    tags=("L1", "dedup"),
+)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dedup pipeline end to end: MinHash-LSH
+    candidate generation followed by exact word-set Jaccard verification
+    ON THE CANDIDATE PAIRS — the composition q_dedup_near + q_dedup_ngram
+    only demonstrate separately (the ngram query's (lang, source)
+    blocking is its oracle-able stand-in for this candidate source).
+
+    Oracle-checkable end to end because the MinHash family is md5 hex
+    strings (engine-identical) rather than xxhash64: both engines derive
+    the same signatures, the same band buckets, the same candidate set,
+    and the same exact-Jaccard survivors. Scale shape: candidate count
+    tracks true duplicates (not n²); the verify join touches only
+    candidate pairs; the shuffles carry doc ids, signatures, and word
+    sets — never raw text pairs."""
+    d = load(spark, sf_dir, "documents")
+    sig = md5_minhash_signatures(d)
+    cand = md5_lsh_candidates(sig)
+    words = d.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+    wa = words.select(F.col("doc_id").alias("a_doc_id"),
+                      F.col("w").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("w").alias("wb"))
+    n_common = F.size(F.array_intersect("wa", "wb")).cast("bigint")
+    jaccard = n_common.cast("double") / (
+        F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb"))
+    )
+    return (
+        cand.join(wa, "a_doc_id")
+        .join(wb, "b_doc_id")
+        .select("a_doc_id", "b_doc_id",
+                n_common.alias("n_common"), jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= LSH_VERIFY_JACCARD)
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
                              # random vectors; max pairwise cos ≈ 0.51
 

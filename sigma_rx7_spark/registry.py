@@ -109,6 +109,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_merge_upsert",
     # Newly oracle-gated this round (was rows-only in r1).
     "q_sim_topk",
+    # New this round: LSH candidates -> exact-Jaccard verify composition.
+    "q_dedup_lsh_verified",
 )
 
 
