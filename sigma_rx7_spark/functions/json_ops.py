@@ -70,6 +70,47 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_json_variant",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F7", "S4", "variant"),
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-light JSON via Spark 4 VariantType (SURVEY §1.3): the props
+    payload is parsed ONCE with ``parse_json`` into a binary Variant —
+    no schema declaration, unlike ``from_json`` — and fields are pulled
+    out with typed ``variant_get`` paths. This is the ingestion shape
+    for schema-drifting FHIR payloads (reference README.md:3,76): the
+    scan stays schema-free, the extraction is late-bound and codegen'd.
+    At 100 TB Variant beats re-parsing JSON strings per access: the
+    binary encoding is parsed once at load and every ``variant_get`` is
+    a cheap binary probe, with shredding/pushdown improving as Spark's
+    Variant support matures."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "q_nested_export",
     oracle=None,  # JSON text formatting is engine-specific => rows-only
     tags=("F6", "S6", "rows-only"),

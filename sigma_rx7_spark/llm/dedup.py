@@ -383,6 +383,87 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Benchmark-contamination detection -----------------------------------
+
+BENCH_MOD = 97            # doc_id % 97 == 0 plays the held-out benchmark
+CONTAMINATION_FLAG = 0.5  # flag docs sharing >= half their shingles
+
+
+@query(
+    "q_text_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {SHINGLE_N}, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
+                                    ' ')))) AS shingle
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_bench_hits
+      FROM corpus JOIN bench USING (shingle)
+      GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+    )
+    SELECT
+      t.doc_id,
+      t.n_shingles,
+      COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+      CAST(COALESCE(h.n_bench_hits, 0) AS DOUBLE) / t.n_shingles
+        AS contamination_rate,
+      CAST(COALESCE(h.n_bench_hits, 0) AS DOUBLE) / t.n_shingles
+        >= {CONTAMINATION_FLAG} AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("L1", "L3", "contamination"),
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word shingles that appear anywhere in a
+    held-out benchmark set (here: docs with doc_id % 97 == 0) — the
+    standard eval-leakage check run before training on scraped corpora.
+
+    Scale shape: the benchmark shingle set is bounded by benchmark size
+    (not corpus size), so it broadcasts; the corpus side is one shingle
+    explode + broadcast hash join + per-doc count. Shuffles carry
+    (doc_id, counts), never text. No n² anything — cost is linear in
+    corpus shingle volume."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles()).alias("shingle"))
+    bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("shingle").distinct())
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    )
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    rate = (F.coalesce(F.col("n_bench_hits"), F.lit(0)).cast("double")
+            / F.col("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_bench_hits"), F.lit(0))
+            .alias("n_bench_hits"),
+            rate.alias("contamination_rate"),
+            (rate >= CONTAMINATION_FLAG).alias("contaminated"),
+        )
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
                              # random vectors; max pairwise cos ≈ 0.51
 

@@ -133,3 +133,82 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"),
              F.sum("n_chars").alias("kept_chars"))
     )
+
+
+# Temperature-balanced mixture: keep probability per source is
+# sqrt(n_min / n_source) — the tau=0.5 point between "as-is" (tau=1) and
+# "fully balanced" (tau=0 -> every source capped at n_min). sqrt of a
+# ratio of exact integers is IEEE-correctly-rounded in both engines, so
+# the per-source rates are bit-identical without decimal quantization.
+KNUTH_MULT = 2654435761   # Knuth multiplicative hash constant (2^32 / phi)
+HASH_MOD = 4294967296     # 2^32
+
+
+def uniform_unit(key: Column) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from an integer key via
+    the Knuth multiplicative hash — exact bigint arithmetic plus one
+    exact int->double conversion, so every engine computes the identical
+    double (md5-prefix gates can't serve here: the keep threshold is
+    data-DEPENDENT, and hex->int parsing isn't portable to the oracle
+    dialect)."""
+    return ((key.cast("bigint") * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
+            ).cast("double") / F.lit(float(HASH_MOD))
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_total,
+             sqrt(CAST((SELECT MIN(n_total) FROM counts) AS DOUBLE)
+                  / n_total) AS p_keep
+      FROM counts
+    ), kept AS (
+      SELECT d.source, d.n_chars
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST((d.doc_id * {KNUTH_MULT}) % {HASH_MOD} AS DOUBLE)
+              / {HASH_MOD} < r.p_keep
+    )
+    SELECT r.source, r.n_total, r.p_keep,
+           COUNT(k.source) AS n_kept,
+           CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n_total, r.p_keep
+    """,
+    tags=("L5", "sampling", "mixture"),
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: downsample over-represented sources
+    toward the smallest one at temperature 0.5 (keep probability
+    sqrt(n_min/n_source)) — the data-mixing step that sets source
+    proportions for a training run, with membership a pure function of
+    doc_id so every engine/partitioning keeps the same documents.
+
+    Scale shape: the rate table is one tiny aggregate (|sources| rows,
+    broadcast back); the keep filter is a per-row projection — zero
+    extra shuffle on the corpus beyond the final per-source summary."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    ref = counts.agg(F.min("n_total").alias("n_ref"))
+    rates = counts.crossJoin(F.broadcast(ref)).select(
+        "source", "n_total",
+        F.sqrt(F.col("n_ref").cast("double") / F.col("n_total"))
+        .alias("p_keep"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "p_keep")), "source")
+        .where(uniform_unit(F.col("doc_id")) < F.col("p_keep"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("n_chars").alias("kept_chars"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_total", "p_keep",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
+        )
+    )

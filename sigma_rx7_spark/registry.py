@@ -109,8 +109,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_merge_upsert",
     # Newly oracle-gated this round (was rows-only in r1).
     "q_sim_topk",
-    # New this round: LSH candidates -> exact-Jaccard verify composition.
+    # New this round: LSH candidates -> exact-Jaccard verify composition,
+    # Variant ingestion, decontamination, mixture sampling.
     "q_dedup_lsh_verified",
+    "q_json_variant",
+    "q_text_contamination",
+    "q_sample_mixture",
 )
 
 
