@@ -115,6 +115,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_json_variant",
     "q_text_contamination",
     "q_sample_mixture",
+    "q_stream_merge",
 )
 
 

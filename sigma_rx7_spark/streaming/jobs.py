@@ -17,6 +17,8 @@ Structured Streaming API.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -250,3 +252,128 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
     return run_to_memory(out, "stream_stream_join", output_mode="append")
+
+
+# ---- Streaming incremental MERGE (T1 x M1) -------------------------------
+
+def streaming_merge(base: DataFrame, change_stream: DataFrame,
+                    keys: list[str], order_col: str,
+                    tiebreak: str) -> DataFrame:
+    """Apply a change STREAM onto a base snapshot with MERGE semantics:
+    every micro-batch is deduped to latest-per-key and merged into the
+    running state via ``operators.incremental.merge_upsert``; ``src``
+    records the provenance of each key's CURRENT value ('base' =
+    untouched, 'insert'/'update' = written by some batch).
+
+    This is the foreachBatch upsert-sink pattern — what Structured
+    Streaming pairs with Delta/Iceberg ``MERGE INTO`` at warehouse
+    scale; here the target is an in-session relation,
+    ``localCheckpoint``-materialized per batch so state lineage stays
+    one-batch deep instead of replaying every batch since stream start
+    (same discipline as the connected-components loop). State size is
+    one row per live key, independent of stream history length.
+    """
+    from ..operators.incremental import latest_per_key, merge_upsert
+
+    state = {"df": base.withColumn("src", F.lit("base"))
+             .localCheckpoint(eager=True)}
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        if not bdf.head(1):
+            return
+        changes = latest_per_key(bdf, keys, order_col, tiebreak) \
+            .drop(order_col)
+        prev = state["df"]
+        merged = merge_upsert(prev.drop("src"), changes, keys)
+        # merge_upsert tags rows relative to THIS batch; keys it didn't
+        # touch come back 'base' — restore their carried provenance.
+        prev_src = prev.select(
+            *keys, F.col("src").alias("_prev_src")).alias("p")
+        m = merged.alias("m")
+        cond = [F.col(f"m.{k}").eqNullSafe(F.col(f"p.{k}")) for k in keys]
+        value_cols = [c for c in merged.columns if c not in (*keys, "src")]
+        state["df"] = (
+            m.join(prev_src, cond, "left")
+            .select(
+                *[F.col(f"m.{k}").alias(k) for k in keys],
+                *[F.col(f"m.{v}").alias(v) for v in value_cols],
+                F.when(F.col("m.src") == "base",
+                       F.coalesce(F.col("p._prev_src"), F.lit("base")))
+                .otherwise(F.col("m.src")).alias("src"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="merge_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return state["df"]
+
+
+@query(
+    "q_stream_merge",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+    ), base AS (
+      SELECT user_id, event_type, event_id, value, TRUE AS b_present
+      FROM latest WHERE rn = 1
+    ), chg_latest AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+    ), changes AS (
+      SELECT user_id, event_type, event_id, value, TRUE AS c_present
+      FROM chg_latest WHERE rn = 1
+    )
+    SELECT
+      COALESCE(b.user_id, c.user_id) AS user_id,
+      COALESCE(b.event_type, c.event_type) AS event_type,
+      CASE WHEN c.c_present THEN c.event_id ELSE b.event_id END AS event_id,
+      CASE WHEN c.c_present THEN c.value ELSE b.value END AS value,
+      CASE WHEN c.c_present IS NULL THEN 'base'
+           WHEN b.b_present IS NULL THEN 'insert'
+           ELSE 'update' END AS src
+    FROM base b
+    FULL OUTER JOIN changes c
+      ON b.user_id IS NOT DISTINCT FROM c.user_id
+     AND b.event_type IS NOT DISTINCT FROM c.event_type
+    """,
+    tags=("T1", "M1", "streaming", "merge"),
+)
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert: the post-cutoff events arrive as a STREAM and
+    are merged per micro-batch onto the pre-cutoff base snapshot — the
+    incremental-refresh form of q_merge_upsert (same cutoff, same
+    semantics, same oracle). availableNow drains the change file in one
+    batch, so the driver-verified result equals the one-shot batch
+    MERGE; the two-batch case (values converge to latest-per-key
+    regardless of batch boundaries) is asserted in
+    tests/test_streaming_merge.py."""
+    from ..operators.incremental import MERGE_CUTOFF, latest_per_key
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts")
+    base = latest_per_key(
+        ev.where(F.col("ts") < cutoff), keys, "ts", "event_id").drop("ts")
+    change_stream = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("ts") >= cutoff)
+        .select("user_id", "event_type", "event_id", "value", "ts")
+    )
+    return streaming_merge(base, change_stream, keys, "ts", "event_id")
