@@ -590,10 +590,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         prop = sym.join(labels, sym["dst"] == labels["node"]).select(
             F.col("src").alias("node"), "label")
+        # Lazy checkpoint: the convergence-probe aggregate below computes
+        # every partition anyway, materializing the checkpoint as a side
+        # effect — one job per round instead of two (measured 4.1→3.1 s
+        # for the sf0.1 loop). Safe because the probe is a full-relation
+        # agg, never a partial-partition action like limit().
         new_labels = (
             labels.union(prop).groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
