@@ -383,6 +383,84 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Exact-substring duplication (ExactSubstr-style) ---------------------
+
+GRAM_LEN = 32     # character-window length
+GRAM_STRIDE = 16  # stride between windows (overlapping halves)
+SUBSTR_DUP_FLAG = 0.5
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(text) - {GRAM_LEN - 1}, 1) + 1,
+                     {GRAM_STRIDE}),
+               i -> md5(substr(text, i, {GRAM_LEN}))))) AS g
+      FROM documents
+    ), gram_docs AS (
+      SELECT g, COUNT(*) AS n_docs FROM grams GROUP BY g
+    )
+    SELECT
+      grams.doc_id,
+      COUNT(*) AS n_grams,
+      CAST(COALESCE(SUM(CASE WHEN gram_docs.n_docs > 1 THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_shared_grams,
+      CAST(COALESCE(SUM(CASE WHEN gram_docs.n_docs > 1 THEN 1 ELSE 0 END),
+                    0) AS DOUBLE) / COUNT(*) AS shared_frac,
+      CAST(COALESCE(SUM(CASE WHEN gram_docs.n_docs > 1 THEN 1 ELSE 0 END),
+                    0) AS DOUBLE) / COUNT(*) >= {SUBSTR_DUP_FLAG}
+        AS is_substring_dup
+    FROM grams JOIN gram_docs USING (g)
+    GROUP BY grams.doc_id
+    """,
+    tags=("L1", "dedup", "substring"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the ExactSubstr family of
+    Lee et al.'s dedup paper, harness-sized): fingerprint every doc with
+    md5 digests of 32-char windows at stride 16, count how many of a
+    doc's distinct windows appear in ANY other doc, and flag docs whose
+    shared fraction clears 0.5 — catching copy-paste spans that token-set
+    Jaccard dilutes away in long documents.
+
+    Scale shape: window fingerprints are ~n_chars/stride rows per doc;
+    the global gram-frequency aggregate and the gram-keyed join both
+    shuffle md5 digests (32 bytes), never text; per-doc rollup is one
+    more doc_id-keyed aggregation. Everything is linear in corpus bytes
+    — no pair space. A true suffix-array ExactSubstr finds arbitrary-
+    offset overlaps; strided windows trade offset-exactness for
+    one-pass, shuffle-bounded execution (both windows of a 50%-overlap
+    pair still collide at stride<=len/2)."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {GRAM_LEN - 1},"
+            f" 1), {GRAM_STRIDE}), i -> md5(substr(text, i, {GRAM_LEN})))"
+        ))).alias("g"),
+    )
+    gram_docs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(shared, F.lit(0)).alias("n_shared_grams"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_shared_grams",
+            (F.col("n_shared_grams").cast("double") / F.col("n_grams"))
+            .alias("shared_frac"),
+            ((F.col("n_shared_grams").cast("double") / F.col("n_grams"))
+             >= SUBSTR_DUP_FLAG).alias("is_substring_dup"),
+        )
+    )
+
+
 # ---- Benchmark-contamination detection -----------------------------------
 
 BENCH_MOD = 97            # doc_id % 97 == 0 plays the held-out benchmark

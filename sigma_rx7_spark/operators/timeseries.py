@@ -211,3 +211,105 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_rollup_timegrain",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+             date_trunc('hour',   CAST(ts AS TIMESTAMP)) AS h,
+             date_trunc('day',    CAST(ts AS TIMESTAMP)) AS d,
+             value
+      FROM events
+    )
+    SELECT
+      CASE WHEN GROUPING(m) = 0 THEN 'minute'
+           WHEN GROUPING(h) = 0 THEN 'hour'
+           ELSE 'day' END AS grain,
+      COALESCE(m, h, d) AS bucket_ts,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM e
+    GROUP BY GROUPING SETS ((m), (h), (d))
+    """,
+    tags=("W4", "A5", "timeseries", "rollup"),
+)
+def q_rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): minute, hour, and day grains of the event stream computed in
+    ONE pass via GROUPING SETS — one scan + one expand(3x) + one
+    partial/final aggregation, where the naive form is three scans and
+    three shuffles. At 100 TB the fine grain dominates output size and
+    the coarse grains come along nearly free, which is exactly why
+    warehouse rollups are built this way (then persisted incrementally
+    per arriving partition)."""
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    ).createOrReplaceTempView("_rollup_src")
+    return spark.sql("""
+        SELECT
+          CASE WHEN grouping(m) = 0 THEN 'minute'
+               WHEN grouping(h) = 0 THEN 'hour'
+               ELSE 'day' END AS grain,
+          coalesce(m, h, d) AS bucket_ts,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM _rollup_src
+        GROUP BY GROUPING SETS ((m), (h), (d))
+    """)
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (
+      -- date_trunc('day', ...) yields DATE in DuckDB; cast back to
+      -- TIMESTAMP to match Spark's date_trunc output type.
+      SELECT user_id,
+             CAST(MIN(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                  AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS INT)
+             AS day_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("W4", "analytics", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort, day-offset) the count of cohort members active that day —
+    the standard product-analytics retention triangle.
+
+    Scale shape: both the first-day aggregate and the distinct
+    user-day relation key their shuffles on user_id, and the join is
+    user_id-to-user_id, so Catalyst reuses one hash partitioning across
+    all three steps; the final (cohort, offset) aggregate is bounded by
+    days x offsets, not events."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day"))
+    first = ev.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

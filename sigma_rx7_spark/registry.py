@@ -116,6 +116,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_contamination",
     "q_sample_mixture",
     "q_stream_merge",
+    "q_rollup_timegrain",
+    "q_cohort_retention",
+    "q_dedup_substring",
 )
 
 
