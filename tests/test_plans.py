@@ -194,3 +194,46 @@ def test_repetition_and_pii_have_no_shuffle(spark, sf_dir):
     for name in ("q_text_repetition", "q_text_pii_scrub"):
         p = plan(spark, sf_dir, name)
         assert "Exchange" not in p, (name, p)
+
+
+def test_rollup_timegrain_single_scan_one_expand(spark, sf_dir):
+    # Three time grains from ONE scan via GROUPING SETS: exactly one
+    # parquet location, one Expand, one Exchange (partial/final agg).
+    import re
+
+    p = plan(spark, sf_dir, "q_rollup_timegrain")
+    assert len(re.findall(r"Location: InMemoryFileIndex", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    # The benchmark shingle set is bounded by benchmark size => must
+    # arrive as a broadcast hash join, never a shuffle of the corpus
+    # explode (and certainly never a cartesian pair space).
+    p = plan(spark, sf_dir, "q_text_contamination")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_assign_is_sortless_windowless_aggregation(spark, sf_dir):
+    # Cell assignment must collapse the C-way score expansion in the
+    # aggregation (max_by partial agg: shuffle carries one row/vector),
+    # not rank it with a row_number window (shuffle carries C rows/vector).
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.llm.similarity import ivf_assign, normalized
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"),
+                      normalized("embedding").alias("c_vec"))
+    cent = corpus.where(F.col("c_id") < 16).select(
+        F.col("c_id").alias("cell_id"), F.col("c_vec").alias("cent_vec"))
+    p = formatted_plan(ivf_assign(corpus, cent))
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0, p
+    # one Exchange for the per-vector aggregation, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
