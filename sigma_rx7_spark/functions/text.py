@@ -402,3 +402,62 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * idf).cast("double").alias("tf_idf"),
         )
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, token
+    ), w AS (
+      SELECT doc_id, token, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM tf
+    )
+    SELECT doc_id,
+           MAX(n) AS n_tokens,
+           COUNT(*) AS n_unique_tokens,
+           CAST(SUM(c * CAST(ln(CAST(n AS DOUBLE) / c) AS DECIMAL(18,6)))
+                AS DOUBLE) / MAX(n) AS entropy_nats
+    FROM w GROUP BY doc_id
+    """,
+    tags=("L3", "quality", "entropy"),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the information-density
+    quality signal: H = (1/n)·Σ c·ln(n/c) in nats. Near-zero entropy
+    means a degenerate/repetitive document (spam, boilerplate, keyword
+    stuffing) that per-token repetition ratios can miss when the
+    repetition is distributed.
+
+    Scale shape: one token explode + one (doc, token) hash aggregation;
+    the per-doc total rides a window over the AGGREGATED tf relation
+    (vocabulary-sized per doc, not occurrence-sized) sharing the final
+    groupBy's doc_id partitioning. ``ln`` outputs are decimal-quantized
+    before the multiply/sum (compat.py hazard 2), so the float result is
+    bit-equal across engines and partitionings."""
+    from pyspark.sql import Window
+
+    from ..compat import QDEC
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    term = F.col("c") * F.log(F.col("n").cast("double") / F.col("c")) \
+        .cast(QDEC)
+    return (
+        tf.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique_tokens"),
+            (F.sum(term).cast("double") / F.max("n")).alias("entropy_nats"),
+        )
+    )

@@ -313,3 +313,79 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND CAST(e.ts AS TIMESTAMP) > v.t1
+        AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND CAST(e.ts AS TIMESTAMP) > c.t2
+        AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage_reached,
+           COUNT(*) AS n_users
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY stage_reached
+    """,
+    tags=("W4", "analytics", "funnel"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered windowed funnel: users who viewed, then clicked within
+    24 h AFTER their first view, then purchased within 24 h after that
+    first qualifying click — counted by deepest stage reached. The
+    ordering-plus-window constraint (each step inside a bounded interval
+    after the previous step) is what distinguishes a conversion funnel
+    from three independent filters.
+
+    Scale shape: each stage is a user-keyed aggregate of a
+    type-filtered slice joined back to the previous stage's (user,
+    min_ts) relation — every shuffle keys on user_id, so the
+    partitioning is computed once and reused; stage relations only
+    shrink. No windows over full history, no event-to-event pair
+    space."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str,
+                    out_ts: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where((F.col("ts") > F.col(prev_ts))
+                   & (F.col("ts") <= F.col(prev_ts)
+                      + F.expr("interval 24 hours")))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.alias("stage_reached"))
+        .groupBy("stage_reached")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

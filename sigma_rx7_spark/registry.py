@@ -119,6 +119,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_rollup_timegrain",
     "q_cohort_retention",
     "q_dedup_substring",
+    "q_funnel_steps",
+    "q_text_entropy",
 )
 
 
