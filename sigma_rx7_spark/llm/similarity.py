@@ -338,3 +338,70 @@ def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ivf_{tag}")
     build_ivf_index(corpus, centroids, path)
     return probe_ivf_index(spark, path, queries)
+
+
+# ---- Int8 embedding quantization (ANN memory compression) ----------------
+
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, x,
+             greatest(list_max(list_transform(x, e -> abs(e))), 1e-12)
+               / {QUANT_LEVELS} AS scale
+      FROM v
+    ), d AS (
+      SELECT vec_id, label, x, scale,
+             list_transform(x, e -> floor(e / scale + 0.5) * scale) AS deq
+      FROM s
+    ), e AS (
+      SELECT vec_id, label, scale,
+             list_transform(range(1, len(x) + 1),
+                            i -> x[i] - deq[i]) AS diff
+      FROM d
+    )
+    SELECT vec_id, label, scale,
+           list_max(list_transform(diff, e -> abs(e))) AS max_abs_err,
+           list_inner_product(diff, diff) / len(diff) AS mse
+    FROM e
+    """,
+    tags=("L2", "quantize"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with per-row
+    reconstruction-error audit: scale = max|x|/127, q = ⌊x/scale + ½⌋,
+    and the emitted max-abs / mean-squared reconstruction errors are
+    what a serving pipeline monitors before swapping the fp32 index for
+    the 4x-smaller int8 one.
+
+    Everything is per-row array arithmetic — zero shuffle, scan-speed.
+    ⌊r+½⌋ is used instead of round() because the two engines disagree on
+    round()'s tie rule (HALF_UP vs half-away) while floor over identical
+    doubles is bit-deterministic; the division guard (max|x| clamped to
+    1e-12) keeps zero vectors finite in both engines. Hash-gated: scale,
+    quantized values, and both error metrics match DuckDB bit-for-bit
+    (same left-fold arithmetic as the cosine family)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(float(QUANT_LEVELS))
+    df = e.select("vec_id", "label", x.alias("x"), scale.alias("scale"))
+    deq = F.transform(
+        "x", lambda v: F.floor(v / F.col("scale") + F.lit(0.5))
+        .cast("double") * F.col("scale"))
+    df = df.withColumn("diff", F.zip_with("x", deq, lambda a, b: a - b))
+    mse = F.aggregate(
+        F.zip_with("diff", "diff", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ) / F.size("diff")
+    return df.select(
+        "vec_id", "label", "scale",
+        F.array_max(F.transform("diff", F.abs)).alias("max_abs_err"),
+        mse.alias("mse"),
+    )

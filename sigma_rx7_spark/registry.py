@@ -121,6 +121,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_substring",
     "q_funnel_steps",
     "q_text_entropy",
+    "q_embed_quantize",
 )
 
 
