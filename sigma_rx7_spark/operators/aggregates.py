@@ -384,3 +384,131 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("types_csv"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+N_HIST_BINS = 20
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ), b AS (
+      SELECT CAST(least(floor((l_extendedprice - lo)
+                              / ((hi - lo) / {N_HIST_BINS}.0)),
+                        {N_HIST_BINS - 1}) AS INT) AS bin,
+             lo, hi
+      FROM lineitem CROSS JOIN mm
+    )
+    SELECT bin,
+           lo + bin * ((hi - lo) / {N_HIST_BINS}.0) AS bin_lo,
+           lo + (bin + 1) * ((hi - lo) / {N_HIST_BINS}.0) AS bin_hi,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bin, lo, hi
+    """,
+    tags=("A2", "histogram"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram (20 bins over the observed range) —
+    the distribution profile behind data-quality dashboards and skew
+    diagnosis. Two aggregations total: a global min/max (one scalar row,
+    broadcast back) and the per-bin count; binning itself is a pure
+    per-row projection. The top edge folds into the last bin (least())
+    so the bin set is closed. Bin arithmetic is plain double math over
+    identical inputs — deterministic in both engines without
+    quantization because no aggregation order touches the floats."""
+    li = load(spark, sf_dir, "lineitem")
+    mm = li.agg(F.min("l_extendedprice").alias("lo"),
+                F.max("l_extendedprice").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(N_HIST_BINS))
+    bin_c = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / step),
+        F.lit(N_HIST_BINS - 1),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .select(bin_c.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin") * step).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * step).alias("bin_hi"),
+            "n_rows",
+        )
+    )
+
+
+Z_OUTLIER = 3.0  # |z| threshold
+
+
+@query(
+    "q_agg_anomaly",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(20,6))
+                           * CAST(value AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT event_type, n, sv / n AS mean,
+             sqrt((svv - sv * sv / n) / (n - 1)) AS std
+      FROM s
+    )
+    SELECT e.event_type,
+           p.n AS n_events,
+           -- z is quantized to 6 dp before compare/max: the variance term
+           -- differs by 1 ulp between engines, which quantization absorbs
+           CAST(SUM(CASE WHEN CAST(abs((e.value - p.mean) / p.std)
+                               AS DECIMAL(18,6)) > {Z_OUTLIER}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CAST(abs((e.value - p.mean) / p.std)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS max_abs_z
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type, p.n
+    """,
+    tags=("A8", "anomaly"),
+)
+def q_agg_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly screen per event type: per-group mean/std from
+    exact decimal sums (the q_agg_stats two-sum formula — aggregation-
+    order-independent, bit-equal across engines), each event scored
+    against its group, outliers counted at |z| > 3.
+
+    Scale shape: the stats relation is |event_types| rows — broadcast
+    back onto the stream; scoring is a per-row projection; the final
+    rollup is one small hash agg. Two passes over events, no window, no
+    sort. The z-score is decimal-quantized before the compare/max (the
+    variance term can differ by 1 ulp across engines; compat.py)."""
+    from ..compat import QDEC
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    qv = F.col("value").cast(QDEC)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qv).cast("double").alias("sv"),
+        F.sum((qv * qv).cast("decimal(38,12)")).cast("double").alias("svv"),
+    )
+    p = s.select(
+        "event_type", "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+               / (F.col("n") - 1)).alias("std"),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("std")).cast(QDEC)
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .select("event_type", "n", z.alias("z"))
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(F.col("z") > Z_OUTLIER, 1).otherwise(0))
+            .alias("n_outliers"),
+            F.max("z").cast("double").alias("max_abs_z"),
+        )
+        .select(F.col("event_type"), F.col("n").alias("n_events"),
+                "n_outliers", "max_abs_z")
+    )

@@ -122,6 +122,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_funnel_steps",
     "q_text_entropy",
     "q_embed_quantize",
+    "q_agg_histogram",
+    "q_agg_anomaly",
 )
 
 
