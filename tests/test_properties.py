@@ -142,3 +142,48 @@ def test_salted_join_equals_plain_join(spark, lefts, rights, how):
         key=repr
     )
     assert got == want
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=50,
+                unique=True))
+@SETTINGS
+def test_uniform_unit_hash_in_range_and_deterministic(spark, keys):
+    # The Knuth-hash gate behind mixture sampling must land in [0, 1),
+    # be a pure function of the key, and not collapse distinct keys to
+    # one value (sanity against a broken modulus).
+    from sigma_rx7_spark.llm.sampling import uniform_unit
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = df.select(uniform_unit(F.col("k")).alias("u")).collect()
+    again = df.select(uniform_unit(F.col("k")).alias("u")).collect()
+    assert out == again
+    assert all(0.0 <= r["u"] < 1.0 for r in out)
+    if len(keys) > 10:
+        assert len({r["u"] for r in out}) > 1
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    # Int8 reconstruction error can never exceed half a quantization
+    # step: |x - deq(x)| <= scale/2 (+1 ulp slack). This is the
+    # correctness bound that makes the audit columns meaningful.
+    from sigma_rx7_spark.registry import load_all
+
+    rows = load_all()["q_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_abs_err"] <= r["scale"] / 2 * (1 + 1e-9), r
+
+
+def test_funnel_stages_partition_viewers(spark, sf_dir):
+    # Every user with a view lands in exactly one stage bucket: the
+    # stage counts must sum to the distinct-viewer count, and each
+    # deeper stage only loses users.
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.registry import load_all
+
+    rows = load_all()["q_funnel_steps"].fn(spark, sf_dir).collect()
+    by_stage = {r["stage_reached"]: r["n_users"] for r in rows}
+    ev = load(spark, sf_dir, "events")
+    n_viewers = (ev.where(F.col("event_type") == "view")
+                 .select("user_id").distinct().count())
+    assert sum(by_stage.values()) == n_viewers
