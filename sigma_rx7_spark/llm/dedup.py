@@ -283,13 +283,14 @@ def md5_lsh_candidates(sig: DataFrame, bands: int = MD5_LSH_BANDS,
     )
 
 
-def _oracle_minhash_sig(k: int = MD5_MINHASH_K) -> str:
+def _oracle_minhash_sig(k: int = MD5_MINHASH_K,
+                        src: str = "documents") -> str:
     mins = ",\n        ".join(
         f"MIN(md5(shingle || '#{i}')) AS m{i}" for i in range(k))
     return f"""
     toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-      FROM documents
+      FROM {src}
     ), sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -314,6 +315,33 @@ def _oracle_bands(bands: int = MD5_LSH_BANDS, k: int = MD5_MINHASH_K) -> str:
     ]
     return "bands AS (\n      " + "\n      UNION ALL\n      ".join(parts) \
         + "\n    )"
+
+
+def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
+    """md5-MinHash LSH candidates verified by exact word-set Jaccard —
+    the reusable production near-dedup stage (see q_dedup_lsh_verified
+    for semantics/scale notes). Input needs (doc_id, text); output is
+    (a_doc_id, b_doc_id, n_common, jaccard) with jaccard >= 0.5 and
+    a_doc_id < b_doc_id. Engine-deterministic end to end."""
+    sig = md5_minhash_signatures(docs)
+    cand = md5_lsh_candidates(sig)
+    words = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+    wa = words.select(F.col("doc_id").alias("a_doc_id"),
+                      F.col("w").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("w").alias("wb"))
+    n_common = F.size(F.array_intersect("wa", "wb")).cast("bigint")
+    jaccard = n_common.cast("double") / (
+        F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb"))
+    )
+    return (
+        cand.join(wa, "a_doc_id")
+        .join(wb, "b_doc_id")
+        .select("a_doc_id", "b_doc_id",
+                n_common.alias("n_common"), jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= LSH_VERIFY_JACCARD)
+    )
 
 
 @query(
@@ -362,25 +390,7 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs; the shuffles carry doc ids, signatures, and word
     sets — never raw text pairs."""
     d = load(spark, sf_dir, "documents")
-    sig = md5_minhash_signatures(d)
-    cand = md5_lsh_candidates(sig)
-    words = d.select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
-    wa = words.select(F.col("doc_id").alias("a_doc_id"),
-                      F.col("w").alias("wa"))
-    wb = words.select(F.col("doc_id").alias("b_doc_id"),
-                      F.col("w").alias("wb"))
-    n_common = F.size(F.array_intersect("wa", "wb")).cast("bigint")
-    jaccard = n_common.cast("double") / (
-        F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb"))
-    )
-    return (
-        cand.join(wa, "a_doc_id")
-        .join(wb, "b_doc_id")
-        .select("a_doc_id", "b_doc_id",
-                n_common.alias("n_common"), jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= LSH_VERIFY_JACCARD)
-    )
+    return lsh_verified_pairs(d)
 
 
 # ---- Exact-substring duplication (ExactSubstr-style) ---------------------

@@ -80,3 +80,100 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
     )
+
+
+def _near_dedup_oracle() -> str:
+    from .dedup import (
+        LSH_VERIFY_JACCARD,
+        _oracle_bands,
+        _oracle_minhash_sig,
+    )
+    from .sampling import TRAIN_NIBBLES, VAL_NIBBLES
+
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+            >= {MIN_TOKENS}
+    ),
+    {_oracle_minhash_sig(src="quality")},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM quality
+    ), dropped AS (
+      SELECT DISTINCT b_doc_id AS doc_id
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+            >= {LSH_VERIFY_JACCARD}
+    ), kept AS (
+      SELECT q.doc_id, q.lang, q.n_chars
+      FROM quality q LEFT JOIN dropped d ON q.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+    )
+    SELECT
+      CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN {tuple(TRAIN_NIBBLES)!r} THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN {tuple(VAL_NIBBLES)!r} THEN 'val'
+        ELSE 'test'
+      END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "q_pipeline_near_dedup",
+    oracle=_near_dedup_oracle(),
+    tags=("L1", "L3", "L5", "pipeline", "lsh"),
+)
+def q_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation with REAL near-dedup: quality filter (≥30 tokens)
+    → md5-MinHash LSH candidates → exact-Jaccard verification → drop the
+    non-canonical side of every verified duplicate pair (keep the
+    smaller doc_id) → deterministic split → per-(split, lang) report.
+    The production counterpart of q_pipeline_corpus_curation (which uses
+    exact dedup): the dedup stage here catches near-duplicates, and the
+    whole pass stays oracle-checkable because the LSH family is
+    engine-portable md5 (see q_dedup_lsh_verified).
+
+    The keep policy (drop every larger-id member of a verified pair) is
+    the greedy pairwise form — deterministic and one anti-join, where
+    the cluster-exact form (q_dedup_clusters' connected components +
+    keep-min-per-component) costs an iterative loop; at 100 TB the pair
+    relation is the same either way, and policy choice is a downstream
+    toggle. Scale shape: candidates track true duplicates, the verify
+    join touches candidates only, and the final anti-join + aggregate
+    shuffle doc ids — never text."""
+    from .dedup import lsh_verified_pairs
+    from .sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    quality = d.where(F.size(tokens(F.col("text"))) >= MIN_TOKENS)
+    dropped = (lsh_verified_pairs(quality)
+               .select(F.col("b_doc_id").alias("doc_id")).distinct())
+    kept = quality.join(dropped, "doc_id", "left_anti")
+    return (
+        kept.select(hash_split(F.col("doc_id")).alias("split"),
+                    "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )

@@ -124,6 +124,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_embed_quantize",
     "q_agg_histogram",
     "q_agg_anomaly",
+    "q_pipeline_near_dedup",
 )
 
 
