@@ -51,6 +51,7 @@ HEADLINE = [
     # LLM-pipeline path: composite curation + graph clustering, so the
     # bench covers the north-star operators, not just the relational core.
     "q_pipeline_corpus_curation",
+    "q_pipeline_near_dedup",
     "q_dedup_clusters",
 ]
 

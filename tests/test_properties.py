@@ -187,3 +187,24 @@ def test_funnel_stages_partition_viewers(spark, sf_dir):
     n_viewers = (ev.where(F.col("event_type") == "view")
                  .select("user_id").distinct().count())
     assert sum(by_stage.values()) == n_viewers
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=24),
+                min_size=1, max_size=6))
+@SETTINGS
+def test_shingles_match_python_model(spark, texts):
+    # The n-word shingle construction behind MinHash/LSH/contamination
+    # must agree with a direct Python model, including the degenerate
+    # cases (empty text, fewer tokens than the shingle width).
+    from sigma_rx7_spark.llm.dedup import SHINGLE_N, _shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: sorted(r["s"]) for r in
+           df.select("doc_id", _shingles().alias("s")).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        n_idx = max(len(toks) - SHINGLE_N, 0) + 1
+        model = sorted({" ".join(toks[j:j + SHINGLE_N])
+                        for j in range(n_idx)})
+        assert got[i] == model, (t, got[i], model)
