@@ -208,3 +208,49 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 1).over(w_full)
         .alias("cheapest_in_status"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+             AS sum_value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W4", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR event-time frame per user (rolling event rate +
+    value sum) — a RANGE frame over epoch micros, not a row count: the
+    frame width follows the clock, so sparse and bursty users get the
+    same temporal semantics. This is the "rolling rate over the last
+    hour" primitive behind alerting and rate limiting.
+
+    Same one-shuffle/one-sort plan class as the row frame (W4); range
+    frames cost a frame-boundary search per row instead of a fixed
+    offset, still linear per partition. The frame key is the bare
+    timestamp (no event_id tiebreak: RANGE requires a single ordering
+    expression); ties share a frame in both engines, so results stay
+    engine- and partition-independent, and the decimal-quantized sum
+    makes the windowed float exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double")
+        .alias("sum_value_1h"),
+    )

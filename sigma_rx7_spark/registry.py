@@ -125,6 +125,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_histogram",
     "q_agg_anomaly",
     "q_pipeline_near_dedup",
+    "q_window_range_frame",
 )
 
 
