@@ -242,13 +242,23 @@ def md5_minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     below oracle-checkable end to end. Same scale shape as the xxhash64
     path: one shingle explode, k partial-aggregated mins per doc.
     """
+    assert k % 4 == 0, "k must be a multiple of 4 (4 chunks per digest)"
+    n_digests = k // 4
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col)).alias("shingle"),
+    ).select(
+        "doc_id",
+        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(f"d{s}")
+          for s in range(n_digests)],
     )
+    # Four independent 32-bit hash values per digest (md5 avalanche makes
+    # the 8-hex chunks independent enough for MinHash): k functions from
+    # k/4 md5 calls — the md5 is the dominant cost of the signature pass
+    # (measured ~2.5x on the pipeline query), and the lexicographic min
+    # over fixed-width hex chunks is still engine-identical.
     mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
-        .alias(f"m{i}")
+        F.min(F.substring(f"d{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"m{i}")
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*mins)
@@ -285,8 +295,11 @@ def md5_lsh_candidates(sig: DataFrame, bands: int = MD5_LSH_BANDS,
 
 def _oracle_minhash_sig(k: int = MD5_MINHASH_K,
                         src: str = "documents") -> str:
+    digests = ",\n             ".join(
+        f"md5(shingle || '#{s}') AS d{s}" for s in range(k // 4))
     mins = ",\n        ".join(
-        f"MIN(md5(shingle || '#{i}')) AS m{i}" for i in range(k))
+        f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS m{i}"
+        for i in range(k))
     return f"""
     toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -298,10 +311,14 @@ def _oracle_minhash_sig(k: int = MD5_MINHASH_K,
                i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
                                     ' ')))) AS shingle
       FROM toks
+    ), dig AS (
+      SELECT doc_id,
+             {digests}
+      FROM sh
     ), sig AS (
       SELECT doc_id,
         {mins}
-      FROM sh GROUP BY doc_id
+      FROM dig GROUP BY doc_id
     )"""
 
 
