@@ -126,6 +126,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_anomaly",
     "q_pipeline_near_dedup",
     "q_window_range_frame",
+    "q_source_orc",
 )
 
 

@@ -158,3 +158,38 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              dsum("value", "sum_value"))
     )
+
+
+@query(
+    "q_source_orc",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_items,
+      {o_dsum('l_extendedprice', 'sum_price')},
+      -- l_quantity is integral-valued DOUBLE: the sum is exact at any
+      -- aggregation order, and both engines keep it DOUBLE
+      SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("S5", "source-orc"),
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: stage lineitem columns to ORC (Spark-native
+    columnar alternative to parquet — the warehouse interchange format a
+    Hive-era deployment would hand us), re-read, aggregate. The oracle
+    runs on the ORIGINAL parquet, so the hash match proves the ORC path
+    preserves ints, categoricals, and doubles bit-for-bit. ORC reads get
+    the same vectorized scan + predicate pushdown treatment as parquet
+    in Spark, so the S-family scan posture carries over unchanged."""
+    path = _stage_dir("orc_lineitem", sf_dir)
+    (load(spark, sf_dir, "lineitem")
+     .select("l_returnflag", "l_extendedprice", "l_quantity")
+     .write.mode("overwrite").orc(path))
+    staged = spark.read.orc(path)
+    return staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
