@@ -212,3 +212,58 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
         )
     )
+
+
+RESERVOIR_K = 40  # fixed per-stratum sample budget
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+           -- identity checksum: proves the SAME documents were chosen,
+           -- not merely the same number of them
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= {RESERVOIR_K}
+    GROUP BY lang
+    """,
+    tags=("L5", "sampling", "reservoir"),
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sample: exactly K=40 documents per
+    language, chosen as the K smallest key digests — the reproducible
+    stand-in for reservoir sampling when the budget is per-stratum rows
+    (eval-set construction) rather than a keep rate. Unlike a true
+    reservoir, membership is a pure function of the key set: stable
+    under reordering, re-partitioning, and engine choice; the summary's
+    id_checksum pins the exact membership, not just its size.
+
+    Scale shape: one window per stratum over (digest, id) — a top-K per
+    group; at warehouse scale the same selection runs as min_by-style
+    partial top-K so the shuffle carries K rows per stratum, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

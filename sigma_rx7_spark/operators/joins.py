@@ -318,3 +318,35 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum("o_totalprice", "sum_price"))
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id + 1 = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("J2", "skew", "salted"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join under the correctness gate: events joined to
+    customer through ``salted_join`` (hot keys spread over 16 shuffle
+    partitions), aggregated per segment — and the oracle is the PLAIN
+    join, so the hash match proves salting changes the physical shuffle
+    layout without touching the result. Property tests pin that equality
+    on adversarial inputs; this query pins it on the harness data under
+    the external gate."""
+    ev = (load(spark, sf_dir, "events")
+          .select((F.col("user_id") + 1).alias("c_custkey"), "value"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "c_custkey", n_salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+        .alias("sum_value"),
+    )

@@ -127,6 +127,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_pipeline_near_dedup",
     "q_window_range_frame",
     "q_source_orc",
+    "q_sample_reservoir",
+    "q_join_salted",
 )
 
 
