@@ -237,3 +237,33 @@ def test_ivf_assign_is_sortless_windowless_aggregation(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", p)) == 0, p
     # one Exchange for the per-vector aggregation, nothing else
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_near_dedup_pipeline_has_no_pair_explosion(spark, sf_dir):
+    # The entire point of LSH: near-dedup with NO cartesian/nested-loop
+    # pair space anywhere in the plan — candidates arrive via equi-joins
+    # on band buckets only.
+    p = plan(spark, sf_dir, "q_pipeline_near_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_frame_is_single_pass(spark, sf_dir):
+    # The 1-hour RANGE frame must plan exactly one shuffle + one sort +
+    # one window — same class as the row-frame family.
+    import re
+
+    p = plan(spark, sf_dir, "q_window_range_frame")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_reservoir_sample_reuses_window_partitioning(spark, sf_dir):
+    # The per-stratum top-K window hash-partitions by lang; the summary
+    # groupBy must reuse that partitioning instead of re-shuffling —
+    # one Exchange in the whole plan.
+    import re
+
+    p = plan(spark, sf_dir, "q_sample_reservoir")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
