@@ -114,3 +114,65 @@ def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_weighted_cents()(F.col("price"), F.col("w"))
         .alias("weighted_cents"),
     )
+
+
+def sentence_split_udtf():
+    """X2 as a REAL Python UDTF (Spark 4 ``@udtf``): one input row
+    (doc_id, text) -> N sentence rows with per-sentence token counts.
+    The row-expanding-parser shape (HL7 message -> segments, FHIR bundle
+    -> resources) as a user-defined TABLE function rather than the
+    native ``explode`` form used in the hot path (q_string_parse /
+    domain/hl7.py) — this exists to complete the UDTF API surface with
+    the documented slow-path pattern, not to replace the native plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence_idx int, sentence string, "
+                     "n_tokens bigint")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            parts = [s for s in (text or "").split(". ") if s]
+            for i, s in enumerate(parts):
+                yield doc_id, i, s, len([t for t in s.split(" ") if t])
+
+    return SentenceSplit
+
+
+@query(
+    "q_udtf_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, '. '), x -> x <> ''))
+               AS sentence
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           MAX(len(list_filter(string_split(sentence, ' '), x -> x <> '')))
+             AS max_sentence_tokens,
+           CAST(SUM(len(list_filter(string_split(sentence, ' '),
+                                    x -> x <> ''))) AS BIGINT)
+             AS total_tokens
+    FROM s GROUP BY doc_id
+    """,
+    tags=("X2", "udtf", "slow-path"),
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents exploded to sentences through the Python UDTF, then
+    rolled up per doc — deterministic string logic, so even the
+    through-Python path hash-matches the SQL oracle. The native explode
+    equivalent is the production form; this query certifies the UDTF
+    slow path produces identical results (empty docs yield no rows in
+    both engines)."""
+    spark.udtf.register("sentence_split", sentence_split_udtf())
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT s.doc_id,
+               count(*) AS n_sentences,
+               max(s.n_tokens) AS max_sentence_tokens,
+               sum(s.n_tokens) AS total_tokens
+        FROM _udtf_docs d,
+             LATERAL sentence_split(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+    """)
