@@ -60,22 +60,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingle STRINGS (not hashes) for a document."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
 def shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle_hash) pairs: n-word shingles hashed to int64.
 
-    Shingles are built with transform over index sequences — a per-row
-    array op, no window/sort needed, so it parallelizes embarrassingly.
+    Shingle construction is shared with the md5 family (``_shingles`` —
+    one property-tested copy of the index arithmetic); a per-row array
+    op, no window/sort needed, so it parallelizes embarrassingly.
     """
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles)).alias("shingle"),
+        F.explode(_shingles(text_col, n)).alias("shingle"),
     ).select("doc_id", F.xxhash64("shingle").alias("shingle_hash"))
 
 
@@ -219,14 +222,6 @@ MD5_LSH_BANDS = 4       # 4 bands of 4 rows -> catches jaccard >~ 0.5
 LSH_VERIFY_JACCARD = 0.5
 
 
-def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingle STRINGS (not hashes) for a document."""
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-
-
 def md5_minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            k: int = MD5_MINHASH_K) -> DataFrame:
@@ -349,9 +344,15 @@ def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
     wb = words.select(F.col("doc_id").alias("b_doc_id"),
                       F.col("w").alias("wb"))
     n_common = F.size(F.array_intersect("wa", "wb")).cast("bigint")
-    jaccard = n_common.cast("double") / (
-        F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb"))
+    # greatest(union, 1): two blank docs share the "" shingle, become a
+    # candidate pair, and have empty word sets — an unguarded 0/0 would
+    # throw under ANSI Spark; with the clamp their jaccard is 0 and the
+    # threshold drops them.
+    union = F.greatest(
+        F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb")),
+        F.lit(1),
     )
+    jaccard = n_common.cast("double") / union
     return (
         cand.join(wa, "a_doc_id")
         .join(wb, "b_doc_id")
@@ -381,13 +382,15 @@ def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
     SELECT a_doc_id, b_doc_id,
            CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
            CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
-             / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+             / greatest(len(wa.w) + len(wb.w)
+                        - len(list_intersect(wa.w, wb.w)), 1)
              AS jaccard
     FROM cand
     JOIN words wa ON wa.doc_id = a_doc_id
     JOIN words wb ON wb.doc_id = b_doc_id
     WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
-            / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+            / greatest(len(wa.w) + len(wb.w)
+                       - len(list_intersect(wa.w, wb.w)), 1)
           >= {LSH_VERIFY_JACCARD}
     """,
     tags=("L1", "dedup"),

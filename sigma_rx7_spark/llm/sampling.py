@@ -144,14 +144,21 @@ KNUTH_MULT = 2654435761   # Knuth multiplicative hash constant (2^32 / phi)
 HASH_MOD = 4294967296     # 2^32
 
 
+KEY_MASK_MOD = 2147483648  # 2^31: pre-fold keys so key*mult fits int64
+
+
 def uniform_unit(key: Column) -> Column:
     """Deterministic uniform-ish value in [0, 1) from an integer key via
     the Knuth multiplicative hash — exact bigint arithmetic plus one
     exact int->double conversion, so every engine computes the identical
     double (md5-prefix gates can't serve here: the keep threshold is
     data-DEPENDENT, and hex->int parsing isn't portable to the oracle
-    dialect)."""
-    return ((key.cast("bigint") * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
+    dialect). The key is folded mod 2^31 FIRST so the multiply peaks at
+    (2^31-1)*2654435761 < 2^63 — no int64 overflow at any key scale
+    (ANSI Spark throws on overflow; non-ANSI would silently bias the
+    gate)."""
+    folded = key.cast("bigint") % F.lit(KEY_MASK_MOD)
+    return ((folded * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
             ).cast("double") / F.lit(float(HASH_MOD))
 
 
@@ -168,7 +175,8 @@ def uniform_unit(key: Column) -> Column:
     ), kept AS (
       SELECT d.source, d.n_chars
       FROM documents d JOIN rates r ON d.source = r.source
-      WHERE CAST((d.doc_id * {KNUTH_MULT}) % {HASH_MOD} AS DOUBLE)
+      WHERE CAST(((d.doc_id % {KEY_MASK_MOD}) * {KNUTH_MULT})
+                 % {HASH_MOD} AS DOUBLE)
               / {HASH_MOD} < r.p_keep
     )
     SELECT r.source, r.n_total, r.p_keep,

@@ -396,15 +396,19 @@ N_HIST_BINS = 20
       SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
       FROM lineitem
     ), b AS (
+      -- greatest(hi-lo, 1e-12): a constant column (hi == lo) must land
+      -- in bin 0, not divide by zero (ANSI Spark throws)
       SELECT CAST(least(floor((l_extendedprice - lo)
-                              / ((hi - lo) / {N_HIST_BINS}.0)),
+                              / (greatest(hi - lo, 1e-12)
+                                 / {N_HIST_BINS}.0)),
                         {N_HIST_BINS - 1}) AS INT) AS bin,
              lo, hi
       FROM lineitem CROSS JOIN mm
     )
     SELECT bin,
-           lo + bin * ((hi - lo) / {N_HIST_BINS}.0) AS bin_lo,
-           lo + (bin + 1) * ((hi - lo) / {N_HIST_BINS}.0) AS bin_hi,
+           lo + bin * (greatest(hi - lo, 1e-12) / {N_HIST_BINS}.0) AS bin_lo,
+           lo + (bin + 1) * (greatest(hi - lo, 1e-12) / {N_HIST_BINS}.0)
+             AS bin_hi,
            COUNT(*) AS n_rows
     FROM b GROUP BY bin, lo, hi
     """,
@@ -422,7 +426,8 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     mm = li.agg(F.min("l_extendedprice").alias("lo"),
                 F.max("l_extendedprice").alias("hi"))
-    step = (F.col("hi") - F.col("lo")) / F.lit(float(N_HIST_BINS))
+    step = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) \
+        / F.lit(float(N_HIST_BINS))
     bin_c = F.least(
         F.floor((F.col("l_extendedprice") - F.col("lo")) / step),
         F.lit(N_HIST_BINS - 1),
@@ -455,9 +460,12 @@ Z_OUTLIER = 3.0  # |z| threshold
                            AS DECIMAL(38,12))) AS DOUBLE) AS svv
       FROM events GROUP BY event_type
     ), p AS (
+      -- n > 1 and std > 0 guard: a single-event or constant-valued group
+      -- has no z-score (ANSI Spark would throw on the division)
       SELECT event_type, n, sv / n AS mean,
              sqrt((svv - sv * sv / n) / (n - 1)) AS std
       FROM s
+      WHERE n > 1 AND (svv - sv * sv / n) / (n - 1) > 0
     )
     SELECT e.event_type,
            p.n AS n_events,
@@ -493,11 +501,15 @@ def q_agg_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qv).cast("double").alias("sv"),
         F.sum((qv * qv).cast("decimal(38,12)")).cast("double").alias("svv"),
     )
-    p = s.select(
-        "event_type", "n",
-        (F.col("sv") / F.col("n")).alias("mean"),
-        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
-               / (F.col("n") - 1)).alias("std"),
+    var = (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) \
+        / (F.col("n") - 1)
+    p = (
+        s.where(F.col("n") > 1)
+        .select("event_type", "n",
+                (F.col("sv") / F.col("n")).alias("mean"),
+                F.sqrt(var).alias("std"), var.alias("_var"))
+        .where(F.col("_var") > 0)
+        .drop("_var")
     )
     z = F.abs((F.col("value") - F.col("mean")) / F.col("std")).cast(QDEC)
     return (

@@ -322,10 +322,10 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_salted",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+           {o_dsum('value', 'sum_value')}
     FROM events
     JOIN customer ON user_id + 1 = c_custkey
     GROUP BY c_mktsegment
@@ -347,6 +347,5 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, cust, "c_custkey", n_salt=16)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
-        .alias("sum_value"),
+        dsum("value", "sum_value"),
     )

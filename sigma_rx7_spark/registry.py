@@ -131,6 +131,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_salted",
 )
 
+# The external checker verifies exactly the first 50 load_all() entries;
+# a 51st priority name would silently fall past the window and never get
+# a correctness row. Fail loudly instead.
+assert len(_CHECK_PRIORITY) <= 50, (
+    f"_CHECK_PRIORITY has {len(_CHECK_PRIORITY)} entries; the driver "
+    "window holds 50 — rotate out an already-proven query")
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""

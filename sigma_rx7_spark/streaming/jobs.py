@@ -17,6 +17,7 @@ Structured Streaming API.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,7 @@ from pyspark.sql import types as T
 from ..io import load
 from ..registry import query
 from ..session import ensure_session_conf
+from ..operators.incremental import MERGE_CUTOFF
 
 # Physical schema of events.parquet (ts is INT64 nanos on disk; streaming
 # file sources require an explicit schema).
@@ -304,14 +306,17 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
             .localCheckpoint(eager=True)
         )
 
-    q = (
-        change_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="merge_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="merge_ckpt_")
+    try:
+        q = (
+            change_stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return state["df"]
 
 
@@ -324,7 +329,7 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
                PARTITION BY user_id, event_type
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
       FROM events
-      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
     ), base AS (
       SELECT user_id, event_type, event_id, value, TRUE AS b_present
       FROM latest WHERE rn = 1
@@ -334,7 +339,7 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
                PARTITION BY user_id, event_type
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
       FROM events
-      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
     ), changes AS (
       SELECT user_id, event_type, event_id, value, TRUE AS c_present
       FROM chg_latest WHERE rn = 1
@@ -363,7 +368,7 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE; the two-batch case (values converge to latest-per-key
     regardless of batch boundaries) is asserted in
     tests/test_streaming_merge.py."""
-    from ..operators.incremental import MERGE_CUTOFF, latest_per_key
+    from ..operators.incremental import latest_per_key
 
     cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
     keys = ["user_id", "event_type"]

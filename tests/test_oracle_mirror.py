@@ -44,7 +44,15 @@ def _norm_cell(v):
             return "NaN"
         return v
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DATE columns lose their type crossing pandas (duckdb .df()
+        # widens DATE to datetime64 while Spark keeps date objects);
+        # normalize midnight timestamps to date form so the comparison
+        # matches what the external canonicalizer accepts (verified: the
+        # r1 gate passed q_date_funcs with exactly this split).
+        if v.time() == dt.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -65,13 +73,18 @@ def test_oracle_parity(name, spark, sf_dir):
     spec = ALL[name]
     sdf = spec.fn(spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # ONE Spark execution serves both the value and the dtype checks
+    # (several queries have side-effectful stages — staging writes,
+    # foreachBatch streams — and all are multi-second; a second run per
+    # query would double the suite).
+    s_pd = sdf.toPandas()
+    s_rows = [tuple(r) for r in s_pd.itertuples(index=False, name=None)]
 
     con = _duck(sf_dir)
-    res = con.execute(spec.oracle)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    k_pd = con.execute(spec.oracle).df()
     con.close()
+    d_cols = list(k_pd.columns)
+    d_rows = [tuple(r) for r in k_pd.itertuples(index=False, name=None)]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={s_cols} duck={d_cols}")
@@ -94,10 +107,6 @@ def test_oracle_parity(name, spark, sf_dir):
     # plain SUM over integers) lands as float64 against Spark's int64 and
     # hash-mismatches despite equal values. Compare pandas dtype *kinds*
     # per column so that trap fails locally first.
-    s_pd = sdf.toPandas()
-    con2 = _duck(sf_dir)
-    k_pd = con2.execute(spec.oracle).df()
-    con2.close()
     for col in sorted(s_cols):
         sk, dk = s_pd[col].dtype.kind, k_pd[col].dtype.kind
         # Nullable ints surface as float64 ('f') on whichever side holds
