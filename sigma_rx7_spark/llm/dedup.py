@@ -663,6 +663,92 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", "simhash", *quarters)
 
 
+# ---- Engine-portable md5 SimHash (oracle-gated twin of q_dedup_simhash) --
+
+# Hex characters with the given bit set, for bit weights 8/4/2/1.
+_HEX_BIT = {
+    3: "89abcdef",
+    2: "4567cdef",
+    1: "2367abef",
+    0: "13579bdf",
+}
+
+
+def _simhash_oracle(k_bits: int = 64) -> str:
+    terms = []
+    for b in range(k_bits):
+        digit = f"substr(md5(token), {1 + b // 4}, 1)"
+        chars = ", ".join(f"'{c}'" for c in _HEX_BIT[3 - (b % 4)])
+        terms.append(
+            f"SUM(CASE WHEN {digit} IN ({chars}) THEN 1 ELSE -1 END)"
+            f" AS s{b}")
+    sums = ",\n        ".join(terms)
+    bits = " || ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(k_bits))
+    quarters = ",\n           ".join(
+        f"substr(bits, {1 + 16 * j}, 16) AS q{j}" for j in range(4))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ), sums AS (
+      SELECT doc_id,
+        {sums}
+      FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {bits} AS bits FROM sums
+    )
+    SELECT doc_id, bits AS simhash_bits,
+           {quarters}
+    FROM sig
+    """
+
+
+@query(
+    "q_dedup_simhash_md5",
+    oracle=_simhash_oracle(),
+    tags=("L1", "dedup", "simhash"),
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash: 64 signed bit-sums where token bit b is
+    read from the md5 HEX digest (digit b//4, bit b%4) — so, unlike the
+    xxhash64 variant (q_dedup_simhash, the cheap production path), the
+    signature is identical in every engine and the whole construction
+    hash-checks against DuckDB. The signature is emitted as a 64-char
+    bit STRING with 16-bit quarter substrings as the Hamming-adjacency
+    bucket keys (two docs within Hamming distance 3 share at least one
+    quarter verbatim — same banding argument as LSH).
+
+    Scale shape: one token explode + one partial-aggregated 64-sum per
+    doc; bucket keys are per-row substrings. Same cost class as the
+    xxhash64 variant, plus md5's higher per-token constant — the price
+    of cross-engine verifiability."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", F.md5("token").alias("h"))
+    sums = [
+        F.sum(
+            F.when(
+                F.substring("h", 1 + b // 4, 1)
+                .isin(*list(_HEX_BIT[3 - (b % 4)])), 1
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    bits = F.concat(*[
+        F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(64)
+    ])
+    sig = agg.select("doc_id", bits.alias("simhash_bits"))
+    return sig.select(
+        "doc_id", "simhash_bits",
+        *[F.substring("simhash_bits", 1 + 16 * j, 16).alias(f"q{j}")
+          for j in range(4)],
+    )
+
+
 CLUSTER_JACCARD = 0.8  # edge threshold: pairs this similar are duplicates
 
 
