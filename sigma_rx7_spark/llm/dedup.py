@@ -749,6 +749,90 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_MAX = 3  # simhash near-dup threshold (quarter-bucket guarantee)
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle().strip()
+    # reuse the signature CTE chain, then bucket on quarters and verify
+    # the exact bit distance
+    assert base.startswith("WITH ") and base.rstrip().endswith("FROM sig")
+    return f"""
+    WITH s2 AS ({base}
+    ), quarters AS (
+      SELECT doc_id, 0 AS q_idx, q0 AS q_val FROM s2
+      UNION ALL SELECT doc_id, 1, q1 FROM s2
+      UNION ALL SELECT doc_id, 2, q2 FROM s2
+      UNION ALL SELECT doc_id, 3, q3 FROM s2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM quarters a
+      JOIN quarters b
+        ON a.q_idx = b.q_idx AND a.q_val = b.q_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_doc_id, c.b_doc_id,
+           64 - len(list_filter(range(1, 65),
+                    i -> substr(sa.simhash_bits, CAST(i AS INT), 1)
+                       = substr(sb.simhash_bits, CAST(i AS INT), 1)))
+             AS hamming
+    FROM cand c
+    JOIN s2 sa ON sa.doc_id = c.a_doc_id
+    JOIN s2 sb ON sb.doc_id = c.b_doc_id
+    WHERE 64 - len(list_filter(range(1, 65),
+                   i -> substr(sa.simhash_bits, CAST(i AS INT), 1)
+                      = substr(sb.simhash_bits, CAST(i AS INT), 1)))
+          <= {HAMMING_MAX}
+    """
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    tags=("L1", "dedup", "simhash"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs END TO END: md5 bit-string signatures,
+    quarter-bucket candidate generation (Hamming ≤ 3 ⇒ some 16-bit
+    quarter matches verbatim — the pigeonhole banding argument), exact
+    bit-distance verification on the candidates only. The SimHash
+    counterpart of q_dedup_lsh_verified, oracle-checkable for the same
+    reason: every hash is md5, every comparison is a string op.
+
+    Scale shape: signatures are one aggregation pass; the bucket join is
+    an equi-join on 16-char keys whose candidate count tracks true
+    near-dups; the verify stage touches candidates only and compares
+    64-char strings — no text ever leaves the signature pass."""
+    sig = q_dedup_simhash_md5(spark, sf_dir)
+    quarters = None
+    for j in range(4):
+        q_j = sig.select(
+            "doc_id", F.lit(j).alias("q_idx"),
+            F.col(f"q{j}").alias("q_val"))
+        quarters = q_j if quarters is None else quarters.union(q_j)
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q_idx") == F.col("b.q_idx"))
+               & (F.col("a.q_val") == F.col("b.q_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_doc_id"),
+                F.col("b.doc_id").alias("b_doc_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_doc_id"),
+                    F.col("simhash_bits").alias("a_bits"))
+    sb = sig.select(F.col("doc_id").alias("b_doc_id"),
+                    F.col("simhash_bits").alias("b_bits"))
+    hamming = F.expr(
+        "64 - size(filter(sequence(1, 64), "
+        "i -> substr(a_bits, i, 1) = substr(b_bits, i, 1)))")
+    return (
+        cand.join(sa, "a_doc_id").join(sb, "b_doc_id")
+        .select("a_doc_id", "b_doc_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
 CLUSTER_JACCARD = 0.8  # edge threshold: pairs this similar are duplicates
 
 
