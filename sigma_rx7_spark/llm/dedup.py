@@ -803,7 +803,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on 16-char keys whose candidate count tracks true
     near-dups; the verify stage touches candidates only and compares
     64-char strings — no text ever leaves the signature pass."""
-    sig = q_dedup_simhash_md5(spark, sf_dir)
+    # The signature relation feeds three consumers (quarter explode and
+    # both sides of the verify join); persist so the 64-aggregate pass
+    # runs once — measured 10.4 s -> ~4 s at sf0.1. At warehouse scale
+    # this is a staging-table write, same as the MinHash signatures.
+    sig = q_dedup_simhash_md5(spark, sf_dir).persist()
     quarters = None
     for j in range(4):
         q_j = sig.select(
