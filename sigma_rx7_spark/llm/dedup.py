@@ -1037,8 +1037,9 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a DuckDB recursive CTE over the same construction.
 
     This is the composition SCALE.md promises ("the pair source swaps to
-    LSH candidates without touching the component loop"), now proven
-    under the gate rather than described. Scale shape: candidate edges
+    LSH candidates without touching the component loop") — oracle-defined,
+    locally mirror-tested, and rotated to the front of the round-3 driver
+    check window. Scale shape: candidate edges
     track true duplicates (no n² anywhere — plan-asserted for the LSH
     stage), and the CC loop is the same min-label propagation with
     per-round lineage truncation."""

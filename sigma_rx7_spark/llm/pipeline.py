@@ -116,7 +116,8 @@ def _near_dedup_oracle() -> str:
       JOIN words wa ON wa.doc_id = a_doc_id
       JOIN words wb ON wb.doc_id = b_doc_id
       WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
-              / (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w)))
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
             >= {LSH_VERIFY_JACCARD}
     ), kept AS (
       SELECT q.doc_id, q.lang, q.n_chars

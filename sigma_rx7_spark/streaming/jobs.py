@@ -258,6 +258,60 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- Streaming incremental MERGE (T1 x M1) -------------------------------
 
+def merge_batch_into_state(prev: DataFrame, bdf: DataFrame,
+                           keys: list[str], order_col: str, tiebreak: str,
+                           value_cols: list[str]) -> DataFrame:
+    """One micro-batch of the streaming MERGE: fold a change batch into
+    the running state (keys + value_cols + src + _ord).
+
+    A change row wins against a base-written value unconditionally
+    (MERGE change-side precedence: _ord IS NULL marks base rows) and
+    against a change-written value only if its (order_col, tiebreak) is
+    strictly greater — so replaying batches in ANY order converges to
+    latest-per-key over all changes. Exposed at module level so tests
+    can drive out-of-order batch sequences directly."""
+    from ..operators.incremental import latest_per_key
+
+    c = (
+        latest_per_key(bdf, keys, order_col, tiebreak)
+        .select(*keys, *value_cols, F.col(order_col).alias("_c_ord"))
+        .withColumn("_c_present", F.lit(True))
+        .alias("c")
+    )
+    p = prev.withColumn("_p_present", F.lit(True)).alias("p")
+    cond = [F.col(f"p.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    win = (
+        F.col("p._p_present").isNull()
+        | F.col("p._ord").isNull()
+        | (F.struct(F.col("c._c_ord"), F.col(f"c.{tiebreak}"))
+           > F.struct(F.col("p._ord"), F.col(f"p.{tiebreak}")))
+    )
+    chosen = F.col("c._c_present").isNotNull() & win
+    key_cols = [
+        F.coalesce(F.col(f"p.{k}"), F.col(f"c.{k}")).alias(k)
+        for k in keys
+    ]
+    vals = [
+        F.when(chosen, F.col(f"c.{v}")).otherwise(F.col(f"p.{v}")).alias(v)
+        for v in value_cols
+    ]
+    src = (
+        F.when(F.col("p._p_present").isNull(), F.lit("insert"))
+        .when(chosen & (F.col("p.src") == "base"), F.lit("update"))
+        .otherwise(F.col("p.src"))
+        .alias("src")
+    )
+    new_ord = (
+        F.when(chosen, F.col("c._c_ord"))
+        .otherwise(F.col("p._ord"))
+        .alias("_ord")
+    )
+    return (
+        p.join(c, cond, "full_outer")
+        .select(*key_cols, *vals, src, new_ord)
+    )
+
+
 def streaming_merge(base: DataFrame, change_stream: DataFrame,
                     keys: list[str], order_col: str,
                     tiebreak: str) -> DataFrame:
@@ -273,38 +327,34 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
     ``localCheckpoint``-materialized per batch so state lineage stays
     one-batch deep instead of replaying every batch since stream start
     (same discipline as the connected-components loop). State size is
-    one row per live key, independent of stream history length.
-    """
-    from ..operators.incremental import latest_per_key, merge_upsert
+    one row per live key plus one ``order_col`` watermark column,
+    independent of stream history length.
 
-    state = {"df": base.withColumn("src", F.lit("base"))
-             .localCheckpoint(eager=True)}
+    Cross-batch convergence: the state carries the (order_col, tiebreak)
+    of the change that last wrote each key, and a later batch's row wins
+    only if it is event-time GREATER — so the final values equal
+    latest-per-key over ALL changes no matter how the stream is chopped
+    into micro-batches (out-of-order batches included), not just when
+    batch boundaries respect event-time order. Base-written values lose
+    to any change (MERGE change-side precedence), and ``src`` records
+    whether the key existed in the base snapshot ('insert' keys stay
+    'insert' across later updates), both matching the one-shot MERGE.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    if tiebreak not in value_cols:
+        raise ValueError("tiebreak column must be carried in base")
+    ord_type = change_stream.schema[order_col].dataType
+    state = {"df": (base
+                    .withColumn("src", F.lit("base"))
+                    .withColumn("_ord", F.lit(None).cast(ord_type))
+                    .localCheckpoint(eager=True))}
 
     def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
         if not bdf.head(1):
             return
-        changes = latest_per_key(bdf, keys, order_col, tiebreak) \
-            .drop(order_col)
-        prev = state["df"]
-        merged = merge_upsert(prev.drop("src"), changes, keys)
-        # merge_upsert tags rows relative to THIS batch; keys it didn't
-        # touch come back 'base' — restore their carried provenance.
-        prev_src = prev.select(
-            *keys, F.col("src").alias("_prev_src")).alias("p")
-        m = merged.alias("m")
-        cond = [F.col(f"m.{k}").eqNullSafe(F.col(f"p.{k}")) for k in keys]
-        value_cols = [c for c in merged.columns if c not in (*keys, "src")]
-        state["df"] = (
-            m.join(prev_src, cond, "left")
-            .select(
-                *[F.col(f"m.{k}").alias(k) for k in keys],
-                *[F.col(f"m.{v}").alias(v) for v in value_cols],
-                F.when(F.col("m.src") == "base",
-                       F.coalesce(F.col("p._prev_src"), F.lit("base")))
-                .otherwise(F.col("m.src")).alias("src"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        state["df"] = merge_batch_into_state(
+            state["df"], bdf, keys, order_col, tiebreak, value_cols
+        ).localCheckpoint(eager=True)
 
     ckpt = tempfile.mkdtemp(prefix="merge_ckpt_")
     try:
@@ -317,7 +367,7 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return state["df"]
+    return state["df"].drop("_ord")
 
 
 @query(
@@ -365,9 +415,9 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-refresh form of q_merge_upsert (same cutoff, same
     semantics, same oracle). availableNow drains the change file in one
     batch, so the driver-verified result equals the one-shot batch
-    MERGE; the two-batch case (values converge to latest-per-key
-    regardless of batch boundaries) is asserted in
-    tests/test_streaming_merge.py."""
+    MERGE; multi-batch convergence (values reach latest-per-key even
+    when batches arrive out of event-time order, via the _ord state
+    column) is asserted in tests/test_streaming_merge.py."""
     from ..operators.incremental import latest_per_key
 
     cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")

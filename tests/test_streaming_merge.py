@@ -19,6 +19,7 @@ from sigma_rx7_spark.operators.incremental import (
     merge_upsert,
 )
 from sigma_rx7_spark.registry import load_all
+from sigma_rx7_spark.streaming.jobs import merge_batch_into_state
 
 KEYS = ["user_id", "event_type"]
 
@@ -34,10 +35,10 @@ def test_stream_merge_equals_batch_merge(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
-def test_two_batch_split_converges_to_latest_per_key(spark, sf_dir):
-    # Re-apply the merge loop by hand in two half-open ts windows; the
-    # final (key -> value) state must equal latest-per-key over ALL
-    # events, independent of the split point.
+def _batch_convergence(spark, sf_dir, reverse):
+    # Drive the REAL per-batch merge function with the change stream
+    # chopped at the median ts; the final state must equal the one-shot
+    # MERGE regardless of the order the batches arrive in.
     ev = load(spark, sf_dir, "events").select(*KEYS, "event_id", "value",
                                               "ts")
     cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
@@ -47,15 +48,37 @@ def test_two_batch_split_converges_to_latest_per_key(spark, sf_dir):
     split = changes.agg(
         F.percentile_approx("ts", 0.5, 10000).alias("m")).first()["m"]
 
-    state = base
-    for part in (
+    parts = [
         changes.where(F.col("ts") <= F.lit(split)),
         changes.where(F.col("ts") > F.lit(split)),
-    ):
-        batch = latest_per_key(part, KEYS, "ts", "event_id").drop("ts")
-        state = merge_upsert(state, batch, KEYS).drop("src") \
-            .localCheckpoint(eager=True)
+    ]
+    if reverse:
+        parts.reverse()
 
-    oneshot = latest_per_key(ev, KEYS, "ts", "event_id").drop("ts")
-    cols = ["user_id", "event_type", "event_id", "value"]
+    value_cols = ["event_id", "value"]
+    state = (base.withColumn("src", F.lit("base"))
+             .withColumn("_ord", F.lit(None).cast("timestamp")))
+    for part in parts:
+        state = merge_batch_into_state(
+            state, part, KEYS, "ts", "event_id", value_cols
+        ).localCheckpoint(eager=True)
+
+    oneshot = merge_upsert(
+        base,
+        latest_per_key(changes, KEYS, "ts", "event_id").drop("ts"),
+        KEYS,
+    )
+    cols = ["user_id", "event_type", "event_id", "value", "src"]
     assert _rows(state, cols) == _rows(oneshot, cols)
+
+
+def test_two_batch_split_converges_to_latest_per_key(spark, sf_dir):
+    _batch_convergence(spark, sf_dir, reverse=False)
+
+
+def test_out_of_order_batches_converge(spark, sf_dir):
+    # The later-ts half arrives FIRST; event-time preference in the
+    # state (_ord) must still yield the one-shot MERGE result — the
+    # property the pre-round-3 implementation lacked (last batch won
+    # regardless of event time).
+    _batch_convergence(spark, sf_dir, reverse=True)
