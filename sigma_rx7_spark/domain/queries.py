@@ -9,8 +9,10 @@ below over ``read_parquet`` of the same paths. The logistic score passes
 through a transcendental (`exp`), so it is decimal-quantized at 6 dp on
 both sides per the compat.py convention before comparison.
 
-The FHIR export stays rows-only: JSON text formatting (key order,
-spacing) is engine-specific by nature.
+The FHIR export is hash-gated through the serialized text: JSON
+formatting (key order, spacing) is engine-specific by nature, so the
+query re-extracts every scalar leaf from the ``to_json`` output and the
+oracle mirrors the leaves in SQL.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from . import fixtures, rules
-from .fhir import export_medication_requests
+from .fhir import RXNORM_SYSTEM, export_medication_requests
 
 _STAGE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".staging", "domain")
@@ -45,27 +47,12 @@ def _p(table: str) -> str:
     return f"read_parquet('{os.path.join(_STAGE, table)}/*.parquet')"
 
 
-_RECS_ORACLE = f"""
-WITH meds AS (SELECT * FROM {_p('meds')}),
+# Brand→generic substitution CTEs, shared by the recommendation and the
+# FHIR-export oracles (both mirror rules.generic_substitutions).
+_SUBS_CTES = f"""
+meds AS (SELECT * FROM {_p('meds')}),
 ob AS (SELECT * FROM {_p('orange_book')} WHERE te_code = 'AB'),
 prices AS (SELECT * FROM {_p('prices')}),
-coverage AS (SELECT * FROM {_p('coverage')}),
-formulary AS (SELECT * FROM {_p('formulary')}),
-dup_pairs AS (
-  SELECT a.patient_id,
-         'overlap' AS rec_type,
-         a.med_id,
-         'duplicate ' || a.drug_class || ': ' || a.drug_name
-           || ' + ' || b.drug_name AS message,
-         0.0 AS savings
-  FROM meds a
-  JOIN meds b
-    ON a.patient_id = b.patient_id
-   AND a.drug_class = b.drug_class
-   AND a.med_id < b.med_id
-   AND a.start_date <= COALESCE(b.stop_date, DATE '9999-12-31')
-   AND b.start_date <= COALESCE(a.stop_date, DATE '9999-12-31')
-),
 cand AS (
   SELECT m.med_id, m.patient_id, m.drug_name, m.rxcui, m.start_date,
          ob.generic_rxcui
@@ -93,13 +80,8 @@ gp AS (
       ON p.rxcui = k.rxcui AND p.effective_date <= k.as_of_date
   ) WHERE rn = 1
 ),
-subs AS (
-  SELECT patient_id,
-         'generic_substitution' AS rec_type,
-         med_id,
-         'switch ' || drug_name || ' to ' || generic_rxcui AS message,
-         brand_price - generic_price AS savings
-  FROM (
+subs_won AS (
+  SELECT * FROM (
     SELECT c.*, bp.brand_price, gp.generic_price,
            ROW_NUMBER() OVER (PARTITION BY c.med_id
                               ORDER BY gp.generic_price,
@@ -109,6 +91,34 @@ subs AS (
     JOIN gp ON c.generic_rxcui = gp.generic_rxcui
            AND c.start_date = gp.as_of_date
   ) WHERE rn = 1 AND generic_price < brand_price
+)"""
+
+_RECS_ORACLE = f"""
+WITH {_SUBS_CTES},
+coverage AS (SELECT * FROM {_p('coverage')}),
+formulary AS (SELECT * FROM {_p('formulary')}),
+dup_pairs AS (
+  SELECT a.patient_id,
+         'overlap' AS rec_type,
+         a.med_id,
+         'duplicate ' || a.drug_class || ': ' || a.drug_name
+           || ' + ' || b.drug_name AS message,
+         0.0 AS savings
+  FROM meds a
+  JOIN meds b
+    ON a.patient_id = b.patient_id
+   AND a.drug_class = b.drug_class
+   AND a.med_id < b.med_id
+   AND a.start_date <= COALESCE(b.stop_date, DATE '9999-12-31')
+   AND b.start_date <= COALESCE(a.stop_date, DATE '9999-12-31')
+),
+subs AS (
+  SELECT patient_id,
+         'generic_substitution' AS rec_type,
+         med_id,
+         'switch ' || drug_name || ' to ' || generic_rxcui AS message,
+         brand_price - generic_price AS savings
+  FROM subs_won
 ),
 scored AS (
   SELECT m.med_id,
@@ -152,11 +162,51 @@ def q_domain_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("denial_risk").cast("decimal(18,6)").cast("double"))
 
 
-@query("q_domain_fhir_export", oracle=None, tags=("domain", "rows-only"))
+_EXPORT_ORACLE = f"""
+WITH {_SUBS_CTES}
+SELECT
+  patient_id,
+  med_id,
+  'MedicationRequest' AS resource_type,
+  'draft' AS status,
+  'proposal' AS intent,
+  '{RXNORM_SYSTEM}' AS coding_system,
+  CAST(generic_rxcui AS VARCHAR) AS coding_code,
+  drug_name || ' (generic)' AS coding_display,
+  'Patient/' || CAST(patient_id AS VARCHAR) AS subject_ref
+FROM subs_won
+"""
+
+
+@query("q_domain_fhir_export", oracle=_EXPORT_ORACLE, tags=("domain",))
 def q_domain_fhir_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Draft FHIR MedicationRequest export (README.md:10,29,71) for every
-    substitution suggestion from the fixtures."""
-    t = fixtures.build_domain_tables(spark)
+    substitution suggestion — the reference's E3 entry point, hash-gated.
+
+    The JSON text itself is engine-specific, so the comparison goes
+    through the serialized string: Spark builds the nested resource,
+    serializes with ``to_json`` (export_medication_requests — the real
+    E3 path), then re-extracts every scalar leaf from that string with
+    ``get_json_object``; the oracle computes the same leaves from the
+    mirrored substitution CTEs over the staged fixtures. A lost field,
+    wrong nesting, or mangled value in the export breaks the gate."""
+    tables = stage_domain_tables(spark)
     subs = rules.generic_substitutions(
-        t["meds"], t["orange_book"], t["prices"])
-    return export_medication_requests(subs)
+        tables["meds"], tables["orange_book"], tables["prices"])
+    exported = export_medication_requests(subs)
+    j = F.col("fhir_json")
+    return exported.select(
+        "patient_id",
+        "med_id",
+        F.get_json_object(j, "$.resourceType").alias("resource_type"),
+        F.get_json_object(j, "$.status").alias("status"),
+        F.get_json_object(j, "$.intent").alias("intent"),
+        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].system")
+        .alias("coding_system"),
+        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].code")
+        .alias("coding_code"),
+        F.get_json_object(
+            j, "$.medicationCodeableConcept.coding[0].display")
+        .alias("coding_display"),
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+    )

@@ -112,14 +112,34 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_nested_export",
-    oracle=None,  # JSON text formatting is engine-specific => rows-only
-    tags=("F6", "S6", "rows-only"),
+    oracle="""
+    SELECT
+      o_orderkey,
+      'MedicationRequest' AS resource_type,
+      'order-' || CAST(o_orderkey AS VARCHAR) AS resource_id,
+      'draft' AS status,
+      'Patient/' || CAST(o_custkey AS VARCHAR) AS subject_ref,
+      'https://example.org/priority' AS coding_system,
+      o_orderpriority AS coding_code,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        AS estimated_cost
+    FROM orders
+    """,
+    tags=("F6", "S6"),
 )
 def q_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-resource construction + JSON serialization — the draft FHIR
     ``MedicationRequest`` export (README.md:10,29,71) in harness shape:
     one nested resource per order. ``struct``/``to_json`` are codegen'd;
-    at scale this is the write-path of a 100 TB JSON export sink."""
+    at scale this is the write-path of a 100 TB JSON export sink.
+
+    Oracle-gated through the serialized text: the JSON string itself is
+    engine-specific (key order, spacing), so the query serializes with
+    ``to_json`` and re-extracts every scalar leaf from that string with
+    ``get_json_object`` — a full construct→serialize→parse round trip on
+    the Spark side — while the oracle computes the same leaves directly.
+    Any serialization defect (lost field, mangled nesting, number drift)
+    breaks the leaf comparison."""
     o = load(spark, sf_dir, "orders")
     resource = F.struct(
         F.lit("MedicationRequest").alias("resourceType"),
@@ -139,7 +159,17 @@ def q_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("medicationCodeableConcept"),
         F.col("o_totalprice").alias("estimatedCost"),
     )
+    j = F.to_json(resource)
     return o.select(
         "o_orderkey",
-        F.to_json(resource).alias("fhir_json"),
+        F.get_json_object(j, "$.resourceType").alias("resource_type"),
+        F.get_json_object(j, "$.id").alias("resource_id"),
+        F.get_json_object(j, "$.status").alias("status"),
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].system")
+        .alias("coding_system"),
+        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].code")
+        .alias("coding_code"),
+        F.get_json_object(j, "$.estimatedCost").cast("decimal(12,2)")
+        .cast("double").alias("estimated_cost"),
     )

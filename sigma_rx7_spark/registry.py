@@ -83,6 +83,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters_lsh",
     "q_udtf_sentences",
     # New or newly-oracle-gated in round 3 — prove on first exposure.
+    "q_nested_export",
+    "q_domain_fhir_export",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
