@@ -14,6 +14,8 @@ functions: JVM codegen, no Python, no UDF.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -22,6 +24,15 @@ from ..registry import query
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the probe set in the harness queries
+NPROBE = 4
+
+# Trained centroids staged for the DuckDB oracle mirror. The path is
+# fixed (oracle SQL is static text): the driver/mirror always runs the
+# Spark side of a pair first, so the staged bytes match the sf under
+# check — same contract as domain/queries.py's fixture staging.
+_ORACLE_CENT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".staging",
+    "ivf_oracle_centroids")
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -240,16 +251,78 @@ def _ivf_parts(spark: SparkSession,
                                                seeds).collect()
     centroids = spark.createDataFrame(
         _TRAINED[sf_dir], "cell_id int, cent_vec array<double>")
-    return queries, corpus, centroids
+    # Stage the trained relation for the oracle: k x dim rows, so the
+    # mirror reads the exact bytes the Spark plan broadcasts.
+    centroids.coalesce(1).write.mode("overwrite").parquet(_ORACLE_CENT)
+    return queries, corpus, spark.read.parquet(_ORACLE_CENT)
 
 
-@query("q_sim_topk_ivf", oracle=None, tags=("L2", "rows-only"))
+# Assignment, probe selection, and rerank mirrored over the STAGED
+# trained centroids: every pair score is the bit-exact left-fold dot /
+# list_inner_product correspondence q_sim_topk proved, and both argmax
+# steps carry an explicit total order (sim DESC, cell/c_id ASC), so the
+# probed cells, the cell membership, and the final top-k all hash-match.
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT cell_id, cent_vec
+  FROM read_parquet('{_ORACLE_CENT}/*.parquet')
+), n AS (
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(
+                  CAST(embedding AS DOUBLE[]),
+                  CAST(embedding AS DOUBLE[])))) AS nv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS c_id, nv AS c_nv FROM n WHERE vec_id >= {N_QUERIES}
+), assigned AS (
+  SELECT c_id, c_nv, cell_id FROM (
+    SELECT c.c_id, c.c_nv, ct.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.c_id
+             ORDER BY list_inner_product(c.c_nv, ct.cent_vec) DESC,
+                      ct.cell_id) AS rn
+    FROM c CROSS JOIN cent ct
+  ) WHERE rn = 1
+), probe AS (
+  SELECT q_id, q_nv, cell_id FROM (
+    SELECT q.q_id, q.q_nv, ct.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_inner_product(q.q_nv, ct.cent_vec) DESC,
+                      ct.cell_id) AS rn
+    FROM q CROSS JOIN cent ct
+  ) WHERE rn <= {NPROBE}
+), scored AS (
+  SELECT p.q_id, a.c_id,
+         list_inner_product(p.q_nv, a.c_nv) AS cos_sim
+  FROM probe p JOIN assigned a USING (cell_id)
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("q_sim_topk_ivf", oracle=_IVF_ORACLE, tags=("L2",))
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means-trained centroids (strided seed + two
     spherical refinement rounds), nprobe=4 cells per query, exact rerank
     inside the probed cells. The approximate counterpart of q_sim_topk.
     Every vector is unit-normalized once up front; all downstream scores
-    are dot products."""
+    are dot products.
+
+    Hash-gated (promoted from rows-only in round 3): the trained
+    centroids are deterministic and memoized, so they stage to parquet
+    and the oracle mirrors assignment (argmax dot over cells), probe
+    selection (top-nprobe cells per query), and the in-cell rerank on
+    the same bytes."""
     queries, corpus, centroids = _ivf_parts(spark, sf_dir)
     assigned = ivf_assign(corpus, centroids)
     # nprobe=4: each query searches its 4 nearest cells only.
@@ -260,7 +333,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_vec", "cell_id",
                 dot("q_vec", "cent_vec").alias("cent_sim"))
         .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 4)
+        .where(F.col("rn") <= NPROBE)
         .select("q_id", "q_vec", "cell_id")
     )
     scored = probe_cells.join(assigned, "cell_id").select(
@@ -323,7 +396,7 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     )
 
 
-@query("q_sim_topk_ivf_staged", oracle=None, tags=("L2", "rows-only"))
+@query("q_sim_topk_ivf_staged", oracle=_IVF_ORACLE, tags=("L2",))
 def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN against the STAGED IVF index: build the cell-partitioned
     layout once (k-means-trained centroids, same training as the inline

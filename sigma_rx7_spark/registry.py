@@ -85,6 +85,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # New or newly-oracle-gated in round 3 — prove on first exposure.
     "q_nested_export",
     "q_domain_fhir_export",
+    "q_sim_topk_ivf",
+    "q_sim_topk_ivf_staged",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
