@@ -84,3 +84,70 @@ def hl7_to_meds(messages: DataFrame, msg_col: str = "message") -> DataFrame:
     rx = parse_prescriptions(segs)
     return rx.join(pats, "msg_idx").select(
         "patient_id", "rxcui", "drug_name", "dose_spec")
+
+
+def build_messages(meds: DataFrame) -> DataFrame:
+    """Deterministic RDE^O11-style messages from med rows: one message
+    per patient — MSH header, PID demographic segment, one RXE per
+    prescription (sorted by med_id so the segment order is stable).
+
+    The inverse of the ingest path, used to exercise the multi-segment
+    parse (README.md:76) end to end without external message files.
+    """
+    seg = F.concat(
+        F.lit("RXE|"), F.col("med_id").cast("string"), F.lit("^daily|"),
+        F.col("rxcui").cast("string"), F.lit("^"), F.col("drug_name"),
+        F.lit("^RXNORM|10||mg"))
+    per_patient = (
+        meds.select(
+            "patient_id",
+            F.struct(F.col("med_id"), seg.alias("seg")).alias("s"))
+        .groupBy("patient_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    body = F.array_join(
+        F.transform("ss", lambda s: s["seg"]), "\r")
+    pid_seg = F.concat(
+        F.lit("PID|1||"), F.col("patient_id").cast("string"),
+        F.lit("||Patient^P||19800101|U"))
+    msh = F.concat(
+        F.lit("MSH|^~\\&|PHARM|HOSP|RX|HOSP|202301010800||RDE^O11|"),
+        F.col("patient_id").cast("string"), F.lit("|P|2.5"))
+    return per_patient.select(
+        "patient_id",
+        F.concat_ws("\r", msh, pid_seg, body).alias("message"),
+    )
+
+
+def hl7_meds_udtf():
+    """X2 as a REAL Python UDTF over MULTI-SEGMENT messages: one input
+    row (message) → one output row per RXE segment, with the patient id
+    carried over from the message's PID segment — per-message parse
+    state that a bare ``explode`` cannot express without a join (the
+    native join form is ``hl7_to_meds``; this certifies the Spark 4
+    ``@udtf`` LATERAL slow path against the same oracle discipline as
+    q_udtf_sentences)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="patient_id bigint, rxe_idx int, med_id bigint, "
+                     "rxcui string, drug_name string")
+    class Hl7Meds:
+        def eval(self, message):  # noqa: ANN001 — UDTF protocol
+            pid = None
+            rxes = []
+            for seg in re.split(r"\r\n|\r|\n", message or ""):
+                if not seg:
+                    continue
+                f = seg.split("|")
+                if f[0] == "PID":
+                    pid = int(f[3])
+                elif f[0] == "RXE":
+                    rxes.append(f)
+            rxes.sort(key=lambda f: int(f[1].split("^")[0]))
+            for i, f in enumerate(rxes):
+                comp = f[2].split("^")
+                yield pid, i, int(f[1].split("^")[0]), comp[0], comp[1]
+
+    return Hl7Meds
