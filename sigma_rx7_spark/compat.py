@@ -17,10 +17,12 @@ and DuckDB. Three hazards and their fixes, all verified empirically in
    function must be decimal-quantized before aggregation or comparison
    (quantizing at 6 dp absorbs 1-ulp drift with ~1e-10 residual risk).
 
-3. **Nanosecond timestamps.** ``events.ts`` is INT64 nanos; Spark reads it
-   as long + ``timestamp_micros(ns div 1000)`` (io.py), DuckDB as
-   timestamp_ns. The oracle must always go through ``CAST(ts AS
-   TIMESTAMP)`` (µs truncation) so both engines compare identical µs.
+3. **Timestamp physical types.** ``events.ts`` has shipped as both INT64
+   nanos (Spark: long + ``timestamp_micros(ns div 1000)``; DuckDB:
+   timestamp_ns) and timestamp[us]; ``io.load`` normalizes either to
+   session-UTC TimestampType. The oracle must always go through
+   ``CAST(ts AS TIMESTAMP)`` (µs truncation, a no-op on µs data) so both
+   engines compare identical µs.
 
 Also: alias every computed column identically on both sides (the driver
 matches columns by name), and give every window/top-k a total ordering

@@ -134,6 +134,16 @@ def hl7_meds_udtf():
     @udtf(returnType="patient_id bigint, rxe_idx int, med_id bigint, "
                      "rxcui string, drug_name string")
     class Hl7Meds:
+        @staticmethod
+        def _med_id(f):
+            # RXE-1 first component; None on malformed/non-numeric input
+            # (real-world HL7 is messy — a bad segment must not kill the
+            # whole batch, it just drops from the typed extract).
+            try:
+                return int(f[1].split("^")[0])
+            except (IndexError, ValueError):
+                return None
+
         def eval(self, message):  # noqa: ANN001 — UDTF protocol
             pid = None
             rxes = []
@@ -142,12 +152,18 @@ def hl7_meds_udtf():
                     continue
                 f = seg.split("|")
                 if f[0] == "PID":
-                    pid = int(f[3])
+                    try:
+                        pid = int(f[3])
+                    except (IndexError, ValueError):
+                        pid = None
                 elif f[0] == "RXE":
-                    rxes.append(f)
-            rxes.sort(key=lambda f: int(f[1].split("^")[0]))
-            for i, f in enumerate(rxes):
+                    mid = self._med_id(f)
+                    if mid is not None and len(f) > 2:
+                        rxes.append((mid, f))
+            rxes.sort(key=lambda m: m[0])
+            for i, (mid, f) in enumerate(rxes):
                 comp = f[2].split("^")
-                yield pid, i, int(f[1].split("^")[0]), comp[0], comp[1]
+                name = comp[1] if len(comp) > 1 else None
+                yield pid, i, mid, comp[0], name
 
     return Hl7Meds

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from . import fixtures, rules
+from . import fixtures, hl7, rules
 from .fhir import RXNORM_SYSTEM, export_medication_requests
 
 _STAGE = os.path.join(os.path.dirname(os.path.dirname(
@@ -210,3 +210,66 @@ def q_domain_fhir_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("coding_display"),
         F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HL7 v2 multi-segment round-trip (S3/X2 depth — README.md:3,76).
+#
+# build_messages renders the staged med rows as deterministic RDE^O11-style
+# messages (MSH + PID + per-prescription RXE segments), so the parse path
+# can be hash-gated without external message files: the oracle is plain SQL
+# over the same staged meds parquet — if the renderer and the parser agree
+# with it, the round-trip is lossless.
+
+_HL7_ROUNDTRIP_ORACLE = f"""
+SELECT patient_id,
+       rxcui,
+       drug_name,
+       CAST(med_id AS VARCHAR) || '^daily' AS dose_spec
+FROM {_p('meds')}
+"""
+
+
+@query("q_domain_hl7_roundtrip", oracle=_HL7_ROUNDTRIP_ORACLE,
+       tags=("domain", "S3"))
+def q_domain_hl7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 beyond the single-split demo: render staged meds as
+    multi-segment HL7 messages, then run the NATIVE ingest path
+    (explode segments → parse PID/RXE → join per-message) and compare
+    the typed med rows against SQL over the original staged table.
+    All split/getItem column expressions — one codegen'd projection,
+    no Python in the plan."""
+    tables = stage_domain_tables(spark)
+    messages = hl7.build_messages(tables["meds"])
+    return hl7.hl7_to_meds(messages)
+
+
+_HL7_UDTF_ORACLE = f"""
+SELECT patient_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY patient_id
+                               ORDER BY med_id) - 1 AS INTEGER) AS rxe_idx,
+       med_id,
+       rxcui,
+       drug_name
+FROM {_p('meds')}
+"""
+
+
+@query("q_domain_hl7_udtf", oracle=_HL7_UDTF_ORACLE,
+       tags=("domain", "X2", "udtf", "slow-path"))
+def q_domain_hl7_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 over MULTI-SEGMENT messages through the Spark 4 ``@udtf``
+    LATERAL slow path: one message row → one row per RXE segment with
+    the patient id carried from the message's PID — per-message parse
+    state a bare explode cannot express without a join. The native join
+    form (q_domain_hl7_roundtrip) is the production path; this certifies
+    the UDTF API against the same staged-meds oracle, including the
+    within-message RXE ordering (rxe_idx mirrors a per-patient
+    ROW_NUMBER over med_id)."""
+    tables = stage_domain_tables(spark)
+    hl7.build_messages(tables["meds"]).createOrReplaceTempView("_hl7_msgs")
+    spark.udtf.register("hl7_meds", hl7.hl7_meds_udtf())
+    return spark.sql("""
+        SELECT m.patient_id, m.rxe_idx, m.med_id, m.rxcui, m.drug_name
+        FROM _hl7_msgs msg, LATERAL hl7_meds(msg.message) m
+    """)

@@ -10,12 +10,15 @@ Scale notes (100 TB design):
 - Readers take a directory of per-table parquet; on a cluster this is a
   partitioned table path — the same ``spark.read.parquet`` call prunes
   partitions and pushes filters (verified via .explain in tests/bench).
-- ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark 4 cannot
-  map to TimestampType (PARQUET_TYPE_ILLEGAL). We read it as raw int64
+- ``events.ts`` has shipped under two physical types across bootstrap
+  generations. INT64 TIMESTAMP(NANOS) cannot map to TimestampType in
+  Spark 4 (PARQUET_TYPE_ILLEGAL): we read it as raw int64
   (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
   ``timestamp_micros(ts div 1000)`` — a pure JVM expression, zero Python
   cost, identical to the DuckDB oracle's ``CAST(ts AS TIMESTAMP)``
-  truncation (verified bit-exact in tests).
+  truncation (verified bit-exact in tests). Plain timestamp[us] reads as
+  TIMESTAMP_NTZ and is cast to the session-UTC TimestampType, which is
+  value-identical. ``load`` branches on the scanned type.
 """
 
 from __future__ import annotations
@@ -120,14 +123,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
-        # int64 nanos -> microsecond TimestampType; matches the oracle's
-        # CAST(ts AS TIMESTAMP) truncation bit-for-bit.
-        # Integer division — ns values exceed 2^53, so a double division
-        # here would silently round the microsecond (caught by the oracle
-        # mirror test).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        # The bootstrap has shipped events.ts under two physical types:
+        # INT64 TIMESTAMP(NANOS) (reads as long under nanosAsLong) and
+        # plain timestamp[us] (reads as TIMESTAMP_NTZ). Branch on what the
+        # scan actually produced so both generations load identically.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # int64 nanos -> microsecond TimestampType; matches the
+            # oracle's CAST(ts AS TIMESTAMP) truncation bit-for-bit.
+            # Integer division — ns values exceed 2^53, so a double
+            # division here would silently round the microsecond (caught
+            # by the oracle mirror test).
+            ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        else:
+            # NTZ -> session-local TimestampType; the session tz is
+            # pinned to UTC (session.py) so the cast is value-preserving
+            # and downstream code sees the same type as the nanos path.
+            ts = F.col("ts").cast("timestamp")
+        df = df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
 

@@ -252,8 +252,14 @@ def _ivf_parts(spark: SparkSession,
     centroids = spark.createDataFrame(
         _TRAINED[sf_dir], "cell_id int, cent_vec array<double>")
     # Stage the trained relation for the oracle: k x dim rows, so the
-    # mirror reads the exact bytes the Spark plan broadcasts.
+    # mirror reads the exact bytes the Spark plan broadcasts. The staged
+    # path is FIXED (oracle SQL is static text) while its contents depend
+    # on sf_dir, so a sidecar tag records which corpus trained the bytes:
+    # a red IVF row should first be checked against a stale tag (an
+    # interleaved multi-sf driver would otherwise compare cross-sf).
     centroids.coalesce(1).write.mode("overwrite").parquet(_ORACLE_CENT)
+    with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt"), "w") as fh:
+        fh.write(sf_dir)
     return queries, corpus, spark.read.parquet(_ORACLE_CENT)
 
 
@@ -364,7 +370,7 @@ def build_ivf_index(corpus: DataFrame, centroids: DataFrame,
 
 
 def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
-                    nprobe: int = 4, k: int = TOP_K) -> DataFrame:
+                    nprobe: int = NPROBE, k: int = TOP_K) -> DataFrame:
     """Top-k search against a staged IVF index.
 
     The probe-cell set is tiny (n_queries × nprobe ints), so it is

@@ -72,21 +72,14 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 3: the four oracle-gated queries that landed after round 2's
-    # window froze — never externally proven.  Everything in the round-2
-    # list got its green row (CORRECTNESS_r02.json: 50/50), so it rotates
-    # out; the remaining window slots backfill automatically with
-    # registration-order oracle-gated queries (the round-1-proven
-    # relational core), keeping recently-proven round-2 rows banked.
-    "q_dedup_simhash_md5",
-    "q_dedup_simhash_pairs",
-    "q_dedup_clusters_lsh",
-    "q_udtf_sentences",
-    # New or newly-oracle-gated in round 3 — prove on first exposure.
-    "q_nested_export",
-    "q_domain_fhir_export",
-    "q_sim_topk_ivf",
-    "q_sim_topk_ivf_staged",
+    # Round 4: everything in the round-3 list got its green row
+    # (CORRECTNESS_r03.json: 50/50 — every oracle-gated query in the
+    # repo now has a green driver row across r1-r3), so the r3 names
+    # rotate out; new round-4 queries prove on first exposure, and the
+    # remaining window slots backfill automatically with
+    # registration-order oracle-gated queries.
+    "q_domain_hl7_roundtrip",
+    "q_domain_hl7_udtf",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

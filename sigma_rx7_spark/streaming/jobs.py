@@ -29,32 +29,33 @@ from ..registry import query
 from ..session import ensure_session_conf
 from ..operators.incremental import MERGE_CUTOFF
 
-# Physical schema of events.parquet (ts is INT64 nanos on disk; streaming
-# file sources require an explicit schema).
-_EVENTS_PHYSICAL = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_physical(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet (streaming file sources require
+    an explicit schema). The bootstrap has shipped ``ts`` as both INT64
+    TIMESTAMP(NANOS) (reads as long under nanosAsLong) and timestamp[us]
+    (reads as TIMESTAMP_NTZ); probe the footer with a metadata-only batch
+    read so the stream declares whichever is actually on disk."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 streaming source: the events table as an append stream with the
-    same ns→µs timestamp conversion as the batch loader."""
+    same ts normalization as the batch loader (io.load)."""
     ensure_session_conf(spark)
+    physical = _events_physical(spark, sf_dir)
     # The file source needs a directory; pathGlobFilter narrows it to the
     # events table inside the shared sf_dir.
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    if isinstance(physical["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
@@ -269,7 +270,15 @@ def merge_batch_into_state(prev: DataFrame, bdf: DataFrame,
     against a change-written value only if its (order_col, tiebreak) is
     strictly greater — so replaying batches in ANY order converges to
     latest-per-key over all changes. Exposed at module level so tests
-    can drive out-of-order batch sequences directly."""
+    can drive out-of-order batch sequences directly.
+
+    ``order_col`` must be NON-NULL on every change row: ``_ord IS NULL``
+    is the marker for base-written state, so a NULL-ordered change that
+    won would demote its key to base precedence (any later change
+    overwrites it regardless of event time) and out-of-order replay
+    would no longer converge. Callers with nullable event times must
+    filter or default them first (q_stream_merge filters ts IS NOT
+    NULL before reaching this fold)."""
     from ..operators.incremental import latest_per_key
 
     c = (
@@ -316,10 +325,10 @@ def streaming_merge(base: DataFrame, change_stream: DataFrame,
                     keys: list[str], order_col: str,
                     tiebreak: str) -> DataFrame:
     """Apply a change STREAM onto a base snapshot with MERGE semantics:
-    every micro-batch is deduped to latest-per-key and merged into the
-    running state via ``operators.incremental.merge_upsert``; ``src``
-    records the provenance of each key's CURRENT value ('base' =
-    untouched, 'insert'/'update' = written by some batch).
+    every micro-batch is deduped to latest-per-key and folded into the
+    running state via ``merge_batch_into_state``; ``src`` records the
+    provenance of each key's CURRENT value ('base' = untouched,
+    'insert'/'update' = written by some batch).
 
     This is the foreachBatch upsert-sink pattern — what Structured
     Streaming pairs with Delta/Iceberg ``MERGE INTO`` at warehouse
