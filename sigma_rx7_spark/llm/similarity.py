@@ -218,6 +218,10 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 # index works — so repeat queries skip the E/M rounds entirely.
 _TRAINED: dict[str, list] = {}
 
+# Which sf_dir's centroids are currently staged at _ORACLE_CENT by this
+# process (avoids re-writing identical bytes on every repeat call).
+_STAGED: dict[str, str] = {}
+
 
 def _ivf_parts(spark: SparkSession,
                sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -257,9 +261,15 @@ def _ivf_parts(spark: SparkSession,
     # on sf_dir, so a sidecar tag records which corpus trained the bytes:
     # a red IVF row should first be checked against a stale tag (an
     # interleaved multi-sf driver would otherwise compare cross-sf).
-    centroids.coalesce(1).write.mode("overwrite").parquet(_ORACLE_CENT)
-    with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt"), "w") as fh:
-        fh.write(sf_dir)
+    # The write is skipped when THIS process already staged this sf —
+    # centroids are deterministic + memoized, so the bytes could not
+    # have changed; repeat calls (bench reps) keep the index-build
+    # amortization an index is supposed to have.
+    if _STAGED.get("sf") != sf_dir:
+        centroids.coalesce(1).write.mode("overwrite").parquet(_ORACLE_CENT)
+        with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt"), "w") as fh:
+            fh.write(sf_dir)
+        _STAGED["sf"] = sf_dir
     return queries, corpus, spark.read.parquet(_ORACLE_CENT)
 
 
@@ -483,4 +493,66 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "scale",
         F.array_max(F.transform("diff", F.abs)).alias("max_abs_err"),
         mse.alias("mse"),
+    )
+
+
+# ---- ANN quality audit ---------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH ivf AS ({_IVF_ORACLE}
+), n2 AS (
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(
+                  CAST(embedding AS DOUBLE[]),
+                  CAST(embedding AS DOUBLE[])))) AS nv
+  FROM embeddings
+), bfq AS (
+  SELECT vec_id AS q_id, nv AS q_nv FROM n2 WHERE vec_id < {N_QUERIES}
+), bfc AS (
+  SELECT vec_id AS c_id, nv AS c_nv FROM n2 WHERE vec_id >= {N_QUERIES}
+), bf AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id
+             ORDER BY list_inner_product(q_nv, c_nv) DESC, c_id) AS rn
+    FROM bfq CROSS JOIN bfc
+  ) WHERE rn <= {TOP_K}
+)
+SELECT bf.q_id,
+       CAST(SUM(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM bf
+LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.c_id = bf.c_id
+GROUP BY bf.q_id
+"""
+
+
+@query("q_sim_recall_ivf", oracle=_RECALL_ORACLE, tags=("L2", "audit"))
+def q_sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY AUDIT: recall@{TOP_K} of the IVF index against the
+    exact brute-force neighbors, per probe query — the metric that
+    decides whether an approximate index is shippable at all. Composes
+    the two existing L2 paths (q_sim_topk ∩ q_sim_topk_ivf membership)
+    and is deterministic end to end, so the oracle mirrors the exact
+    per-query hit counts, not just an aggregate.
+
+    At 100 TB this is the periodic index-health job: brute force runs on
+    a sampled probe set (here: the harness's {N_QUERIES} probes) while
+    the index serves everything else — recall is always measured on a
+    sample, never the full corpus, so the audit's all-pairs stage stays
+    bounded by the probe sample size."""
+    ivf = q_sim_topk_ivf(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit"))
+    bf = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        bf.join(ivf, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(n_hits.cast("bigint").alias("n_hits"),
+             (n_hits.cast("double") / TOP_K).alias("recall_at_k"))
     )

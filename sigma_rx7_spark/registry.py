@@ -80,6 +80,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # registration-order oracle-gated queries.
     "q_domain_hl7_roundtrip",
     "q_domain_hl7_udtf",
+    "q_dedup_cosine_lsh",
+    "q_pipeline_canonical",
+    "q_pipeline_pack",
+    "q_sim_recall_ivf",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

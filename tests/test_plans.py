@@ -267,3 +267,38 @@ def test_reservoir_sample_reuses_window_partitioning(spark, sf_dir):
 
     p = plan(spark, sf_dir, "q_sample_reservoir")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_srp_lsh_dedup_has_no_pair_explosion(spark, sf_dir):
+    # The embedding near-dup scale path: candidate pairs arrive via an
+    # equi-join on (band_idx, band_key) sign-bit buckets — no cartesian /
+    # nested-loop pair space anywhere (that is exactly what it replaces
+    # in q_dedup_cosine), and no Python in the plan (signatures are JVM
+    # fold dots against literal hyperplanes).
+    p = plan(spark, sf_dir, "q_dedup_cosine_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_srp_embedding_dim_matches_fixture(spark, sf_dir):
+    # The literal hyperplane arrays are EMB_DIM wide; a fixture dim drift
+    # would silently zip_with-truncate the dot products.
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.llm.dedup import EMB_DIM
+
+    d = (load_table(spark, sf_dir, "embeddings")
+         .selectExpr("size(embedding) AS d").distinct().collect())
+    assert [r["d"] for r in d] == [EMB_DIM]
+
+
+def test_pack_is_shard_parallel_single_window(spark, sf_dir):
+    # Context packing must NOT be a global sort: one Exchange
+    # (hash-partition by shard), one Sort, one Window — the shard-
+    # parallel shape that survives 100 TB.
+    import re
+
+    p = plan(spark, sf_dir, "q_pipeline_pack")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p

@@ -208,3 +208,18 @@ def test_shingles_match_python_model(spark, texts):
         model = sorted({" ".join(toks[j:j + SHINGLE_N])
                         for j in range(n_idx)})
         assert got[i] == model, (t, got[i], model)
+
+
+def test_ivf_oracle_staging_carries_sf_tag(spark, sf_dir):
+    # The staged oracle centroids live at a FIXED path while their
+    # contents depend on sf_dir; the sidecar tag must record which
+    # corpus trained the staged bytes so a mismatched pairing is
+    # diagnosable (see _ivf_parts).
+    import os
+
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.similarity import _ORACLE_CENT
+
+    registry.load_all()["q_sim_topk_ivf"].fn(spark, sf_dir).collect()
+    with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt")) as fh:
+        assert fh.read() == sf_dir
