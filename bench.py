@@ -57,6 +57,7 @@ HEADLINE = [
     "q_pipeline_near_dedup",
     "q_dedup_clusters_lsh",
     "q_dedup_cosine_lsh",
+    "q_pipeline_pack",
 ]
 
 

@@ -20,6 +20,7 @@ written ``partitionBy(kind)`` so per-modality jobs prune at the scan
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -169,4 +170,82 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media).select(
         "media_id", "frame_idx",
         F.length("frame_bytes").alias("frame_len"),
+    )
+
+
+# ---- Oracle-gated binary-column plumbing ---------------------------------
+
+_MEDIA_STAGE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".staging",
+    "media_fixture")
+
+
+def stage_media(spark: SparkSession) -> DataFrame:
+    """Write the deterministic media fixture to parquet and read it back,
+    so Spark and the DuckDB oracle consume identical payload bytes (the
+    domain-staging contract)."""
+    build_media_table(spark).coalesce(1).write.mode("overwrite").parquet(
+        _MEDIA_STAGE)
+    return spark.read.parquet(_MEDIA_STAGE)
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH m AS (
+  SELECT * FROM read_parquet('{_MEDIA_STAGE}/*.parquet')
+), h AS (
+  SELECT media_id, kind, meta, hex(payload) AS hx,
+         octet_length(payload) AS n_bytes
+  FROM m
+), p AS (
+  SELECT media_id, kind, meta, n_bytes,
+         md5(hx) AS payload_md5,
+         CAST(concat('0x', substr(hx, 9, 4)) AS INTEGER) AS hdr_width,
+         CAST(concat('0x', substr(hx, 13, 4)) AS INTEGER) AS hdr_height,
+         CAST(concat('0x', substr(hx, 17, 4)) AS INTEGER) AS hdr_frames
+  FROM h
+)
+SELECT media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       payload_md5, hdr_width, hdr_height, hdr_frames,
+       (hdr_width = struct_extract(meta, 'width')
+        AND hdr_height = struct_extract(meta, 'height')
+        AND hdr_frames = struct_extract(meta, 'n_frames'))
+         AS meta_consistent
+FROM p
+"""
+
+
+@query("q_multimodal_fingerprint", oracle=_FINGERPRINT_ORACLE,
+       tags=("L4", "multimodal"))
+def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-GATED half of the multimodal surface: binary payloads
+    staged to parquet, fingerprinted (byte length + md5-of-hex), and the
+    container header parsed FROM THE BYTES with pure column expressions
+    (big-endian u16 fields via hex/substr/conv — the same arithmetic the
+    Pandas-UDF codec stub performs in Python), cross-checked against the
+    typed metadata struct. Proves the BinaryType plumbing end to end:
+    payload bytes survive the parquet round trip bit-identically in both
+    engines, struct metadata rides alongside, and header decode is
+    JVM-side — only pixel-level work needs the Arrow batch path
+    (q_multimodal_features, rows-only by env cap: no codecs in this
+    container). sf_dir ignored (engine fixture)."""
+    m = stage_media(spark)
+    h = F.hex("payload")
+    p = m.select(
+        "media_id", "kind", "meta",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(h).alias("payload_md5"),
+        F.conv(F.substring(h, 9, 4), 16, 10).cast("int").alias("hdr_width"),
+        F.conv(F.substring(h, 13, 4), 16, 10).cast("int")
+        .alias("hdr_height"),
+        F.conv(F.substring(h, 17, 4), 16, 10).cast("int")
+        .alias("hdr_frames"),
+    )
+    return p.select(
+        "media_id", "kind", "n_bytes", "payload_md5",
+        "hdr_width", "hdr_height", "hdr_frames",
+        ((F.col("hdr_width") == F.col("meta.width"))
+         & (F.col("hdr_height") == F.col("meta.height"))
+         & (F.col("hdr_frames") == F.col("meta.n_frames")))
+        .alias("meta_consistent"),
     )

@@ -84,6 +84,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_pipeline_canonical",
     "q_pipeline_pack",
     "q_sim_recall_ivf",
+    "q_multimodal_fingerprint",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
