@@ -55,7 +55,10 @@ def _rows(rng: random.Random):
                 pid * 10, pid, rng.choice(["E11.9", "I10", "F32.9"]),
                 _EPOCH - dt.timedelta(days=rng.randint(30, 1000)),
             ))
-        if pid % 11 == 0:
+        # Every 4th patient: dense enough that the allergy-alert rule's
+        # join and BOTH severity branches are exercised at fixture scale
+        # (1-in-11 left the sulfa∩sulfonylurea intersection at ~1 row).
+        if pid % 4 == 0:
             allergies.append((
                 pid * 10, pid, rng.choice(["penicillin", "sulfa", "latex"]),
                 rng.choice(["mild", "severe"]),

@@ -16,9 +16,18 @@ from pyspark.sql import functions as F
 
 def explode_segments(messages: DataFrame,
                      msg_col: str = "message") -> DataFrame:
-    """Raw message text → (msg_idx, seg_idx, seg_type, fields array)."""
-    with_id = messages.withColumn(
-        "msg_idx", F.monotonically_increasing_id())
+    """Raw message text → (msg_idx, seg_idx, seg_type, fields array).
+
+    msg_idx is the md5 of the message CONTENT, not
+    ``monotonically_increasing_id``: the id is consumed as a join key
+    between two branches of the same plan (PID rows ⋈ RXE rows), and
+    monotonic ids are partition-dependent — the branches can evaluate
+    with different partition layouts and desync (observed as a flaky
+    oracle mismatch under a busy session). A content hash is stable
+    under any re-evaluation; HL7 messages carry a control id (MSH-10)
+    precisely so batches have a per-message key, and hashing the full
+    text is the schema-free equivalent."""
+    with_id = messages.withColumn("msg_idx", F.md5(F.col(msg_col)))
     segs = with_id.select(
         "msg_idx",
         F.posexplode(F.split(F.col(msg_col), r"\r\n|\r|\n"))

@@ -28,7 +28,8 @@ from .fhir import RXNORM_SYSTEM, export_medication_requests
 
 _STAGE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".staging", "domain")
-_STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary")
+_STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary",
+                  "allergies")
 
 
 def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
@@ -273,3 +274,30 @@ def q_domain_hl7_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m.patient_id, m.rxe_idx, m.med_id, m.rxcui, m.drug_name
         FROM _hl7_msgs msg, LATERAL hl7_meds(msg.message) m
     """)
+
+
+_ALLERGY_ORACLE = f"""
+WITH cmap(substance, drug_class) AS (
+  VALUES ('sulfa', 'sulfonylurea'), ('penicillin', 'penicillin_class')
+)
+SELECT m.patient_id, m.med_id, m.drug_name, m.drug_class,
+       a.substance, a.severity,
+       CASE WHEN a.severity = 'severe' THEN 'block' ELSE 'warn' END
+         AS alert_level
+FROM {_p('meds')} m
+JOIN {_p('allergies')} a ON a.patient_id = m.patient_id
+JOIN cmap c
+  ON c.substance = a.substance AND c.drug_class = m.drug_class
+"""
+
+
+@query("q_domain_allergy_alerts", oracle=_ALLERGY_ORACLE, tags=("domain",))
+def q_domain_allergy_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allergy contraindication screen — the capability the reference
+    stores the allergies table FOR (README.md:7): meds cross-checked
+    against same-patient allergies through a substance→class
+    cross-sensitivity map (sulfonamide rule), severe allergies escalated
+    to 'block'. Joins: literal broadcast map ⋈ patient-keyed allergies
+    ⋈ meds — the med fact table never shuffles."""
+    tables = stage_domain_tables(spark)
+    return rules.allergy_alerts(tables["meds"], tables["allergies"])

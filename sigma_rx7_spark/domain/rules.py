@@ -232,3 +232,38 @@ def recommendations(tables: dict[str, DataFrame]) -> DataFrame:
         F.desc("savings"), F.asc("med_id"), F.asc("rec_type"),
         F.asc("message"))
     return recs.withColumn("rank", F.row_number().over(w))
+
+
+# Substance -> contraindicated drug class (cross-sensitivity knowledge
+# base). Tiny reference data: ships as a broadcast relation, not a
+# hardcoded predicate, so extending coverage is a data change.
+ALLERGY_CLASS_MAP: tuple[tuple[str, str], ...] = (
+    ("sulfa", "sulfonylurea"),            # sulfonamide cross-sensitivity
+    ("penicillin", "penicillin_class"),   # no fixture meds in class: the
+                                          # map is wider than the corpus
+)
+
+
+def allergy_alerts(meds: DataFrame, allergies: DataFrame) -> DataFrame:
+    """Allergy contraindication screen (README.md:7 stores allergies
+    precisely so prescriptions can be checked against them): flag every
+    med whose drug class is cross-sensitive with a substance the same
+    patient is allergic to; severe allergies escalate to 'block'.
+
+    Scale shape: the class map is a literal broadcast relation; the
+    allergies table is patient-keyed and orders of magnitude smaller
+    than meds, so the screen is one broadcast join + one equi-join on
+    (patient_id) — the fact table never shuffles."""
+    spark = meds.sparkSession
+    cmap = spark.createDataFrame(
+        list(ALLERGY_CLASS_MAP), "substance string, drug_class string")
+    hits = allergies.join(F.broadcast(cmap), "substance")
+    return (
+        meds.join(hits, ["patient_id", "drug_class"])
+        .select(
+            "patient_id", "med_id", "drug_name", "drug_class",
+            "substance", "severity",
+            F.when(F.col("severity") == "severe", "block")
+            .otherwise("warn").alias("alert_level"),
+        )
+    )

@@ -85,6 +85,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_pipeline_pack",
     "q_sim_recall_ivf",
     "q_multimodal_fingerprint",
+    "q_domain_allergy_alerts",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
