@@ -461,3 +461,64 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term).cast("double") / F.max("n")).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ), uni AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT COUNT(*) AS t FROM tok
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * CAST(ln(CAST(c AS DOUBLE) / t)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+             / SUM(tf) AS avg_logprob
+    FROM tf JOIN uni USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("L3", "quality", "lm"),
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet-style perplexity filter,
+    harness-sized): train a unigram language model ON THE CORPUS (token
+    frequency / total tokens), then score every document by its mean
+    token log-probability — rare-token-heavy documents (boilerplate,
+    gibberish, wrong-language residue) score low and a percentile cut
+    drops them. The standing corpus-quality stage between the heuristic
+    scores (q_text_quality) and a real KenLM.
+
+    Scale shape: one explode feeds BOTH the model (token-keyed count)
+    and the per-doc tf relation (partial aggregation on each); scoring
+    joins tf against the VOCABULARY-sized model relation — broadcast
+    here, co-shuffled on token at 100 TB — never against raw token
+    occurrences. ``ln`` output is decimal-quantized (compat.py hazard 2)
+    so every score is bit-equal across engines."""
+    from ..compat import QDEC
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lp = F.log(F.col("c").cast("double") / F.col("t")).cast(QDEC)
+    return (
+        tf.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("tf") * lp).cast("double")
+             / F.sum("tf")).alias("avg_logprob"),
+        )
+    )

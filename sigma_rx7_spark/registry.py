@@ -86,6 +86,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_sim_recall_ivf",
     "q_multimodal_fingerprint",
     "q_domain_allergy_alerts",
+    "q_text_unigram_logprob",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
