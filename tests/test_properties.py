@@ -223,3 +223,27 @@ def test_ivf_oracle_staging_carries_sf_tag(spark, sf_dir):
     registry.load_all()["q_sim_topk_ivf"].fn(spark, sf_dir).collect()
     with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt")) as fh:
         assert fh.read() == sf_dir
+
+
+def test_pack_assignment_invariants(spark, sf_dir):
+    # Context packing must tile each shard's digest-ordered token stream
+    # exactly: starts are the exclusive cumsum (no gaps, no overlap),
+    # every doc lands in the pack its first token falls in, and pack
+    # ids never collide across shards.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.pipeline import PACK_CTX
+
+    rows = (registry.load_all()["q_pipeline_pack"].fn(spark, sf_dir)
+            .collect())
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 16
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["start_tok"])
+        expect = 0
+        for r in docs:
+            assert r["start_tok"] == expect, (shard, r)
+            assert r["pack_id"] == shard * 1_000_000 \
+                + r["start_tok"] // PACK_CTX
+            expect += r["n_tokens"]
