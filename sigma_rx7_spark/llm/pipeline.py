@@ -344,3 +344,68 @@ def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens"),
         start.cast("bigint").alias("start_tok"),
     )
+
+
+# ---- Overlapping context-window chunking ---------------------------------
+
+CHUNK_CHARS = 256   # chunk width
+CHUNK_STRIDE = 192  # stride: consecutive chunks overlap by 64 chars
+_CHUNK_MAX = 64     # oracle-side series bound (DuckDB 1.0 cannot lateral-
+                    # join range() on a column; 64 covers docs to ~12 KB)
+
+
+@query(
+    "q_pipeline_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(text) <= {CHUNK_CHARS} THEN 1
+                  ELSE (length(text) - {CHUNK_CHARS} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE} + 1
+             END AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(g.i AS INTEGER) AS chunk_idx,
+           CAST(g.i * {CHUNK_STRIDE} AS BIGINT) AS start_char,
+           substr(text, CAST(g.i * {CHUNK_STRIDE} + 1 AS INTEGER),
+                  {CHUNK_CHARS}) AS chunk_text,
+           length(substr(text, CAST(g.i * {CHUNK_STRIDE} + 1 AS INTEGER),
+                         {CHUNK_CHARS})) AS chunk_len
+    FROM t, range(0, {_CHUNK_MAX}) g(i)
+    WHERE g.i < t.n_chunks
+    """,
+    tags=("L3", "L6", "pipeline", "chunking"),
+)
+def q_pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window CHUNKING — split every document into
+    {CHUNK_CHARS}-char windows advancing {CHUNK_STRIDE} chars at a time
+    (64-char overlap, the RAG/embedding-ingest convention so no sentence
+    is lost on a boundary): one output row per (doc, chunk) with the
+    chunk's index, start offset, text, and length. The last chunk is the
+    short remainder; a sub-width document yields exactly one chunk.
+
+    Spark shape: ``explode(sequence(0, n_chunks-1))`` + ``substring`` —
+    pure codegen'd expressions, no Python, no shuffle at all (chunking
+    is embarrassingly row-local, so at 100 TB it runs at scan speed and
+    composes with downstream embedding/packing stages in the same
+    plan). The chunk count is closed-form integer arithmetic, portable
+    to the oracle bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = F.when(n <= CHUNK_CHARS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_CHARS + CHUNK_STRIDE - 1) / CHUNK_STRIDE) + 1)
+    t = d.select("doc_id", "text",
+                 F.explode(F.sequence(F.lit(0),
+                                      (n_chunks - 1).cast("int")))
+                 .alias("chunk_idx"))
+    start1 = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    chunk = F.substring(F.col("text"), start1, CHUNK_CHARS)
+    return t.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_STRIDE).cast("bigint")
+        .alias("start_char"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )

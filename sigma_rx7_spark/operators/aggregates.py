@@ -11,7 +11,7 @@ DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import davg, dsum, o_davg, o_dsum
@@ -524,3 +524,122 @@ def q_agg_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_type"), F.col("n").alias("n_events"),
                 "n_outliers", "max_abs_z")
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                      * CAST(l_extendedprice AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                      * CAST(l_quantity AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6))
+                      * CAST(l_extendedprice AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      CAST(CAST((sxy - sx * sy / n)
+                / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                AS DECIMAL(20,6)) AS DOUBLE) AS corr_qty_price,
+      CAST(CAST((sxy - sx * sy / n) / (n - 1)
+                AS DECIMAL(20,6)) AS DOUBLE) AS covar_qty_price
+    FROM s
+    """,
+    tags=("A8", "stats"),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group — the
+    relationship-profiling counterpart of q_agg_stats' per-column
+    profile (README.md:8 "cost comparisons" extended to quantity/price
+    coupling).
+
+    Determinism: built-in ``corr``/``covar_samp`` stream doubles in
+    engine-specific order, so their last bits differ between Spark and
+    DuckDB. Instead the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) are summed as EXACT decimals (order-insensitive), cast once to
+    double, and the closed forms are evaluated with the identical
+    expression text on both sides. One residual hazard remains: DuckDB's
+    int128-backed DECIMAL(38,12) → DOUBLE cast lands one ulp off the
+    JVM's BigDecimal cast (measured on Σxy here), so the final
+    corr/covar are 6-dp quantized per the compat.py transcendental
+    convention.
+    Scale shape: one partial/final hash aggregate; the shuffle carries
+    five numbers per group, the formulas touch G rows."""
+    li = load(spark, sf_dir, "lineitem")
+    qx = F.col("l_quantity").cast("decimal(18,6)")
+    qy = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(qy).cast("double").alias("sy"),
+        F.sum((qx * qy).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((qx * qx).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((qy * qy).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((sxy - sx * sy / n)
+         / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+        .cast("decimal(20,6)").cast("double").alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - F.lit(1)))
+        .cast("decimal(20,6)").cast("double").alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT lang, mode_source, mode_count, n_sources FROM (
+      SELECT
+        lang,
+        source AS mode_source,
+        cnt AS mode_count,
+        COUNT(*) OVER (PARTITION BY lang) AS n_sources,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY cnt DESC, source) AS rn
+      FROM (
+        SELECT lang, source, COUNT(*) AS cnt
+        FROM documents GROUP BY lang, source
+      )
+    ) WHERE rn = 1
+    """,
+    tags=("A11", "stats"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tiebreak: modal source per language over the documents corpus — the
+    categorical summary a data-quality dashboard pairs with q_agg_stats'
+    numeric profile.
+
+    The (count DESC, value ASC) ordering is total, so the winner is
+    engine-independent. Scale shape: the heavy reduction is the first
+    hash aggregate (distinct (lang, source) pairs — bounded by the
+    value-domain product, not row count); the window then ranks that
+    tiny relation, so no row-level sort ever happens."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        F.col("source").alias("mode_source"),
+        F.col("cnt").alias("mode_count"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+        F.row_number().over(
+            w.orderBy(F.col("cnt").desc(), F.col("source"))).alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")

@@ -389,3 +389,97 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_reached")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_interp_linear",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS obs
+      FROM events
+    ), nb AS (
+      SELECT user_id, event_id, ts_us, obs,
+             LAST_VALUE(CASE WHEN obs IS NOT NULL THEN ts_us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_ts,
+             LAST_VALUE(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_v,
+             FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN ts_us END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_ts,
+             FIRST_VALUE(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_v
+      FROM t
+    )
+    SELECT user_id, event_id, ts_us,
+           obs IS NULL AS was_missing,
+           CAST(CAST(
+             CASE
+               WHEN obs IS NOT NULL THEN obs
+               WHEN p_v IS NOT NULL AND n_v IS NOT NULL THEN
+                 p_v + (n_v - p_v)
+                     * (CAST(ts_us - p_ts AS DOUBLE)
+                        / CAST(n_ts - p_ts AS DOUBLE))
+               WHEN p_v IS NOT NULL THEN p_v
+               ELSE n_v
+             END AS DECIMAL(20,6)) AS DOUBLE) AS value_interp
+    FROM nb
+    """,
+    tags=("W5", "timeseries", "interpolate"),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing observations per key — the
+    upgrade of q_fill_forward's step-function LOCF to a continuous
+    estimate: a masked reading ('view' events stand in for missing
+    sensor values) is reconstructed from its nearest observed neighbors
+    on both sides, weighted by event-time distance; leading/trailing
+    gaps degrade to nearest-neighbor fill. The imputation stage of a
+    measurement → dense-covariate pipeline (reference README.md:3
+    "clinical history").
+
+    Shape: ONE window ordering (ts, event_id — total, so partition-count
+    independent) serves all four neighbor lookups; Spark evaluates them
+    in a single Window exec, one shuffle by user_id. The interpolation
+    weight is exact integer µs arithmetic divided once in double;
+    the result is 6-dp quantized (compat.py) because the weighted form
+    multiplies neighbor doubles — same convention as q_agg_corr."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") != "view", F.col("value"))
+    t = ev.select("user_id", "event_id",
+                  F.unix_micros("ts").alias("ts_us"), obs.alias("obs"))
+    order = ["ts_us", "event_id"]
+    wp = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(1, Window.unboundedFollowing))
+    obs_ts = F.when(F.col("obs").isNotNull(), F.col("ts_us"))
+    nb = t.select(
+        "user_id", "event_id", "ts_us", "obs",
+        F.last(obs_ts, ignorenulls=True).over(wp).alias("p_ts"),
+        F.last("obs", ignorenulls=True).over(wp).alias("p_v"),
+        F.first(obs_ts, ignorenulls=True).over(wn).alias("n_ts"),
+        F.first("obs", ignorenulls=True).over(wn).alias("n_v"),
+    )
+    p_v, n_v = F.col("p_v"), F.col("n_v")
+    frac = ((F.col("ts_us") - F.col("p_ts")).cast("double")
+            / (F.col("n_ts") - F.col("p_ts")).cast("double"))
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(p_v.isNotNull() & n_v.isNotNull(),
+              p_v + (n_v - p_v) * frac)
+        .when(p_v.isNotNull(), p_v)
+        .otherwise(n_v)
+    )
+    return nb.select(
+        "user_id", "event_id", "ts_us",
+        F.col("obs").isNull().alias("was_missing"),
+        interp.cast("decimal(20,6)").cast("double").alias("value_interp"),
+    )

@@ -87,6 +87,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_fingerprint",
     "q_domain_allergy_alerts",
     "q_text_unigram_logprob",
+    # Round-4 additions (no driver row yet) — prove on first exposure.
+    "q_agg_corr",
+    "q_agg_mode",
+    "q_pipeline_chunk",
+    "q_interp_linear",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
