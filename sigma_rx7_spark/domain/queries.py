@@ -301,3 +301,103 @@ def q_domain_allergy_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⋈ meds — the med fact table never shuffles."""
     tables = stage_domain_tables(spark)
     return rules.allergy_alerts(tables["meds"], tables["allergies"])
+
+
+_POLY_ORACLE = f"""
+WITH ev AS (
+  SELECT patient_id, med_id, start_date AS ev_date, 1 AS delta
+  FROM {_p('meds')}
+  UNION ALL
+  SELECT patient_id, med_id, stop_date + 1 AS ev_date, -1 AS delta
+  FROM {_p('meds')} WHERE stop_date IS NOT NULL
+), cum AS (
+  SELECT patient_id,
+         SUM(delta) OVER (PARTITION BY patient_id
+                          ORDER BY ev_date, delta, med_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ev
+), mx AS (
+  SELECT patient_id, CAST(MAX(cum) AS INTEGER) AS max_concurrent
+  FROM cum GROUP BY patient_id
+)
+SELECT m.patient_id, COUNT(*) AS n_meds, mx.max_concurrent,
+       mx.max_concurrent >= {rules.POLYPHARMACY_MIN} AS is_polypharmacy
+FROM {_p('meds')} m JOIN mx ON m.patient_id = mx.patient_id
+GROUP BY m.patient_id, mx.max_concurrent
+"""
+
+
+@query("q_domain_polypharmacy", oracle=_POLY_ORACLE, tags=("domain",))
+def q_domain_polypharmacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrency polypharmacy screen: the population-wide form of
+    the therapeutic-duplication rule (README.md:3,9,23) — a sweep line
+    over prescription start/stop events instead of a pairwise self-join,
+    so cost is O(n log n) per patient and the answer is "how MANY meds
+    were simultaneously active", not just "which pairs overlap"."""
+    tables = stage_domain_tables(spark)
+    return rules.polypharmacy(tables["meds"])
+
+
+_PDC_ORACLE = f"""
+WITH base AS (
+  SELECT patient_id, drug_class, med_id, start_date AS s,
+         LEAST(COALESCE(stop_date, DATE '9999-12-31'),
+               DATE '{rules.OBS_END}') AS e
+  FROM {_p('meds')}
+), flagged AS (
+  SELECT patient_id, drug_class, s, e,
+         CASE WHEN MAX(e) OVER (
+                PARTITION BY patient_id, drug_class
+                ORDER BY s, e, med_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+              OR s > MAX(e) OVER (
+                PARTITION BY patient_id, drug_class
+                ORDER BY s, e, med_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island,
+         med_id
+  FROM base
+), numbered AS (
+  SELECT patient_id, drug_class, s, e,
+         SUM(new_island) OVER (PARTITION BY patient_id, drug_class
+                               ORDER BY s, e, med_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), islands AS (
+  SELECT patient_id, drug_class, island,
+         date_diff('day', MIN(s), MAX(e)) + 1 AS covered
+  FROM numbered GROUP BY patient_id, drug_class, island
+), per_class AS (
+  SELECT patient_id, drug_class, COUNT(*) AS n_meds,
+         date_diff('day', MIN(s), MAX(e)) + 1 AS period_days
+  FROM base GROUP BY patient_id, drug_class
+), summed AS (
+  SELECT patient_id, drug_class,
+         CAST(COUNT(*) AS INTEGER) AS n_islands,
+         CAST(SUM(covered) AS BIGINT) AS covered_days
+  FROM islands GROUP BY patient_id, drug_class
+)
+SELECT p.patient_id, p.drug_class, p.n_meds, s.n_islands, s.covered_days,
+       CAST(p.period_days AS BIGINT) AS period_days,
+       CAST(s.covered_days AS DOUBLE) / CAST(p.period_days AS DOUBLE)
+         AS pdc,
+       CAST(s.covered_days AS DOUBLE) / CAST(p.period_days AS DOUBLE)
+         >= {rules.PDC_ADHERENT} AS is_adherent
+FROM per_class p
+JOIN summed s
+  ON p.patient_id = s.patient_id AND p.drug_class = s.drug_class
+"""
+
+
+@query("q_domain_adherence", oracle=_PDC_ORACLE, tags=("domain",))
+def q_domain_adherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion-of-days-covered adherence per (patient, drug class):
+    prescription intervals merged into maximal covered islands
+    (gaps-and-islands interval UNION — refill overlaps never
+    double-count), covered days divided by the class's observation
+    period, flagged at the standard 0.8 threshold. The longitudinal
+    "clinical history" measure (README.md:3) the duplication and
+    substitution rules feed into."""
+    tables = stage_domain_tables(spark)
+    return rules.adherence_pdc(tables["meds"])

@@ -267,3 +267,108 @@ def allergy_alerts(meds: DataFrame, allergies: DataFrame) -> DataFrame:
             .otherwise("warn").alias("alert_level"),
         )
     )
+
+
+# Observation horizon for adherence measurement: open prescriptions get
+# coverage credit up to this date, and no further.
+OBS_END = "2024-12-31"
+POLYPHARMACY_MIN = 4   # >=4 concurrent meds flags the patient
+PDC_ADHERENT = 0.8     # standard proportion-of-days-covered threshold
+
+
+def polypharmacy(meds: DataFrame) -> DataFrame:
+    """Max MEDICATION CONCURRENCY per patient (sweep line): explode each
+    prescription into a +1 event at start and a -1 event the day after
+    its stop (inclusive endpoints — mirrors overlap_pairs' predicate;
+    open-ended meds emit no end event), running-sum the deltas in
+    (date, delta, med_id) order, and take the per-patient max prefix.
+    ≥{POLYPHARMACY_MIN} simultaneous active meds flags the patient —
+    the population-screen form of overlap_pairs' pairwise duplication
+    rule (README.md:3,9,23).
+
+    Determinism: the prefix max is invariant to tie order within
+    (date, delta) — equal-delta ties only permute intermediate prefixes
+    below the post-date total — and -1 sorts before +1 on the same date
+    (delta ascending), so back-to-back prescriptions ([1,5] then [6,10])
+    never count as concurrent. Scale shape: 2 rows per med, one shuffle
+    by patient, window + aggregate; no self-join — the sweep is O(n log n)
+    against overlap_pairs' per-key O(n²) pair enumeration."""
+    start_ev = meds.select(
+        "patient_id", "med_id",
+        F.col("start_date").alias("ev_date"), F.lit(1).alias("delta"))
+    end_ev = (
+        meds.where(F.col("stop_date").isNotNull())
+        .select("patient_id", "med_id",
+                F.date_add("stop_date", 1).alias("ev_date"),
+                F.lit(-1).alias("delta"))
+    )
+    w = (Window.partitionBy("patient_id")
+         .orderBy("ev_date", "delta", "med_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = start_ev.unionByName(end_ev).select(
+        "patient_id", F.sum("delta").over(w).alias("cum"))
+    return (
+        cum.groupBy("patient_id")
+        .agg(F.max("cum").cast("int").alias("max_concurrent"))
+        .join(meds.groupBy("patient_id")
+                  .agg(F.count(F.lit(1)).alias("n_meds")),
+              "patient_id")
+        .select("patient_id", "n_meds", "max_concurrent",
+                (F.col("max_concurrent") >= POLYPHARMACY_MIN)
+                .alias("is_polypharmacy"))
+    )
+
+
+def adherence_pdc(meds: DataFrame) -> DataFrame:
+    """Proportion of days covered (PDC) per (patient, drug_class) — the
+    standard pharmacy adherence measure over the "clinical history"
+    (README.md:3): merge each class's prescription intervals into
+    maximal covered islands (gaps-and-islands: a new island starts when
+    a prescription begins more than one day after every earlier
+    prescription in the class has stopped), then
+    PDC = union-covered days / observation-period days. Interval UNION,
+    not sum — overlapping refills must not double-count.
+
+    All arithmetic is date/integer (exact in both engines); the single
+    double division happens once on identical integers. Scale shape: one
+    shuffle by (patient, class); the island window and both aggregates
+    reuse that partitioning."""
+    stop_eff = F.least(_stop("stop_date"), F.lit(OBS_END).cast("date"))
+    base = meds.select(
+        "patient_id", "drug_class", "med_id",
+        F.col("start_date").alias("s"), stop_eff.alias("e"))
+    keys = ["patient_id", "drug_class"]
+    order = ["s", "e", "med_id"]
+    w_prev = (Window.partitionBy(*keys).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev_max = F.max("e").over(w_prev)
+    flagged = base.select(
+        *keys, "med_id", "s", "e",
+        F.when(prev_max.isNull()
+               | (F.col("s") > F.date_add(prev_max, 1)), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    islands = (
+        flagged.withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy(*keys, "island")
+        .agg((F.datediff(F.max("e"), F.min("s")) + 1).alias("covered"))
+    )
+    per_class = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_meds"),
+        (F.datediff(F.max("e"), F.min("s")) + 1).alias("period_days"),
+    )
+    summed = islands.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("int").alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("covered_days"),
+    )
+    pdc = (F.col("covered_days").cast("double")
+           / F.col("period_days").cast("double"))
+    return (
+        per_class.join(summed, keys)
+        .select(*keys, "n_meds", "n_islands", "covered_days",
+                F.col("period_days").cast("bigint").alias("period_days"),
+                pdc.alias("pdc"),
+                (pdc >= PDC_ADHERENT).alias("is_adherent"))
+    )

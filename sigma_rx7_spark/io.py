@@ -167,26 +167,33 @@ def write_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) ->
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
-                   sort: bool = True) -> None:
-    """Bucketed managed table (SURVEY.md §2.1 S8 scale variant).
+                   sort: bool = True, path: str | None = None) -> None:
+    """Bucketed table (SURVEY.md §2.1 S8 scale variant).
 
     Writing both sides of a hot join bucketed (and sorted) by the join
     key makes the join shuffle-free: each task reads matching bucket
     files from both tables — at 100 TB this converts the recurring
     fact⋈fact shuffle into a one-time layout cost paid at ingest.
-    Bucket counts must match across the joined tables.
+    Bucket counts must match across the joined tables. With ``path`` the
+    table is external (repo-local staging); otherwise managed in the
+    session warehouse.
     """
     spark = df.sparkSession
-    # Idempotence across sessions: a prior run's managed-table directory
-    # may exist while the (in-memory) catalog does not know the table —
+    # Idempotence across sessions: a prior run's table directory may
+    # exist while the (in-memory) catalog does not know the table —
     # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse")
-    location = os.path.join(
-        warehouse.removeprefix("file:"), table.lower())
+    if path is None:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")
+        location = os.path.join(
+            warehouse.removeprefix("file:"), table.lower())
+    else:
+        location = path
     shutil.rmtree(location, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if path is not None:
+        w = w.option("path", path)
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)

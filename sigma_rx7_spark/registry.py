@@ -92,6 +92,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_mode",
     "q_pipeline_chunk",
     "q_interp_linear",
+    "q_domain_polypharmacy",
+    "q_domain_adherence",
+    "q_join_bucketed",
+    "q_join_dpp",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -193,3 +193,120 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice", "sum_price"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+N_BUCKETS = 8  # bucket count for the co-located join layout
+
+
+def stage_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage lineitem + orders as BUCKETED tables on the join key.
+
+    ``bucketBy(N, key)`` is Spark's persisted hash-partitioning: every
+    writer task routes rows to bucket files by ``hash(key) % N``, and a
+    later join between two tables bucketed on the same key with the same
+    N needs NO shuffle on either side — the layout IS the exchange,
+    amortized across every join that reuses it. This is the 100 TB
+    answer to "the fact⋈fact join shuffles both sides every night".
+    Table names carry the sf tag so concurrent scale factors never
+    collide; re-staging is idempotent (overwrite).
+    """
+    from ..io import write_bucketed
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    li_tbl, ord_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        write_bucketed(
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(N_BUCKETS, "l_orderkey"),
+            li_tbl, "l_orderkey", N_BUCKETS,
+            path=_stage_dir("bkt_lineitem", sf_dir))
+    if not spark.catalog.tableExists(ord_tbl):
+        write_bucketed(
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(N_BUCKETS, "o_orderkey"),
+            ord_tbl, "o_orderkey", N_BUCKETS,
+            path=_stage_dir("bkt_orders", sf_dir))
+    return li_tbl, ord_tbl
+
+
+@query(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_items,
+      {o_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("S8", "J2", "bucketed"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact⋈fact join over BUCKETED staging:
+    both sides persisted ``bucketBy({N_BUCKETS}, orderkey)``, so the
+    sort-merge join consumes bucket files directly — zero Exchange on
+    either join input (asserted on the real plan in tests/test_plans.py).
+    The ``merge`` hint pins SMJ so the demo proves the bucket layout,
+    not the broadcast fallback a small sf would otherwise take. The
+    oracle joins the ORIGINAL parquet, proving the bucketed layout is
+    lossless."""
+    li_tbl, ord_tbl = stage_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl).hint("merge")
+    o = spark.table(ord_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_extendedprice", "sum_price"))
+    )
+
+
+# Tiny status dimension joined on the fact's PARTITION column — the DPP
+# demo relation. Inline literals: both engines embed the same rows.
+_FLAG_DIM = (("A", "acknowledged"), ("N", "new"), ("R", "returned"))
+
+
+@query(
+    "q_join_dpp",
+    oracle=f"""
+    SELECT
+      l_linestatus,
+      COUNT(*) AS n_items,
+      {o_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    JOIN (VALUES {', '.join(repr(t) for t in _FLAG_DIM)})
+         dim(flag, flag_desc)
+      ON l_returnflag = dim.flag
+    WHERE dim.flag_desc = 'returned'
+    GROUP BY l_linestatus
+    """,
+    tags=("S8", "J1", "dpp"),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact is staged partitioned by
+    l_returnflag, and the only filter lives on the joined dimension —
+    static pruning sees nothing, yet Spark builds the broadcast result
+    first and prunes fact partitions at RUNTIME from the dim's surviving
+    join keys (the `dynamicpruning` subquery in the scan's
+    PartitionFilters, asserted in tests/test_plans.py). At 100 TB this
+    is what keeps "join facts to the dimension row the user picked" from
+    scanning every date/status partition of the fact table. Oracle: the
+    same join over the original un-partitioned parquet."""
+    path = _stage_dir("dpp_lineitem", sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (load(spark, sf_dir, "lineitem")
+         .select("l_quantity", "l_linestatus", "l_returnflag")
+         .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(list(_FLAG_DIM), "flag string, "
+                                "flag_desc string")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .where(F.col("flag_desc") == "returned")
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_quantity", "sum_qty"))
+    )

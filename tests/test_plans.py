@@ -302,3 +302,28 @@ def test_pack_is_shard_parallel_single_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "rangepartitioning" not in p.lower(), p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+def test_registered_bucketed_join_has_no_exchange_on_inputs(spark, sf_dir):
+    # q_join_bucketed: the staged bucket layout must eliminate BOTH join-
+    # input exchanges; the only Exchange allowed is the final tiny
+    # aggregation shuffle (5 priority groups). Split the plan at the join
+    # node and assert nothing below it shuffles.
+    p = plan(spark, sf_dir, "q_join_bucketed")
+    assert "SortMergeJoin" in p, p
+    join_idx = p.index("SortMergeJoin")
+    below = p[join_idx:]
+    # formatted_plan prints operators top-down per subtree; scan-side
+    # operators (the join's children) appear after the join header.
+    scan_section = below.split("HashAggregate")[0]
+    assert "Exchange" not in scan_section, scan_section
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    # The scan's PartitionFilters must carry a dynamicpruning subquery:
+    # the only filter is on the joined dim, so any pruning visible at the
+    # fact scan was injected by DPP.
+    p = plan(spark, sf_dir, "q_join_dpp")
+    assert "dynamicpruning" in p, p
+    seg = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any("l_returnflag" in ln for ln in seg), seg
