@@ -216,3 +216,107 @@ def q_cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("vec_id").alias("n_vecs"),
         )
     )
+
+
+# ---- Covariance / PCA prep ----------------------------------------------
+
+EMB_DIM = 64  # harness embedding dimensionality (asserted in tests)
+
+
+@query(
+    "q_embed_cov",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+      SELECT e.vec_id,
+             CAST(gi.i - 1 AS INTEGER) AS i,
+             CAST(gj.i - 1 AS INTEGER) AS j,
+             CAST(e.v[CAST(gi.i AS INTEGER)] AS DECIMAL(20,9)) AS xi,
+             CAST(e.v[CAST(gj.i AS INTEGER)] AS DECIMAL(20,9)) AS xj
+      FROM e, range(1, {EMB_DIM + 1}) gi(i), range(1, {EMB_DIM + 1}) gj(i)
+      WHERE gj.i >= gi.i
+    ), s AS (
+      SELECT i, j, COUNT(*) AS n,
+             CAST(SUM(xi) AS DOUBLE) AS si,
+             CAST(SUM(xj) AS DOUBLE) AS sj,
+             CAST(SUM(CAST(xi * xj AS DECIMAL(38,18))) AS DOUBLE) AS sij
+      FROM comp GROUP BY i, j
+    )
+    SELECT i, j, CAST(n AS BIGINT) AS n_vecs,
+           CAST(CAST((sij - si * sj / n) / (n - 1)
+                AS DECIMAL(18,9)) AS DOUBLE) AS cov
+    FROM s
+    """,
+    tags=("L2b", "pca"),
+)
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding COVARIANCE matrix (upper triangle) — the sufficient
+    statistic behind PCA whitening, low-rank compression, and drift
+    monitoring of an embedding corpus. One row per dimension pair
+    (i ≤ j) with the sample covariance from exact-decimal sums.
+
+    Scale shape: the double explode inflates each vector to
+    dim·(dim+1)/2 component pairs, but map-side partial aggregation
+    collapses them back to {EMB_DIM}·({EMB_DIM}+1)/2 groups before the
+    one shuffle — the classic outer-product-accumulator formulation, no
+    driver-side matrix, no UDF. The closed form follows q_agg_corr's
+    convention (exact decimal Σ, one double evaluation, 9-dp final
+    quantization since component magnitudes sit near 0.1).
+    ``dominant_eigenvector`` consumes this relation as bounded
+    metadata (dim² rows) for the power-iteration PCA step."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.col("embedding").alias("v"),
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i", "xi_raw"))
+    pairs = ex.select(
+        "vec_id", "i", F.col("xi_raw").cast("decimal(20,9)").alias("xi"),
+        F.posexplode(F.col("v").cast("array<double>")).alias("j", "xj_raw"),
+    ).where(F.col("j") >= F.col("i"))
+    s = (
+        pairs.select("i", "j", "xi",
+                     F.col("xj_raw").cast("decimal(20,9)").alias("xj"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("xi").cast("double").alias("si"),
+             F.sum("xj").cast("double").alias("sj"),
+             F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,18)"))
+             .cast("double").alias("sij"))
+    )
+    n = F.col("n")
+    cov = (F.col("sij") - F.col("si") * F.col("sj") / n) / (n - F.lit(1))
+    return s.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        n.cast("bigint").alias("n_vecs"),
+        cov.cast("decimal(18,9)").cast("double").alias("cov"),
+    )
+
+
+def dominant_eigenvector(cov_rows, dim: int = EMB_DIM,
+                         iters: int = 200) -> tuple[list[float], float]:
+    """Power iteration on a collected covariance relation (the PCA
+    top-component step). The input is BOUNDED METADATA — dim·(dim+1)/2
+    rows regardless of corpus size, same driver-side budget as the IVF
+    centroid collect — so the O(dim²) matvec loop runs where it belongs.
+    Returns (unit eigenvector, eigenvalue estimate λ = vᵀΣv).
+
+    Deterministic: fixed all-ones start, fixed iteration count, plain
+    Python arithmetic (no BLAS thread nondeterminism). 200 iterations
+    because a random-ish corpus has a thin spectral gap — measured
+    residual on the harness fixture: 4.5e-2 @ 20 iters, 1.3e-7 @ 200."""
+    m = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        m[r["i"]][r["j"]] = r["cov"]
+        m[r["j"]][r["i"]] = r["cov"]
+    v = [1.0] * dim
+    lam = 0.0
+    for _ in range(iters):
+        w = [sum(m[i][k] * v[k] for k in range(dim)) for i in range(dim)]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            return v, 0.0
+        v = [x / norm for x in w]
+        lam = norm
+    return v, lam

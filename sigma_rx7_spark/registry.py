@@ -96,6 +96,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_domain_adherence",
     "q_join_bucketed",
     "q_join_dpp",
+    "q_embed_cov",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

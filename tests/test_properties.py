@@ -247,3 +247,31 @@ def test_pack_assignment_invariants(spark, sf_dir):
             assert r["pack_id"] == shard * 1_000_000 \
                 + r["start_tok"] // PACK_CTX
             expect += r["n_tokens"]
+
+
+def test_power_iteration_finds_dominant_eigenpair(spark, sf_dir):
+    # The PCA step over the covariance relation: A v must align with
+    # lambda v (small relative residual), lambda must dominate the
+    # average diagonal (it is the max variance direction), and the
+    # result must be deterministic across calls.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.clustering import (
+        EMB_DIM,
+        dominant_eigenvector,
+    )
+
+    rows = registry.load_all()["q_embed_cov"].fn(spark, sf_dir).collect()
+    v, lam = dominant_eigenvector(rows)
+    v2, lam2 = dominant_eigenvector(rows)
+    assert (v, lam) == (v2, lam2)
+    assert lam > 0
+    m = [[0.0] * EMB_DIM for _ in range(EMB_DIM)]
+    for r in rows:
+        m[r["i"]][r["j"]] = r["cov"]
+        m[r["j"]][r["i"]] = r["cov"]
+    av = [sum(m[i][k] * v[k] for k in range(EMB_DIM))
+          for i in range(EMB_DIM)]
+    resid = sum((av[i] - lam * v[i]) ** 2 for i in range(EMB_DIM)) ** 0.5
+    assert resid / lam < 1e-5, (resid, lam)
+    mean_diag = sum(m[i][i] for i in range(EMB_DIM)) / EMB_DIM
+    assert lam >= mean_diag
