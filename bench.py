@@ -58,6 +58,12 @@ HEADLINE = [
     "q_dedup_clusters_lsh",
     "q_dedup_cosine_lsh",
     "q_pipeline_pack",
+    # Round 4: storage-layout path (bucketed co-located join — the
+    # shuffle-free fact join the layout buys) + cheap new relational /
+    # pipeline coverage.
+    "q_join_bucketed",
+    "q_agg_corr",
+    "q_pipeline_chunk",
 ]
 
 

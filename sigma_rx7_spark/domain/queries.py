@@ -29,7 +29,7 @@ from .fhir import RXNORM_SYSTEM, export_medication_requests
 _STAGE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".staging", "domain")
 _STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary",
-                  "allergies")
+                  "allergies", "conditions")
 
 
 def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
@@ -401,3 +401,37 @@ def q_domain_adherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitution rules feed into."""
     tables = stage_domain_tables(spark)
     return rules.adherence_pdc(tables["meds"])
+
+
+_GAP_ORACLE = f"""
+WITH cmap(icd10, indicated_class) AS (
+  VALUES {', '.join(repr(t) for t in rules.GUIDELINE_MAP)}
+), med_classes AS (
+  SELECT DISTINCT patient_id, drug_class AS indicated_class
+  FROM {_p('meds')}
+)
+SELECT c.patient_id, c.icd10,
+       COUNT(*) AS n_indicated_classes,
+       CAST(SUM(CASE WHEN m.patient_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_covered_classes,
+       SUM(CASE WHEN m.patient_id IS NULL THEN 0 ELSE 1 END) = 0
+         AS care_gap
+FROM {_p('conditions')} c
+JOIN cmap ON cmap.icd10 = c.icd10
+LEFT JOIN med_classes m
+  ON m.patient_id = c.patient_id
+ AND m.indicated_class = cmap.indicated_class
+GROUP BY c.patient_id, c.icd10
+"""
+
+
+@query("q_domain_treatment_gap", oracle=_GAP_ORACLE, tags=("domain",))
+def q_domain_treatment_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Care-gap screen over the conditions table (the one entity table
+    the other domain rules don't touch — README.md:7): each diagnosis
+    joined to its guideline-indicated drug classes, flagged when the
+    patient has NO prescription in any of them. Complements
+    q_domain_recommendations' overlap rule (too much therapy) with the
+    too-little direction."""
+    tables = stage_domain_tables(spark)
+    return rules.treatment_gaps(tables["conditions"], tables["meds"])

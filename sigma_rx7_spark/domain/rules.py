@@ -372,3 +372,43 @@ def adherence_pdc(meds: DataFrame) -> DataFrame:
                 pdc.alias("pdc"),
                 (pdc >= PDC_ADHERENT).alias("is_adherent"))
     )
+
+
+# Condition → indicated drug-class guideline map (the same literal-
+# broadcast-dimension pattern as allergy_alerts' cross-sensitivity map).
+GUIDELINE_MAP = (
+    ("E11.9", "biguanide"), ("E11.9", "sulfonylurea"),
+    ("I10", "ace_inhibitor"), ("I10", "beta_blocker"),
+    ("F32.9", "ssri"),
+)
+
+
+def treatment_gaps(conditions: DataFrame, meds: DataFrame) -> DataFrame:
+    """Care-gap screen: for every diagnosed condition, check whether the
+    patient has ANY prescription in one of the guideline-indicated drug
+    classes; none ⇒ a treatment gap. The negative-space complement of
+    overlap_pairs (too MUCH same-class therapy) — this flags too LITTLE
+    (README.md:3 "clinical history", README.md:7 conditions table).
+
+    Shape: conditions ⋈ broadcast guideline map (1:N classes), left
+    join onto the DISTINCT (patient, class) med relation (distinct
+    first, so a patient's many refills count once), then one aggregate
+    per (patient, condition). The med fact reduces to its key domain
+    before any join — nothing patient-level ever ships twice."""
+    cmap = conditions.sparkSession.createDataFrame(
+        list(GUIDELINE_MAP), "icd10 string, indicated_class string")
+    med_classes = (
+        meds.select("patient_id", F.col("drug_class").alias(
+            "indicated_class")).distinct()
+        .withColumn("covered", F.lit(1)))
+    return (
+        conditions.join(F.broadcast(cmap), "icd10")
+        .join(med_classes, ["patient_id", "indicated_class"], "left")
+        .groupBy("patient_id", "icd10")
+        .agg(F.count(F.lit(1)).alias("n_indicated_classes"),
+             F.sum(F.coalesce(F.col("covered"), F.lit(0)))
+             .cast("bigint").alias("n_covered_classes"))
+        .select("patient_id", "icd10", "n_indicated_classes",
+                "n_covered_classes",
+                (F.col("n_covered_classes") == 0).alias("care_gap"))
+    )

@@ -249,3 +249,57 @@ def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("hdr_frames") == F.col("meta.n_frames")))
         .alias("meta_consistent"),
     )
+
+
+# ---- binaryFile source (S-family: raw media files -> DataFrame) ----------
+
+_MEDIA_FILES = os.path.join(os.path.dirname(_MEDIA_STAGE), "media_files")
+
+
+def stage_media_files(spark: SparkSession) -> str:
+    """Materialize each fixture payload as an individual ``.bin`` file —
+    the on-disk shape a media corpus actually arrives in (one object per
+    asset) before ingestion. Driver-side writes are fine HERE because
+    this is fixture generation (the fixture builder is already
+    driver-side Python); the INGEST direction below is the distributed
+    path being certified."""
+    m = stage_media(spark).select("media_id", "payload").collect()
+    os.makedirs(_MEDIA_FILES, exist_ok=True)
+    for r in m:
+        p = os.path.join(_MEDIA_FILES, f"{r['media_id']:04d}.bin")
+        with open(p, "wb") as fh:
+            fh.write(bytes(r["payload"]))
+    return _MEDIA_FILES
+
+
+@query(
+    "q_source_binaryfile",
+    oracle=f"""
+    SELECT media_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(hex(payload)) AS payload_md5
+    FROM read_parquet('{_MEDIA_STAGE}/*.parquet')
+    """,
+    tags=("L4", "S1", "multimodal", "source-binaryfile"),
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` SOURCE end to end: raw per-asset ``.bin``
+    files ingested with ``spark.read.format('binaryFile')`` (path,
+    length, content), the asset id recovered from the filename, and the
+    content fingerprinted. The oracle fingerprints the same payloads
+    from the staged parquet — a hash match proves the file-based ingest
+    yields byte-identical content to the columnar staging, which is the
+    property that lets a 100 TB media lake be re-ingested from object
+    storage into BinaryType columns without corruption. sf_dir ignored
+    (engine fixture). Scale note: binaryFile splits per-file (one row
+    per object); at cluster scale set pathGlobFilter + a sane
+    maxPartitionBytes so many small assets batch into one task."""
+    path = stage_media_files(spark)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.bin").load(path))
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d{4})\.bin$", 1)
+        .cast("int").alias("media_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("payload_md5"),
+    )

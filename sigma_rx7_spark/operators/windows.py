@@ -254,3 +254,74 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double")
         .alias("sum_value_1h"),
     )
+
+
+# ---- Exponentially-weighted moving average -------------------------------
+
+EMA_WINDOW = 8  # truncated EWMA depth (alpha = 1/2)
+
+# 2^-k literals, exact in binary64 AND in decimal text — the whole weight
+# family is dyadic so value * w_k never rounds (power-of-two scaling),
+# making the term quantization unambiguous in both engines.
+_EMA_W = [0.5 ** k for k in range(EMA_WINDOW)]
+
+
+def _ema_oracle() -> str:
+    terms = " + ".join(
+        f"CAST(COALESCE(LAG(value, {k}) OVER w * {w!r}, 0)"
+        f" AS DECIMAL(24,12))"
+        for k, w in enumerate(_EMA_W))
+    norm = " + ".join(
+        f"CAST(CASE WHEN LAG(value, {k}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0 END AS DECIMAL(24,12))"
+        for k, w in enumerate(_EMA_W))
+    return f"""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CAST(CAST(
+             CAST(({terms}) AS DOUBLE) / CAST(({norm}) AS DOUBLE)
+             AS DECIMAL(20,6)) AS DOUBLE) AS ema_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    """
+
+
+@query("q_window_ema", oracle=_ema_oracle(), tags=("W4", "ema"))
+def q_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per key (α = ½, truncated
+    at {EMA_WINDOW} lags): the recency-weighted smoother between W4's
+    uniform moving average and W6's LOCF — the trend signal an alerting
+    dashboard actually plots. The recursive EWMA is not window-
+    expressible; the truncated form IS, as a weighted sum of lags
+    normalized by the present weights (so series heads and gaps
+    renormalize instead of biasing toward zero).
+
+    Determinism: α = ½ makes every weight 2⁻ᵏ — value·2⁻ᵏ is exact
+    power-of-two scaling in binary64, each term is decimal-quantized at
+    12 dp before the sum (order-insensitive), and the single division
+    runs once on identical doubles. One window ordering (ts, event_id —
+    total), {EMA_WINDOW} lag expressions sharing ONE Window exec, one
+    shuffle by key."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "event_id"))
+    base = ev.select("user_id", "event_id",
+                     F.unix_micros("ts").alias("ts_us"), "value")
+    lags = [F.lag("value", k).over(w) for k in range(EMA_WINDOW)]
+    terms = sum(
+        (F.coalesce(lag * F.lit(wk), F.lit(0.0)).cast("decimal(24,12)")
+         for lag, wk in zip(lags, _EMA_W)),
+        start=F.lit(0).cast("decimal(24,12)"),
+    )
+    norm = sum(
+        (F.when(lag.isNotNull(), F.lit(wk)).otherwise(0.0)
+         .cast("decimal(24,12)")
+         for lag, wk in zip(lags, _EMA_W)),
+        start=F.lit(0).cast("decimal(24,12)"),
+    )
+    ema = (terms.cast("double") / norm.cast("double"))
+    return base.select(
+        "user_id", "event_id", "ts_us",
+        ema.cast("decimal(20,6)").cast("double").alias("ema_value"),
+    )

@@ -97,6 +97,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_bucketed",
     "q_join_dpp",
     "q_embed_cov",
+    "q_source_binaryfile",
+    "q_window_ema",
+    "q_domain_treatment_gap",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

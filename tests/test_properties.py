@@ -275,3 +275,36 @@ def test_power_iteration_finds_dominant_eigenpair(spark, sf_dir):
     assert resid / lam < 1e-5, (resid, lam)
     mean_diag = sum(m[i][i] for i in range(EMB_DIM)) / EMB_DIM
     assert lam >= mean_diag
+
+
+def test_chunk_tiling_invariants(spark, sf_dir):
+    # Chunking must tile every document exactly: chunk 0 starts at 0,
+    # consecutive starts advance by the stride, every chunk except the
+    # last is full-width, the last chunk reaches the document end, and
+    # one extra chunk would start past the end (no dropped tail).
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.pipeline import CHUNK_CHARS, CHUNK_STRIDE
+
+    rows = (registry.load_all()["q_pipeline_chunk"].fn(spark, sf_dir)
+            .collect())
+    doc_len = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(doc_len)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = doc_len[doc_id]
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["start_char"] == i * CHUNK_STRIDE
+            assert c["chunk_len"] == len(c["chunk_text"])
+            if i < len(chunks) - 1:
+                assert c["chunk_len"] == CHUNK_CHARS
+        last = chunks[-1]
+        assert last["start_char"] + last["chunk_len"] == n
+        if len(chunks) > 1:
+            # one more chunk would start at or past the end
+            assert len(chunks[-1:]) and len(chunks) == 1 + (
+                (n - CHUNK_CHARS + CHUNK_STRIDE - 1) // CHUNK_STRIDE)
