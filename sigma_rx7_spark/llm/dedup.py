@@ -1218,3 +1218,90 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )
+
+
+# ---- Containment (sub/superset) duplication ------------------------------
+
+CONTAINMENT_DUP = 0.9   # fraction of the smaller doc present in the other
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT a_doc_id, b_doc_id,
+           CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+             / greatest(len(wa.w), 1) AS containment_a,
+           CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+             / greatest(len(wb.w), 1) AS containment_b,
+           CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+             / greatest(len(wa.w) + len(wb.w)
+                        - len(list_intersect(wa.w, wb.w)), 1) AS jaccard
+    FROM cand
+    JOIN words wa ON wa.doc_id = a_doc_id
+    JOIN words wb ON wb.doc_id = b_doc_id
+    WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+            / greatest(least(len(wa.w), len(wb.w)), 1)
+          >= {CONTAINMENT_DUP}
+    """,
+    tags=("L1", "dedup", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup — |A∩B| / min(|A|,|B|) ≥ {CONTAINMENT_DUP}:
+    catches sub/superset duplication (a doc embedded inside a larger
+    one) that symmetric Jaccard structurally misses — A ⊂ B with
+    |A| ≪ |B| has jaccard |A|/|B| → 0 but containment 1.0. The quote/
+    boilerplate-inclusion case every web-corpus pipeline screens after
+    plain near-dedup. Both directional containments and jaccard ship so
+    downstream policy can distinguish "A inside B" from "B inside A".
+
+    Scale shape: identical to q_dedup_lsh_verified — the SAME md5-LSH
+    candidate generation (one shingle pass, band-bucket join on hashes,
+    never n²), only the verify metric differs. A true subset pair IS
+    found by MinHash banding when containment is high relative to the
+    union (min-hash collision probability = jaccard), so band count
+    bounds recall exactly as the S-curve says; at 100 TB the candidate
+    relation is shared between the Jaccard and containment screens —
+    one LSH pass, two verdicts."""
+    sig = md5_minhash_signatures(load(spark, sf_dir, "documents"))
+    cand = md5_lsh_candidates(sig)
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+    wa = words.select(F.col("doc_id").alias("a_doc_id"),
+                      F.col("w").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.greatest(F.size("wa") + F.size("wb") - inter, F.lit(1))
+    cont_min = inter.cast("double") / F.greatest(
+        F.least(F.size("wa"), F.size("wb")), F.lit(1))
+    return (
+        cand.join(wa, "a_doc_id")
+        .join(wb, "b_doc_id")
+        .select(
+            "a_doc_id", "b_doc_id",
+            inter.cast("bigint").alias("n_common"),
+            (inter.cast("double") / F.greatest(F.size("wa"), F.lit(1)))
+            .alias("containment_a"),
+            (inter.cast("double") / F.greatest(F.size("wb"), F.lit(1)))
+            .alias("containment_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+            cont_min.alias("_cm"),
+        )
+        .where(F.col("_cm") >= CONTAINMENT_DUP)
+        .drop("_cm")
+    )

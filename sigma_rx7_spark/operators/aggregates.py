@@ -643,3 +643,53 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.orderBy(F.col("cnt").desc(), F.col("source"))).alias("rn"),
     )
     return ranked.where(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "q_agg_keyskew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_keys,
+      CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+      CAST(quantile_cont(cnt, 0.5) AS DOUBLE) AS p50_cnt,
+      CAST(quantile_cont(cnt, 0.99) AS DOUBLE) AS p99_cnt,
+      CAST(CAST(CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / SUM(cnt)
+           AS DECIMAL(20,6)) AS DOUBLE) AS skew_ratio,
+      arg_max(user_id, cnt * 10000000000 + user_id) AS hot_key
+    FROM counts
+    """,
+    tags=("A8", "skew", "diagnostic"),
+)
+def q_agg_keyskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy KEY-SKEW profile: the group-size distribution of a
+    key column (count per key → n_keys, min/max, exact p50/p99,
+    max/mean skew ratio, and the hottest key) — the diagnostic run
+    BEFORE committing a 100 TB join strategy, because it answers
+    "does this key need salting (q_join_salted) or will AQE's skew
+    split absorb it?" numerically instead of by post-mortem.
+
+    Scale shape: first aggregate reduces rows → keys (partial/final),
+    second reduces keys → ONE row; the percentile runs over the key
+    relation only. hot_key uses the packed (cnt, key) decimal ordering
+    from q_agg_argmax so ties break identically in both engines.
+    skew_ratio is 6-dp quantized (double division)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    packed = F.col("cnt") * F.lit(10_000_000_000) + F.col("user_id")
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+        (F.max("cnt") * F.count(F.lit(1))
+         / F.sum("cnt").cast("double")).cast("decimal(20,6)")
+        .cast("double").alias("skew_ratio"),
+        F.max_by("user_id", packed).alias("hot_key"),
+    )

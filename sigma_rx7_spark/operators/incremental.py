@@ -133,3 +133,63 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts") >= cutoff), keys, "ts", "event_id"
     ).drop("ts")
     return merge_upsert(base, changes, keys)
+
+
+@query(
+    "q_merge_agg_incremental",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("M1", "A7", "incremental-agg"),
+)
+def q_merge_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE: the per-user aggregate snapshot
+    built from pre-cutoff history, then refreshed with the post-cutoff
+    delta by MERGING aggregate states — count adds, exact-decimal sum
+    adds, max takes greatest, first-ts takes least — instead of
+    rescanning history. The oracle recomputes over ALL events, so the
+    gate proves state-merge ≡ full recompute: exactly the partial/final
+    contract Catalyst applies within one query, lifted to cross-batch
+    materialized-view refresh (the nightly incremental rollup at 100 TB:
+    the delta scan is the only data term; history is one snapshot row
+    per key).
+
+    Every merged measure must be a commutative monoid for this to be
+    exact — count/sum/max/min are; avg is maintained as (sum, count),
+    never averaged averages. The decimal sum makes the refresh
+    order-insensitive, so N deltas applied in any grouping converge."""
+    ev = load(spark, sf_dir, "events").select("user_id", "value", "ts")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_dec"),
+            F.max("value").alias("max_value"),
+            F.min("ts").alias("first_ts"),
+        )
+
+    base = agg_state(ev.where(F.col("ts") < cutoff)).alias("b")
+    delta = agg_state(ev.where(F.col("ts") >= cutoff)).alias("d")
+    merged = base.join(delta, on=F.col("b.user_id") == F.col("d.user_id"),
+                       how="full_outer")
+
+    def both(col: str, combine):
+        return combine(F.col(f"b.{col}"), F.col(f"d.{col}"))
+
+    return merged.select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (F.coalesce(F.col("b.n_events"), F.lit(0))
+         + F.coalesce(F.col("d.n_events"), F.lit(0))).alias("n_events"),
+        (F.coalesce(F.col("b.sum_dec"), F.lit(0).cast("decimal(20,6)"))
+         + F.coalesce(F.col("d.sum_dec"), F.lit(0).cast("decimal(20,6)")))
+        .cast("double").alias("sum_value"),
+        both("max_value", F.greatest).alias("max_value"),
+        both("first_ts", F.least).alias("first_ts"),
+    )

@@ -100,6 +100,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_source_binaryfile",
     "q_window_ema",
     "q_domain_treatment_gap",
+    "q_dedup_containment",
+    "q_merge_agg_incremental",
+    "q_agg_keyskew",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -308,3 +308,79 @@ def test_chunk_tiling_invariants(spark, sf_dir):
             # one more chunk would start at or past the end
             assert len(chunks[-1:]) and len(chunks) == 1 + (
                 (n - CHUNK_CHARS + CHUNK_STRIDE - 1) // CHUNK_STRIDE)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 2),            # patient
+              st.integers(0, 20),           # start day offset
+              st.one_of(st.none(), st.integers(0, 15))),  # duration|open
+    min_size=1, max_size=12))
+def test_polypharmacy_matches_daily_scan(spark, meds_spec):
+    # Sweep-line max concurrency must equal the brute-force "count
+    # active meds on every day" maximum (inclusive endpoints).
+    import datetime as dt
+
+    from sigma_rx7_spark.domain.rules import polypharmacy
+
+    epoch = dt.date(2023, 1, 1)
+    rows = []
+    for mid, (pid, s_off, dur) in enumerate(meds_spec):
+        start = epoch + dt.timedelta(days=s_off)
+        stop = None if dur is None else start + dt.timedelta(days=dur)
+        rows.append((mid, pid, start, stop))
+    meds = spark.createDataFrame(
+        rows, "med_id long, patient_id long, start_date date, "
+              "stop_date date")
+    got = {r["patient_id"]: r["max_concurrent"]
+           for r in polypharmacy(meds).collect()}
+    horizon = [epoch + dt.timedelta(days=d) for d in range(0, 40)]
+    want = {}
+    for pid in {r[1] for r in rows}:
+        best = 0
+        for day in horizon:
+            n = sum(1 for (m, p, s, e) in rows
+                    if p == pid and s <= day and (e is None or day <= e))
+            best = max(best, n)
+        want[pid] = best
+    assert got == want
+
+
+def test_interp_bounded_by_neighbors(spark, sf_dir):
+    # Interpolated values must lie within [min, max] of the two
+    # neighbors (convexity), observed rows keep their own value, and
+    # 6-dp quantization is the only allowed deviation.
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.io import load
+
+    out = registry.load_all()["q_interp_linear"].fn(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    j = out.join(ev, "event_id")
+    observed = j.where(~F.col("was_missing"))
+    bad = observed.where(
+        F.abs(F.col("value_interp") - F.col("value")) > 5e-7).count()
+    assert bad == 0
+    # masked rows: reconstruct neighbor bounds via the same window
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    obs_v = F.when(~F.col("was_missing"), F.col("value_interp"))
+    prev_v = F.last(obs_v, ignorenulls=True).over(
+        w_all.rowsBetween(Window.unboundedPreceding, -1))
+    next_v = F.first(obs_v, ignorenulls=True).over(
+        w_all.rowsBetween(1, Window.unboundedFollowing))
+    masked = (
+        j.select("user_id", "ts_us", "event_id", "was_missing",
+                 "value_interp", prev_v.alias("pv"), next_v.alias("nv"))
+        .where(F.col("was_missing") & F.col("pv").isNotNull()
+               & F.col("nv").isNotNull())
+    )
+    out_of_bounds = masked.where(
+        (F.col("value_interp") < F.least("pv", "nv") - 5e-7)
+        | (F.col("value_interp") > F.greatest("pv", "nv") + 5e-7)).count()
+    assert out_of_bounds == 0
+    assert masked.count() > 0
