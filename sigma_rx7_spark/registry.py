@@ -103,6 +103,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_merge_agg_incremental",
     "q_agg_keyskew",
+    "q_source_schema_merge",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

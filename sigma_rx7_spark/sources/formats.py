@@ -310,3 +310,62 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum("l_quantity", "sum_qty"))
     )
+
+
+# Fixed staging paths (oracle SQL is static text): the driver always runs
+# the Spark side of a pair first at the sf under check, so the staged
+# bytes match — same contract as llm/similarity's centroid staging. A
+# module-level tag skips redundant rewrites within one process.
+_SCHEMA_B1 = os.path.join(STAGING, "schemav1_events")
+_SCHEMA_B2 = os.path.join(STAGING, "schemav2_events")
+_SCHEMA_STAGED: dict[str, str] = {}
+
+
+@query(
+    "q_source_schema_merge",
+    oracle=f"""
+    SELECT COALESCE(event_type, 'pre-upgrade') AS event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value', 'sum_value')}
+    FROM read_parquet(
+      ['{_SCHEMA_B1}/*.parquet', '{_SCHEMA_B2}/*.parquet'],
+      union_by_name = true)
+    GROUP BY 1
+    """,
+    tags=("S10", "schema-evolution"),
+)
+def q_source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across staged batches: batch 1 was written
+    before the pipeline tracked ``event_type`` (3 columns), batch 2
+    after (4 columns) — the drift every long-lived warehouse table
+    accumulates. ``mergeSchema`` reconciles the footers into one
+    DataFrame (missing columns read as NULL) and the aggregate labels
+    pre-upgrade rows explicitly. The oracle reads the same two batch
+    dirs with ``union_by_name``, so the gate proves Spark's merged
+    schema semantics equal the engine-independent union-by-name
+    semantics, values included.
+
+    Scale note: mergeSchema reads EVERY file footer at planning time —
+    fine per-batch, pathological over 10⁶ files; at warehouse scale the
+    merged schema belongs in a table catalog (Delta/Iceberg metadata),
+    which is this same operation amortized into the commit protocol."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    if _SCHEMA_STAGED.get("sf") != sf_dir:
+        (ev.where(F.col("ts") < cutoff)
+         .select("event_id", "user_id", "value")
+         .write.mode("overwrite").parquet(_SCHEMA_B1))
+        (ev.where(F.col("ts") >= cutoff)
+         .select("event_id", "user_id", "value", "event_type")
+         .write.mode("overwrite").parquet(_SCHEMA_B2))
+        _SCHEMA_STAGED["sf"] = sf_dir
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _SCHEMA_B1, _SCHEMA_B2)
+    return (
+        merged.select(
+            F.coalesce("event_type", F.lit("pre-upgrade"))
+            .alias("event_type"), "value")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+    )
