@@ -693,3 +693,39 @@ def q_agg_keyskew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("skew_ratio"),
         F.max_by("user_id", packed).alias("hot_key"),
     )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+        AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("A5", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — every subset of the grouping keys in one pass (the 2ᵏ
+    generalization of q_agg_rollup's hierarchy and q_agg_grouping_sets'
+    explicit list): (priority, status), (priority), (status), and grand
+    total, via the same single-scan Expand operator. Completes the A5
+    family. NULL group markers are COALESCEd to 'ALL' so the label is
+    engine-independent (and distinguishable from real NULL keys, absent
+    in this data)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+             .cast("double").alias("sum_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders", "sum_price",
+        )
+    )

@@ -104,6 +104,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_merge_agg_incremental",
     "q_agg_keyskew",
     "q_source_schema_merge",
+    "q_agg_cube",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
