@@ -522,3 +522,100 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.sum("tf")).alias("avg_logprob"),
         )
     )
+
+
+# ---- Trigram-profile language ID (Cavnar–Trenkle shape) ------------------
+
+LANGID_TOP_TRIGRAMS = 50   # profile size per language
+_LANGID_MAXLEN = 600       # oracle-side series bound (docs ≤ 553 chars)
+
+
+@query(
+    "q_text_langid_trigram",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang,
+             substr(lower(text), CAST(g.i AS INTEGER), 3) AS trigram
+      FROM documents, range(1, {_LANGID_MAXLEN}) g(i)
+      WHERE g.i <= length(text) - 2
+    ), profile AS (
+      SELECT lang AS p_lang, trigram FROM (
+        SELECT lang, trigram, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, trigram) AS rn
+        FROM tri GROUP BY lang, trigram
+      ) WHERE rn <= {LANGID_TOP_TRIGRAMS}
+    ), doc_tri AS (
+      SELECT DISTINCT doc_id, lang, trigram FROM tri
+    ), overlap AS (
+      SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS n_overlap
+      FROM doc_tri d JOIN profile p ON d.trigram = p.trigram
+      GROUP BY d.doc_id, d.lang, p.p_lang
+    )
+    SELECT doc_id, lang,
+           p_lang AS pred_lang,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           p_lang = lang AS correct
+    FROM (
+      SELECT doc_id, lang, p_lang, n_overlap,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n_overlap DESC, p_lang) AS rn
+      FROM overlap
+    ) WHERE rn = 1
+    """,
+    tags=("L3", "langid"),
+)
+def q_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM language ID (the Cavnar–Trenkle profile method, in-corpus):
+    train a top-{LANGID_TOP_TRIGRAMS} character-trigram profile per
+    language from the corpus itself, then classify each document by
+    profile overlap of its distinct trigrams (argmax, lang-ascending
+    tiebreak). The real n-gram heuristic the stopword-ratio screen
+    (q_text_langid) approximates — trigram profiles work across
+    languages with no word segmentation at all.
+
+    Scale shape: training is a (lang, trigram) hash agg + a window over
+    the tiny per-language count relation; the learned profile
+    (|langs|×{LANGID_TOP_TRIGRAMS} rows) broadcasts into the scoring
+    join, so the corpus-side relation shuffles (doc, lang, 3-char)
+    tokens only and classification is one aggregate + one argmax
+    window. Self-training on the classified corpus itself makes the
+    whole pipeline closed over the harness tables (no external model),
+    and every step is integer/string arithmetic — engine-exact."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    tri = d.where(F.length("text") >= 3).select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lower) - 2),
+                lambda i: F.substring(lower, i, 3),
+            )
+        ).alias("trigram"))
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), "trigram")
+    profile = (
+        tri.groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") <= LANGID_TOP_TRIGRAMS)
+        .select(F.col("lang").alias("p_lang"), "trigram")
+    )
+    doc_tri = tri.distinct()
+    overlap = (
+        doc_tri.join(F.broadcast(profile), "trigram")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("n_overlap").desc(), "p_lang")
+    return (
+        overlap.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang",
+                F.col("p_lang").alias("pred_lang"),
+                F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                (F.col("p_lang") == F.col("lang")).alias("correct"))
+    )

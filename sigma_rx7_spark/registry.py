@@ -105,6 +105,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_keyskew",
     "q_source_schema_merge",
     "q_agg_cube",
+    "q_text_langid_trigram",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

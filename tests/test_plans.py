@@ -327,3 +327,21 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in p, p
     seg = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert any("l_returnflag" in ln for ln in seg), seg
+
+
+def test_cube_is_single_scan_expand(spark, sf_dir):
+    # CUBE must plan as one scan + Expand (2^k grouping sets in one
+    # pass), not k separate aggregate jobs unioned together.
+    p = plan(spark, sf_dir, "q_agg_cube")
+    assert "Expand" in p, p
+    # formatted output lists each scan once in the detail section as
+    # "(N) Scan parquet"; exactly one distinct scan node means one pass.
+    assert p.count(") Scan parquet") == 1, p
+
+
+def test_langid_profile_broadcasts(spark, sf_dir):
+    # The learned trigram profile is |langs| x 50 rows — it must reach
+    # the scoring join as a broadcast, never shuffle the corpus side by
+    # profile key.
+    p = plan(spark, sf_dir, "q_text_langid_trigram")
+    assert "BroadcastHashJoin" in p, p
