@@ -1,0 +1,153 @@
+"""Iterative graph analytics on DataFrames (SURVEY.md §2.11 L1b family).
+
+Connected components (llm/dedup.py) proved the iterative min-label
+pattern; PageRank here generalizes it to weighted propagation — the
+centrality measure behind seed-quality scoring and link-spam screens in
+web-corpus curation. Same execution posture: each round is one join +
+one aggregate over (node, value) pairs, lineage kept shallow, nothing
+driver-side except the fixed iteration count.
+
+Determinism contract: the whole iteration runs in FIXED-POINT BIGINT
+(rank mass scaled by 10¹²; integer ``div`` everywhere). Float variants
+were tried first and failed the mirror at the 12th decimal: DuckDB's
+double→DECIMAL cast double-rounds (v·10¹² in binary64, then to int)
+where the JVM's BigDecimal cast is exact, so two engines disagree by
+one unit on ~1/3 of nodes after two rounds. Integer arithmetic has no
+rounding at all — Spark's partial/final sums and DuckDB's serial fold
+are bit-identical by construction, at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+PR_DAMPING_PCT = 85   # damping as an integer percentage (fixed-point)
+PR_ITERS = 3
+PR_SCALE = 10 ** 12   # rank mass unit: 1.0 == 10^12
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed part→part edges: two parts bought in the same order
+    (both directions). Per-order line counts are bounded (TPC-H ≤ 7),
+    so the per-key self-join emits O(lines²) = O(49) rows per order —
+    a bounded blow-up, same argument as the overlap rule's per-patient
+    bound."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "o")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
+                        iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-iteration fixed-point PageRank over a directed edge list.
+
+    r₀ = SCALE div N; rₖ₊₁ = (100-d)·SCALE div (100·N)
+    + d·Σ_in(r div outdeg) div 100 — every op integer, so the result is
+    engine- and partitioning-exact. Truncation (div) leaks ≤1 unit of
+    10⁻¹² mass per edge per round — irrelevant to ranking, and the
+    price of zero rounding ambiguity. Dangling nodes cannot occur here
+    (the co-purchase graph is symmetric — documented precondition).
+
+    Scale: each round shuffles (node, bigint) — never the edge payload;
+    the edge relation is round-invariant (cache/checkpoint once at
+    cluster scale, as the CC loop does); round count is fixed, so the
+    job graph is static."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n_nodes = nodes.count()  # scalar plan constant (bounded metadata)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("rank_fp"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank_fp div deg").alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum("c").cast("bigint").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(teleport).cast("bigint")
+             + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))
+            .cast("bigint").alias("rank_fp"),
+        )
+    return ranks.select(
+        "node", "rank_fp",
+        (F.col("rank_fp").cast("double") / F.lit(float(PR_SCALE)))
+        .alias("rank"),
+    )
+
+
+def _pr_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(PR_ITERS):
+        rounds.append(f"""c{k} AS (
+      SELECT e.dst AS node, r.rank_fp // d.deg AS c
+      FROM edges e
+      JOIN outdeg d ON d.src = e.src
+      JOIN {prev} r ON r.node = e.src
+    ), s{k} AS (
+      SELECT node, CAST(SUM(c) AS BIGINT) AS s FROM c{k} GROUP BY node
+    ), r{k + 1} AS (
+      SELECT n.node,
+             CAST((SELECT t FROM tele)
+                  + ({PR_DAMPING_PCT} * COALESCE(s.s, 0)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )""")
+        prev = f"r{k + 1}"
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+      SELECT COUNT(*) AS cnt FROM nodes
+    ), tele AS (
+      SELECT ((100 - {PR_DAMPING_PCT}) * {PR_SCALE})
+               // (100 * cnt) AS t FROM nn
+    ), outdeg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node,
+             CAST({PR_SCALE} // (SELECT cnt FROM nn) AS BIGINT) AS rank_fp
+      FROM nodes
+    ), {', '.join(rounds)}
+    SELECT node, rank_fp,
+           CAST(rank_fp AS DOUBLE) / {float(PR_SCALE)!r} AS rank
+    FROM {prev}
+    """
+
+
+@query("q_graph_pagerank", oracle=_pr_oracle(), tags=("L1b", "graph"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} fixed iterations, d=0.{PR_DAMPING_PCT}) over
+    the part co-purchase graph (parts sharing an order, both
+    directions) — the centrality/propagation half of the graph family
+    next to connected components' equivalence half. The entire
+    iteration is fixed-point bigint (see pagerank_fixedpoint), so the
+    oracle unrolls the SAME three rounds as static CTEs and matches
+    bit-for-bit including the final double view (one exact-input
+    division on each side)."""
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    return pagerank_fixedpoint(edges)

@@ -27,6 +27,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.incremental",
     "sigma_rx7_spark.operators.sets",
     "sigma_rx7_spark.operators.subqueries",
+    "sigma_rx7_spark.operators.graph",
     "sigma_rx7_spark.sources.formats",
     "sigma_rx7_spark.functions.strings",
     "sigma_rx7_spark.functions.dates",
@@ -106,6 +107,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_source_schema_merge",
     "q_agg_cube",
     "q_text_langid_trigram",
+    "q_graph_pagerank",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -445,3 +445,29 @@ def test_ema_constant_series_and_head(spark):
     assert len(out) == 12
     for r in out:
         assert abs(r["ema_value"] - 5.0) < 1e-9, r
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    # Fixed-point PageRank: total mass stays within the documented
+    # truncation leak of one unit per (edge, round) below SCALE, every
+    # node keeps positive rank (teleport floor), and two runs are
+    # bit-identical.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        copurchase_edges,
+    )
+
+    q = registry.load_all()["q_graph_pagerank"]
+    rows = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    again = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert rows == again
+    total = sum(r[1] for r in rows)
+    n_edges = copurchase_edges(load(spark, sf_dir, "lineitem")).count()
+    # each div truncates < 1 unit: edges per round + 1 per node per round
+    leak_bound = PR_ITERS * (n_edges + len(rows) + 1)
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - leak_bound
+    assert all(r[1] > 0 for r in rows)
