@@ -151,3 +151,96 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division on each side)."""
     edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
     return pagerank_fixedpoint(edges)
+
+
+# ---- Triangle counting (degree-oriented) ---------------------------------
+
+_TRI_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS a,
+         CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS b
+  FROM und
+  JOIN deg da ON da.node = u
+  JOIN deg db ON db.node = v
+), wedges AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.b = e2.a
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN oriented e ON e.a = w.a AND e.b = w.c
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+"""
+
+
+@query("q_graph_triangles", oracle=_TRI_ORACLE, tags=("L1b", "graph"))
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT over the undirected co-purchase graph, via the
+    degree-ORIENTED formulation: orient every edge from its (degree,
+    id)-smaller endpoint to the larger, enumerate oriented wedges
+    a→b→c, and keep those closed by an oriented (a,c) edge — each
+    triangle counted exactly once, and the wedge relation is bounded by
+    Σ outdeg² where orientation caps every outdegree at O(√m) on any
+    graph (the Schank–Wagner bound). That cap is THE scale story: the
+    naive wedge join explodes on hub nodes (deg² of the hottest key);
+    orientation moves every wedge to the low-degree endpoint, so the
+    same skew that kills the naive plan is structurally absent — no
+    salting needed. Joins shuffle (node, node) int pairs only.
+
+    Counts are integers; the oracle runs the identical algebra, so the
+    row hash-matches with no tolerance."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    und = (
+        li.alias("x").join(li.alias("y"),
+                           (F.col("x.o") == F.col("y.o"))
+                           & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    key_u = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    key_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        und.join(da, "u").join(db, "v")
+        .select(
+            F.when(key_u < key_v, F.col("u")).otherwise(F.col("v"))
+            .alias("a"),
+            F.when(key_u < key_v, F.col("v")).otherwise(F.col("u"))
+            .alias("b"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    tri = wedges.join(
+        oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"],
+        "left_semi")
+
+    def one(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    # four 1-row aggregates crossJoined: one declarative plan, each join
+    # side broadcast-sized — no driver-side counting.
+    return (one(deg, "n_nodes").crossJoin(one(und, "n_edges"))
+            .crossJoin(one(wedges, "n_wedges"))
+            .crossJoin(one(tri, "n_triangles")))

@@ -108,6 +108,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_cube",
     "q_text_langid_trigram",
     "q_graph_pagerank",
+    "q_graph_triangles",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
