@@ -275,3 +275,68 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+WEIGHTED_K = 25        # per-stratum weighted sample budget
+_U_DENOM = 16 ** 15    # 15 md5 hex chars -> uniform u in (0, 1]
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(ln(
+                   (CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) + 1) / {_U_DENOM}.0
+                 ) / n_chars AS DECIMAL(18,9)) DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM scored WHERE rn <= {WEIGHTED_K}
+    GROUP BY source
+    """,
+    tags=("L5", "sampling", "weighted"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis):
+    each doc draws u from its key digest and scores ln(u)/weight; the
+    top-K scores per stratum are a weighted-without-replacement sample
+    with inclusion probability proportional to weight (here n_chars —
+    longer docs oversampled, the "sample by token mass" policy a
+    training mixture uses). Deterministic: u is a pure function of the
+    key (15 md5 hex chars → uniform in (0,1]), so membership is stable
+    under reordering, re-partitioning, and engine choice, and the
+    id_checksum pins it exactly.
+
+    The ln passes through libm, so the score is decimal-quantized at
+    9 dp before ranking (compat.py convention); (score, doc_id) is a
+    total order, so both engines select the identical K rows. Scale
+    shape: identical to q_sample_reservoir — one per-stratum top-K
+    window, K rows per stratum past the shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("bigint")
+    u = (raw + 1) / F.lit(float(_U_DENOM))
+    score = (F.log(u) / F.col("n_chars")).cast("decimal(18,9)")
+    w = Window.partitionBy("source").orderBy(score.desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= WEIGHTED_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

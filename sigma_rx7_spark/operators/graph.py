@@ -213,7 +213,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = (
         und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        .union(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     )
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))

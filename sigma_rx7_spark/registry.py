@@ -109,6 +109,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_langid_trigram",
     "q_graph_pagerank",
     "q_graph_triangles",
+    "q_sample_weighted",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
