@@ -729,3 +729,76 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "sum_price",
         )
     )
+
+
+MAD_CONSISTENCY = 0.6745   # Φ⁻¹(0.75): MAD→σ consistency constant
+MAD_OUTLIER_Z = 3.5        # conventional robust-z cutoff
+
+
+@query(
+    "q_agg_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(d.med AS DOUBLE), 6) AS median_value,
+           ROUND(CAST(m.mad AS DOUBLE), 6) AS mad_value,
+           CAST(SUM(CASE WHEN CAST({MAD_CONSISTENCY} * d.ad / m.mad
+                              AS DECIMAL(20,6)) > {MAD_OUTLIER_Z}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(CAST(MAX({MAD_CONSISTENCY} * d.ad / m.mad)
+                AS DECIMAL(20,6)) AS DOUBLE) AS max_robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+    tags=("A14", "stats", "robust"),
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly screen — median + MAD instead of mean + stddev
+    (q_agg_anomaly's moment statistics break down when the outliers
+    themselves inflate σ; the median absolute deviation has a 50%
+    breakdown point). Per group: median, MAD, and outliers at robust-z
+    = {MAD_CONSISTENCY}·|x−med|/MAD > {MAD_OUTLIER_Z}.
+
+    Two aggregate passes by construction (the deviation needs the
+    median first); each reuses the same (event_type) hash partitioning
+    and the tiny per-group stats broadcast back onto the stream —
+    same posture as q_agg_anomaly. Exact-interpolation percentiles
+    match quantile_cont (the q_agg_stats precedent); the robust-z
+    ratio is 6-dp quantized before both the threshold compare and the
+    max (division convention)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"))
+    z = (F.lit(MAD_CONSISTENCY) * F.col("ad") / F.col("mad")) \
+        .cast("decimal(20,6)")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(z > MAD_OUTLIER_Z, 1).otherwise(0))
+            .cast("bigint").alias("n_outliers"),
+            F.max(z).cast("double").alias("max_robust_z"),
+        )
+        .select("event_type", "n_events",
+                F.round(F.col("med").cast("double"), 6)
+                .alias("median_value"),
+                F.round(F.col("mad").cast("double"), 6).alias("mad_value"),
+                "n_outliers", "max_robust_z")
+    )

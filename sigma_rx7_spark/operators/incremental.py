@@ -193,3 +193,89 @@ def q_merge_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         both("max_value", F.greatest).alias("max_value"),
         both("first_ts", F.least).alias("first_ts"),
     )
+
+
+@query(
+    "q_merge_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, event_id, value FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+      ) WHERE rn = 1
+    ), post AS (
+      SELECT user_id, event_type, event_id, value FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT
+      COALESCE(b.user_id, p.user_id) AS user_id,
+      COALESCE(b.event_type, p.event_type) AS event_type,
+      b.event_id AS old_event_id,
+      p.event_id AS new_event_id,
+      CASE
+        WHEN b.user_id IS NULL THEN 'added'
+        WHEN p.user_id IS NULL THEN 'removed'
+        WHEN b.event_id <> p.event_id THEN 'changed'
+        ELSE 'unchanged'
+      END AS diff_status
+    FROM base b
+    FULL OUTER JOIN post p
+      ON b.user_id = p.user_id AND b.event_type = p.event_type
+    """,
+    tags=("M1", "cdc", "diff"),
+)
+def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF (the CDC primitive MERGE consumes): latest-per-key
+    state at the cutoff vs latest-per-key state now, full-outer joined
+    on the key into added / removed / changed / unchanged rows — how a
+    warehouse derives a change feed from two table versions when the
+    source system emits none (reference bootstrap = full rewrite,
+    README.md:36,55-58; this is its incremental complement, the inverse
+    direction of q_merge_upsert which APPLIES a change feed).
+
+    'removed' is structurally absent on append-only events (a key seen
+    before the cutoff is still its own latest if nothing newer came) —
+    the branch is exercised by tests/test_incremental_cc.py on a
+    synthetic keyed table instead; the driver gate covers the other
+    three statuses. Scale shape: both snapshots reduce via the same
+    (key) windowed latest (one shuffle each, same partitioning reused
+    by the join); the diff never ships value payloads, only keys + ids."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts")
+    keys = ["user_id", "event_type"]
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    base = latest_per_key(ev.where(F.col("ts") < cutoff),
+                          keys, "ts", "event_id")
+    post = latest_per_key(ev, keys, "ts", "event_id")
+    return snapshot_diff(base, post, keys, "event_id")
+
+
+def snapshot_diff(base: DataFrame, post: DataFrame, keys: list[str],
+                  id_col: str) -> DataFrame:
+    """Keyed diff of two snapshots: added / removed / changed /
+    unchanged per key, by full-outer join. ``id_col`` is the version
+    witness — equal ids mean the row did not change. Reused by
+    q_merge_snapshot_diff (driver-gated, no 'removed' on append-only
+    input) and driven with a synthetic removed key in tests."""
+    b, p = base.alias("b"), post.alias("p")
+    cond = [F.col(f"b.{k}") == F.col(f"p.{k}") for k in keys]
+    k0 = keys[0]
+    return b.join(p, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"b.{k}"), F.col(f"p.{k}")).alias(k)
+          for k in keys],
+        F.col(f"b.{id_col}").alias(f"old_{id_col}"),
+        F.col(f"p.{id_col}").alias(f"new_{id_col}"),
+        F.when(F.col(f"b.{k0}").isNull(), "added")
+        .when(F.col(f"p.{k0}").isNull(), "removed")
+        .when(F.col(f"b.{id_col}") != F.col(f"p.{id_col}"), "changed")
+        .otherwise("unchanged").alias("diff_status"),
+    )

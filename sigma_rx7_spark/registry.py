@@ -110,6 +110,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_sample_weighted",
+    "q_agg_mad",
+    "q_merge_snapshot_diff",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

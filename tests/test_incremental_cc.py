@@ -130,3 +130,22 @@ def test_merge_upsert_idempotent(spark, base, changes):
     twice = merge_upsert(once, c, ["k"]).drop("src")
     assert (sorted(map(tuple, once.collect()))
             == sorted(map(tuple, twice.collect())))
+
+
+def test_snapshot_diff_covers_all_four_statuses(spark):
+    # The driver-gated query can never produce 'removed' (append-only
+    # input); drive the helper with a synthetic pair that exercises
+    # every branch.
+    from sigma_rx7_spark.operators.incremental import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "a", 300)],
+        "k long, g string, event_id long")
+    post = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (4, "a", 400)],
+        "k long, g string, event_id long")
+    out = {(r["k"], r["g"]): r["diff_status"]
+           for r in snapshot_diff(base, post, ["k", "g"],
+                                  "event_id").collect()}
+    assert out == {(1, "a"): "unchanged", (2, "a"): "changed",
+                   (3, "a"): "removed", (4, "a"): "added"}
