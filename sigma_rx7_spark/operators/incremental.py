@@ -259,6 +259,172 @@ def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, post, keys, "event_id")
 
 
+@query(
+    "q_merge_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, event_id, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS version
+    FROM changes
+    """,
+    tags=("M1", "scd2"),
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 DIMENSION BUILD: compress each user's event-type
+    history into versioned validity intervals — a new version opens only
+    when the tracked attribute actually changes (run-length compression
+    via lag), valid_to = next version's valid_from (lead), the open
+    interval is flagged current. This is the standard
+    slowly-changing-dimension derivation a warehouse runs over a change
+    history to get point-in-time joinable dimensions; the reference's
+    full-rewrite bootstrap (README.md:36,55-58) has no history at all,
+    so this is its longitudinal completion (with q_join_asof as the
+    consumer that would join facts to these intervals).
+
+    Scale shape: both windows share ONE (user_id)-hash partitioning —
+    the change-detection window runs over the full history, the
+    version/lead window over the much smaller change relation; Catalyst
+    reuses the exchange (same partition key). No payload wider than the
+    tracked attribute ever shuffles. Total order (ts, event_id) makes
+    run boundaries engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull()
+               | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+# Deterministic delete marker for the CDC batch: every 7th event id is a
+# tombstone. Keyed to content (not position) so both engines derive the
+# identical op column.
+_CDC_DELETE_MOD = 7
+
+
+@query(
+    "q_merge_cdc_apply",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+    ), base AS (
+      SELECT user_id, event_type, event_id, value, TRUE AS b_present
+      FROM latest WHERE rn = 1
+    ), chg_latest AS (
+      SELECT user_id, event_type, event_id, value,
+             CASE WHEN event_id % {_CDC_DELETE_MOD} = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
+    ), changes AS (
+      SELECT user_id, event_type, event_id, value, op, TRUE AS c_present
+      FROM chg_latest WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT
+        COALESCE(b.user_id, c.user_id) AS user_id,
+        COALESCE(b.event_type, c.event_type) AS event_type,
+        CASE WHEN c.c_present THEN c.event_id
+             ELSE b.event_id END AS event_id,
+        CASE WHEN c.c_present THEN c.value
+             ELSE b.value END AS value,
+        CASE WHEN c.c_present IS NULL THEN 'carry'
+             WHEN b.b_present IS NULL THEN 'insert'
+             ELSE 'update' END AS src,
+        c.op AS op
+      FROM base b
+      FULL OUTER JOIN changes c
+        ON b.user_id IS NOT DISTINCT FROM c.user_id
+       AND b.event_type IS NOT DISTINCT FROM c.event_type
+    ) WHERE op IS NULL OR op <> 'D'
+    """,
+    tags=("M1", "cdc"),
+)
+def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY WITH DELETES: the change batch carries an op column
+    (U = upsert, D = tombstone — here derived deterministically as every
+    7th event id); the latest op per key wins, then MERGE semantics
+    extend q_merge_upsert's: matched+U updates, unmatched+U inserts,
+    matched+D DELETES the key, unmatched+D is a no-op, untouched base
+    keys carry. This is the full Debezium/Delta `MERGE ... WHEN MATCHED
+    AND op='D' THEN DELETE` contract — the piece plain upsert cannot
+    express — applied as one keyed full-outer join + post-filter.
+
+    Scale shape identical to q_merge_upsert (the tombstone filter is a
+    row-local predicate on the join output, no extra shuffle); with both
+    sides bucketed by the key the join shuffle disappears too. Delete
+    semantics are latest-wins per key: a D followed by a later U in the
+    SAME batch resurrects the key, because only the latest change row
+    per key is applied — the same convergence rule streaming MERGE uses
+    (streaming/jobs.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    base = latest_per_key(
+        ev.where(F.col("ts") < cutoff), keys, "ts", "event_id"
+    ).drop("ts")
+    changes = latest_per_key(
+        ev.where(F.col("ts") >= cutoff), keys, "ts", "event_id"
+    ).drop("ts").withColumn(
+        "op",
+        F.when(F.col("event_id") % _CDC_DELETE_MOD == 0, "D")
+        .otherwise("U"))
+
+    value_cols = ["event_id", "value"]
+    b = base.withColumn("_b_present", F.lit(True)).alias("b")
+    c = changes.withColumn("_c_present", F.lit(True)).alias("c")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    merged = b.join(c, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k)
+          for k in keys],
+        *[F.when(F.col("c._c_present"), F.col(f"c.{v}"))
+          .otherwise(F.col(f"b.{v}")).alias(v) for v in value_cols],
+        F.when(F.col("c._c_present").isNull(), F.lit("carry"))
+        .when(F.col("b._b_present").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update")).alias("src"),
+        F.col("c.op").alias("op"),
+    )
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+
+
 def snapshot_diff(base: DataFrame, post: DataFrame, keys: list[str],
                   id_col: str) -> DataFrame:
     """Keyed diff of two snapshots: added / removed / changed /

@@ -1,0 +1,173 @@
+"""Data-quality audit (SURVEY.md §2.4 extension, Q1).
+
+The reference trusts its bootstrap data wholesale (reference
+README.md:36,55-58 seeds and never validates); a 100 TB warehouse gates
+every ingest batch behind an expectation suite — null-rate, key
+uniqueness, referential integrity, domain-range checks — and quarantines
+batches that fail. This module is that gate as ONE query: a fixed
+catalog of checks, each returning (check, n_violations, n_rows), so the
+pass/fail policy is a trivial filter over a tiny result.
+
+Scale posture:
+- All single-table checks on a table share ONE scan: conditional
+  aggregation (`sum(case when violated)`) folds every per-row predicate
+  into the same partial/final hash aggregate — adding a check is free.
+- Key-uniqueness reduces rows→keys before counting (shuffle carries the
+  key column only).
+- Referential integrity is a left-anti join from fact to dimension keys
+  — at warehouse scale the dimension key set is the broadcast side, so
+  the fact table never shuffles (same posture as J1).
+- Output is O(#checks) rows regardless of input size; the audit row
+  count is what an orchestrator alerts on, so this query IS the circuit
+  breaker in front of every downstream consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def _violations(name: str, cond, total_alias: str = "n_rows"):
+    """Conditional-aggregation violation counter: one CASE per check,
+    all sharing the enclosing single-scan aggregate."""
+    return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+
+@query(
+    "q_quality_audit",
+    oracle="""
+    WITH o AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+        SUM(CASE WHEN o_orderdate > DATE '2030-12-31'
+                   OR o_orderdate < DATE '1990-01-01'
+                 THEN 1 ELSE 0 END) AS date_range
+      FROM orders
+    ), l AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS qty_range,
+        SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                 THEN 1 ELSE 0 END) AS discount_range
+      FROM lineitem
+    ), dup AS (
+      SELECT COUNT(*) AS n_dup_keys,
+             (SELECT COUNT(*) FROM orders) AS n_rows
+      FROM (
+        SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1
+      )
+    ), orphan AS (
+      SELECT COUNT(*) AS n_orphans,
+             (SELECT COUNT(*) FROM lineitem) AS n_rows
+      FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT 'orders_null_custkey' AS check,
+           CAST(null_cust AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows FROM o
+    UNION ALL
+    SELECT 'orders_nonpositive_price', CAST(nonpos_price AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'orders_date_out_of_range', CAST(date_range AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'lineitem_quantity_range', CAST(qty_range AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'lineitem_negative_price', CAST(neg_price AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'lineitem_discount_range', CAST(discount_range AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'orders_duplicate_pk', CAST(n_dup_keys AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM dup
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(n_orphans AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM orphan
+    """,
+    tags=("Q1", "quality"),
+)
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY AUDIT: the ingest expectation suite as one query —
+    null-rate, domain-range, primary-key-uniqueness, and referential-
+    integrity checks over orders/lineitem, each reported as
+    (check, n_violations, n_rows). All per-row checks on a table fold
+    into a single conditional-aggregation scan; PK uniqueness reduces
+    rows to keys before counting; RI is a left-anti join whose dimension
+    key side broadcasts at any realistic dim/fact ratio. Integer counts
+    end to end — bit-exact across engines by construction."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    o_profile = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _violations("null_cust", F.col("o_custkey").isNull()),
+        _violations("nonpos_price", F.col("o_totalprice") <= 0),
+        _violations("date_range",
+                    (F.col("o_orderdate") > F.lit("2030-12-31").cast("date"))
+                    | (F.col("o_orderdate")
+                       < F.lit("1990-01-01").cast("date"))),
+    )
+    l_profile = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _violations("qty_range", (F.col("l_quantity") <= 0)
+                    | (F.col("l_quantity") > 50)),
+        _violations("neg_price", F.col("l_extendedprice") < 0),
+        _violations("discount_range", (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1)),
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    dup = (
+        orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_keys"))
+        .crossJoin(n_orders)  # 1-row × 1-row
+    )
+    orphan = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(n_li)  # 1-row × 1-row
+    )
+
+    def unpivot(src: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+        """Explode the 1-row profile into (check, n_violations, n_rows)
+        rows INSIDE one plan branch, so the underlying scan+aggregate
+        runs once (a union of per-check selects over the same aggregate
+        would re-plan the scan per branch)."""
+        pairs = F.array(*[
+            F.struct(F.lit(name).alias("check"),
+                     F.col(col).cast("long").alias("n_violations"))
+            for name, col in checks
+        ])
+        return src.select(
+            F.explode(pairs).alias("kv"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        ).select("kv.check", "kv.n_violations", "n_rows")
+
+    return (
+        unpivot(o_profile, [
+            ("orders_null_custkey", "null_cust"),
+            ("orders_nonpositive_price", "nonpos_price"),
+            ("orders_date_out_of_range", "date_range"),
+        ])
+        .unionAll(unpivot(l_profile, [
+            ("lineitem_quantity_range", "qty_range"),
+            ("lineitem_negative_price", "neg_price"),
+            ("lineitem_discount_range", "discount_range"),
+        ]))
+        .unionAll(unpivot(dup, [("orders_duplicate_pk", "n_dup_keys")]))
+        .unionAll(unpivot(orphan,
+                          [("lineitem_orphan_orderkey", "n_orphans")]))
+    )

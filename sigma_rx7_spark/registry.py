@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.sets",
     "sigma_rx7_spark.operators.subqueries",
     "sigma_rx7_spark.operators.graph",
+    "sigma_rx7_spark.operators.quality",
     "sigma_rx7_spark.sources.formats",
     "sigma_rx7_spark.functions.strings",
     "sigma_rx7_spark.functions.dates",
@@ -112,6 +113,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_sample_weighted",
     "q_agg_mad",
     "q_merge_snapshot_diff",
+    "q_merge_scd2",
+    "q_merge_cdc_apply",
+    "q_quality_audit",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
