@@ -625,3 +625,71 @@ def q_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_overlap").cast("bigint").alias("n_overlap"),
                 (F.col("p_lang") == F.col("lang")).alias("correct"))
     )
+
+
+VOCAB_TOP_K = 100
+
+
+@query(
+    "q_text_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts
+    ), top AS (
+      SELECT token, cnt FROM counts
+      ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}
+    )
+    SELECT token,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS rank,
+           CAST(CAST(SUM(cnt) OVER (
+                  ORDER BY cnt DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS DOUBLE) / CAST(n_total AS DOUBLE)
+             AS cum_share
+    FROM top CROSS JOIN total
+    """,
+    tags=("L3", "vocab"),
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY BUILD: the top-K tokens of the lowercased
+    corpus by frequency, with rank and cumulative corpus-coverage share
+    — the frequency table a BPE/WordPiece trainer starts from, and the
+    coverage curve that picks the vocab size.
+
+    Scale shape: explode → one (token) hash aggregation (map-side
+    partials collapse repeats before the shuffle), then top-K selection
+    via orderBy+limit — Spark's TakeOrderedAndProject, a per-partition
+    heap + driver merge of K rows, never a global sort. The
+    rank/coverage window runs over the K-row result only; the corpus
+    token total joins in as a broadcast scalar. All counts are
+    bigint-exact; the single int/int → double division is IEEE-identical
+    across engines, so the share hash-matches with no quantization."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            (F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+             .cast("double") / F.col("n_total").cast("double"))
+            .alias("cum_share"),
+        )
+    )

@@ -802,3 +802,123 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("mad").cast("double"), 6).alias("mad_value"),
                 "n_outliers", "max_robust_z")
     )
+
+
+@query(
+    "q_agg_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    ), per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type FROM ut
+      GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n_type AS n_a, tb.n_type AS n_b,
+           CAST(p.n_both * n.n_users AS DOUBLE)
+             / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN per_type ta ON p.type_a = ta.event_type
+    JOIN per_type tb ON p.type_b = tb.event_type
+    CROSS JOIN n
+    """,
+    tags=("A19", "cooccurrence"),
+)
+def q_agg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-OCCURRENCE / MARKET-BASKET LIFT: for every unordered pair of
+    event types, how many users did both, and the lift
+    n_both·N / (n_a·n_b) — the association measure behind
+    recommendation rules, feature co-occurrence matrices, and tag
+    affinity. The reference's rule layer checks one pairing at a time
+    (overlap, README.md:23); this is the all-pairs analytic view of the
+    same idea.
+
+    Scale shape: the raw stream first collapses to the DISTINCT
+    (user, item) relation — the only shuffle that sees data volume; the
+    pair join is user-keyed over that deduplicated relation, and its
+    output is bounded by users × itemset², with the itemset vocabulary
+    (not row count) bounding the result. Per-item totals and the user
+    count join back as broadcast scalars. Integer counts + one double
+    division = engine-exact with no quantization."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_type"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n_type").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            ((F.col("n_both") * F.col("n_users")).cast("double")
+             / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+        )
+    )
+
+
+EQDEPTH_BUCKETS = 10
+
+
+@query(
+    "q_agg_histogram_eqdepth",
+    oracle=f"""
+    WITH b AS (
+      SELECT value,
+             NTILE({EQDEPTH_BUCKETS}) OVER (ORDER BY value, event_id)
+               AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY bucket
+    """,
+    tags=("A20", "histogram"),
+)
+def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM: ntile bucketing over the value's total
+    order — every bucket holds the same row count and the (lo, hi)
+    bounds ARE the exact quantile cutpoints. The complement of A13's
+    equi-width profile (fixed-width bins, skewed counts): equi-depth is
+    what optimizers store and what skew diagnosis reads.
+
+    The (value, event_id) total order makes tie placement
+    engine-deterministic. Scale note: exact ntile requires a global
+    sort; this query is the exactness anchor, and the 100 TB relaxation
+    is the mergeable-sketch path next door (A12 approx_percentile
+    cutpoints + one conditional-aggregation pass), same trade the
+    A8-vs-A12 pair documents."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "value",
+        F.ntile(EQDEPTH_BUCKETS)
+        .over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

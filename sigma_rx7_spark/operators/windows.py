@@ -325,3 +325,58 @@ def q_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts_us",
         ema.cast("decimal(20,6)").cast("double").alias("ema_value"),
     )
+
+
+ROLLMED_FRAME = 25  # trailing rows per frame (24 preceding + current)
+
+
+@query(
+    "q_window_rolling_median",
+    oracle=f"""
+    WITH framed AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW
+             )) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN len(vals) % 2 = 1
+                THEN vals[(len(vals) + 1) // 2]
+                ELSE (vals[len(vals) // 2] + vals[len(vals) // 2 + 1]) / 2.0
+           END AS rolling_median
+    FROM framed
+    """,
+    tags=("W14", "window"),
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING EXACT MEDIAN: the trailing-25-row median of `value` per
+    user — the robust running center (sensor smoothing, spike
+    suppression) that W4's rolling mean cannot give, and the windowed
+    form of A8's grouped median. No engine exposes exact median as a
+    frame aggregate portably, so both sides materialize the frame
+    (collect_list over a 25-row bounded frame), sort it, and index the
+    middle — identical element picks and identical (a+b)/2 arithmetic,
+    so the result is bit-exact with no quantization.
+
+    Scale shape: one (user_id) partitioning + in-partition sort shared
+    with every other per-user window; the frame buffer is bounded at 25
+    doubles per row, so memory is O(frame), not O(partition). The
+    even/odd middle arithmetic is spelled out rather than delegated to
+    a built-in median/quantile (engines interpolate differently —
+    a+(b-a)/2 vs (a+b)/2 differ in the last ulp)."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(ROLLMED_FRAME - 1), 0))
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.when(n % 2 == 1,
+               F.element_at(vals, ((n + 1) / 2).cast("int")))
+        .otherwise((F.element_at(vals, (n / 2).cast("int"))
+                    + F.element_at(vals, (n / 2).cast("int") + 1)) / 2.0)
+        .alias("rolling_median"),
+    )

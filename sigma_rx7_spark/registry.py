@@ -116,6 +116,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_merge_scd2",
     "q_merge_cdc_apply",
     "q_quality_audit",
+    "q_text_vocab",
+    "q_agg_cooccurrence",
+    "q_agg_histogram_eqdepth",
+    "q_window_rolling_median",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
