@@ -1346,3 +1346,111 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_cm") >= CONTAINMENT_DUP)
         .drop("_cm")
     )
+
+
+# ---- SemDeDup: k-means-cell-blocked semantic dedup -----------------------
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, u.pos AS pos, CAST(u.x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(
+                 range(1, len(embedding) + 1),
+                 i -> struct_pack(pos := i, x := embedding[i]))) AS u
+        FROM embeddings)
+    ), cent AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(x)
+               AS centroid
+      FROM ex GROUP BY label, pos
+    ), d2 AS (
+      SELECT ex.vec_id, cent.c_label,
+             CAST(SUM(CAST((ex.x - cent.centroid) * (ex.x - cent.centroid)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, cent.c_label
+    ), assigned AS (
+      SELECT vec_id, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), n AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+           aa.cell AS cell,
+           list_inner_product(a.nv, b.nv) AS cos_sim
+    FROM n a JOIN assigned aa ON a.vec_id = aa.vec_id
+    JOIN assigned ab ON TRUE
+    JOIN n b ON b.vec_id = ab.vec_id
+    WHERE aa.cell = ab.cell AND a.vec_id < b.vec_id
+      AND list_inner_product(a.nv, b.nv) >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("L1", "dedup", "embedding", "semdedup"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP, cluster-blocked (the SemDeDup pipeline shape):
+    k-means-assign every embedding to its nearest centroid, then run the
+    exact cosine scorer ONLY on same-cell pairs — the third blocking
+    scheme in the embedding-dedup family, next to SRP-LSH bit-band
+    buckets (q_dedup_cosine_lsh) and the all-pairs baseline
+    (q_dedup_cosine). Clustering-as-blocking is what the published
+    LLM-corpus pipelines run at the billions-of-docs scale, because the
+    cells double as the IVF index cells (similarity.py) — one clustering
+    pays for dedup AND serving.
+
+    Scale shape: centroids are a k×dim broadcast relation (the
+    clustering.py posture); assignment is one exploded hash-agg + argmin
+    carrying k rows per vector; the pair join shuffles the corpus by
+    cell id once and pair volume is Σ|cell|² — controlled by k, never
+    n². Recall trade (documented, inherent to SemDeDup): near-dup pairs
+    straddling a cell boundary are missed; the mitigation at scale is
+    probing the p nearest cells, exactly like IVF's nprobe. Here k =
+    label cardinality so the oracle can mirror the deterministic
+    seeding; the distance/argmin arithmetic is q_cluster_assign's
+    (green), the pair scorer is q_dedup_cosine's (green)."""
+    from .clustering import _centroids, _exploded
+    from ..compat import q as qz
+
+    ex = _exploded(spark, sf_dir)
+    cent = _centroids(ex)
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(qz((F.col("x") - F.col("centroid"))
+                      * (F.col("x") - F.col("centroid"))))
+             .cast("double").alias("dist2"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    e = load(spark, sf_dir, "embeddings")
+    nv = e.select("vec_id", normalized("embedding").alias("nv"))
+    withcell = nv.join(assigned, "vec_id")
+    a = withcell.select(F.col("vec_id").alias("a_vec_id"),
+                        F.col("nv").alias("a_nv"), "cell")
+    b = withcell.select(F.col("vec_id").alias("b_vec_id"),
+                        F.col("nv").alias("b_nv"), "cell")
+    return (
+        a.join(b, "cell")
+        .where(F.col("a_vec_id") < F.col("b_vec_id"))
+        .select("a_vec_id", "b_vec_id", "cell",
+                dot("a_nv", "b_nv").alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )

@@ -120,6 +120,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_cooccurrence",
     "q_agg_histogram_eqdepth",
     "q_window_rolling_median",
+    "q_dedup_semantic",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
