@@ -244,3 +244,61 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (one(deg, "n_nodes").crossJoin(one(und, "n_edges"))
             .crossJoin(one(wedges, "n_wedges"))
             .crossJoin(one(tri, "n_triangles")))
+
+
+# ---- Recursive-CTE BFS reachability (Spark 4 WITH RECURSIVE) -------------
+
+REACH_MAX_HOPS = 2
+
+# ONE SQL text runs on BOTH engines (Spark executes it verbatim; the
+# registry hands the identical string to DuckDB) — the strongest possible
+# parity statement for the brand-new Spark 4 recursive-CTE surface.
+# Spark supports only UNION ALL recursion (UNION DISTINCT is rejected by
+# the analyzer as of 4.1), so the walk enumerates *paths* and aggregates
+# to min-hops afterwards; the hop bound keeps path volume polynomial
+# (deg + deg^2 rows from one seed), which is why the bound is part of
+# the operator's contract and not a tuning knob.
+_REACH_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seed AS (
+  SELECT MIN(l_partkey) AS s FROM lineitem
+), walk(node, hops) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {REACH_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MIN(hops) AS INT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk GROUP BY node
+"""
+
+
+@query("q_graph_reachability", oracle=_REACH_SQL, tags=("L1b", "graph"))
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE-CTE BFS: the {REACH_MAX_HOPS}-hop co-purchase
+    neighborhood of the smallest part key — per reachable node, its
+    minimum hop distance and how many distinct paths reach it (the
+    "customers who bought X also bought" expansion, expressed in the
+    Spark 4 ``WITH RECURSIVE`` SQL surface rather than a driver-side
+    loop like PageRank/CC use).
+
+    Same SQL text executes on Spark and DuckDB — zero translation. Scale
+    shape: each recursion step is one (frontier ⋈ edges) hash join whose
+    input is the previous frontier only; Catalyst plans the fixed-depth
+    unrolling, the frontier relation shuffles by node, and the edge
+    relation is identical every step (cache candidate at cluster
+    scale). The UNION ALL frontier means path-count growth bounds the
+    work — with the hop cap it is Σ degᵏ, k ≤ {REACH_MAX_HOPS}; an
+    uncapped walk on a cyclic graph would not terminate, which the
+    WHERE guard makes structurally impossible."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)

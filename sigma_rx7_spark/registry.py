@@ -121,6 +121,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_histogram_eqdepth",
     "q_window_rolling_median",
     "q_dedup_semantic",
+    "q_graph_reachability",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
