@@ -122,6 +122,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_rolling_median",
     "q_dedup_semantic",
     "q_graph_reachability",
+    "q_stream_sliding_counts",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -441,3 +441,54 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "value", "ts")
     )
     return streaming_merge(base, change_stream, keys, "ts", "event_id")
+
+
+@query(
+    "q_stream_sliding_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             make_timestamp(
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(CAST(ts AS TIMESTAMP)) % 900000000)
+               - k.k * 900000000) AS window_start
+      FROM events
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY window_start, event_type
+    """,
+    tags=("T3", "streaming", "sliding"),
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (the T3 variant tumbling
+    windows don't cover): 1-hour windows advancing every 15 minutes, so
+    each event lands in exactly 4 overlapping windows — the rolling
+    alert-rate view (reference README.md:11's "real-time" UX, made
+    actually real-time). availableNow ⇒ the result equals the batch
+    expansion, which the oracle states literally: per event, the 4
+    slide-aligned window starts via epoch-µs floor arithmetic
+    (`make_timestamp` of `epoch - epoch%slide - k·slide`), then the
+    same grouped count/exact-decimal sum.
+
+    Scale note: sliding windows multiply state by window/slide (4× here)
+    — that factor is the knob, watermark expiry still bounds total state
+    at rate × (window + lateness); Spark stores one state row per
+    (window, key), not per event."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    return run_to_memory(agg, "stream_sliding_counts")
