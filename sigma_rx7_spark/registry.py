@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.graph",
     "sigma_rx7_spark.operators.quality",
     "sigma_rx7_spark.sources.formats",
+    "sigma_rx7_spark.sources.pydatasource",
     "sigma_rx7_spark.functions.strings",
     "sigma_rx7_spark.functions.dates",
     "sigma_rx7_spark.functions.scoring",
@@ -123,6 +124,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_graph_reachability",
     "q_stream_sliding_counts",
+    "q_source_pydatasource",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
