@@ -14,9 +14,10 @@ Scale posture:
   into the same partial/final hash aggregate — adding a check is free.
 - Key-uniqueness reduces rows→keys before counting (shuffle carries the
   key column only).
-- Referential integrity is a left-anti join from fact to dimension keys
-  — at warehouse scale the dimension key set is the broadcast side, so
-  the fact table never shuffles (same posture as J1).
+- Referential integrity is a broadcast LEFT join from fact keys to the
+  distinct dimension keys plus a conditional count — orphan count AND
+  total row count fall out of one pass, and the fact table never
+  shuffles (same posture as J1).
 - Output is O(#checks) rows regardless of input size; the audit row
   count is what an orchestrator alerts on, so this query IS the circuit
   breaker in front of every downstream consumer.
@@ -59,17 +60,19 @@ def _violations(name: str, cond, total_alias: str = "n_rows"):
                  THEN 1 ELSE 0 END) AS discount_range
       FROM lineitem
     ), dup AS (
-      SELECT COUNT(*) AS n_dup_keys,
-             (SELECT COUNT(*) FROM orders) AS n_rows
-      FROM (
-        SELECT o_orderkey FROM orders
-        GROUP BY o_orderkey HAVING COUNT(*) > 1
-      )
+      -- n_rows falls out of the same key aggregation (sum of per-key
+      -- counts) — no second scan of orders
+      SELECT SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+             SUM(c) AS n_rows
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
     ), orphan AS (
-      SELECT COUNT(*) AS n_orphans,
-             (SELECT COUNT(*) FROM lineitem) AS n_rows
-      FROM lineitem
-      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      -- left join + conditional count: one pass gives total AND orphans
+      SELECT SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_orphans,
+             COUNT(*) AS n_rows
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
     )
     SELECT 'orders_null_custkey' AS check,
            CAST(null_cust AS BIGINT) AS n_violations,
@@ -104,9 +107,11 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity checks over orders/lineitem, each reported as
     (check, n_violations, n_rows). All per-row checks on a table fold
     into a single conditional-aggregation scan; PK uniqueness reduces
-    rows to keys before counting; RI is a left-anti join whose dimension
-    key side broadcasts at any realistic dim/fact ratio. Integer counts
-    end to end — bit-exact across engines by construction."""
+    rows to keys before counting (and the table's row count falls out of
+    the same aggregation); RI is a broadcast left join + conditional
+    count whose dimension key side broadcasts at any realistic dim/fact
+    ratio. Integer counts end to end — bit-exact across engines by
+    construction."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 
@@ -127,18 +132,23 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _violations("discount_range", (F.col("l_discount") < 0)
                     | (F.col("l_discount") > 1)),
     )
-    n_orders = orders.agg(F.count(F.lit(1)).alias("n_rows"))
-    n_li = li.agg(F.count(F.lit(1)).alias("n_rows"))
     dup = (
-        orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
-        .agg(F.count(F.lit(1)).alias("n_dup_keys"))
-        .crossJoin(n_orders)  # 1-row × 1-row
+        orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .alias("n_dup_keys"),
+            F.sum("c").alias("n_rows"),  # total rows, same scan
+        )
     )
     orphan = (
-        li.join(orders.select("o_orderkey"),
-                li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_orphans"))
-        .crossJoin(n_li)  # 1-row × 1-row
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey").distinct(),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .alias("n_orphans"),
+            F.count(F.lit(1)).alias("n_rows"),  # total + orphans, one pass
+        )
     )
 
     def unpivot(src: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
