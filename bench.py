@@ -64,6 +64,10 @@ HEADLINE = [
     "q_join_bucketed",
     "q_agg_corr",
     "q_pipeline_chunk",
+    # This session: warehouse-maintenance + blocking-scheme coverage.
+    "q_quality_audit",
+    "q_merge_scd2",
+    "q_dedup_semantic",
 ]
 
 

@@ -922,3 +922,141 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+KMV_K = 64
+
+
+@query(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, user_id, hv,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hv, user_id) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type,
+             MAX(hv) AS hk,
+             CAST(COUNT(*) AS BIGINT) AS k_kept
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM h GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_exact,
+           CASE WHEN ex.n_exact < {KMV_K}
+                THEN CAST(ex.n_exact AS DOUBLE)
+                ELSE ({KMV_K} - 1) / sk.hk
+           END AS kmv_est
+    FROM ex JOIN sk ON ex.event_type = sk.event_type
+    """,
+    tags=("A21", "sketch"),
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT-COUNT SKETCH, oracle-checkable:
+    per event type, keep the {KMV_K} smallest normalized md5 hashes of
+    the user ids; the k-th smallest hash h_k estimates the distinct
+    count as (k−1)/h_k. This is the mergeable-sketch idea behind A4's
+    approx_count_distinct — but where HLL's register layout is
+    engine-private (A4 is rows-only forever), KMV over a DETERMINISTIC
+    PORTABLE hash is bit-reproducible in any engine, so the estimator
+    itself sits behind the exact-match gate, alongside its exact count
+    and never more than one plan away from a relative-error audit.
+
+    Scale shape: the sketch is a k-row-per-group relation — the
+    row_number window runs over the DISTINCT (group, key) relation, and
+    at 100 TB the same sketch merges associatively (union two k-sets,
+    keep the k smallest — the property tests exercise the estimator's
+    closed form). Hash arithmetic is exact: uint32(md5[:8hex])/2³² is an
+    integer over a power of two (no rounding), and (k−1)/h_k is one
+    IEEE division — identical in both engines with no quantization."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", "user_id").distinct()
+        .withColumn(
+            "hv",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint").cast("double") / F.lit(2.0 ** 32))
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "user_id")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("hk"),
+             F.count(F.lit(1)).cast("bigint").alias("k_kept"))
+    )
+    ex = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        ex.join(sk, "event_type")
+        .select(
+            "event_type", "n_exact",
+            F.when(F.col("n_exact") < KMV_K,
+                   F.col("n_exact").cast("double"))
+            .otherwise(F.lit(float(KMV_K - 1)) / F.col("hk"))
+            .alias("kmv_est"),
+        )
+    )
+
+
+DAU_WINDOW_DAYS = 7
+
+
+@query(
+    "q_window_rolling_dau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ), bounds AS (
+      SELECT MAX(day) AS max_day FROM ud
+    ), fan AS (
+      SELECT ud.user_id, ud.day + CAST(k.k AS INTEGER) AS win_day
+      FROM ud CROSS JOIN (
+        SELECT unnest(range(0, {DAU_WINDOW_DAYS})) AS k) k
+    )
+    SELECT f.win_day AS day,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS rolling_users
+    FROM fan f CROSS JOIN bounds b
+    WHERE f.win_day <= b.max_day
+    GROUP BY f.win_day
+    """,
+    tags=("W15", "window", "dau"),
+)
+def q_window_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY ACTIVE USERS (L7DAU): per calendar day, the
+    distinct users active in the trailing {DAU_WINDOW_DAYS}-day window —
+    the canonical engagement metric, and the one rolling aggregate a
+    RANGE frame canNOT express (distinct-count over a sliding frame has
+    no decomposable window form).
+
+    Scale shape: the stream first collapses to the DISTINCT (user, day)
+    relation — bounded by users × days, orders of magnitude below event
+    volume; each active day then fans out to the {DAU_WINDOW_DAYS}
+    windows it contributes to (a constant-factor explode, not a range
+    join), and one distinct-aggregate per window day finishes. The max
+    date joins as a broadcast scalar to drop partial windows past the
+    data's edge. Integer counts — engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    bounds = ud.agg(F.max("day").alias("max_day"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.date_add(F.col("day"), DAU_WINDOW_DAYS - 1))).alias("win_day"))
+    return (
+        fan.crossJoin(F.broadcast(bounds))
+        .where(F.col("win_day") <= F.col("max_day"))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint")
+             .alias("rolling_users"))
+    )

@@ -125,6 +125,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_graph_reachability",
     "q_stream_sliding_counts",
     "q_source_pydatasource",
+    "q_agg_kmv_distinct",
+    "q_window_rolling_dau",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -504,3 +504,30 @@ def test_weighted_sample_skews_toward_weight(spark):
     # K=25 of 200 without replacement attenuates the w-proportional
     # bias; measured +17% on this geometry — assert a >10% lift.
     assert sample_mean > 1.1 * corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_kmv_sketch_merge_and_estimator_properties():
+    """KMV closed-form properties the q_agg_kmv_distinct docstring
+    claims: (1) sketch merge is associative/lossless — the k smallest
+    of a union equal the k smallest of the merged per-partition k-sets
+    (what makes the sketch mergeable at 100 TB); (2) the (k-1)/h_k
+    estimator lands within the standard ~1/sqrt(k) relative-error
+    envelope on md5-uniform hashes (deterministic check, generous 5x
+    bound — this is a sanity rail, not a statistics proof)."""
+    import hashlib
+
+    k = 64
+
+    def hv(x: int) -> float:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) / 2**32
+
+    ids = list(range(2000))
+    hashes = sorted(hv(i) for i in set(ids))
+    # (1) mergeability: split into 4 "partitions", sketch each, merge
+    parts = [ids[i::4] for i in range(4)]
+    merged = sorted(h for p in parts for h in sorted(hv(i) for i in p)[:k])[:k]
+    assert merged == hashes[:k]
+    # (2) estimator accuracy envelope
+    est = (k - 1) / hashes[k - 1]
+    rel_err = abs(est - len(ids)) / len(ids)
+    assert rel_err < 5 / (k ** 0.5), (est, rel_err)
