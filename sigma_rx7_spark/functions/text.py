@@ -693,3 +693,100 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_share"),
         )
     )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(l) AS token FROM tl
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok
+    ), bg AS (
+      SELECT doc_id, u.prev AS prev, u.cur AS cur
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(l)),
+                 i -> struct_pack(prev := l[i], cur := l[i + 1]))) AS u
+        FROM tl WHERE len(l) >= 2)
+    ), big AS (
+      SELECT prev, cur, COUNT(*) AS c_big FROM bg GROUP BY prev, cur
+    ), ctx AS (
+      SELECT prev, CAST(SUM(c_big) AS BIGINT) AS c_ctx
+      FROM big GROUP BY prev
+    ), tf AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS tf
+      FROM bg GROUP BY doc_id, prev, cur
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf.tf * CAST(ln(CAST(big.c_big + 1 AS DOUBLE)
+                                    / (ctx.c_ctx + vocab.v))
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+             / SUM(tf.tf) AS avg_logprob
+    FROM tf
+    JOIN big ON tf.prev = big.prev AND tf.cur = big.cur
+    JOIN ctx ON tf.prev = ctx.prev
+    CROSS JOIN vocab
+    GROUP BY tf.doc_id
+    """,
+    tags=("L3", "quality", "lm"),
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM QUALITY SCORE (the order-2 step from
+    q_text_unigram_logprob toward the CCNet/KenLM perplexity filter):
+    per document, the mean log P(wᵢ | wᵢ₋₁) under an add-one-smoothed
+    bigram model trained on the corpus itself — P = (c(prev,cur)+1) /
+    (c(prev)+V), with c(prev) the bigram-context count and V the corpus
+    vocabulary size. Fluent text scores high; shuffled or
+    keyword-stuffed text that unigram frequency cannot distinguish
+    scores low, because bigram order is what it breaks.
+
+    Scale shape: bigrams come from the token ARRAY in place (a row-local
+    zip of adjacent positions — no positional self-join); the model is
+    two hash aggregations (bigram counts, then context counts summed
+    FROM the bigram relation, never a second corpus pass); V is a
+    broadcast scalar; the per-doc score joins model rows back on the
+    (vocab²-bounded) bigram key. ``ln`` is decimal-quantized before the
+    weighted sum (compat.py hazard 2) so the double is engine-exact."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    from ..compat import QDEC
+
+    d = load(spark, sf_dir, "documents")
+    tl = d.select("doc_id", tokens(F.col("text")).alias("l"))
+    tok = tl.select("doc_id", F.explode("l").alias("token"))
+    vocab = tok.agg(
+        F.count_distinct("token").cast("bigint").alias("v"))
+    bg = (
+        tl.where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(l) - 1), "
+                "i -> struct(l[i - 1] AS prev, l[i] AS cur))")).alias("u"))
+        .select("doc_id", "u.prev", "u.cur")
+    )
+    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c_big").cast("bigint").alias("c_ctx"))
+    tf = bg.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf"))
+    term = F.col("tf") * F.log(
+        (F.col("c_big") + 1).cast("double")
+        / (F.col("c_ctx") + F.col("v"))).cast(QDEC)
+    return (
+        tf.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            (F.sum(term).cast("double") / F.sum("tf")).alias("avg_logprob"),
+        )
+    )

@@ -127,6 +127,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_source_pydatasource",
     "q_agg_kmv_distinct",
     "q_window_rolling_dau",
+    "q_text_bigram_logprob",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
