@@ -678,9 +678,16 @@ def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
         )
         for j in range(bands)
     ])
+    # persist: both sides of the self-join consume this relation, and
+    # Catalyst does NOT exchange-reuse across the aliased branches here
+    # (measured: signatures — 32 fold dots over 64-wide literal
+    # hyperplane arrays, the expensive projection — were computed twice).
+    # The banded relation is (id, band_idx, 4-char key) × bands rows —
+    # tiny at any corpus size relative to the vectors themselves; same
+    # posture as the minhash/simhash signature persists above.
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bd")
-    ).select(id_col, "bd.band_idx", "bd.band_key")
+    ).select(id_col, "bd.band_idx", "bd.band_key").persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
