@@ -1449,7 +1449,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load(spark, sf_dir, "embeddings")
     nv = e.select("vec_id", normalized("embedding").alias("nv"))
-    withcell = nv.join(assigned, "vec_id")
+    # persist: both sides of the cell-blocked pair join consume this
+    # relation, and without it the exploded-assignment aggregation (the
+    # expensive stage) runs twice — same measured pathology and same fix
+    # as the SRP band relation above.
+    withcell = nv.join(assigned, "vec_id").persist()
     a = withcell.select(F.col("vec_id").alias("a_vec_id"),
                         F.col("nv").alias("a_nv"), "cell")
     b = withcell.select(F.col("vec_id").alias("b_vec_id"),
