@@ -128,6 +128,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_kmv_distinct",
     "q_window_rolling_dau",
     "q_text_bigram_logprob",
+    "q_stream_cdc_apply",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

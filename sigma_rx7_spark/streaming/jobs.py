@@ -492,3 +492,98 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "stream_sliding_counts")
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+    ), base AS (
+      SELECT user_id, event_type, event_id, value, TRUE AS b_present
+      FROM latest WHERE rn = 1
+    ), chg_latest AS (
+      SELECT user_id, event_type, event_id, value,
+             CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
+    ), changes AS (
+      SELECT user_id, event_type, event_id, value, op, TRUE AS c_present
+      FROM chg_latest WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT
+        COALESCE(b.user_id, c.user_id) AS user_id,
+        COALESCE(b.event_type, c.event_type) AS event_type,
+        CASE WHEN c.c_present THEN c.event_id
+             ELSE b.event_id END AS event_id,
+        CASE WHEN c.c_present THEN c.value
+             ELSE b.value END AS value,
+        CASE WHEN c.c_present IS NULL THEN 'carry'
+             WHEN b.b_present IS NULL THEN 'insert'
+             ELSE 'update' END AS src,
+        c.op AS op
+      FROM base b
+      FULL OUTER JOIN changes c
+        ON b.user_id IS NOT DISTINCT FROM c.user_id
+       AND b.event_type IS NOT DISTINCT FROM c.event_type
+    ) WHERE op IS NULL OR op <> 'D'
+    """,
+    tags=("T9", "M5", "streaming", "cdc"),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC APPLY WITH DELETES: the streaming twin of
+    q_merge_cdc_apply — the change stream carries op U/D (every 7th
+    event id a tombstone) and each micro-batch folds into the running
+    state with latest-op-wins. The critical design point vs plain
+    streaming MERGE: a delete is NOT applied by physically dropping the
+    key mid-stream — the tombstone is RETAINED in state (op column, a
+    plain value column under the _ord latest-wins fold), because a
+    later out-of-order batch could carry an older U for the same key
+    that must still LOSE to the newer D. Physical removal happens once,
+    at read-out ('compaction'): filter latest-op ≠ D. This is exactly
+    the Delta/Iceberg/LSM tombstone discipline, and it is what makes
+    the result equal to the one-shot batch CDC apply no matter how the
+    stream is chopped into batches.
+
+    availableNow drains the change file, so the driver-verified result
+    equals the batch oracle; state stays one row per live-or-tombstoned
+    key (bounded by key cardinality, compactable at watermark)."""
+    from ..operators.incremental import latest_per_key
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts")
+    base = (
+        latest_per_key(ev.where(F.col("ts") < cutoff),
+                       keys, "ts", "event_id")
+        .drop("ts")
+        .withColumn("op", F.lit(None).cast("string"))
+    )
+    change_stream = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("ts") >= cutoff)
+        .select(
+            "user_id", "event_type", "event_id", "value", "ts",
+            F.when(F.col("event_id") % 7 == 0, "D").otherwise("U")
+            .alias("op"))
+    )
+    merged = streaming_merge(base, change_stream, keys, "ts", "event_id")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "user_id", "event_type", "event_id", "value",
+            F.when(F.col("src") == "base", F.lit("carry"))
+            .otherwise(F.col("src")).alias("src"),
+            "op",
+        )
+    )

@@ -82,3 +82,38 @@ def test_out_of_order_batches_converge(spark, sf_dir):
     # property the pre-round-3 implementation lacked (last batch won
     # regardless of event time).
     _batch_convergence(spark, sf_dir, reverse=True)
+
+
+def test_cdc_tombstone_survives_out_of_order_batches(spark, sf_dir):
+    """A D tombstone with a NEWER event time must keep its key deleted
+    even when an OLDER U for the same key arrives in a LATER batch —
+    the retained-tombstone property q_stream_cdc_apply's read-out
+    filter depends on. Driven directly through merge_batch_into_state
+    with synthetic two-row batches in both arrival orders."""
+    value_cols = ["event_id", "value", "op"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id bigint, event_type string, event_id bigint, "
+            "value double, op string, ts timestamp")
+
+    base = mkdf([]).drop("ts").withColumn("src", F.lit("base")) \
+        .withColumn("_ord", F.lit(None).cast("timestamp"))
+    import datetime as dt
+    t1 = dt.datetime(2024, 1, 20, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    older_u = mkdf([(1, "view", 100, 1.0, "U", t1)])
+    newer_d = mkdf([(1, "view", 101, 2.0, "D", t2)])
+
+    for parts in ([older_u, newer_d], [newer_d, older_u]):
+        state = base
+        for bdf in parts:
+            state = merge_batch_into_state(
+                state, bdf, KEYS, "ts", "event_id", value_cols)
+        live = state.where(
+            F.col("op").isNull() | (F.col("op") != "D")).collect()
+        # the tombstone wins on event time in BOTH arrival orders
+        assert live == [], [tuple(r) for r in live]
+        retained = state.collect()
+        assert len(retained) == 1 and retained[0]["op"] == "D"
