@@ -308,6 +308,13 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     run boundaries engine-exact."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts")
+    return scd2_intervals(ev)
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """SCD-2 derivation over (user_id, event_type, event_id, ts) rows;
+    shared by q_merge_scd2 and the point-in-time consumer
+    (q_join_scd2_asof below)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -444,4 +451,78 @@ def snapshot_diff(base: DataFrame, post: DataFrame, keys: list[str],
         .when(F.col(f"p.{k0}").isNull(), "removed")
         .when(F.col(f"b.{id_col}") != F.col(f"p.{id_col}"), "changed")
         .otherwise("unchanged").alias("diff_status"),
+    )
+
+
+@query(
+    "q_join_scd2_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ), dim AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT f.event_id, f.user_id,
+           CAST(f.ts AS TIMESTAMP) AS ts,
+           d.version, d.event_type AS dim_type,
+           CAST(d.valid_from AS TIMESTAMP) AS valid_from
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND CAST(f.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(f.ts AS TIMESTAMP) < d.valid_to)
+    """,
+    tags=("M4", "J8", "scd2"),
+)
+def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN AGAINST THE SCD-2 DIMENSION: every fact event
+    joins the dimension VERSION whose validity interval contains its
+    event time — the consumption pattern SCD-2 exists for, and the
+    correctness contract ('no fact row may see attribute values from
+    the future') that a plain latest-value join silently violates.
+    Composes q_merge_scd2's derivation (shared helper) with the J8
+    as-of family.
+
+    Scale shape: the join is an equi-join on the dimension's natural
+    key (user_id) with the interval predicate as a post-join filter —
+    per-key version counts are bounded by that key's change count, so
+    the filter fan-in is small and the join never degenerates to a
+    range-only nested loop (same argument as the overlap rule J3). The
+    half-open [valid_from, valid_to) convention makes every event match
+    EXACTLY one version (boundary events belong to the newer version),
+    which the gate proves: output rows == fact rows. Both windows of
+    the derivation and the join itself share one (user_id) hash
+    partitioning."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts")
+    dim = scd2_intervals(ev).alias("d")
+    f = ev.alias("f")
+    return (
+        f.join(
+            dim,
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (F.col("d.valid_to").isNull()
+               | (F.col("f.ts") < F.col("d.valid_to"))),
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.user_id").alias("user_id"),
+            F.col("f.ts").alias("ts"),
+            F.col("d.version").alias("version"),
+            F.col("d.event_type").alias("dim_type"),
+            F.col("d.valid_from").alias("valid_from"),
+        )
     )

@@ -483,3 +483,66 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs").isNull().alias("was_missing"),
         interp.cast("decimal(20,6)").cast("double").alias("value_interp"),
     )
+
+
+@query(
+    "q_window_twap",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(next_us - t_us) AS BIGINT) AS span_us,
+           CAST(CAST(
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(next_us - t_us AS DECIMAL(20,0))) AS DOUBLE)
+             / CAST(SUM(next_us - t_us) AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) AS twap
+    FROM stepped
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("W16", "timeseries", "twap"),
+)
+def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP): per user, the mean of `value` under
+    step-function semantics — each observation holds until the next one,
+    so its weight is the µs gap to the successor (the finance/monitoring
+    average that row-count means get WRONG on irregular series: a value
+    held for an hour must outweigh ten ticks from one busy second). The
+    trailing observation has no successor and carries zero weight
+    (half-open step convention).
+
+    Determinism: weights are exact integer µs; the weighted sum runs in
+    DECIMAL(18,6)×DECIMAL(20,0) exact products (order-insensitive);
+    the single closing division is 6-dp-quantized because the wide
+    decimal→double cast is the known 1-ulp cross-engine hazard
+    (SCALE.md). One (user_id) window ordering + one hash aggregation on
+    the same partitioning — the exchange is shared."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    stepped = ev.select(
+        "user_id",
+        F.col("value"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    gap = F.col("next_us") - F.col("t_us")
+    wsum = F.sum(F.col("value").cast("decimal(18,6)")
+                 * gap.cast("decimal(20,0)"))
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(gap).cast("bigint").alias("span_us"),
+        (wsum.cast("double") / F.sum(gap).cast("double"))
+        .cast("decimal(18,6)").cast("double").alias("twap"),
+    )

@@ -129,6 +129,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_rolling_dau",
     "q_text_bigram_logprob",
     "q_stream_cdc_apply",
+    "q_join_scd2_asof",
+    "q_window_twap",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
