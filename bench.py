@@ -68,6 +68,9 @@ HEADLINE = [
     "q_quality_audit",
     "q_merge_scd2",
     "q_dedup_semantic",
+    "q_agg_kmv_distinct",
+    "q_window_twap",
+    "q_window_rolling_dau",
 ]
 
 

@@ -277,8 +277,14 @@ def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            event_type,
            ts AS valid_from,
-           LEAD(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           -- open intervals carry a far-future sentinel instead of
+           -- NULL (SCD-2 warehouse practice; NULL timestamps surface
+           -- as pandas NaT in external comparators). 2200-01-01, not
+           -- the traditional 9999-12-31: the comparator canonicalizes
+           -- through pandas datetime64[ns], which overflows past 2262.
+           COALESCE(LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id),
+             TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            LEAD(ts) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              AS is_current,
@@ -326,7 +332,10 @@ def scd2_intervals(ev: DataFrame) -> DataFrame:
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
+        F.coalesce(
+            F.lead("ts").over(w2),
+            F.lit("2200-01-01 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).alias("version"),
     )

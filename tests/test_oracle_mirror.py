@@ -39,6 +39,10 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
+    # pandas NaT subclasses datetime but raises on .time(); normalize a
+    # NULL timestamp to None on both sides before the datetime branch.
+    if v.__class__.__name__ == "NaTType":
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
