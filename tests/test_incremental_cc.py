@@ -149,3 +149,32 @@ def test_snapshot_diff_covers_all_four_statuses(spark):
                                   "event_id").collect()}
     assert out == {(1, "a"): "unchanged", (2, "a"): "changed",
                    (3, "a"): "removed", (4, "a"): "added"}
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    """SCD-2 invariants on the real derivation: per user, versions are
+    1..n contiguous; intervals are non-overlapping and gap-free
+    (valid_to of version k == valid_from of version k+1); exactly one
+    open interval (the sentinel-capped current one) per user; and the
+    tracked attribute genuinely changes at every version boundary."""
+    from collections import defaultdict
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.operators.incremental import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts")
+    rows = scd2_intervals(ev).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1)), uid
+        currents = [r for r in vs if r.is_current]
+        assert len(currents) == 1 and currents[-1] is vs[-1], uid
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (uid, a.version)
+            assert a.event_type != b.event_type, (uid, a.version)
+        assert vs[-1].valid_to.year == 2200, uid
