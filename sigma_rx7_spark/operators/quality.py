@@ -32,7 +32,7 @@ from ..io import load
 from ..registry import query
 
 
-def _violations(name: str, cond, total_alias: str = "n_rows"):
+def _violations(name: str, cond):
     """Conditional-aggregation violation counter: one CASE per check,
     all sharing the enclosing single-scan aggregate."""
     return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
