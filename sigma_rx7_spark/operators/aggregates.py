@@ -1060,3 +1060,141 @@ def q_window_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint")
              .alias("rolling_users"))
     )
+
+
+@query(
+    "q_agg_ols",
+    oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                      * CAST(l_extendedprice AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                      * CAST(l_quantity AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6))
+                      * CAST(l_extendedprice AS DECIMAL(20,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                AS DECIMAL(20,6)) AS DOUBLE) AS slope,
+      CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS DECIMAL(20,6)) AS DOUBLE) AS intercept,
+      CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                AS DECIMAL(20,6)) AS DOUBLE) AS r2
+    FROM s
+    """,
+    tags=("A22", "stats", "regression"),
+)
+def q_agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED OLS REGRESSION: per return flag, the least-squares
+    slope/intercept/R² of extended price on quantity — the per-segment
+    trend line behind pricing elasticity and drift dashboards, and the
+    natural next step from q_agg_corr (A15): same five exact-decimal
+    sufficient statistics, different closed forms. Built-in
+    ``regr_slope``/``regr_r2`` stream doubles in engine order and can't
+    hash-match; the sufficient-statistic recipe makes the fit
+    partitioning- and engine-exact (6-dp quantized against the wide
+    decimal→double 1-ulp hazard).
+
+    Scale shape: one partial/final hash aggregate; the shuffle carries
+    five numbers per group and the formulas touch G rows."""
+    li = load(spark, sf_dir, "lineitem")
+    qx = F.col("l_quantity").cast("decimal(18,6)")
+    qy = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(qy).cast("double").alias("sy"),
+        F.sum((qx * qy).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((qx * qx).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((qy * qy).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        slope.cast("decimal(20,6)").cast("double").alias("slope"),
+        ((sy - slope * sx) / n)
+        .cast("decimal(20,6)").cast("double").alias("intercept"),
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .cast("decimal(20,6)").cast("double").alias("r2"),
+    )
+
+
+@query(
+    "q_agg_winsorized",
+    oracle="""
+    WITH cut AS (
+      SELECT o_orderstatus,
+             CAST(quantile_cont(o_totalprice, 0.05) AS DECIMAL(18,6))
+               AS p05,
+             CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,6))
+               AS p95
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_totalprice < CAST(c.p05 AS DOUBLE)
+                           OR o.o_totalprice > CAST(c.p95 AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(CAST(
+             CAST(SUM(CAST(
+               LEAST(GREATEST(o.o_totalprice, CAST(c.p05 AS DOUBLE)),
+                     CAST(c.p95 AS DOUBLE)) AS DECIMAL(18,6)))
+               AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,6)) AS DOUBLE) AS winsorized_mean
+    FROM orders o JOIN cut c ON o.o_orderstatus = c.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("A23", "stats", "robust"),
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN (5%/95%): per order status, the mean after
+    clamping values into the exact [p5, p95] percentile band — the
+    robust center that keeps sample size (unlike trimming) while
+    removing tail leverage; the A-family's third robustness tool next
+    to the MAD screen (A18) and the exact median (A8).
+
+    Determinism: the percentile cutpoints are 6-dp-QUANTIZED before the
+    clamp on both sides — engines may interpolate quantiles a last-ulp
+    apart, but comparisons against the identical quantized cutpoint are
+    unambiguous; clamped values then sum as exact decimals. Scale
+    shape: two passes over the group — a percentile aggregate (G rows
+    out, broadcast back) and one conditional clamp+sum aggregate; the
+    100 TB relaxation swaps pass one for approx_percentile exactly as
+    A8→A12."""
+    o = load(spark, sf_dir, "orders")
+    cut = o.groupBy(F.col("o_orderstatus").alias("c_status")).agg(
+        F.percentile("o_totalprice", F.lit(0.05))
+        .cast("decimal(18,6)").alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95))
+        .cast("decimal(18,6)").alias("p95"),
+    )
+    j = o.join(F.broadcast(cut),
+               F.col("o_orderstatus") == F.col("c_status"))
+    lo, hi = F.col("p05").cast("double"), F.col("p95").cast("double")
+    clamped = F.least(F.greatest(F.col("o_totalprice"), lo), hi)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when((F.col("o_totalprice") < lo)
+                     | (F.col("o_totalprice") > hi), 1).otherwise(0))
+        .cast("bigint").alias("n_clamped"),
+        (F.sum(clamped.cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1)))
+        .cast("decimal(18,6)").cast("double").alias("winsorized_mean"),
+    )
