@@ -131,6 +131,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_stream_cdc_apply",
     "q_join_scd2_asof",
     "q_window_twap",
+    # Window full at 49+1 backfill. Implemented AFTER the cap and
+    # awaiting round-5 rotation (locally mirror-proven at sf0.001 AND
+    # sf0.01): q_agg_ols, q_agg_winsorized.
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
