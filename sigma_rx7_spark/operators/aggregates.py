@@ -1198,3 +1198,139 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1)))
         .cast("decimal(18,6)").cast("double").alias("winsorized_mean"),
     )
+
+
+@query(
+    "q_agg_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.cohort) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT
+      CAST(SUM(o) AS BIGINT) AS n_events,
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(CAST(CAST(SUM(CAST(
+        (CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+        * (CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+        / (CAST(row_tot * col_tot AS DOUBLE) / n)
+        AS DECIMAL(18,6))) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+        AS chi_square
+    FROM margins
+    """,
+    tags=("A24", "stats", "chisq"),
+)
+def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST: is event type independent of a
+    user cohort (even/odd id — a deterministic A/B split)? The
+    contingency-table statistic Σ(O−E)²/E with E = row·col/N — the
+    categorical-drift / A-B-difference screen a feature pipeline runs
+    before trusting a split. Built entirely from one (type, cohort)
+    hash aggregation; the margins ride windows over the CELLS relation
+    (rows × cohorts, tiny), never the events.
+
+    Determinism: counts are integer-exact; each cell's (O−E)²/E is one
+    double expression over exact integers (row_tot·col_tot is bigint
+    arithmetic, identical both engines), 6-dp-quantized per term before
+    the final sum so the Σ is order-insensitive."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+            .alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = F.sum("o").over(Window.partitionBy("event_type"))
+    col_tot = F.sum("o").over(Window.partitionBy("cohort"))
+    n = F.sum("o").over(Window.partitionBy())
+    m = obs.select(
+        "o",
+        row_tot.alias("row_tot"), col_tot.alias("col_tot"), n.alias("n"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    term = ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+            / e).cast("decimal(18,6)")
+    return m.agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(term).cast("double").cast("decimal(18,6)").cast("double")
+        .alias("chi_square"),
+    )
+
+
+@query(
+    "q_window_streak",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ), flagged AS (
+      SELECT user_id, day,
+             CASE WHEN LAG(day) OVER (
+                    PARTITION BY user_id ORDER BY day) = day - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM ud
+    ), islands AS (
+      SELECT user_id, day,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS streak_id
+      FROM flagged
+    ), lens AS (
+      SELECT user_id, streak_id,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS streak_start
+      FROM islands GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_day
+    FROM lens GROUP BY user_id
+    """,
+    tags=("W17", "streak"),
+)
+def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST DAILY ACTIVITY STREAK per user: gaps-and-islands at
+    calendar-day grain — a break flag where the previous active day is
+    not yesterday, a running sum of breaks as the island id, then
+    per-island lengths and the per-user max. The engagement metric
+    (GitHub-streak shape) that W8's time-gap sessionization becomes at
+    daily grain, where the gap test is date arithmetic (day − 1), not a
+    timestamp delta.
+
+    Scale shape: the stream collapses to DISTINCT (user, day) first
+    (bounded by users × days); the lag window, running sum, and BOTH
+    grouped aggregations share one (user_id) hash partitioning —
+    Catalyst plans a single Exchange. Integer/date arithmetic end to
+    end: engine-exact with no quantization."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = ud.withColumn(
+        "brk",
+        F.when(F.lag("day").over(w) == F.date_sub("day", 1), 0)
+        .otherwise(1))
+    islands = flagged.withColumn(
+        "streak_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    lens = islands.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
