@@ -790,3 +790,146 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term).cast("double") / F.sum("tf")).alias("avg_logprob"),
         )
     )
+
+
+KEYWORDS_TOP_K = 3
+
+
+@query(
+    "q_text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tfidf AS (
+      SELECT doc_id, token,
+             CAST(tf * CAST(ln(CAST(n.n_docs AS DOUBLE)
+                               / COUNT(*) OVER (PARTITION BY token))
+                            AS DECIMAL(18,6)) AS DOUBLE) AS tf_idf
+      FROM tf CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, token, tf_idf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf_idf DESC, token) AS rnk
+      FROM tfidf
+    )
+    SELECT doc_id, token, tf_idf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {KEYWORDS_TOP_K}
+    """,
+    tags=("L3", "keywords"),
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD EXTRACTION: the top-{KEYWORDS_TOP_K} TF-IDF terms per
+    document with a total-order tiebreak — the per-doc topical summary
+    feeding tagging, routing, and near-dup explanation UIs; a direct
+    consumer-composition of q_text_tfidf's weight relation.
+
+    Scale shape: everything q_text_tfidf already does (one explode, one
+    (doc, token) hash agg, vocabulary-sized df window) plus ONE
+    row_number window partitioned by doc over the per-doc-vocabulary
+    relation — and that window reuses the (doc_id)-compatible hash
+    partitioning of the tf aggregation. `ln` decimal-quantized as
+    always."""
+    from pyspark.sql import Window
+
+    tfidf = q_text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), "token")
+    return (
+        tfidf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KEYWORDS_TOP_K)
+        .select("doc_id", "token", "tf_idf", "rnk")
+    )
+
+
+PMI_MIN_DF = 5
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u.token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM documents) u
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM dt GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             COUNT(*) AS df_ab
+      FROM dt a JOIN dt b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    )
+    SELECT p.token_a, p.token_b,
+           CAST(p.df_ab AS BIGINT) AS df_ab,
+           CAST(da.df AS BIGINT) AS df_a,
+           CAST(db.df AS BIGINT) AS df_b,
+           CAST(CAST(ln(CAST(p.df_ab AS DOUBLE) * n.n_docs
+                        / (da.df * db.df))
+                     AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+    FROM pairs p
+    JOIN dfreq da ON p.token_a = da.token
+    JOIN dfreq db ON p.token_b = db.token
+    CROSS JOIN n
+    WHERE p.df_ab >= {PMI_MIN_DF}
+    """,
+    tags=("L3", "pmi", "collocation"),
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTWISE MUTUAL INFORMATION over document co-occurrence:
+    PMI(a,b) = ln(P(a,b)/(P(a)P(b))) at document granularity — the
+    collocation/association signal behind phrase mining, tokenizer
+    merge candidates, and topic coherence scores. Support-filtered at
+    df_ab ≥ {PMI_MIN_DF} (PMI is noise below small supports).
+
+    Scale shape: the stream collapses to DISTINCT (doc, token) first;
+    the pair join is DOC-keyed over that deduplicated relation (pair
+    volume Σ per-doc-vocab², bounded by doc length, never corpus²);
+    per-token document frequencies join back via broadcast-sized vocab
+    relations, and the corpus size is one broadcast scalar. ``ln``
+    decimal-quantized (compat hazard 2)."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = dt.select("doc_id", F.col("token").alias("token_a"))
+    b = dt.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= PMI_MIN_DF)
+    )
+    da = dfreq.select(F.col("token").alias("token_a"),
+                      F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("token").alias("token_b"),
+                      F.col("df").alias("df_b"))
+    pmi = F.log(
+        F.col("df_ab").cast("double") * F.col("n_docs")
+        / (F.col("df_a") * F.col("df_b"))).cast("decimal(18,6)")
+    return (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a", "token_b",
+            F.col("df_ab").cast("bigint").alias("df_ab"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            pmi.cast("double").alias("pmi"),
+        )
+    )

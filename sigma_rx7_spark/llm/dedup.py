@@ -1465,3 +1465,65 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot("a_nv", "b_nv").alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# ---- LSH quality audit ---------------------------------------------------
+
+def _lsh_recall_oracle() -> str:
+    """Compose the already-registered exact and SRP-LSH oracles into the
+    recall statement — the texts come from the registry entries defined
+    above, so the audit can never drift from what it audits."""
+    from ..registry import _REGISTRY
+
+    exact = _REGISTRY["q_dedup_cosine"].oracle
+    lsh = _REGISTRY["q_dedup_cosine_lsh"].oracle
+    return f"""
+    WITH exact_pairs AS ({exact}),
+    lsh_pairs AS ({lsh})
+    SELECT
+      CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_true_pairs,
+      CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh_pairs,
+      CAST((SELECT COUNT(*) FROM exact_pairs e
+            JOIN lsh_pairs l
+              ON e.a_vec_id = l.a_vec_id AND e.b_vec_id = l.b_vec_id)
+           AS BIGINT) AS n_hits,
+      CAST((SELECT COUNT(*) FROM exact_pairs e
+            JOIN lsh_pairs l
+              ON e.a_vec_id = l.a_vec_id AND e.b_vec_id = l.b_vec_id)
+           AS DOUBLE)
+        / (SELECT COUNT(*) FROM exact_pairs) AS recall
+    """
+
+
+@query("q_dedup_recall_lsh", oracle=_lsh_recall_oracle(),
+       tags=("L1", "audit", "lsh"))
+def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY AUDIT: recall of the SRP-LSH near-dup pipeline
+    against the exact all-pairs scorer — the dedup twin of
+    q_sim_recall_ivf, and the number that decides whether a band
+    configuration is shippable (the S-curve math in
+    q_dedup_cosine_lsh's docstring, MEASURED instead of derived).
+    One row: true pair count, LSH-surviving pair count, intersection,
+    recall.
+
+    At 100 TB the exact side runs on a SAMPLE (here the harness corpus
+    is the sample) while LSH serves the full corpus — recall is always
+    estimated on a bounded sample, so the audit's all-pairs stage never
+    scales with the corpus; the composition here is the per-shard audit
+    job verbatim. Both inputs are deterministic md5-derived pipelines,
+    so even this meta-query hash-matches its oracle."""
+    exact = q_dedup_cosine(spark, sf_dir).select("a_vec_id", "b_vec_id")
+    lsh = q_dedup_cosine_lsh(spark, sf_dir).select("a_vec_id", "b_vec_id")
+    hits = exact.join(lsh, ["a_vec_id", "b_vec_id"])
+    n_true = exact.agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        n_true.crossJoin(n_lsh).crossJoin(n_hit)  # three 1-row relations
+        .select(
+            "n_true_pairs", "n_lsh_pairs", "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs"))
+            .alias("recall"),
+        )
+    )

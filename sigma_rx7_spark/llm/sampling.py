@@ -340,3 +340,71 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+NEG_PER_DOC = 4
+
+
+@query(
+    "q_sample_negatives",
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), fan AS (
+      SELECT d.doc_id, k.k,
+             CAST(CAST('0x' || substr(
+               md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(k.k AS VARCHAR)),
+               1, 8) AS BIGINT) % n.n_docs AS BIGINT) AS h
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, {NEG_PER_DOC})) AS k) k
+      CROSS JOIN n
+    )
+    SELECT fan.doc_id,
+           CAST(fan.k AS INT) AS k,
+           CAST(CASE WHEN fan.h = fan.doc_id
+                     THEN (fan.h + 1) % n.n_docs
+                     ELSE fan.h END AS BIGINT) AS neg_doc_id
+    FROM fan CROSS JOIN n
+    """,
+    tags=("L5", "sampling", "negatives"),
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING: {NEG_PER_DOC} pseudo-uniform
+    negative partners per document — md5(doc_id|k) mod corpus size,
+    self-collisions bumped to the next id — the contrastive-pair
+    generator (embedding training, reranker hard-negative seeding)
+    made reproducible: the pairing depends only on ids and corpus size,
+    never on row order, partitioning, or an RNG seed, so any re-run of
+    the pipeline regenerates the identical training pairs (the L5
+    digest-bucketing contract applied to pair construction).
+
+    PRECONDITION (asserted by the harness tables, FIXTURES.md): doc_id
+    is dense over [0, n_docs) — the modulo lands on a real document.
+    For sparse ids, remap through a row_number index relation first
+    (one extra window over the id column only). Scale shape: pure
+    per-row hash arithmetic plus one broadcast scalar; zero shuffles.
+    Bias note: the +1 bump makes id (h+1) marginally more likely —
+    acceptable for negatives; rejection-resampling (k', k'', …) is the
+    unbiased variant, at the cost of a variable expression depth."""
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    fan = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "n_docs",
+            F.explode(F.sequence(
+                F.lit(0), F.lit(NEG_PER_DOC - 1))).alias("k"))
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("doc_id").cast("string"),
+            F.col("k").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % F.col("n_docs")
+    )
+    return fan.select(
+        "doc_id",
+        F.col("k").cast("int").alias("k"),
+        F.when(h == F.col("doc_id"), (h + 1) % F.col("n_docs"))
+        .otherwise(h).cast("bigint").alias("neg_doc_id"),
+    )
