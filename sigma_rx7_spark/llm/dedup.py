@@ -271,9 +271,15 @@ def md5_lsh_candidates(sig: DataFrame, bands: int = MD5_LSH_BANDS,
         )
         for j in range(bands)
     ])
+    # persist: the band self-join consumes this relation on both sides
+    # and Catalyst does not exchange-reuse aliased branches — without it
+    # the minhash signature aggregation (shingle explode + md5 digests +
+    # 64 min-aggs, the expensive stage) runs twice. (doc_id, band_idx,
+    # 32-hex hash) × bands rows — tiny at any corpus size; same measured
+    # pathology and fix as the SRP band relation.
     banded = sig.select(
         "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    ).select("doc_id", "b.band_idx", "b.band_hash").persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
