@@ -900,9 +900,11 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations, and the corpus size is one broadcast scalar. ``ln``
     decimal-quantized (compat hazard 2)."""
     d = load(spark, sf_dir, "documents")
+    # dt feeds the df counts AND both pair-join sides — persist the
+    # distinct (doc, token) relation so the explode+distinct runs once.
     dt = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).distinct()
+    ).distinct().persist()
     dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     a = dt.select("doc_id", F.col("token").alias("token_a"))

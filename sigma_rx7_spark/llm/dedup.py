@@ -1325,7 +1325,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("df"))
             .where((F.col("df") >= 2) & (F.col("df") <= RARE_SHINGLE_DF))
             .select("shingle"))
-    blocked = sh.join(rare, "shingle")
+    # blocked feeds both sides of the candidate self-join — persist
+    # (rare-filtered shingle relation, df<=10 survivors only).
+    blocked = sh.join(rare, "shingle").persist()
     cand = (
         blocked.select(F.col("doc_id").alias("a_doc_id"), "shingle")
         .join(blocked.select(F.col("doc_id").alias("b_doc_id"), "shingle"),

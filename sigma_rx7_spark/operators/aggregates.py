@@ -849,7 +849,10 @@ def q_agg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     count join back as broadcast scalars. Integer counts + one double
     division = engine-exact with no quantization."""
     ev = load(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds both pair-join sides and the per-type totals — persist
+    # the deduplicated relation (users x itemset, tiny) so the distinct
+    # aggregation runs once.
+    ut = ev.select("user_id", "event_type").distinct().persist()
     n_users = ev.agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users"))
     per_type = ut.groupBy("event_type").agg(

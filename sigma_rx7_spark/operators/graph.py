@@ -64,11 +64,18 @@ def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
     the edge relation is round-invariant (cache/checkpoint once at
     cluster scale, as the CC loop does); round count is fixed, so the
     job graph is static."""
+    # The edge relation feeds every round (plus nodes/outdeg): persist
+    # once — the "cache/checkpoint once" discipline the docstring
+    # promises, without which the distinct self-join derivation re-runs
+    # per consumer per round (measured: the whole derivation executed
+    # 7x for 3 iterations).
+    edges = edges.persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
     n_nodes = nodes.count()  # scalar plan constant (bounded metadata)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")).persist()
     teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("rank_fp"))
@@ -204,13 +211,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # und feeds deg, orientation, and the edge count; oriented feeds
+    # the wedge join twice plus the closure semi-join. Persist both —
+    # each is bounded by the (deduplicated) edge count, and without the
+    # cache the distinct self-join derivation re-runs once per consumer
+    # (same pathology as the LSH band relations).
     und = (
         li.alias("x").join(li.alias("y"),
                            (F.col("x.o") == F.col("y.o"))
                            & (F.col("x.p") < F.col("y.p")))
         .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
         .distinct()
-    )
+    ).persist()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -228,7 +240,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(key_u < key_v, F.col("v")).otherwise(F.col("u"))
             .alias("b"),
         )
-    )
+    ).persist()
     e1 = oriented.alias("e1")
     e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
