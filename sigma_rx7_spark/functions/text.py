@@ -677,7 +677,10 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist: the vocab counts feed the corpus total AND the top-K
+    # selection — without it the explode+aggregate runs twice.
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")).persist()
     total = counts.agg(F.sum("cnt").alias("n_total"))
     top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_TOP_K)
     w = Window.orderBy(F.col("cnt").desc(), "token")
@@ -772,7 +775,10 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> struct(l[i - 1] AS prev, l[i] AS cur))")).alias("u"))
         .select("doc_id", "u.prev", "u.cur")
     )
-    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
+    # persist: the bigram model feeds the context sums AND the score
+    # join (two consumers of the corpus-wide aggregation).
+    big = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_big")).persist()
     ctx = big.groupBy("prev").agg(
         F.sum("c_big").cast("bigint").alias("c_ctx"))
     tf = bg.groupBy("doc_id", "prev", "cur").agg(

@@ -980,13 +980,15 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer over a power of two (no rounding), and (k−1)/h_k is one
     IEEE division — identical in both engines with no quantization."""
     ev = load(spark, sf_dir, "events")
+    # persist: the hashed distinct relation feeds the sketch window AND
+    # the exact count (two consumers of one distinct aggregation).
     h = (
         ev.select("event_type", "user_id").distinct()
         .withColumn(
             "hv",
             F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
                    16, 10).cast("bigint").cast("double") / F.lit(2.0 ** 32))
-    )
+    ).persist()
     w = Window.partitionBy("event_type").orderBy("hv", "user_id")
     sk = (
         h.withColumn("rn", F.row_number().over(w))
@@ -1048,8 +1050,11 @@ def q_window_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     date joins as a broadcast scalar to drop partial windows past the
     data's edge. Integer counts — engine-exact."""
     ev = load(spark, sf_dir, "events")
+    # persist: the distinct user-day relation feeds the bound scalar AND
+    # the fan-out (two consumers of one distinct aggregation).
     ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+        "user_id", F.col("ts").cast("date").alias("day")).distinct() \
+        .persist()
     bounds = ud.agg(F.max("day").alias("max_day"))
     fan = ud.select(
         "user_id",

@@ -301,9 +301,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     days x offsets, not events."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("active_day"))
-    first = ev.groupBy("user_id").agg(
+    # ONE event scan: first-day derives FROM the distinct user-day
+    # relation (min over distinct days == min over raw), and that
+    # relation persists for its two consumers — without this the raw
+    # event scan ran twice.
+    active = ev.distinct().persist()
+    first = active.groupBy("user_id").agg(
         F.min("active_day").alias("cohort_day"))
-    active = ev.distinct()
     return (
         active.join(first, "user_id")
         .select(
