@@ -1342,3 +1342,61 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.min("streak_start").alias("first_day"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(
+             2.0 * CAST(SUM(CAST(i * CAST(o_totalprice AS DECIMAL(18,6))
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+             / (COUNT(*)
+                * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,6)) AS DOUBLE) AS gini
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+    tags=("A25", "stats", "gini"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT per group: the concentration/inequality measure
+    of the value distribution — 0 = uniform, →1 = one row holds
+    everything. In an LLM-data pipeline this is the corpus-balance
+    audit (token share across sources/dumps: a Gini spike means one
+    crawl dominates training); here computed over order values per
+    status via the rank formulation G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on the
+    ascending total order.
+
+    Determinism: (value, key) total order fixes ranks; Σi·x and Σx run
+    as exact decimals; the two closing divisions are over exact
+    operands, 6-dp-quantized against the wide-decimal→double ulp
+    hazard. Scale note: per-group ranking is one in-partition sort of
+    the group's rows (the same (status) partitioning the aggregate
+    reuses); the 100 TB relaxation buckets values through A12's sketch
+    cutpoints and computes Gini on the binned histogram."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus", "o_totalprice",
+        F.row_number().over(w).alias("i"))
+    si_x = F.sum((F.col("i") * F.col("o_totalprice").cast("decimal(18,6)"))
+                 .cast("decimal(38,6)")).cast("double")
+    sx = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+    n = F.count(F.lit(1))
+    return ranked.groupBy("o_orderstatus").agg(
+        n.cast("bigint").alias("n_rows"),
+        (F.lit(2.0) * si_x / (n * sx)
+         - (n + F.lit(1)).cast("double") / n)
+        .cast("decimal(18,6)").cast("double").alias("gini"),
+    )

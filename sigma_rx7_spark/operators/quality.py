@@ -181,3 +181,52 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(unpivot(orphan,
                           [("lineitem_orphan_orderkey", "n_orphans")]))
     )
+
+
+@query(
+    "q_quality_freshness",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ), ref AS (
+      SELECT MAX(last_ts) AS newest FROM per_type
+    )
+    SELECT p.event_type, p.last_ts, p.n_rows,
+           CAST(epoch_us(r.newest) - epoch_us(p.last_ts) AS BIGINT)
+             AS lag_us,
+           epoch_us(r.newest) - epoch_us(p.last_ts) > 3600000000
+             AS is_stale
+    FROM per_type p CROSS JOIN ref r
+    """,
+    tags=("Q1", "quality", "freshness"),
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGESTION-FRESHNESS AUDIT: per source (event type), the latest
+    event time, its lag in µs behind the newest source, and a >1 h
+    staleness flag — the feed-health observability check an
+    orchestrator runs beside q_quality_audit's content checks (a silent
+    upstream stall shows up here first, long before row counts drift).
+    The reference lag is the corpus-internal newest timestamp rather
+    than wall-clock now(), which keeps the check deterministic AND
+    correct on backfills (relative staleness is what pages someone).
+
+    Scale shape: one conditional max/count aggregation per source (the
+    shuffle carries one row per source), the newest-overall scalar
+    broadcasts back; integer-µs arithmetic end to end."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    ref = per_type.agg(F.max("last_ts").alias("newest"))
+    lag = F.unix_micros("newest") - F.unix_micros("last_ts")
+    return (
+        per_type.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type", "last_ts", "n_rows",
+            lag.cast("bigint").alias("lag_us"),
+            (lag > 3600_000_000).alias("is_stale"),
+        )
+    )
