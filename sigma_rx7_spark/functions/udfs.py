@@ -176,3 +176,52 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL sentence_split(d.doc_id, d.text) s
         GROUP BY s.doc_id
     """)
+
+
+@query(
+    "q_udf_sql",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(
+        1.0 / (1.0 + exp(-(-2.0
+          + 0.01 * (o_totalprice / 1000.0)
+          + 0.4 * CAST(substr(o_orderpriority, 1, 1) AS INTEGER))))
+        AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("X5", "sql-udf"),
+)
+def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED SCALAR FUNCTION (Spark 4 ``CREATE FUNCTION ...
+    RETURN expr``): the denial-risk logistic declared ONCE as a SQL UDF
+    and reused by name — the engine-native way to share rule
+    expressions across queries (the reference's ``app/ml/denial.py``
+    helper, README.md:27,77, as a catalog object instead of Python).
+    Unlike Python UDFs, a SQL UDF inlines into the plan at analysis
+    time: the aggregate below whole-stage-codegens exactly as if the
+    expression were written inline — zero serialization wall, proven by
+    the oracle matching the inlined arithmetic bit-for-bit (score
+    decimal-quantized before the sum, compat hazard 2)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION denial_risk(
+            price DOUBLE, tier INT) RETURNS DOUBLE
+        RETURN 1.0 / (1.0 + exp(-(-2.0 + 0.01 * (price / 1000.0)
+                                  + 0.4 * tier)))
+    """)
+    return spark.sql("""
+        SELECT
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(denial_risk(
+                 o_totalprice,
+                 CAST(substr(o_orderpriority, 1, 1) AS INT))
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        FROM orders
+        GROUP BY o_orderpriority
+    """)

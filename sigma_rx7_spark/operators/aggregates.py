@@ -1400,3 +1400,58 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
          - (n + F.lit(1)).cast("double") / n)
         .cast("decimal(18,6)").cast("double").alias("gini"),
     )
+
+
+@query(
+    "q_agg_transpose",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                       AS DOUBLE) AS DOUBLE) AS sum_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'max_price' AS key,
+           (SELECT max_price FROM m WHERE o_orderstatus = 'F') AS "F",
+           (SELECT max_price FROM m WHERE o_orderstatus = 'O') AS "O",
+           (SELECT max_price FROM m WHERE o_orderstatus = 'P') AS "P"
+    UNION ALL
+    SELECT 'n_orders',
+           (SELECT n_orders FROM m WHERE o_orderstatus = 'F'),
+           (SELECT n_orders FROM m WHERE o_orderstatus = 'O'),
+           (SELECT n_orders FROM m WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'sum_price',
+           (SELECT sum_price FROM m WHERE o_orderstatus = 'F'),
+           (SELECT sum_price FROM m WHERE o_orderstatus = 'O'),
+           (SELECT sum_price FROM m WHERE o_orderstatus = 'P')
+    """,
+    tags=("A26", "transpose"),
+)
+def q_agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATAFRAME TRANSPOSE (Spark 4 API): flip a G-row × M-measure
+    summary into an M-row × G-column matrix — the dashboard "measures
+    as rows" orientation A9's pivot cannot produce (pivot widens by a
+    VALUE domain; transpose swaps the axes themselves). Certifies the
+    new ``DataFrame.transpose`` surface against a hand-written oracle.
+
+    Scale contract (and why this is safe ONLY on aggregates): transpose
+    materializes the frame's first column as the new header, so its
+    input must be a small summary relation — here 3 status rows —
+    never raw data; the grouped aggregate in front is what makes the
+    operation bounded. Measures are cast to a common double type
+    (transpose requires one type across each transposed row); counts
+    and exact-decimal sums convert exactly."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return m.transpose()

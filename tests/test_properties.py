@@ -531,3 +531,29 @@ def test_kmv_sketch_merge_and_estimator_properties():
     est = (k - 1) / hashes[k - 1]
     rel_err = abs(est - len(ids)) / len(ids)
     assert rel_err < 5 / (k ** 0.5), (est, rel_err)
+
+
+def test_observation_api_counts_inflight(spark, sf_dir):
+    """Spark's Observation API: data-quality metrics collected DURING a
+    real query's execution (no second scan) — the in-flight audit
+    pattern q_quality_audit would use at 100 TB to avoid re-reading a
+    batch just to count it. Metrics must equal the separately-computed
+    truth."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load as load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .alias("n_null_values"),
+    )
+    out = observed.groupBy("event_type").count()
+    out.collect()  # one pass: aggregate AND metrics
+    truth = ev.agg(F.count(F.lit(1))).first()[0]
+    assert obs.get["n_rows"] == truth
+    assert obs.get["n_null_values"] == 0
