@@ -369,3 +369,54 @@ def q_source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              dsum("value", "sum_value"))
     )
+
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "q_sink_compaction",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      {o_dsum('value', 'sum_value')},
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("S16", "compaction", "maintenance"),
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION (the warehouse maintenance job): stage the
+    event stream as {COMPACT_SMALL_FILES} small parquet files (what
+    per-minute streaming micro-batches leave behind), then compact to
+    {COMPACT_TARGET_FILES} range-clustered files via
+    ``repartitionByRange(user_id, ts)`` + rewrite, and aggregate the
+    compacted table. The oracle aggregates the ORIGINAL events, so a
+    green row proves the rewrite is lossless; the file-count collapse
+    itself is asserted in tests/test_plans.py.
+
+    Why it matters at 100 TB: a streaming sink writing every minute
+    produces ~500k files/year/table — listing alone stalls planning,
+    and row-group-per-file kills scan efficiency. Compaction is the
+    periodic job every real lake runs (Delta OPTIMIZE / Iceberg
+    rewrite_data_files); range-clustering by the hot filter/join column
+    while rewriting makes the files min/max-prunable on user_id for
+    free — layout work piggybacking on IO that must happen anyway."""
+    path_small = _stage_dir("compact_small", sf_dir)
+    path_big = _stage_dir("compact_big", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts")
+    ev.repartition(COMPACT_SMALL_FILES).write.mode(
+        "overwrite").parquet(path_small)
+    (spark.read.parquet(path_small)
+     .repartitionByRange(COMPACT_TARGET_FILES, "user_id", "ts")
+     .write.mode("overwrite").parquet(path_big))
+    compacted = spark.read.parquet(path_big)
+    return compacted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

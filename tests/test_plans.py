@@ -481,3 +481,21 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in p and "coalesced" in p, p
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    # The compaction rewrite must actually reduce parquet file count to
+    # the target (the content equality is the oracle's job).
+    import glob
+    import os
+
+    from sigma_rx7_spark.sources.formats import (
+        COMPACT_SMALL_FILES, COMPACT_TARGET_FILES, _stage_dir)
+
+    ALL["q_sink_compaction"].fn(spark, sf_dir).collect()
+    small = glob.glob(os.path.join(_stage_dir("compact_small", sf_dir),
+                                   "*.parquet"))
+    big = glob.glob(os.path.join(_stage_dir("compact_big", sf_dir),
+                                 "*.parquet"))
+    assert len(small) == COMPACT_SMALL_FILES, len(small)
+    assert 0 < len(big) <= COMPACT_TARGET_FILES, len(big)
