@@ -90,3 +90,38 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags disambiguate real NULL group keys from subtotal rows."""
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ONE SQL text on both engines (the q_graph_reachability discipline):
+# a correlated LATERAL subquery with ORDER BY + LIMIT — top-k-per-group
+# as the optimizer sees it from the SQL surface, rather than the
+# DataFrame window form of q_window_rank.
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@query("q_join_lateral_topk", oracle=_LATERAL_SQL,
+       tags=("J14", "lateral", "subquery"))
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL JOIN (SQL surface): each customer's two most
+    expensive orders via a correlated subquery with ORDER BY + LIMIT —
+    the per-row-subquery phrasing of top-k-per-group that analysts
+    write, decorrelated by Catalyst into a windowed rank plan (no
+    per-customer re-execution; the same physical shape q_window_rank
+    builds by hand — asserted in tests). The identical SQL text runs on
+    DuckDB as the oracle, so the decorrelation is proven
+    semantics-preserving, and the (price DESC, orderkey) total order
+    makes the selected rowset engine-exact. Customers with no orders
+    disappear (LATERAL is a cross-apply inner join), matching both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -499,3 +499,12 @@ def test_compaction_collapses_file_count(spark, sf_dir):
                                  "*.parquet"))
     assert len(small) == COMPACT_SMALL_FILES, len(small)
     assert 0 < len(big) <= COMPACT_TARGET_FILES, len(big)
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    # The correlated LATERAL (ORDER BY + LIMIT per customer) must plan
+    # as a windowed rank/limit over ONE orders scan — no per-customer
+    # subquery re-execution, no nested-loop join.
+    p = plan(spark, sf_dir, "q_join_lateral_topk")
+    assert "CartesianProduct" not in p, p
+    assert "WindowGroupLimit" in p or "Window" in p, p
