@@ -139,3 +139,59 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"),
                  F.max("value").alias("mx")).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """T2's contract observed directly: a row arriving BELOW the
+    watermark established by an earlier batch is dropped from the
+    windowed aggregation — not silently merged. Driven as two
+    availableNow drains sharing one checkpoint (the watermark persists
+    in the state store across restarts, exactly like a crash/resume)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        out = []
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _i: out.extend(
+                (r["w"]["start"], r["n"]) for r in bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    t = dt.datetime(2024, 2, 1, 10, 0, 0)
+    write_batch([(1, t, 1.0), (2, t.replace(minute=20), 1.0),
+                 (3, t.replace(minute=40), 1.0)])
+    first = drain()  # watermark advances to 10:40 - 1h = 09:40
+    # batch 2: one LATE row (05:00 — far below the persisted watermark)
+    # and one on-time row (11:30)
+    write_batch([(4, dt.datetime(2024, 2, 1, 5, 0, 0), 1.0),
+                 (5, dt.datetime(2024, 2, 1, 11, 30, 0), 1.0)])
+    second = drain()
+    # batch 3 advances the watermark to 13:00 so every earlier window
+    # finalizes (append mode emits a window only once the watermark
+    # passes its END — nothing above asserted emission yet)
+    write_batch([(6, dt.datetime(2024, 2, 1, 14, 0, 0), 1.0)])
+    third = drain()
+    emitted = dict(first + second + third)
+    # the 10:00 window holds exactly the 3 on-time rows; the late row's
+    # 05:00 window was never emitted — the row is DROPPED
+    assert emitted.get(dt.datetime(2024, 2, 1, 10, 0, 0)) == 3, emitted
+    assert dt.datetime(2024, 2, 1, 5, 0, 0) not in emitted, emitted
