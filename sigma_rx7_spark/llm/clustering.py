@@ -222,11 +222,10 @@ def q_cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DIM = 64  # harness embedding dimensionality (asserted in tests)
 
-
-@query(
-    "q_embed_cov",
-    oracle=f"""
-    WITH e AS (
+# Covariance sufficient-statistic CTEs (e -> comp -> s), shared verbatim
+# by the q_embed_cov oracle and the power-iteration oracle so the PCA
+# mirror consumes the exact audited covariance text.
+_ORACLE_COV_STATS = f"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), comp AS (
       SELECT e.vec_id,
@@ -242,7 +241,13 @@ EMB_DIM = 64  # harness embedding dimensionality (asserted in tests)
              CAST(SUM(xj) AS DOUBLE) AS sj,
              CAST(SUM(CAST(xi * xj AS DECIMAL(38,18))) AS DOUBLE) AS sij
       FROM comp GROUP BY i, j
-    )
+    )"""
+
+
+@query(
+    "q_embed_cov",
+    oracle=f"""
+    WITH {_ORACLE_COV_STATS}
     SELECT i, j, CAST(n AS BIGINT) AS n_vecs,
            CAST(CAST((sij - si * sj / n) / (n - 1)
                 AS DECIMAL(18,9)) AS DOUBLE) AS cov
@@ -320,3 +325,125 @@ def dominant_eigenvector(cov_rows, dim: int = EMB_DIM,
         v = [x / norm for x in w]
         lam = norm
     return v, lam
+
+
+# ---- In-engine power iteration (distributed PCA step) --------------------
+
+PCA_ROUNDS = 2  # unrolled fixed matvec+normalize rounds (PageRank discipline)
+
+# Quantization for the matvec/normalize chain: covariance components sit
+# near 1e-3, so 9 fractional digits (the q_embed_cov convention) keep
+# ~6 significant digits through the chain while staying engine-exact.
+_PCA_Q = "DECIMAL(18,9)"
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTEs over the audited covariance text.
+
+    Per round r: w_r = Σ·v_{r-1} (exact-decimal sum of exact-decimal
+    products, 9-dp-quantized), nrm_r = sqrt(Σ w²) (sqrt is IEEE-754
+    correctly-rounded in BOTH engines — unlike exp/ln it is not a libm
+    drift hazard, compat.py hazard 2 — so it may sit outside the
+    quantization), v_r = w_r / nrm_r, 9-dp-quantized.
+
+    Every quantize step is CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)):
+    quantizing the exact DECIMAL sum directly diverges, because the
+    structured arithmetic (cov × 0.125) lands sums EXACTLY on 9-dp
+    midpoints, where Spark rescales HALF_UP but DuckDB half-to-even
+    (measured: 29/64 components off by 1e-9). No IEEE double is exactly
+    halfway between two 9-dp decimals ((10k+5)·1e-10 is never dyadic),
+    so the through-double detour makes round-to-nearest unambiguous —
+    the same reasoning compat.py documents for the 6-dp convention."""
+    ctes = [f"""cov AS (
+      SELECT i, j, CAST(CAST((sij - si * sj / n) / (n - 1)
+                   AS {_PCA_Q}) AS DOUBLE) AS cov
+      FROM s
+    ), fullm AS (
+      SELECT i, j, cov FROM cov
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cov WHERE i < j
+    ), v0 AS (
+      SELECT CAST(g.i AS INTEGER) AS pos, 0.125 AS vk
+      FROM range(0, {EMB_DIM}) g(i)
+    )"""]
+    for r in range(1, PCA_ROUNDS + 1):
+        ctes.append(f"""w{r} AS (
+      SELECT f.i AS pos,
+             CAST(CAST(CAST(SUM(CAST(f.cov AS {_PCA_Q})
+                                * CAST(v.vk AS {_PCA_Q}))
+                  AS DOUBLE) AS {_PCA_Q}) AS DOUBLE) AS w
+      FROM fullm f JOIN v{r - 1} v ON f.j = v.pos
+      GROUP BY f.i
+    ), n{r} AS (
+      SELECT CAST(CAST(sqrt(CAST(SUM(CAST(w AS {_PCA_Q})
+                                     * CAST(w AS {_PCA_Q}))
+                   AS DOUBLE)) AS {_PCA_Q}) AS DOUBLE) AS nrm
+      FROM w{r}
+    ), v{r} AS (
+      SELECT pos, CAST(CAST(w / (SELECT nrm FROM n{r}) AS {_PCA_Q})
+                  AS DOUBLE) AS vk
+      FROM w{r}
+    )""")
+    return f"""
+    WITH {_ORACLE_COV_STATS}, {', '.join(ctes)}
+    SELECT pos, vk AS component,
+           (SELECT nrm FROM n{PCA_ROUNDS}) AS eigenvalue
+    FROM v{PCA_ROUNDS}
+    """
+
+
+@query("q_embed_pca_power", oracle=_pca_oracle(), tags=("L2d", "pca"))
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component estimate computed ENTIRELY in the engine:
+    {PCA_ROUNDS} unrolled power-iteration rounds on the covariance
+    relation (matvec = join + exact-decimal hash aggregation, normalize
+    = 1-row norm relation crossJoined back — no driver-side matrix, the
+    distributed twin of ``dominant_eigenvector``). Output: the unit
+    direction after {PCA_ROUNDS} rounds plus the eigenvalue estimate
+    λ ≈ ‖Σ·v‖ from the final matvec.
+
+    Scale: the corpus is touched ONCE (covariance sufficient statistic,
+    one partial+final aggregation); every round after that operates on
+    the dim² = {EMB_DIM}² covariance relation — bounded metadata, all
+    joins auto-broadcast, so iteration cost is independent of corpus
+    size. More rounds = appending CTEs, not rescanning data. sqrt and
+    division are IEEE-correctly-rounded (identical across engines);
+    only sums are decimal-quantized (compat.py hazard 1)."""
+    # The covariance relation feeds both union branches and every
+    # unrolled round; persist it (dim^2 bounded rows) so the corpus
+    # parquet is scanned ONCE — without it the round unrolling
+    # re-expands the scan subtree 2^rounds times (measured: 36 scans).
+    cov = q_embed_cov(spark, sf_dir).select("i", "j", "cov").persist()
+    full = cov.union(
+        cov.where(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
+    v = (spark.range(EMB_DIM)
+         .select(F.col("id").cast("int").alias("pos"),
+                 F.lit(0.125).alias("vk")))
+    norm = None
+    for _ in range(PCA_ROUNDS):
+        w = (
+            full.join(F.broadcast(v), F.col("j") == F.col("pos"))
+            .groupBy("i")
+            .agg(F.sum(F.col("cov").cast(_PCA_Q.lower())
+                       * F.col("vk").cast(_PCA_Q.lower()))
+                 .cast("double").cast(_PCA_Q.lower()).cast("double")
+                 .alias("w"))
+        ).persist()  # consumed by both the norm agg and the divide
+
+        norm = w.agg(
+            F.sqrt(F.sum(F.col("w").cast(_PCA_Q.lower())
+                         * F.col("w").cast(_PCA_Q.lower()))
+                   .cast("double"))
+            .cast(_PCA_Q.lower()).cast("double").alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(norm))  # 1-row norm relation
+            .select(F.col("i").alias("pos"),
+                    (F.col("w") / F.col("nrm")).cast(_PCA_Q.lower())
+                    .cast("double").alias("vk"))
+        )
+    return (
+        v.crossJoin(F.broadcast(norm))  # 1-row norm relation
+        .select("pos", F.col("vk").alias("component"),
+                F.col("nrm").alias("eigenvalue"))
+    )

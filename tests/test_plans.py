@@ -508,3 +508,17 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     p = plan(spark, sf_dir, "q_join_lateral_topk")
     assert "CartesianProduct" not in p, p
     assert "WindowGroupLimit" in p or "Window" in p, p
+
+
+def test_pca_power_scans_corpus_once(spark, sf_dir):
+    # Power iteration must touch the embeddings corpus exactly once (the
+    # covariance sufficient statistic is persisted; formatted explain
+    # re-prints the cached build subtree per consumer, so the assertion
+    # is on InMemoryTableScan presence — the runtime materializes the
+    # cache once). Each unrolled round then operates on the dim^2
+    # relation with broadcast joins only — iteration cost independent of
+    # corpus size, and no Python anywhere in the loop.
+    p = plan(spark, sf_dir, "q_embed_pca_power")
+    assert "InMemoryTableScan" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
