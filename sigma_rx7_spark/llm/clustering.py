@@ -447,3 +447,76 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", F.col("vk").alias("component"),
                 F.col("nrm").alias("eigenvalue"))
     )
+
+
+# ---- Product quantization (PQ codes) -------------------------------------
+
+PQ_SUBS = 4  # subspaces; sub-vector width = EMB_DIM / PQ_SUBS = 16
+
+
+@query(
+    "q_embed_pq",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    cb AS (
+      SELECT label AS c_label,
+             CAST((pos - 1) // {EMB_DIM // PQ_SUBS} AS INTEGER) AS sub, pos,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(x)
+               AS centroid
+      FROM ex GROUP BY label, 2, pos
+    ),
+    d AS (
+      SELECT ex.vec_id, cb.sub, cb.c_label,
+             CAST(SUM(CAST((ex.x - cb.centroid) * (ex.x - cb.centroid)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dist2
+      FROM ex JOIN cb ON ex.pos = cb.pos
+      GROUP BY ex.vec_id, cb.sub, cb.c_label
+    )
+    SELECT vec_id, sub, c_label AS code, dist2
+    FROM (SELECT vec_id, sub, c_label, dist2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, sub
+                   ORDER BY dist2, c_label) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+    tags=("L2e", "pq", "quantization"),
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION: split every vector into {PQ_SUBS} contiguous
+    sub-vectors, learn one sub-codebook per subspace (deterministic
+    per-label sub-means, the same E/M seeding as the IVF index), and
+    emit each vector's code word — (vec_id, sub, code) plus the exact
+    per-subspace reconstruction error. PQ is the memory side of
+    IVF-PQ ANN: {PQ_SUBS} small ints replace {EMB_DIM} floats
+    (~{EMB_DIM * 4 // PQ_SUBS}x compression at byte codes), and
+    asymmetric distance scans read codes, not vectors.
+
+    Scale shape: the full codebook is k x {EMB_DIM} rows — broadcast;
+    the corpus explodes to components, joins the codebook map-side, and
+    the per-(vector, subspace, candidate) distance aggregation collapses
+    map-side before its one shuffle (k rows per (vector, subspace)).
+    The argmin window partitions by (vec_id, sub) with a c_label
+    tiebreak — total order, engine-independent. No Python, no
+    cross join, reconstruction error exact-decimal per term."""
+    ex = _exploded(spark, sf_dir)
+    width = EMB_DIM // PQ_SUBS
+    cb = (
+        ex.groupBy(
+            F.col("label").alias("c_label"),
+            ((F.col("pos") - 1) / width).cast("int").alias("sub"),
+            "pos")
+        .agg((F.sum(q("x")).cast("double") / F.count("x")).alias("centroid"))
+    )
+    term = (F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid"))
+    d = (
+        ex.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "sub", "c_label")
+        .agg(F.sum(q(term)).cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist2", "c_label")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("c_label").alias("code"), "dist2")
+    )

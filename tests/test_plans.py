@@ -522,3 +522,14 @@ def test_pca_power_scans_corpus_once(spark, sf_dir):
     assert "InMemoryTableScan" in p, p
     assert "SortMergeJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_pq_codebook_broadcasts_and_no_crossjoin(spark, sf_dir):
+    # The PQ codebook (k x dim rows) must broadcast into the component
+    # join; candidate scoring is a partial+final aggregation keyed by
+    # (vec_id, sub, c_label) — never a cartesian pair source, no Python.
+    p = plan(spark, sf_dir, "q_embed_pq")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
