@@ -408,3 +408,124 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h == F.col("doc_id"), (h + 1) % F.col("n_docs"))
         .otherwise(h).cast("bigint").alias("neg_doc_id"),
     )
+
+
+# ---- Exact-budget mixture apportionment ----------------------------------
+
+BUDGET_N = 200     # total document budget to apportion across sources
+BUDGET_TEMP = 0.5  # temperature: per-source weight = n_total ** temp
+
+
+@query(
+    "q_sample_budget",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_total,
+             CAST(CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(18,6))
+                  AS DOUBLE) AS w
+      FROM counts
+    ), shared AS (
+      SELECT source, n_total, w,
+             w / (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+                  FROM weighted) * {BUDGET_N} AS ideal
+      FROM weighted
+    ), based AS (
+      SELECT source, n_total, ideal,
+             CAST(floor(ideal) AS BIGINT) AS base,
+             ideal - floor(ideal) AS rem
+      FROM shared
+    ), quota AS (
+      SELECT source, n_total,
+             base + CASE WHEN ROW_NUMBER() OVER (
+                             ORDER BY rem DESC, source)
+                         <= {BUDGET_N} - (SELECT SUM(base) FROM based)
+                    THEN 1 ELSE 0 END AS quota
+      FROM based
+    ), ranked AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d
+    )
+    SELECT q.source, CAST(q.n_total AS BIGINT) AS n_total,
+           CAST(q.quota AS BIGINT) AS quota,
+           COUNT(r.doc_id) AS n_sampled,
+           CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS id_checksum
+    FROM quota q LEFT JOIN ranked r
+      ON q.source = r.source AND r.rn <= q.quota
+    GROUP BY q.source, q.n_total, q.quota
+    """,
+    tags=("L5", "sampling", "mixture"),
+)
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-BUDGET mixture apportionment: split a fixed document budget
+    (N={BUDGET_N}) across sources with temperature-scaled weights
+    (w = n^{BUDGET_TEMP}) via largest-remainder rounding — quotas sum to
+    exactly N — then deterministically draw each source's quota as its
+    smallest-digest documents. This is the step that turns mixture
+    WEIGHTS (q_sample_mixture's keep rates) into a concrete fixed-size
+    training mix; id_checksum pins the exact membership.
+
+    Determinism: the weight sum is an exact-decimal sum of 6-dp
+    quantized weights (a bare double sum over sources would be
+    order-sensitive); everything after is IEEE division/floor, identical
+    across engines; both windows carry total orders (rem DESC, source /
+    digest, doc_id).
+
+    Scale shape: counts/quotas are |sources|-row relations (one
+    aggregate + broadcast back); the draw is one top-K-per-stratum
+    window, shuffle keyed by source; quota comparison joins map-side.
+    The apportionment windows run over the tiny quota relation only."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    weighted = counts.select(
+        "source", "n_total",
+        F.sqrt(F.col("n_total").cast("double"))
+        .cast("decimal(18,6)").cast("double").alias("w"))
+    total_w = weighted.agg(
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("tw"))
+    based = (
+        weighted.crossJoin(F.broadcast(total_w))
+        .select(
+            "source", "n_total",
+            (F.col("w") / F.col("tw") * BUDGET_N).alias("ideal"))
+        .select(
+            "source", "n_total",
+            F.floor("ideal").cast("bigint").alias("base"),
+            (F.col("ideal") - F.floor("ideal")).alias("rem"))
+    )
+    deficit = based.agg((F.lit(BUDGET_N) - F.sum("base")).alias("deficit"))
+    wq = Window.orderBy(F.desc("rem"), F.asc("source"))
+    quota = (
+        based.crossJoin(F.broadcast(deficit))
+        .select(
+            "source", "n_total",
+            (F.col("base")
+             + F.when(F.row_number().over(wq) <= F.col("deficit"), 1)
+             .otherwise(0)).alias("quota"))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "source", "doc_id",
+        F.row_number().over(wr).alias("rn"))
+    return (
+        quota.alias("q").join(
+            ranked.alias("r"),
+            (F.col("q.source") == F.col("r.source"))
+            & (F.col("r.rn") <= F.col("q.quota")), "left")
+        .groupBy(F.col("q.source").alias("source"),
+                 F.col("q.n_total").alias("n_total"),
+                 F.col("q.quota").alias("quota"))
+        .agg(F.count(F.col("r.doc_id")).alias("n_sampled"),
+             F.coalesce(F.sum(F.col("r.doc_id")), F.lit(0))
+             .cast("bigint").alias("id_checksum"))
+        .select("source", F.col("n_total").cast("bigint").alias("n_total"),
+                F.col("quota").cast("bigint").alias("quota"),
+                "n_sampled", "id_checksum")
+    )

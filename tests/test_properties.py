@@ -557,3 +557,17 @@ def test_observation_api_counts_inflight(spark, sf_dir):
     truth = ev.agg(F.count(F.lit(1))).first()[0]
     assert obs.get["n_rows"] == truth
     assert obs.get["n_null_values"] == 0
+
+
+def test_budget_apportionment_is_exact(spark, sf_dir):
+    # Largest-remainder quotas must sum to EXACTLY the budget (the whole
+    # point over naive rounding), every quota must be non-negative, and
+    # the draw must fill each quota (no source undershoots unless it has
+    # fewer docs than its quota — not the case in the fixtures).
+    from sigma_rx7_spark.llm.sampling import BUDGET_N, q_sample_budget
+
+    rows = q_sample_budget(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == BUDGET_N
+    assert all(r["quota"] >= 0 for r in rows)
+    assert all(r["n_sampled"] == min(r["quota"], r["n_total"])
+               for r in rows)
