@@ -409,3 +409,176 @@ def q_pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).cast("bigint").alias("chunk_len"),
     )
+
+
+# ---- Model-based quality filtering (trained classifier gate) -------------
+
+QF_ETA = 0.5       # learning rate
+QF_ROUNDS = 2      # unrolled batch-GD rounds (q_ml_logreg_train discipline)
+# Positive class: English documents — the metadata label the classifier
+# learns to predict FROM TEXT FEATURES alone (the wiki-vs-crawl weak
+# supervision behind fastText-style quality/language gates; the lang
+# column plays the role of the trusted-corpus label, and the stopword
+# ratio is genuinely predictive of it, so the fit separates).
+
+from ..functions.text import EN_STOPWORDS  # noqa: E402
+
+_QF_NTOK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+_QF_FEATURES = f"""
+    f AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
+               / {_QF_NTOK} AS x1,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / {_QF_NTOK} / 10.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    )"""
+
+
+def _qf_oracle() -> str:
+    """Unrolled GD over the feature CTE, then a corpus-wide scoring pass
+    grouped by source — _lr_oracle's recipe (scoring.py) retargeted at
+    text-quality features."""
+    prev = ("0.0", "0.0", "0.0")
+    ctes = [_QF_FEATURES]
+    for r in range(1, QF_ROUNDS + 1):
+        w0, w1, w2 = prev
+        p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+             f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+        ctes.append(f"""g{r} AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST((y - {p}) AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+        CAST(SUM(CAST((y - {p}) * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST((y - {p}) * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM f
+    ), w{r} AS (
+      SELECT
+        CAST(CAST({w0} + {QF_ETA} * s0 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w0,
+        CAST(CAST({w1} + {QF_ETA} * s1 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w1,
+        CAST(CAST({w2} + {QF_ETA} * s2 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w2
+      FROM g{r}
+    )""")
+        prev = (f"(SELECT w0 FROM w{r})", f"(SELECT w1 FROM w{r})",
+                f"(SELECT w2 FROM w{r})")
+    w0, w1, w2 = prev
+    p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+         f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    ctes.append(f"""scored AS (
+      SELECT source, n_chars, {p} AS p FROM f
+    ), thr AS (
+      SELECT CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        AS thr
+      FROM scored
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr)
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_score
+    FROM scored
+    GROUP BY source
+    """
+
+
+@query("q_pipeline_quality_model", oracle=_qf_oracle(),
+       tags=("L3", "L6", "ml", "pipeline"))
+def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering, trained and applied in one plan:
+    learn a logistic gate in-engine (positives = documents whose lang
+    metadata says English — weak supervision; features = stopword ratio
+    + scaled mean token length, which genuinely predict it), then score
+    the WHOLE corpus and report keep/drop per source — the fastText-style classifier gate of production curation
+    pipelines (wiki-vs-crawl), expressed with q_ml_logreg_train's
+    engine-exact unrolled-GD recipe so a 1000-executor fit reproduces
+    this fit bit for bit.
+
+    Scale shape: each GD round is one scan + one 3-number aggregate
+    (the shuffle carries 3 decimals); the fitted 1-row weight relation
+    broadcasts into the scoring pass, which is a pure projection + one
+    per-source aggregate. Features are cheap column expressions — no
+    Python, no tokenizer UDF; sigmoid outputs are 6-dp-quantized before
+    every aggregation (libm exp drift, compat hazard 2)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ntok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    feats = d.select(
+        "doc_id", "source", "n_chars",
+        (stop_hits.cast("double") / ntok).alias("x1"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double")
+         / ntok / F.lit(10.0)).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def sigmoid_q(z):
+        return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+            .cast("decimal(18,6)").cast("double")
+
+    def round_weights(df, w0, w1, w2):
+        p = sigmoid_q(w0 + w1 * F.col("x1") + w2 * F.col("x2"))
+        g = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(w0).alias("_w0"),
+            F.max(w1).alias("_w1"),
+            F.max(w2).alias("_w2"),
+            F.sum((F.col("y") - p).cast("decimal(18,6)"))
+            .cast("double").alias("s0"),
+            F.sum(((F.col("y") - p) * F.col("x1")).cast("decimal(18,6)"))
+            .cast("double").alias("s1"),
+            F.sum(((F.col("y") - p) * F.col("x2")).cast("decimal(18,6)"))
+            .cast("double").alias("s2"),
+        )
+        return g.select(
+            (F.col("_w0") + F.lit(QF_ETA) * F.col("s0") / F.col("n"))
+            .cast("decimal(18,6)").cast("double").alias("w0"),
+            (F.col("_w1") + F.lit(QF_ETA) * F.col("s1") / F.col("n"))
+            .cast("decimal(18,6)").cast("double").alias("w1"),
+            (F.col("_w2") + F.lit(QF_ETA) * F.col("s2") / F.col("n"))
+            .cast("decimal(18,6)").cast("double").alias("w2"),
+        )
+
+    w = round_weights(feats, F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    for _ in range(QF_ROUNDS - 1):
+        w = round_weights(
+            feats.crossJoin(F.broadcast(w)),  # 1-row weight relation
+            F.col("w0"), F.col("w1"), F.col("w2"))
+    p = sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                  + F.col("w2") * F.col("x2"))
+    # Keep-above-mean-score gate: quality filters threshold on a score
+    # QUANTILE of the fitted distribution, not an absolute 0.5 (the
+    # class prior shifts the whole distribution under imbalance). The
+    # mean of the 6-dp-quantized scores is engine-exact; scored is
+    # persisted because the threshold aggregate and the final report
+    # both consume it.
+    scored = (
+        feats.crossJoin(F.broadcast(w))  # 1-row weight relation
+        .select("source", "n_chars", p.alias("p"))
+        .persist()
+    )
+    thr = scored.agg(
+        (F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("thr"))
+    keep = F.col("p") >= F.col("thr")
+    return (
+        scored.crossJoin(F.broadcast(thr))  # 1-row threshold relation
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint").alias("kept_chars"),
+            (F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_score"),
+        )
+    )

@@ -571,3 +571,15 @@ def test_budget_apportionment_is_exact(spark, sf_dir):
     assert all(r["quota"] >= 0 for r in rows)
     assert all(r["n_sampled"] == min(r["quota"], r["n_total"])
                for r in rows)
+
+
+def test_quality_model_gate_splits_corpus(spark, sf_dir):
+    # The trained gate must actually partition the corpus: some docs
+    # above the mean-score threshold, some below (an all-keep or
+    # all-drop filter means the fit or the threshold degenerated).
+    from sigma_rx7_spark.llm.pipeline import q_pipeline_quality_model
+
+    rows = q_pipeline_quality_model(spark, sf_dir).collect()
+    kept = sum(r["n_kept"] for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < kept < total, (kept, total)
