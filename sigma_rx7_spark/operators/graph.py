@@ -314,3 +314,64 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+# ---- Weighted shortest path (bounded Bellman-Ford walk) ------------------
+
+SSSP_MAX_HOPS = 2
+
+# ONE SQL text on BOTH engines (q_graph_reachability's contract). The
+# edge weight is integer by construction — cost = max(1, 8 - cnt), so
+# frequently co-bought pairs are "close" — keeping the whole relaxation
+# in exact BIGINT arithmetic (the PageRank fixed-point lesson: integer
+# ops have no cross-engine rounding surface at all).
+_SSSP_SQL = f"""
+WITH RECURSIVE wedges AS (
+  SELECT src, dst,
+         CASE WHEN 8 - cnt > 1 THEN 8 - cnt ELSE 1 END AS cost
+  FROM (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+  )
+), seed AS (
+  SELECT MIN(l_partkey) AS s FROM lineitem
+), walk(node, cost, hops) AS (
+  SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.cost + e.cost, w.hops + 1
+  FROM walk w JOIN wedges e ON e.src = w.node
+  WHERE w.hops < {SSSP_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MIN(cost) AS BIGINT) AS min_cost,
+       CAST(MIN(hops) AS INT) AS min_hops
+FROM walk GROUP BY node
+"""
+
+
+@query("q_graph_sssp", oracle=_SSSP_SQL, tags=("L1b", "graph"))
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest path (bounded Bellman-Ford): from
+    the smallest part key, the cheapest co-purchase path to every node
+    within {SSSP_MAX_HOPS} hops, where edge cost falls with co-purchase
+    frequency — the similarity-distance walk behind related-item
+    expansion, as a recursive CTE whose identical text runs on Spark
+    and DuckDB.
+
+    The relaxation is pure BIGINT (cost = max(1, 8 - count)): no float
+    enters the recursion, so partial/final aggregation order cannot
+    perturb anything. Each step joins the previous frontier to the
+    weighted edge relation (hash join keyed by node); MIN(cost) per
+    node afterwards is the Bellman-Ford "relax" collapsed into one
+    aggregate — with a bounded hop count this enumerates Σ degᵏ paths,
+    the same structural termination guarantee as q_graph_reachability.
+    Unbounded SSSP = this plan inside the CC-style driver loop with a
+    convergence probe; the bounded form is the oracle-checkable core."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SSSP_SQL)
