@@ -1535,3 +1535,88 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# ---- Cross-source overlap audit (corpus contamination matrix) ------------
+
+
+@query(
+    "q_text_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), ss AS (
+      SELECT DISTINCT source,
+             md5(unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {SHINGLE_N}, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}),
+                                    ' '))))) AS dig
+      FROM toks
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM ss a JOIN ss b
+        ON a.dig = b.dig AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           CAST(sa.n_shingles AS BIGINT) AS n_a,
+           CAST(sb.n_shingles AS BIGINT) AS n_b,
+           CAST(s.n_shared AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.source_a = sa.source
+    JOIN sizes sb ON s.source_b = sb.source
+    """,
+    tags=("L1c", "text", "audit"),
+)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE overlap matrix: shared distinct {SHINGLE_N}-gram
+    shingles and Jaccard similarity for every source pair — the corpus
+    audit that finds scraped-twice pipelines and benchmark bleed
+    BETWEEN ingest feeds, where q_text_contamination checks one corpus
+    against one benchmark.
+
+    Scale shape: the corpus collapses to DISTINCT (source, digest) rows
+    before any join — the shuffle carries a 32-byte md5 digest, never
+    shingle text; the pair join is keyed by digest and a shingle shared
+    by all S sources emits at most C(S,2) rows (sources are a small
+    fixed set, so the blow-up is bounded by |sources|² per digest, not
+    by corpus size). Output is the |sources|² upper triangle — bounded
+    metadata. Jaccard is one double division of exact counts."""
+    d = load(spark, sf_dir, "documents")
+    ss = (
+        d.select("source", F.explode(_shingles()).alias("shingle"))
+        .select("source", F.md5("shingle").alias("dig"))
+        .distinct()
+        .persist()  # feeds the sizes aggregate and both join sides
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        ss.alias("a").join(
+            ss.alias("b"),
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                                .withColumnRenamed("n_shingles", "n_a")),
+                    "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                          .withColumnRenamed("n_shingles", "n_b")),
+              "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_shared").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+            .alias("jaccard"),
+        )
+    )
