@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import o_davg
+from ..compat import QDEC, o_davg
 from ..io import load
 from ..registry import query
 
@@ -698,10 +698,10 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_bigram_logprob",
-    oracle="""
-    WITH tl AS (
+# Bigram-LM CTE chain and per-doc scoring SELECT, shared VERBATIM by
+# q_text_bigram_logprob and the perplexity-filter composition so the
+# filter consumes exactly the audited LM text.
+_BIGRAM_CTES = '''tl AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS l
       FROM documents
@@ -725,9 +725,14 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tf AS (
       SELECT doc_id, prev, cur, COUNT(*) AS tf
       FROM bg GROUP BY doc_id, prev, cur
-    )
-    SELECT tf.doc_id,
+    )'''
+
+_BIGRAM_SCORE_SELECT = '''SELECT tf.doc_id,
            CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf.tf * CAST(ln(CAST(big.c_big + 1 AS DOUBLE)
+                                    / (ctx.c_ctx + vocab.v))
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_logprob,
            CAST(SUM(tf.tf * CAST(ln(CAST(big.c_big + 1 AS DOUBLE)
                                     / (ctx.c_ctx + vocab.v))
                                  AS DECIMAL(18,6))) AS DOUBLE)
@@ -736,7 +741,14 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN big ON tf.prev = big.prev AND tf.cur = big.cur
     JOIN ctx ON tf.prev = ctx.prev
     CROSS JOIN vocab
-    GROUP BY tf.doc_id
+    GROUP BY tf.doc_id'''
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_CTES}
+    {_BIGRAM_SCORE_SELECT}
     """,
     tags=("L3", "quality", "lm"),
 )
@@ -786,15 +798,25 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.col("tf") * F.log(
         (F.col("c_big") + 1).cast("double")
         / (F.col("c_ctx") + F.col("v"))).cast(QDEC)
-    return (
+    totals = (
         tf.join(big, ["prev", "cur"])
         .join(ctx, "prev")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_bigrams"),
-            (F.sum(term).cast("double") / F.sum("tf")).alias("avg_logprob"),
+            # exact 6-dp decimal sum -> double: a value on the decimal
+            # grid, so it survives double<->decimal round trips in both
+            # engines (unlike the avg QUOTIENT below, which lands on
+            # 6-dp midpoints and must never be re-quantized — the
+            # perplexity filter consumes THESE sufficient statistics,
+            # not the quotient, for exactly that reason)
+            F.sum(term).cast("double").alias("total_logprob"),
         )
+    )
+    return totals.select(
+        "doc_id", "n_bigrams", "total_logprob",
+        (F.col("total_logprob") / F.col("n_bigrams")).alias("avg_logprob"),
     )
 
 
@@ -939,5 +961,78 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df_a").cast("bigint").alias("df_a"),
             F.col("df_b").cast("bigint").alias("df_b"),
             pmi.cast("double").alias("pmi"),
+        )
+    )
+
+
+@query(
+    "q_text_perplexity_filter",
+    oracle=f"""
+    WITH {_BIGRAM_CTES}, scores AS (
+      {_BIGRAM_SCORE_SELECT}
+    ), thr AS (
+      SELECT CAST(SUM(CAST(total_logprob AS DECIMAL(18,6))) AS DOUBLE)
+               / SUM(n_bigrams) AS thr
+      FROM scores
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.total_logprob / s.n_bigrams
+                         >= (SELECT thr FROM thr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.total_logprob / s.n_bigrams
+                         >= (SELECT thr FROM thr)
+                    THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(SUM(CAST(s.total_logprob AS DECIMAL(18,6))) AS DOUBLE)
+             / SUM(s.n_bigrams) AS mean_logprob
+    FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("L3", "L6", "quality", "lm", "pipeline"),
+)
+def q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY FILTERING (the CCNet/KenLM curation stage): score
+    every document with the corpus-trained bigram LM
+    (q_text_bigram_logprob's audited model, consumed verbatim), keep
+    documents whose mean log-probability clears the corpus mean — low
+    scorers are boilerplate, shuffled text, or keyword stuffing — and
+    report keep/drop + mean fluency per source. The LM twin of
+    q_pipeline_quality_model's logistic gate: no labels at all, the
+    corpus is its own model.
+
+    Scale shape: everything of q_text_bigram_logprob's (bigram model =
+    two hash aggs, V broadcast), plus one tiny threshold aggregate
+    broadcast back and a per-source report; the score relation is
+    persisted because the threshold and the report both consume it.
+    Documents with <2 tokens have no bigram score and fall out of the
+    scored population on both engines alike."""
+    scores = q_text_bigram_logprob(spark, sf_dir) \
+        .select("doc_id", "n_bigrams", "total_logprob").persist()
+    # Threshold + per-source means are token-weighted and computed from
+    # the SUFFICIENT STATISTICS (exact-decimal total, bigram count) —
+    # re-quantizing the avg QUOTIENT diverges: total/n lands exactly on
+    # 6-dp midpoints (e.g. -6.519047/2), where Spark's double->decimal
+    # goes through the shortest decimal repr (sees the midpoint string,
+    # rounds HALF_UP) while DuckDB rounds the true binary value
+    # (measured: 3/20 sources off by 4e-8). total_logprob is an exact
+    # 6-dp GRID value, so its round trip is unambiguous in both.
+    thr = scores.agg(
+        (F.sum(F.col("total_logprob").cast(QDEC)).cast("double")
+         / F.sum("n_bigrams")).alias("thr"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "n_chars")
+    keep = (F.col("total_logprob") / F.col("n_bigrams")) >= F.col("thr")
+    return (
+        scores.join(d, "doc_id")
+        .crossJoin(F.broadcast(thr))  # 1-row threshold relation
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint").alias("kept_chars"),
+            (F.sum(F.col("total_logprob").cast(QDEC)).cast("double")
+             / F.sum("n_bigrams")).alias("mean_logprob"),
         )
     )
