@@ -533,3 +533,13 @@ def test_pq_codebook_broadcasts_and_no_crossjoin(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_ivfpq_lut_broadcasts_and_codes_join_carries_no_vectors(spark,
+                                                                sf_dir):
+    # The ADC LUT and the codebook must broadcast; the in-cell scoring
+    # join moves codes (ints), not embedding arrays — the exchanges in
+    # the adist stage must not carry a vector-typed column.
+    p = plan(spark, sf_dir, "q_sim_topk_ivfpq")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
