@@ -9,7 +9,7 @@ tokenizes a 100 TB corpus at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import QDEC, o_davg
@@ -1035,4 +1035,98 @@ def q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("total_logprob").cast(QDEC)).cast("double")
              / F.sum("n_bigrams")).alias("mean_logprob"),
         )
+    )
+
+
+ZIPF_TOP_K = 200  # head-of-distribution window for the power-law fit
+
+
+@query(
+    "q_text_zipf",
+    oracle=f"""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS token
+        FROM documents)
+      GROUP BY token
+    ), ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM counts
+    ), pts AS (
+      SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,6)) AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP_K}
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(20,6)) AS DOUBLE) AS zipf_slope,
+           CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n AS DECIMAL(20,6)) AS DOUBLE) AS intercept,
+           CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     AS DECIMAL(20,6)) AS DOUBLE) AS r2
+    FROM s
+    """,
+    tags=("L3", "audit", "stats"),
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW AUDIT: fit log(freq) ~ log(rank) over the top
+    {ZIPF_TOP_K} vocabulary terms — natural language sits near slope -1
+    with high R²; template/boilerplate corpora flatten the head and
+    machine-generated spam breaks the linearity, so (slope, r2) is a
+    one-row corpus-health fingerprint used to compare ingest feeds
+    against a reference crawl.
+
+    Scale shape: one token hash aggregation; the head selection is
+    orderBy+limit = TakeOrderedAndProject (top-K per partition then
+    merge — never a global sort of the vocabulary); the fit is
+    q_agg_ols's sufficient-statistic recipe over {ZIPF_TOP_K} rows with
+    ln 6-dp-quantized before the exact-decimal products (compat
+    hazard 2)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), "token").limit(ZIPF_TOP_K)
+    wr = Window.orderBy(F.desc("freq"), "token")
+    pts = (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .select(
+            F.log(F.col("rnk").cast("double")).cast(QDEC).alias("x"),
+            F.log(F.col("freq").cast("double")).cast(QDEC).alias("y"))
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_points"),
+        slope.cast("decimal(20,6)").cast("double").alias("zipf_slope"),
+        ((sy - slope * sx) / n).cast("decimal(20,6)").cast("double")
+        .alias("intercept"),
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .cast("decimal(20,6)").cast("double").alias("r2"),
     )

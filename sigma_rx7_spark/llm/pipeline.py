@@ -582,3 +582,70 @@ def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.count(F.lit(1))).alias("mean_score"),
         )
     )
+
+
+@query(
+    "q_pipeline_incremental_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT md5(text) AS dig FROM documents WHERE doc_id % 10 <> 0
+    ), delta AS (
+      SELECT doc_id, source, n_chars, md5(text) AS dig
+      FROM documents WHERE doc_id % 10 = 0
+    ), keeper AS (
+      SELECT doc_id, source, n_chars, dig,
+             ROW_NUMBER() OVER (PARTITION BY dig ORDER BY doc_id) AS rn
+      FROM delta
+    ), novel AS (
+      SELECT k.doc_id, k.source, k.n_chars,
+             CASE WHEN k.rn > 1 THEN 'dup_in_batch'
+                  WHEN b.dig IS NOT NULL THEN 'dup_vs_base'
+                  ELSE 'ingested' END AS fate
+      FROM keeper k
+      LEFT JOIN (SELECT DISTINCT dig FROM base) b ON k.dig = b.dig
+    )
+    SELECT source, fate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM novel
+    GROUP BY source, fate
+    """,
+    tags=("L1", "M1", "pipeline"),
+)
+def q_pipeline_incremental_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL-INGEST DEDUP (M1 × L1): a new delta batch (every
+    10th doc plays the arrival) is deduplicated within itself
+    (min-doc_id keeper per digest) and then against the already-ingested
+    base corpus via a digest anti-join — each delta doc's fate is
+    'dup_in_batch', 'dup_vs_base', or 'ingested'. This is the nightly
+    ingestion gate of a continuously-growing corpus: the base is never
+    rescanned as text, only its digest relation.
+
+    Scale shape: both sides collapse to 32-byte digests before any
+    join; the base digest relation is DISTINCT (one row per unique
+    text, typically ≪ corpus rows) and at warehouse scale persists as
+    the dedup index the stream/merge path (q_stream_merge) maintains
+    incrementally. Shuffles carry (digest, id) — never document text;
+    the fate split is one CASE over a left join, one report aggregate."""
+    d = load(spark, sf_dir, "documents")
+    base = (d.where(F.col("doc_id") % 10 != 0)
+            .select(F.md5("text").alias("dig")).distinct())
+    delta = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("dig"))
+    wk = Window.partitionBy("dig").orderBy("doc_id")
+    keeper = delta.withColumn("rn", F.row_number().over(wk))
+    novel = (
+        keeper.join(base.withColumnRenamed("dig", "b_dig"),
+                    F.col("dig") == F.col("b_dig"), "left")
+        .select(
+            "source", "n_chars",
+            F.when(F.col("rn") > 1, "dup_in_batch")
+            .when(F.col("b_dig").isNotNull(), "dup_vs_base")
+            .otherwise("ingested").alias("fate"))
+    )
+    return (
+        novel.groupBy("source", "fate")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
