@@ -583,3 +583,32 @@ def test_quality_model_gate_splits_corpus(spark, sf_dir):
     kept = sum(r["n_kept"] for r in rows)
     total = sum(r["n_docs"] for r in rows)
     assert 0 < kept < total, (kept, total)
+
+
+def test_pca_power_is_unit_and_improves_rayleigh(spark, sf_dir):
+    # The in-engine power iterate must be unit-norm, and its Rayleigh
+    # quotient v'Σv (= eigenvalue estimate) must dominate the start
+    # vector's — two rounds already concentrate mass toward the top
+    # eigenspace even on the thin-spectral-gap fixture corpus.
+    from sigma_rx7_spark.llm.clustering import (
+        EMB_DIM,
+        q_embed_cov,
+        q_embed_pca_power,
+    )
+
+    rows = q_embed_pca_power(spark, sf_dir).collect()
+    assert len(rows) == EMB_DIM
+    v = {r["pos"]: r["component"] for r in rows}
+    lam = rows[0]["eigenvalue"]
+    assert abs(sum(x * x for x in v.values()) - 1.0) < 1e-6
+    cov = {}
+    for r in q_embed_cov(spark, sf_dir).collect():
+        cov[(r["i"], r["j"])] = r["cov"]
+        cov[(r["j"], r["i"])] = r["cov"]
+    def rayleigh(vec):
+        nrm2 = sum(x * x for x in vec.values())
+        return sum(cov.get((i, j), 0.0) * vec[i] * vec[j]
+                   for i in vec for j in vec) / nrm2
+    v0 = {i: 1.0 for i in range(EMB_DIM)}
+    assert rayleigh(v) > rayleigh(v0)
+    assert lam > 0
