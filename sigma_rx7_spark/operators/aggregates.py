@@ -1455,3 +1455,126 @@ def q_agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return m.transpose()
+
+
+@query(
+    "q_agg_kmv_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS hv
+      FROM events
+    ), types AS (
+      SELECT DISTINCT event_type FROM h
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), pu AS (
+      SELECT p.type_a, p.type_b, h.user_id,
+             MIN(h.hv) AS hv,
+             MAX(CASE WHEN h.event_type = p.type_a THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN h.event_type = p.type_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM pairs p JOIN h
+        ON h.event_type = p.type_a OR h.event_type = p.type_b
+      GROUP BY p.type_a, p.type_b, h.user_id
+    ), ranked AS (
+      SELECT type_a, type_b, user_id, hv, in_a, in_b,
+             ROW_NUMBER() OVER (
+               PARTITION BY type_a, type_b ORDER BY hv, user_id) AS rn
+      FROM pu
+    ), sk AS (
+      SELECT type_a, type_b,
+             MAX(hv) AS hk,
+             CAST(COUNT(*) AS BIGINT) AS k_kept,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS m_both
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY type_a, type_b
+    ), ex AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+      FROM pu GROUP BY type_a, type_b
+    )
+    SELECT ex.type_a, ex.type_b, ex.n_union, ex.n_inter,
+           CASE WHEN ex.n_union < {KMV_K}
+                THEN CAST(ex.n_union AS DOUBLE)
+                ELSE ({KMV_K} - 1) / sk.hk END AS union_est,
+           CASE WHEN ex.n_union < {KMV_K}
+                THEN CAST(ex.n_inter AS DOUBLE)
+                ELSE (CAST(sk.m_both AS DOUBLE) / sk.k_kept)
+                     * (({KMV_K} - 1) / sk.hk) END AS inter_est
+    FROM ex JOIN sk
+      ON ex.type_a = sk.type_a AND ex.type_b = sk.type_b
+    """,
+    tags=("A21", "sketch"),
+)
+def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SKETCH SET OPERATIONS — the mergeability that makes sketches
+    matter at cluster scale: for every event-type pair, the UNION
+    sketch is the k smallest hashes of the combined key sets (merging
+    two k-sets = keep k smallest, associative and order-free), the
+    union estimate is (k−1)/h_k as usual, and the INTERSECTION estimate
+    is Jaccard-via-sketch: the fraction of the union k-set present in
+    both sides, scaled by the union estimate. Exact counts ride along
+    so every estimate has its error audit in the same row.
+
+    Scale shape: per-pair work runs over the DISTINCT (type, user)
+    relation joined to a broadcast |types|² pair list — the heavy
+    dedup happens ONCE, not per pair; everything after the k-window is
+    |pairs| × k rows. Hash arithmetic is exact (uint32/2³²); estimates
+    are bare IEEE divisions/products — no quantization needed."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", "user_id").distinct()
+        .withColumn(
+            "hv",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint").cast("double") / F.lit(2.0 ** 32))
+    ).persist()
+    types = h.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")),
+              F.col("type_a") < F.col("type_b"))
+    )
+    pu = (
+        F.broadcast(pairs).join(
+            h,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")))
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(
+            F.min("hv").alias("hv"),
+            F.max(F.when(F.col("event_type") == F.col("type_a"), 1)
+                  .otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == F.col("type_b"), 1)
+                  .otherwise(0)).alias("in_b"),
+        )
+    ).persist()  # feeds the sketch window AND the exact counts
+    w = Window.partitionBy("type_a", "type_b").orderBy("hv", "user_id")
+    sk = (
+        pu.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.max("hv").alias("hk"),
+             F.count(F.lit(1)).cast("bigint").alias("k_kept"),
+             F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+             .alias("m_both"))
+    )
+    ex = pu.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+        .alias("n_inter"))
+    small = F.col("n_union") < KMV_K
+    union_est = F.when(small, F.col("n_union").cast("double")) \
+        .otherwise(F.lit(float(KMV_K - 1)) / F.col("hk"))
+    inter_est = F.when(small, F.col("n_inter").cast("double")) \
+        .otherwise((F.col("m_both").cast("double") / F.col("k_kept"))
+                   * (F.lit(float(KMV_K - 1)) / F.col("hk")))
+    return (
+        ex.join(sk, ["type_a", "type_b"])
+        .select("type_a", "type_b", "n_union", "n_inter",
+                union_est.alias("union_est"), inter_est.alias("inter_est"))
+    )
