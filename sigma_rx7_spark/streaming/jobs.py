@@ -587,3 +587,144 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op",
         )
     )
+
+
+# ---- Streaming ingest dedup (T9 x L1) ------------------------------------
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as an append stream (same file-source recipe
+    as read_events_stream; documents carry no timestamp, so no ts
+    normalization is needed)."""
+    ensure_session_conf(spark)
+    schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
+def fold_digest_state(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold one micro-batch of documents into the digest-dedup state.
+
+    State = one row per (digest, source): how many docs that source
+    contributed to the digest, and the smallest (doc_id, n_chars) it
+    holds. Both folds are ASSOCIATIVE AND COMMUTATIVE (sum, struct-min),
+    so the converged state — and everything derived from it — is
+    independent of how arrivals are chopped into batches or ordered
+    (q_stream_cdc_apply's retained-state discipline, without even
+    needing an order column).
+    """
+    b = (
+        batch.select(F.md5("text").alias("dig"), "source",
+                     F.struct("doc_id", "n_chars").alias("mindoc"))
+        .groupBy("dig", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("mindoc").alias("mindoc"))
+    )
+    merged = (
+        prev.alias("p").join(b.alias("c"), ["dig", "source"], "full_outer")
+        .select(
+            "dig", "source",
+            (F.coalesce(F.col("p.n_docs"), F.lit(0))
+             + F.coalesce(F.col("c.n_docs"), F.lit(0))).alias("n_docs"),
+            F.least(F.col("p.mindoc"), F.col("c.mindoc")).alias("mindoc"),
+        )
+    )
+    return merged
+
+
+def ingest_dedup_report(state: DataFrame) -> DataFrame:
+    """Read-out: derive per-source fates from the converged state. The
+    winner of each digest is the globally smallest (doc_id, n_chars)
+    struct; a source's ingested count is the number of digests it wins."""
+    # state feeds the global-winner aggregate AND the per-source report
+    state = state.localCheckpoint(eager=True)
+    g = state.groupBy("dig").agg(F.min("mindoc").alias("gmin"))
+    per = state.join(g, "dig").select(
+        "source", "n_docs",
+        F.when(F.col("mindoc") == F.col("gmin"), 1).otherwise(0)
+        .alias("won"),
+        F.when(F.col("mindoc") == F.col("gmin"),
+               F.col("gmin.n_chars")).otherwise(0).alias("won_chars"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("won").cast("bigint").alias("n_ingested"),
+            (F.sum("n_docs") - F.sum("won")).cast("bigint").alias("n_dup"),
+            F.sum("won_chars").cast("bigint").alias("ingested_chars"),
+        )
+    )
+
+
+@query(
+    "q_stream_ingest_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars, md5(text) AS dig FROM documents
+    ), w AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY dig ORDER BY doc_id) AS rn
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ingested,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS ingested_chars
+    FROM w
+    GROUP BY source
+    """,
+    tags=("T9", "L1", "streaming", "dedup"),
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST DEDUP (T9 × L1): documents arrive as a stream
+    and fold per micro-batch into a digest-keyed dedup state — the
+    continuously-running form of q_pipeline_incremental_dedup's nightly
+    gate, and the L1 counterpart of q_stream_merge's relational upsert.
+    Fates (ingested / duplicate) are derived at READ-OUT from the
+    converged state, whose folds are associative+commutative (count
+    sum, struct-min keeper), so the report is provably independent of
+    batch boundaries and arrival order and equals the one-shot batch
+    dedup the oracle states.
+
+    Scale shape: state carries one row per (digest, source) — 32-byte
+    digests, never text; each batch contributes a pre-aggregated
+    (digest, source) relation (map-side collapse before the state
+    join); ``localCheckpoint`` keeps state lineage one batch deep. At
+    warehouse scale this state IS the dedup index, persisted as a table
+    and merged with `MERGE INTO`."""
+    state = {"df": None}
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        if not bdf.head(1):
+            return
+        if state["df"] is None:
+            empty = bdf.sparkSession.createDataFrame(
+                [],
+                "dig string, source string, n_docs bigint, "
+                "mindoc struct<doc_id: bigint, n_chars: bigint>")
+            state["df"] = empty
+        state["df"] = fold_digest_state(
+            state["df"], bdf).localCheckpoint(eager=True)
+
+    ckpt = tempfile.mkdtemp(prefix="ingest_dedup_ckpt_")
+    try:
+        q = (
+            read_documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return ingest_dedup_report(state["df"])

@@ -117,3 +117,39 @@ def test_cdc_tombstone_survives_out_of_order_batches(spark, sf_dir):
         assert live == [], [tuple(r) for r in live]
         retained = state.collect()
         assert len(retained) == 1 and retained[0]["op"] == "D"
+
+
+def test_ingest_dedup_is_batch_chop_invariant(spark, sf_dir):
+    # Fold the documents in two adversarial choppings (by id parity,
+    # reversed halves) through the module-level state fold; both must
+    # converge to the one-shot report — the associative+commutative
+    # fold is what the docstring promises.
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.streaming.jobs import (
+        fold_digest_state,
+        ingest_dedup_report,
+        q_stream_ingest_dedup,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    empty = spark.createDataFrame(
+        [], "dig string, source string, n_docs bigint, "
+            "mindoc struct<doc_id: bigint, n_chars: bigint>")
+
+    def run(chops):
+        st = empty
+        for c in chops:
+            st = fold_digest_state(st, c).localCheckpoint(eager=True)
+        return sorted(map(tuple, ingest_dedup_report(st).collect()))
+
+    oneshot = sorted(map(tuple,
+                         q_stream_ingest_dedup(spark, sf_dir).collect()))
+    parity = run([d.where(F.col("doc_id") % 2 == 1),
+                  d.where(F.col("doc_id") % 2 == 0)])
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    reversed_halves = run([d.where(F.col("doc_id") > mid),
+                           d.where(F.col("doc_id") <= mid)])
+    assert parity == oneshot
+    assert reversed_halves == oneshot
