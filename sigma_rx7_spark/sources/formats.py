@@ -420,3 +420,68 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+DLQ_MOD = 37  # every 37th event's JSON line is corrupted in staging
+
+
+@query(
+    "q_source_json_dlq",
+    oracle=f"""
+    SELECT
+      CASE WHEN event_id % {DLQ_MOD} = 0 THEN '_dlq'
+           ELSE event_type END AS bucket,
+      COUNT(*) AS n_rows,
+      {o_dsum(f"CASE WHEN event_id % {DLQ_MOD} = 0 THEN 0.0 "
+              "ELSE value END", 'sum_value')}
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("S4", "source-json", "dlq"),
+)
+def q_source_json_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD ROUTING (dead-letter queue): stage events as JSON
+    lines with every {DLQ_MOD}th line deterministically truncated, read
+    back PERMISSIVE with a ``_corrupt_record`` column, route unparseable
+    lines to a '_dlq' bucket and aggregate the clean rows — the
+    poison-pill discipline every production ingest needs (FAILFAST, the
+    q_source_csv default, is for trusted batches; feeds are not
+    trusted). The oracle reconstructs the same fates logically from the
+    events table (corruption is a pure function of event_id), proving
+    both that no valid row was lost or mangled AND that every corrupt
+    line landed in the DLQ rather than silently nulling out.
+
+    Scale shape: staging writes and permissive reads are partition-
+    parallel scans; the fate split is a per-row CASE; one report
+    aggregate. The DLQ bucket preserves rows for replay — at warehouse
+    scale it is written out as its own table, not dropped."""
+    path = _stage_dir("json_dlq_events", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_json(F.struct(
+            *[F.col(f.name) for f in JSON_EVENTS_SCHEMA.fields]))
+        .alias("line"))
+    corrupted = ev.select(
+        F.when(F.col("event_id") % DLQ_MOD == 0,
+               F.expr("substr(line, 1, length(line) - 5)"))
+        .otherwise(F.col("line")).alias("value"))
+    corrupted.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        list(JSON_EVENTS_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return (
+        parsed.select(
+            F.when(bad, "_dlq").otherwise(F.col("event_type"))
+            .alias("bucket"),
+            F.when(bad, 0.0).otherwise(F.col("value")).alias("value"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dsum("value", "sum_value"))
+    )
