@@ -25,7 +25,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -229,4 +229,144 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             lag.cast("bigint").alias("lag_us"),
             (lag > 3600_000_000).alias("is_stale"),
         )
+    )
+
+
+# ---- Distribution drift (PSI) --------------------------------------------
+
+PSI_BUCKETS = 10
+_PSI_CUTOFF = "2024-01-16 00:00:00"  # = incremental.MERGE_CUTOFF
+
+
+def _psi_cut_cols():
+    return [f"c{k}" for k in range(1, PSI_BUCKETS)]
+
+
+@query(
+    "q_quality_psi",
+    oracle=f"""
+    WITH a AS (
+      SELECT value, event_id FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_CUTOFF}'
+    ), b AS (
+      SELECT value FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_PSI_CUTOFF}'
+    ), dec AS (
+      SELECT bucket, MAX(value) AS hi FROM (
+        SELECT value,
+               NTILE({PSI_BUCKETS}) OVER (ORDER BY value, event_id)
+                 AS bucket
+        FROM a)
+      GROUP BY bucket
+    ), cuts AS (
+      SELECT {', '.join(
+          f"MAX(CASE WHEN bucket = {k} THEN hi END) AS c{k}"
+          for k in range(1, PSI_BUCKETS))}
+      FROM dec
+    ), asg_a AS (
+      SELECT 1 {' '.join(f"+ CAST(a.value > cuts.c{k} AS INT)"
+                         for k in range(1, PSI_BUCKETS))} AS bucket
+      FROM a, cuts
+    ), asg_b AS (
+      SELECT 1 {' '.join(f"+ CAST(b.value > cuts.c{k} AS INT)"
+                         for k in range(1, PSI_BUCKETS))} AS bucket
+      FROM b, cuts
+    ), na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg_a),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg_b),
+    ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM asg_a GROUP BY bucket),
+    cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+           FROM asg_b GROUP BY bucket),
+    grid AS (SELECT CAST(unnest(range(1, {PSI_BUCKETS + 1})) AS INT)
+               AS bucket)
+    SELECT g.bucket,
+           COALESCE(ca.n_a, 0) AS n_a,
+           COALESCE(cb.n_b, 0) AS n_b,
+           (COALESCE(ca.n_a, 0) + 1.0)
+             / ((SELECT n FROM na) + {PSI_BUCKETS}) AS p_a,
+           (COALESCE(cb.n_b, 0) + 1.0)
+             / ((SELECT n FROM nb) + {PSI_BUCKETS}) AS p_b,
+           ((COALESCE(cb.n_b, 0) + 1.0)
+              / ((SELECT n FROM nb) + {PSI_BUCKETS})
+            - (COALESCE(ca.n_a, 0) + 1.0)
+              / ((SELECT n FROM na) + {PSI_BUCKETS}))
+           * CAST(CAST(ln(
+               ((COALESCE(cb.n_b, 0) + 1.0)
+                  / ((SELECT n FROM nb) + {PSI_BUCKETS}))
+               / ((COALESCE(ca.n_a, 0) + 1.0)
+                  / ((SELECT n FROM na) + {PSI_BUCKETS})))
+             AS DECIMAL(18,6)) AS DOUBLE) AS psi_term
+    FROM grid g
+    LEFT JOIN ca ON g.bucket = ca.bucket
+    LEFT JOIN cb ON g.bucket = cb.bucket
+    """,
+    tags=("Q3", "quality", "drift"),
+)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — distribution-drift monitoring
+    between a reference batch (pre-cutoff events) and a comparison
+    batch (post-cutoff): decile edges learned from the reference's
+    exact equi-depth cutpoints, both batches re-bucketed under the SAME
+    edge rule (1 + #edges-below), Laplace-smoothed proportions, and the
+    per-bucket PSI term (p_b − p_a)·ln(p_b/p_a). Σ terms < 0.1 is the
+    classic "stable" gate; this is the audit that catches silent
+    upstream shifts before they poison training data or scoring
+    models.
+
+    Scale shape: edges are a {PSI_BUCKETS}-value single-row relation
+    (broadcast); assignment is a pure per-row expression (no join per
+    edge — one conditional sum); counts are one aggregate per batch;
+    the ntile edge-learning runs once over the reference batch only
+    (the documented equi-depth exactness anchor; at 100 TB the edges
+    come from approx_percentile with the same downstream algebra). ln
+    is 6-dp-quantized (compat hazard 2); smoothing keeps empty buckets
+    finite on both sides identically."""
+    from .incremental import MERGE_CUTOFF
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    a = ev.where(F.col("ts") < cutoff).select("value", "event_id")
+    b = ev.where(F.col("ts") >= cutoff).select("value")
+    dec = (
+        a.select("value",
+                 F.ntile(PSI_BUCKETS)
+                 .over(Window.orderBy("value", "event_id"))
+                 .alias("bucket"))
+        .groupBy("bucket").agg(F.max("value").alias("hi"))
+    )
+    cuts = dec.agg(*[
+        F.max(F.when(F.col("bucket") == k, F.col("hi"))).alias(f"c{k}")
+        for k in range(1, PSI_BUCKETS)
+    ])
+    bucket_expr = sum(
+        (F.col(f"c{k}") < F.col("value")).cast("int")
+        for k in range(1, PSI_BUCKETS)) + F.lit(1)
+    asg_a = a.crossJoin(F.broadcast(cuts)).select(
+        bucket_expr.alias("bucket"))
+    asg_b = b.crossJoin(F.broadcast(cuts)).select(
+        bucket_expr.alias("bucket"))
+    na = asg_a.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    nb = asg_b.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    ca = asg_a.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    cb = asg_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    grid = spark.range(1, PSI_BUCKETS + 1).select(
+        F.col("id").cast("int").alias("bucket"))
+    j = (
+        grid.join(ca, "bucket", "left").join(cb, "bucket", "left")
+        .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            "na", "nb")
+    )
+    p_a = (F.col("n_a") + 1.0) / (F.col("na") + PSI_BUCKETS)
+    p_b = (F.col("n_b") + 1.0) / (F.col("nb") + PSI_BUCKETS)
+    return j.select(
+        "bucket", "n_a", "n_b",
+        p_a.alias("p_a"), p_b.alias("p_b"),
+        ((p_b - p_a) * F.log(p_b / p_a).cast("decimal(18,6)")
+         .cast("double")).alias("psi_term"),
     )
