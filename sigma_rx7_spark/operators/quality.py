@@ -337,7 +337,8 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = dec.agg(*[
         F.max(F.when(F.col("bucket") == k, F.col("hi"))).alias(f"c{k}")
         for k in range(1, PSI_BUCKETS)
-    ])
+    ]).persist()  # 1 row; consumed by BOTH assignment passes — without
+    # this the reference batch gets ntile-sorted twice (plan-asserted)
     bucket_expr = sum(
         (F.col(f"c{k}") < F.col("value")).cast("int")
         for k in range(1, PSI_BUCKETS)) + F.lit(1)

@@ -543,3 +543,24 @@ def test_ivfpq_lut_broadcasts_and_codes_join_carries_no_vectors(spark,
     p = plan(spark, sf_dir, "q_sim_topk_ivfpq")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_psi_learns_edges_once_and_broadcasts_cuts(spark, sf_dir):
+    # Edge learning (the only sort) runs over the reference batch only;
+    # the cut row broadcasts into both assignment passes — bucketing is
+    # a per-row conditional sum, never a per-edge join.
+    import re
+
+    p = plan(spark, sf_dir, "q_quality_psi")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    # the cut row is persisted: the ntile edge sort must not re-run per
+    # assignment pass (formatted explain re-prints cached subtrees, so
+    # assert the cache node rather than counting Window prints)
+    assert "InMemoryTableScan" in p, p
+
+
+def test_json_dlq_routes_without_python(spark, sf_dir):
+    # The permissive parse + fate split is all JVM-side.
+    p = plan(spark, sf_dir, "q_source_json_dlq")
+    assert "EvalPython" not in p, p
+    assert p.count("HashAggregate") >= 2, p
