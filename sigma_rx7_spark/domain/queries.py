@@ -435,3 +435,56 @@ def q_domain_treatment_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-little direction."""
     tables = stage_domain_tables(spark)
     return rules.treatment_gaps(tables["conditions"], tables["meds"])
+
+
+@query(
+    "q_domain_drug_eras",
+    oracle=f"""
+    WITH m AS (
+      SELECT patient_id, drug_class, med_id, start_date,
+             COALESCE(stop_date, start_date + INTERVAL 30 DAY) AS end_date
+      FROM {_p('meds')}
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                    OR start_date > MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), seq AS (
+      SELECT *,
+             SUM(is_new) OVER (
+               PARTITION BY patient_id, drug_class
+               ORDER BY start_date, med_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS era_seq
+      FROM flagged
+    )
+    SELECT patient_id, drug_class, CAST(era_seq AS INT) AS era_seq,
+           MIN(start_date) AS era_start,
+           CAST(MAX(end_date) AS DATE) AS era_end,
+           CAST(COUNT(*) AS BIGINT) AS n_meds,
+           CAST(date_diff('day', MIN(start_date), MAX(end_date)) + 1
+                AS INT) AS era_days
+    FROM seq
+    GROUP BY patient_id, drug_class, era_seq
+    """,
+    tags=("domain", "W8", "interval"),
+)
+def q_domain_drug_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP-style drug-era build over the meds table: continuous
+    exposure eras per (patient, drug class) with a 30-day persistence
+    window — the longitudinal exposure primitive behind duplicate-
+    therapy screens (reference README.md:3,23's overlap family) and
+    adherence analytics, constructed with the running-max
+    gaps-and-islands rewrite (containment-safe, single shuffle; see
+    rules.drug_eras)."""
+    tables = stage_domain_tables(spark)
+    return rules.drug_eras(tables["meds"])

@@ -412,3 +412,49 @@ def treatment_gaps(conditions: DataFrame, meds: DataFrame) -> DataFrame:
                 "n_covered_classes",
                 (F.col("n_covered_classes") == 0).alias("care_gap"))
     )
+
+
+ERA_GAP_DAYS = 30  # persistence window: refills <=30 days apart chain
+
+
+def drug_eras(meds: DataFrame) -> DataFrame:
+    """DRUG-ERA CONSTRUCTION (the OMOP drug_era build): consolidate a
+    patient's prescriptions in one drug class into continuous exposure
+    eras, chaining intervals whose gap is <= {ERA_GAP_DAYS} days —
+    gaps-and-islands with interval CONTAINMENT handled via the running
+    max of prior stop dates (a bare lag(stop) breaks when an earlier
+    long prescription swallows a later short one). Open prescriptions
+    (NULL stop_date) close at start + {ERA_GAP_DAYS} days.
+
+    Scale shape: one (patient, class)-keyed shuffle, one sort per key
+    group shared by both windows, one aggregate — q_sessionize_batch's
+    single-exchange discipline applied to date intervals."""
+    end = F.coalesce(F.col("stop_date"),
+                     F.date_add(F.col("start_date"), ERA_GAP_DAYS))
+    w = Window.partitionBy("patient_id", "drug_class") \
+        .orderBy("start_date", "med_id")
+    prev_max_end = F.max("end_date").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_era = F.when(
+        prev_max_end.isNull()
+        | (F.col("start_date") > F.date_add(prev_max_end, ERA_GAP_DAYS)),
+        1).otherwise(0)
+    eras = (
+        meds.select("patient_id", "drug_class", "med_id", "start_date",
+                    end.alias("end_date"))
+        .withColumn("is_new", new_era)
+        .withColumn("era_seq", F.sum("is_new").over(w))
+    )
+    return (
+        eras.groupBy("patient_id", "drug_class", "era_seq")
+        .agg(
+            F.min("start_date").alias("era_start"),
+            F.max("end_date").alias("era_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_meds"),
+        )
+        .withColumn("era_days",
+                    (F.datediff("era_end", "era_start") + 1).cast("int"))
+        .select("patient_id", "drug_class",
+                F.col("era_seq").cast("int").alias("era_seq"),
+                "era_start", "era_end", "n_meds", "era_days")
+    )
