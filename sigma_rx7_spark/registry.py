@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.graph",
     "sigma_rx7_spark.operators.quality",
     "sigma_rx7_spark.sources.formats",
+    "sigma_rx7_spark.sources.layout",
     "sigma_rx7_spark.sources.pydatasource",
     "sigma_rx7_spark.functions.strings",
     "sigma_rx7_spark.functions.dates",

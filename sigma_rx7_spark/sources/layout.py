@@ -1,0 +1,189 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for scan
+skipping (SURVEY.md §2.1 sink family; reference README.md:8's nightly
+warehouse refresh is where layout is chosen).
+
+WHY at 100 TB: parquet scans skip row groups whose column min/max stats
+miss the predicate. A table sorted on ONE column prunes perfectly on that
+column and not at all on any other — every row group spans the full range
+of the second dimension. Interleaving the bits of two bucketed sort keys
+(the Morton / Z-order curve) makes every written file a tight HYPER-
+RECTANGLE in both dimensions, so a two-sided box predicate prunes on both
+— the layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, built
+here from pure Catalyst expressions: no UDF, no shuffle beyond the one
+``repartitionByRange`` the rewrite itself is.
+
+The morton key is computed with the standard mask-and-shift bit spread
+(5 native expressions per dimension), range-partitioned so each output
+file owns a contiguous morton span, and dropped before write — the
+layout survives in the FILE BOUNDARIES, not as a stored column.
+
+``tests/test_layout.py`` measures real skipping with pyarrow footer
+stats: the same box predicate overlaps a small fraction of z-ordered
+files but nearly all linearly-sorted ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import dsum, o_dsum
+from ..io import load
+from ..registry import query
+from .formats import _stage_dir
+
+N_ZFILES = 32  # output files == morton range buckets (1 row group each
+               # at test sf; at 100 TB scale this is files-per-job, and
+               # row-group stats inside each file prune the same way)
+
+
+def _spread16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` to even bit positions 0,2,..,30.
+
+    The classic binary-magic-number dilation: each step doubles the gap
+    between surviving bit fields. All plain integer arithmetic -> stays
+    inside whole-stage codegen.
+    """
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key(a: Column, b: Column) -> Column:
+    """Interleave two 16-bit bucket ids into one 32-bit Z-order key."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+# Both dimensions are scaled into EQUAL-WIDTH 8-bit buckets before
+# interleaving — with raw values the wider dimension would own all the
+# high morton bits and the curve would degenerate to a single-column
+# sort at file granularity (measured: 9/32 vs 11/32 files pruned on the
+# raw-value variant). The per-dimension bounds come from one 4-scalar
+# aggregate over the input — the same bounded-metadata pass a real
+# ``OPTIMIZE ZORDER BY`` spends computing file boundaries. Folding
+# (pmod) is deliberately NOT used: a folded key wraps distant values
+# into one bucket, so written files would carry full-range raw stats
+# and footer pruning would die at any sf where keys exceed the fold.
+_EPOCH = "1992-01-01"
+_ZBITS = 8  # buckets per dimension; 8+8 interleaved -> 16-bit morton
+
+
+def _bucket(c: Column, lo: int, hi: int) -> Column:
+    span = max(hi - lo + 1, 1)
+    b = F.floor((c - F.lit(lo)).cast("bigint") * (1 << _ZBITS) / span)
+    return F.least(F.greatest(b, F.lit(0)), F.lit((1 << _ZBITS) - 1))
+
+
+def zorder_lineitem(df: DataFrame, n_files: int = N_ZFILES) -> DataFrame:
+    """Attach the morton key and range-cluster into ``n_files`` spans."""
+    day = F.datediff(F.col("l_shipdate"), F.to_date(F.lit(_EPOCH)))
+    src = df.select("l_partkey", "l_shipdate", "l_quantity",
+                    "l_extendedprice", "l_returnflag",
+                    day.alias("_day"))
+    lo_d, hi_d, lo_p, hi_p = src.agg(
+        F.min("_day"), F.max("_day"),
+        F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    zkey = morton_key(
+        _bucket(F.col("_day"), lo_d, hi_d),
+        _bucket(F.col("l_partkey"), lo_p, hi_p),
+    ).alias("_zkey")
+    return (
+        src.select("l_partkey", "l_shipdate", "l_quantity",
+                   "l_extendedprice", "l_returnflag", zkey)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+
+
+def stage_zorder(spark: SparkSession, sf_dir: str) -> str:
+    path = _stage_dir("zorder_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (zorder_lineitem(load(spark, sf_dir, "lineitem"))
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+# The probe predicate: WIDE on dates (2 of the corpus's ~7 years),
+# NARROW on partkey (a 32-key slice valid at every sf: partkey counts
+# scale with sf but always start at 0) — the shape where single-column
+# date sorting prunes nothing and z-order prunes almost everything.
+_D_LO, _D_HI = "1996-01-01", "1997-12-31"
+_PK_LO, _PK_HI = 16, 47
+
+
+@query(
+    "q_scan_zorder",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_items,
+      {o_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '{_D_LO}' AND DATE '{_D_HI}'
+      AND l_partkey BETWEEN {_PK_LO} AND {_PK_HI}
+    GROUP BY l_returnflag
+    """,
+    tags=("S8", "layout", "zorder"),
+)
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional box scan over the Z-ORDERED lineitem copy: both
+    range predicates reach the parquet reader as pushed filters, and
+    because every staged file is a tight morton hyper-rectangle, the
+    partkey predicate skips the files the date predicate can't
+    (skip-fraction asserted against real footer stats in
+    tests/test_layout.py). The oracle runs the same box on the ORIGINAL
+    parquet — the rewrite is pure layout, so any row lost or duplicated
+    by the clustering pass fails the hash gate."""
+    path = stage_zorder(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.where(
+            F.col("l_shipdate").between(_D_LO, _D_HI)
+            & F.col("l_partkey").between(_PK_LO, _PK_HI))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_extendedprice", "sum_price"))
+    )
+
+
+def zorder_skip_stats(path: str,
+                      d_lo: str = _D_LO, d_hi: str = _D_HI,
+                      pk_lo: int = _PK_LO, pk_hi: int = _PK_HI,
+                      ) -> tuple[int, int]:
+    """(files overlapping the box, total files) from parquet footers.
+
+    Reads ONLY metadata — this is exactly the min/max evaluation the
+    scan's row-group skipping performs, measured instead of asserted
+    from prose.
+    """
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    # l_shipdate ships as a timestamp; footer stats come back as
+    # datetimes, so compare in datetime space (upper bound = end of day).
+    lo = datetime.datetime.fromisoformat(d_lo)
+    hi = datetime.datetime.fromisoformat(d_hi) + datetime.timedelta(days=1)
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+    overlap = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        i_pk, i_sd = names.index("l_partkey"), names.index("l_shipdate")
+        hit = False
+        for rg in range(md.num_row_groups):
+            s_pk = md.row_group(rg).column(i_pk).statistics
+            s_sd = md.row_group(rg).column(i_sd).statistics
+            if (s_pk.min <= pk_hi and s_pk.max >= pk_lo
+                    and s_sd.min <= hi and s_sd.max >= lo):
+                hit = True
+                break
+        overlap += int(hit)
+    return overlap, len(files)
