@@ -1,0 +1,164 @@
+"""Record linkage / entity resolution (SURVEY.md §2.11 family: the
+cross-feed identity problem every enrichment ingest hits — reference
+README.md:8 joins brand/generic/pricing feeds that name the same entity
+differently).
+
+Fellegi-Sunter in miniature, Spark-first:
+
+1. **Blocking** — candidate pairs come only from equal
+   ``(nationkey, mktsegment)`` blocks, so pair count is
+   sum(|A_b|·|B_b|) ≈ linear for bounded block sizes, never n². At
+   100 TB this is the same discipline as LSH banding: the shuffle key
+   IS the blocking key, and each reducer sees one block.
+2. **Multi-evidence scoring** — agreement weights over independent
+   field comparisons (exact id-string match, bounded edit distance,
+   balance proximity), summed to a match score; every comparator is a
+   native JVM expression (``levenshtein`` included), no UDF.
+3. **Best-match resolution** — one winner per left record via a
+   window over (score desc, distance asc, id asc), the deterministic
+   tiebreak the hash gate needs.
+
+The right-hand feed is derived from the SAME customers by a
+deterministic "other system" rewrite (different id format, rounded
+balances) plus seeded corruptions (shifted nation -> blocking miss,
+reversed digits -> fuzzy-only match, inflated balance -> weak
+evidence), so ground truth is known and the query can report
+``is_correct`` per link — precision is part of the result, not prose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# Agreement weights (integer, engine-exact).
+W_EXACT = 3    # id digit-string exact
+W_FUZZY = 1    # id digit-string within edit distance 2
+W_BAL = 2      # balance within rounding drift
+MATCH_MIN = 4  # accept threshold: exact id (3+1) or fuzzy id + balance
+
+_B_OFFSET = 500000  # feed-B key space
+
+
+def dirty_feed(customers: DataFrame) -> DataFrame:
+    """The 'other system' view of the same customers.
+
+    - ids re-keyed and renamed ``cust-<n>`` (no padding);
+    - balances rounded down to tens (their ledger granularity);
+    - every 7th record books under the NEXT nation (blocking miss);
+    - every 11th record has its id digits reversed (typo family);
+    - every 5th record's balance is inflated 1000 (weak evidence).
+    """
+    num = F.regexp_extract("c_name", r"(\d+)$", 1).cast("bigint")
+    digits = F.when(num % 11 == 0, F.reverse(num.cast("string"))) \
+        .otherwise(num.cast("string"))
+    return customers.select(
+        (F.col("c_custkey") + _B_OFFSET).alias("b_id"),
+        F.concat(F.lit("cust-"), digits).alias("b_name"),
+        F.when(num % 7 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey")).alias("b_nationkey"),
+        F.col("c_mktsegment").alias("b_mktsegment"),
+        (F.floor(F.col("c_acctbal") / 10.0) * 10
+         + F.when(num % 5 == 0, 1000).otherwise(0)).alias("b_bal"),
+    )
+
+
+# DuckDB mirror of dirty_feed (same expressions, SQL dialect).
+_O_DIRTY = f"""
+  SELECT c_custkey + {_B_OFFSET} AS b_id,
+         'cust-' || CASE WHEN num % 11 = 0
+                         THEN reverse(CAST(num AS VARCHAR))
+                         ELSE CAST(num AS VARCHAR) END AS b_name,
+         CASE WHEN num % 7 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS b_nationkey,
+         c_mktsegment AS b_mktsegment,
+         FLOOR(c_acctbal / 10.0) * 10
+           + CASE WHEN num % 5 = 0 THEN 1000 ELSE 0 END AS b_bal
+  FROM (SELECT *, CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT)
+                    AS num
+        FROM customer)
+"""
+
+
+@query(
+    "q_link_entities",
+    oracle=f"""
+    WITH b AS ({_O_DIRTY}),
+    a AS (
+      SELECT c_custkey AS a_id, c_nationkey, c_mktsegment,
+             CAST(CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT)
+                  AS VARCHAR) AS a_digits,
+             c_acctbal AS a_bal
+      FROM customer
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             levenshtein(a_digits, substr(b_name, 6)) AS lev,
+             CASE WHEN a_digits = substr(b_name, 6)
+                  THEN {W_EXACT} ELSE 0 END
+           + CASE WHEN levenshtein(a_digits, substr(b_name, 6)) <= 2
+                  THEN {W_FUZZY} ELSE 0 END
+           + CASE WHEN abs(a_bal - b_bal) <= 10 THEN {W_BAL} ELSE 0 END
+               AS score
+      FROM a JOIN b
+        ON a.c_nationkey = b.b_nationkey
+       AND a.c_mktsegment = b.b_mktsegment
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY a_id
+               ORDER BY score DESC, lev ASC, b_id ASC) AS rn
+      FROM scored WHERE score >= {MATCH_MIN}
+    )
+    SELECT a_id, b_id, CAST(score AS INT) AS score,
+           CAST(lev AS INT) AS lev,
+           (b_id - {_B_OFFSET} = a_id) AS is_correct
+    FROM best WHERE rn = 1
+    """,
+    tags=("linkage", "J1", "blocking"),
+)
+def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage with known ground truth: candidates only
+    inside (nation, segment) blocks, additive agreement weights over
+    levenshtein / exact-id / balance comparators, window-resolved best
+    match per left record, ``is_correct`` carried in the output so the
+    achieved precision is hash-gated, not asserted. Scale shape: one
+    shuffle keyed by the blocking key, per-block pair enumeration
+    bounded by block size, one window keyed by a_id."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        "c_nationkey", "c_mktsegment",
+        F.regexp_extract("c_name", r"(\d+)$", 1).cast("bigint")
+        .cast("string").alias("a_digits"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    b = dirty_feed(cust)
+    lev = F.levenshtein("a_digits", F.expr("substr(b_name, 6)"))
+    score = (
+        F.when(F.col("a_digits") == F.expr("substr(b_name, 6)"),
+               W_EXACT).otherwise(0)
+        + F.when(lev <= 2, W_FUZZY).otherwise(0)
+        + F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 10,
+                 W_BAL).otherwise(0)
+    )
+    scored = (
+        a.join(b, (a.c_nationkey == b.b_nationkey)
+               & (a.c_mktsegment == b.b_mktsegment))
+        .select("a_id", "b_id", lev.alias("lev"), score.alias("score"))
+        .where(F.col("score") >= MATCH_MIN)
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("score").desc(), F.col("lev").asc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_id", "b_id",
+                F.col("score").cast("int").alias("score"),
+                F.col("lev").cast("int").alias("lev"),
+                (F.col("b_id") - _B_OFFSET == F.col("a_id"))
+                .alias("is_correct"))
+    )

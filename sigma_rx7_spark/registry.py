@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.sets",
     "sigma_rx7_spark.operators.subqueries",
     "sigma_rx7_spark.operators.graph",
+    "sigma_rx7_spark.operators.linkage",
     "sigma_rx7_spark.operators.quality",
     "sigma_rx7_spark.sources.formats",
     "sigma_rx7_spark.sources.layout",
