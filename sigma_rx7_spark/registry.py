@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.functions.scoring",
     "sigma_rx7_spark.functions.json_ops",
     "sigma_rx7_spark.functions.text",
+    "sigma_rx7_spark.llm.bpe",
     "sigma_rx7_spark.llm.dedup",
     "sigma_rx7_spark.llm.similarity",
     "sigma_rx7_spark.llm.sampling",
