@@ -1578,3 +1578,81 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "n_union", "n_inter",
                 union_est.alias("union_est"), inter_est.alias("inter_est"))
     )
+
+
+# ---- Exact distributed median (binned two-pass, no global sort) ----------
+
+MEDIAN_BINS = 1024
+
+
+@query(
+    "q_agg_exact_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_extendedprice AS median_price,
+           CAST(n AS BIGINT) AS n_rows
+    FROM ranked WHERE rk = (n + 1) // 2
+    """,
+    tags=("A12", "median", "two-pass"),
+)
+def q_agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped median without a global sort — the 100 TB quantile
+    recipe (sketches like q_agg_approx_quantile trade exactness for one
+    pass; this keeps exactness and pays two):
+
+    1. one aggregate for per-group (n, min, max);
+    2. one aggregate for a {MEDIAN_BINS}-bin histogram; a window over
+       the BIN relation (<= groups x bins rows, tiny) locates the bin
+       holding the target rank and the residual offset inside it;
+    3. a second scan keeps ONLY rows in each group's target bin
+       (~n/bins rows), ranks them per group, and picks the offset row.
+
+    Nothing ever sorts more than one bin's worth of a group, and every
+    shuffle is either histogram-sized or bin-sized. The oracle global-
+    sorts in DuckDB (fine at oracle scale) for the same lower-median
+    definition: the value at rank (n+1)//2. Ties are harmless: rank
+    permutations among equal values select the same VALUE, and only the
+    value is emitted."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("v_lo"),
+        F.max("l_extendedprice").alias("v_hi"))
+    span = F.col("v_hi") - F.col("v_lo")
+    bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("l_extendedprice") - F.col("v_lo"))
+                * MEDIAN_BINS / span),
+        F.lit(MEDIAN_BINS - 1))).cast("int")
+    binned = li.join(F.broadcast(stats), "l_returnflag") \
+        .select("l_returnflag", "l_extendedprice", bin_of.alias("bin"))
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    target = (
+        hist.join(F.broadcast(stats.select(
+            "l_returnflag", ((F.col("n") + 1) / 2).cast("bigint")
+            .alias("rk"), "n")), "l_returnflag")
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .where((F.col("cum") >= F.col("rk"))
+               & (F.col("cum") - F.col("cnt") < F.col("rk")))
+        .select("l_returnflag", "bin",
+                (F.col("rk") - (F.col("cum") - F.col("cnt")))
+                .alias("offset"), "n")
+    )
+    wbin = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return (
+        binned.join(F.broadcast(target), ["l_returnflag", "bin"])
+        .withColumn("rk_in_bin", F.row_number().over(wbin))
+        .where(F.col("rk_in_bin") == F.col("offset"))
+        .select("l_returnflag",
+                F.col("l_extendedprice").alias("median_price"),
+                F.col("n").cast("bigint").alias("n_rows"))
+    )
