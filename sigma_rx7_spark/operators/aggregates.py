@@ -1656,3 +1656,90 @@ def q_agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").alias("median_price"),
                 F.col("n").cast("bigint").alias("n_rows"))
     )
+
+
+# ---- Mergeable aggregate states (incremental rollup primitive) -----------
+
+STATE_BATCHES = 4
+
+
+@query(
+    "q_agg_state_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*) AS mean_qty,
+           -- DECIMAL(19,6) squares, exactly: p=19 forces the int128
+           -- decimal path and (19,6)^2 -> (38,12) lands exactly on
+           -- DuckDB's width cap. (18,6)^2 overflows the int64 path
+           -- outright; (20,6)^2 wants width 40 and degrades with
+           -- last-ulp drift. Both failure modes observed.
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                     * CAST(l_quantity AS DECIMAL(19,6)))
+                 AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+              / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A7", "A8", "mergeable-state"),
+)
+def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE AGGREGATE STATES: per-batch partial states
+    (n, Σx, Σx², min, max) merged across batches by pure addition /
+    min / max, then finalized to mean and variance — the algebraic-
+    aggregate contract behind every incremental 100 TB rollup (compute
+    states per ingest batch once, re-aggregate STATES forever; Catalyst
+    runs the same partial/final split inside one query, this operator
+    is that split made STORABLE across jobs).
+
+    The moment sums are exact decimals (compat convention), which is
+    what makes the textbook "unstable" Σx² − (Σx)²/n variance formula
+    legitimate here: no floating cancellation can occur during
+    accumulation, merge order is irrelevant, and the single
+    double-precision finalization is identical in both engines. Batches
+    are keyed by ``l_orderkey % {STATE_BATCHES}``; the oracle aggregates
+    the raw table directly in one pass — equality of the two IS the
+    merge-correctness proof.
+
+    Cross-engine cast bound (measured, SCALE.md): the metric is
+    ``l_quantity`` because a decimal→double cast is only engine-
+    identical while the decimal holds <=15 significant digits — DuckDB
+    converts as raw/10^scale in floating point, Spark via BigDecimal's
+    correctly-rounded path, and a 25-digit Σx² (as l_extendedprice
+    produces) drifts in the last ulp; DuckDB additionally overflows
+    int64 on DECIMAL(18,6) squares and degrades width-40 products, so
+    the oracle squares at DECIMAL(19,6) exactly on the 38-width cap.
+    The operator itself has no such bound — only the cross-engine
+    equality check does."""
+    x = F.col("l_quantity")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity",
+        F.pmod(F.col("l_orderkey"), F.lit(STATE_BATCHES)).alias("batch"))
+    from ..compat import q as qd
+    states = li.groupBy("l_returnflag", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd(x)).alias("s1"),
+        F.sum(qd(x) * qd(x)).alias("s2"),
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"))
+    merged = states.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"))
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    n = F.col("n")
+    return merged.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (s1d / n).alias("mean_qty"),
+        ((s2d - s1d * s1d / n) / (n - 1)).alias("var_qty"),
+        F.col("lo").alias("min_qty"),
+        F.col("hi").alias("max_qty"))
