@@ -564,3 +564,35 @@ def test_json_dlq_routes_without_python(spark, sf_dir):
     p = plan(spark, sf_dir, "q_source_json_dlq")
     assert "EvalPython" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst injects a bloom-filter runtime filter on the big side
+    of a shuffle join when the other side carries a selective filter —
+    the row-level companion to DPP that prunes shuffle input at 100 TB.
+    Local datasets sit under the 10 GiB application-side default, so
+    the test scopes the threshold down to prove the machinery, then
+    restores it (bloom filters are semantically transparent, so no
+    registered query depends on this conf)."""
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load
+
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bc = spark.conf.get(thr), spark.conf.get(bc)
+    try:
+        spark.conf.set(thr, "0")
+        spark.conf.set(bc, "-1")
+        o = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy().agg(F.sum("l_quantity")))
+        p = formatted_plan(j)
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set(bc, old_bc)
