@@ -550,3 +550,105 @@ def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wsum.cast("double") / F.sum(gap).cast("double"))
         .cast("decimal(18,6)").cast("double").alias("twap"),
     )
+
+
+# ---- Multi-touch attribution ---------------------------------------------
+
+ATTR_LOOKBACK_DAYS = 7
+
+
+@query(
+    "q_attribution_multitouch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             value FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS t_id, user_id, CAST(ts AS TIMESTAMP) AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), joined AS (
+      SELECT p.p_id, p.value, t.t_id, t.t_ts, t.channel
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY t_ts, t_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+             COUNT(t_id) OVER (PARTITION BY p_id) AS n_total
+      FROM joined
+    )
+    SELECT p_id,
+           COALESCE(channel, '(direct)') AS channel,
+           CAST(COUNT(t_id) AS INT) AS touches_in_channel,
+           CAST(MAX(n_total) AS INT) AS total_touches,
+           CASE WHEN MAX(n_total) = 0 THEN MAX(value)
+                ELSE MAX(value) * COUNT(t_id) / MAX(n_total)
+           END AS linear_credit,
+           MAX(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) = 1 AS is_first,
+           MAX(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) = 1 AS is_last
+    FROM ranked
+    GROUP BY p_id, COALESCE(channel, '(direct)')
+    """,
+    tags=("W11", "attribution"),
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION: every purchase credits the click/view
+    touches in its {ATTR_LOOKBACK_DAYS}-day lookback — linear credit
+    (value × touches_in_channel / total) per (purchase, channel), plus
+    first-/last-touch channel flags from one ranked pass; touchless
+    purchases surface as an explicit '(direct)' bucket via the left
+    join, so conversion value is conserved across the output by
+    construction.
+
+    The output is the per-purchase attribution DETAIL relation (the
+    derived fact table a warehouse materializes), deliberately not a
+    channel rollup: per-row credits are pure IEEE arithmetic on
+    parquet-identical inputs (engine-exact with no quantization), while
+    summing value/n quotients would hit the quotient-requantization
+    hazard documented in SCALE.md. Scale shape: one user-keyed join
+    whose pair space is bounded per user by the lookback window, one
+    purchase-keyed window pass, one purchase-channel aggregate — no
+    full-history windows."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value")
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"), F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"))
+    joined = p.join(
+        t, (p.user_id == t.t_user)
+        & (t.t_ts < p.p_ts)
+        & (t.t_ts >= p.p_ts - F.expr(
+            f"interval {ATTR_LOOKBACK_DAYS} days")),
+        "left")
+    wf = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").asc(), F.col("t_id").asc())
+    wl = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc())
+    wn = Window.partitionBy("p_id")
+    ranked = joined.select(
+        "p_id", "value", "t_id", "channel",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("t_id").over(wn).alias("n_total"))
+    n = F.max("n_total")
+    return (
+        ranked.groupBy("p_id", F.coalesce(
+            F.col("channel"), F.lit("(direct)")).alias("channel"))
+        .agg(F.count("t_id").cast("int").alias("touches_in_channel"),
+             n.cast("int").alias("total_touches"),
+             F.when(n == 0, F.max("value"))
+             .otherwise(F.max("value") * F.count("t_id") / n)
+             .alias("linear_credit"),
+             (F.max(F.when(F.col("rn_f") == 1, 1).otherwise(0)) == 1)
+             .alias("is_first"),
+             (F.max(F.when(F.col("rn_l") == 1, 1).otherwise(0)) == 1)
+             .alias("is_last"))
+    )
