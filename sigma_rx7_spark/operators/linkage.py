@@ -83,10 +83,10 @@ _O_DIRTY = f"""
 """
 
 
-@query(
-    "q_link_entities",
-    oracle=f"""
-    WITH b AS ({_O_DIRTY}),
+# Shared linkage CTE prefix: feeds -> blocked candidates -> scored ->
+# best-match-per-left. Both linkage queries compose on top of it.
+_O_BEST = f"""
+    b AS ({_O_DIRTY}),
     a AS (
       SELECT c_custkey AS a_id, c_nationkey, c_mktsegment,
              CAST(CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT)
@@ -112,11 +112,19 @@ _O_DIRTY = f"""
                PARTITION BY a_id
                ORDER BY score DESC, lev ASC, b_id ASC) AS rn
       FROM scored WHERE score >= {MATCH_MIN}
-    )
+    ),
+    matched AS (SELECT * FROM best WHERE rn = 1)
+"""
+
+
+@query(
+    "q_link_entities",
+    oracle=f"""
+    WITH {_O_BEST}
     SELECT a_id, b_id, CAST(score AS INT) AS score,
            CAST(lev AS INT) AS lev,
            (b_id - {_B_OFFSET} = a_id) AS is_correct
-    FROM best WHERE rn = 1
+    FROM matched
     """,
     tags=("linkage", "J1", "blocking"),
 )
@@ -128,6 +136,16 @@ def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieved precision is hash-gated, not asserted. Scale shape: one
     shuffle keyed by the blocking key, per-block pair enumeration
     bounded by block size, one window keyed by a_id."""
+    return link_best_matches(spark, sf_dir).select(
+        "a_id", "b_id",
+        F.col("score").cast("int").alias("score"),
+        F.col("lev").cast("int").alias("lev"),
+        (F.col("b_id") - _B_OFFSET == F.col("a_id")).alias("is_correct"))
+
+
+def link_best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, score, lev): the resolved best match per left
+    record — the shared stage both linkage queries build on."""
     cust = load(spark, sf_dir, "customer")
     a = cust.select(
         F.col("c_custkey").alias("a_id"),
@@ -156,9 +174,60 @@ def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("a_id", "b_id",
-                F.col("score").cast("int").alias("score"),
-                F.col("lev").cast("int").alias("lev"),
-                (F.col("b_id") - _B_OFFSET == F.col("a_id"))
-                .alias("is_correct"))
+        .drop("rn")
     )
+
+
+@query(
+    "q_link_survivorship",
+    oracle=f"""
+    WITH {_O_BEST}
+    SELECT a.c_custkey AS a_id,
+           a.c_name AS golden_name,
+           a.c_nationkey AS nationkey,
+           CASE WHEN m.b_id IS NOT NULL
+                     AND abs(a.c_acctbal - b.b_bal) > 10
+                THEN NULL ELSE a.c_acctbal END AS golden_bal,
+           CAST(CASE WHEN m.b_id IS NULL THEN 1 ELSE 2 END AS INT)
+             AS n_sources,
+           COALESCE(m.lev > 0, FALSE) AS id_fuzzy,
+           COALESCE(abs(a.c_acctbal - b.b_bal) > 10, FALSE)
+             AS bal_conflict
+    FROM customer a
+    LEFT JOIN matched m ON a.c_custkey = m.a_id
+    LEFT JOIN b ON m.b_id = b.b_id
+    """,
+    tags=("linkage", "survivorship"),
+)
+def q_link_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD SURVIVORSHIP over the resolved links: one output
+    row per left-feed entity carrying the merged canonical record —
+    field-level survivor rules (feed A's name format and full-precision
+    balance are authoritative; a balance disagreeing with the matched
+    source beyond rounding drift is NULLED and flagged for review —
+    conflicts are surfaced, never silently averaged), source count, and
+    per-field conflict flags. The MDM merge step that consumes record
+    linkage, as one plan: matches (window-resolved, bounded per block)
+    left-joined back to both feeds by id — every join key is an id or
+    the block key, so the merge adds no new shuffle shape beyond
+    linkage itself."""
+    cust = load(spark, sf_dir, "customer")
+    m = link_best_matches(spark, sf_dir)
+    b = dirty_feed(cust)
+    g = (
+        cust.join(m, cust.c_custkey == m.a_id, "left")
+        .join(b, "b_id", "left")
+    )
+    conflict = F.col("b_id").isNotNull() \
+        & (F.abs(F.col("c_acctbal") - F.col("b_bal")) > 10)
+    return g.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("golden_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(conflict, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal")).alias("golden_bal"),
+        F.when(F.col("b_id").isNull(), 1).otherwise(2).cast("int")
+        .alias("n_sources"),
+        F.coalesce(F.col("lev") > 0, F.lit(False)).alias("id_fuzzy"),
+        F.coalesce(F.abs(F.col("c_acctbal") - F.col("b_bal")) > 10,
+                   F.lit(False)).alias("bal_conflict"))
