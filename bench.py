@@ -78,6 +78,14 @@ HEADLINE = [
     "q_pipeline_quality_model",
     "q_text_perplexity_filter",
     "q_sim_topk_ivfpq",
+    # Round-4 continuation: layout-driven scan skipping, sort-free exact
+    # quantiles, blocked entity resolution, in-engine tokenizer
+    # training, lookback attribution.
+    "q_scan_zorder",
+    "q_agg_exact_median",
+    "q_link_entities",
+    "q_text_bpe_merges",
+    "q_attribution_multitouch",
 ]
 
 
