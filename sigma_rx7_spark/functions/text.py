@@ -1130,3 +1130,87 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
         .cast("decimal(20,6)").cast("double").alias("r2"),
     )
+
+
+# ---- Heavy hitters: Misra-Gries candidates + exact verify ----------------
+
+MG_CAPACITY = 4096   # counters per partition summary
+HH_TOP_K = 20
+
+
+def _misra_gries_partition(batches, capacity=MG_CAPACITY):
+    """Per-partition Misra-Gries summary over a stream of words.
+
+    Classic guarantee: any word whose count in this partition exceeds
+    n_partition/capacity survives the summary, so the union of
+    partition summaries is a SUPERSET of every global heavy hitter —
+    which is all the exact recount downstream needs. Arrow-batched
+    (the sanctioned Python shape); the state is one dict of at most
+    ``capacity`` counters, independent of partition size.
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for w in pdf["word"]:
+            if w in counters:
+                counters[w] += 1
+            elif len(counters) < capacity:
+                counters[w] = 1
+            else:
+                dead = [k for k in counters if counters[k] == 1]
+                for k in dead:
+                    del counters[k]
+                for k in counters:
+                    counters[k] -= 1
+    if counters:
+        yield pd.DataFrame({"word": list(counters)})
+
+
+@query(
+    "q_text_heavyhitters",
+    oracle=f"""
+    SELECT u.word AS word, COUNT(*) AS n_occurrences
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+    WHERE u.word <> ''
+    GROUP BY u.word
+    ORDER BY n_occurrences DESC, word
+    LIMIT {HH_TOP_K}
+    """,
+    tags=("L3", "heavy-hitters", "pandas-udf"),
+)
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus top-{HH_TOP_K} words, computed the heavy-hitter way:
+    per-partition Misra-Gries summaries (mapInPandas, bounded state, NO
+    shuffle of the token stream) nominate a candidate superset; a
+    broadcast semi-join then recounts ONLY candidates exactly, and the
+    top-k comes from that candidate-sized aggregate. The full
+    vocabulary never shuffles — at 100 TB the first pass moves zero
+    rows and the second pass's aggregate carries ≤ partitions ×
+    {MG_CAPACITY} words. The Misra-Gries bound (count > n_part/capacity
+    ⇒ survives) makes the candidate set a provable superset of every
+    global heavy hitter, so the result is EXACT and partition-layout-
+    independent — approximate machinery, exact answer, hash-gated
+    against the oracle's full group-by. This is also the repo's
+    sanctioned demonstration of the mapInPandas slow path on a real
+    algorithm (state that SQL cannot express), kept off the corpus-
+    sized hot path by design."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    cands = (
+        words.mapInPandas(_misra_gries_partition,
+                          T.StructType([T.StructField("word",
+                                                      T.StringType())]))
+        .distinct()
+    )
+    return (
+        words.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(HH_TOP_K)
+    )
