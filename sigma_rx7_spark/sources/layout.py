@@ -79,15 +79,27 @@ def _bucket(c: Column, lo: int, hi: int) -> Column:
     return F.least(F.greatest(b, F.lit(0)), F.lit((1 << _ZBITS) - 1))
 
 
-def zorder_lineitem(df: DataFrame, n_files: int = N_ZFILES) -> DataFrame:
-    """Attach the morton key and range-cluster into ``n_files`` spans."""
+def zorder_lineitem(df: DataFrame, n_files: int = N_ZFILES,
+                    bounds: tuple[int, int, int, int] | None = None,
+                    ) -> DataFrame:
+    """Attach the morton key and range-cluster into ``n_files`` spans.
+
+    ``bounds`` = (day_lo, day_hi, pk_lo, pk_hi); when None they are
+    computed from ``df`` (one 4-scalar agg). Incremental appends MUST
+    pass the bounds persisted at base-build time: re-deriving them from
+    a delta batch would shift every bucket boundary, putting delta
+    files on a different curve than the base they sit next to.
+    """
     day = F.datediff(F.col("l_shipdate"), F.to_date(F.lit(_EPOCH)))
     src = df.select("l_partkey", "l_shipdate", "l_quantity",
                     "l_extendedprice", "l_returnflag",
                     day.alias("_day"))
-    lo_d, hi_d, lo_p, hi_p = src.agg(
-        F.min("_day"), F.max("_day"),
-        F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    if bounds is None:
+        lo_d, hi_d, lo_p, hi_p = src.agg(
+            F.min("_day"), F.max("_day"),
+            F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    else:
+        lo_d, hi_d, lo_p, hi_p = bounds
     zkey = morton_key(
         _bucket(F.col("_day"), lo_d, hi_d),
         _bucket(F.col("l_partkey"), lo_p, hi_p),
@@ -99,6 +111,14 @@ def zorder_lineitem(df: DataFrame, n_files: int = N_ZFILES) -> DataFrame:
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def lineitem_bounds(df: DataFrame) -> tuple[int, int, int, int]:
+    day = F.datediff(F.col("l_shipdate"), F.to_date(F.lit(_EPOCH)))
+    lo_d, hi_d, lo_p, hi_p = df.agg(
+        F.min(day), F.max(day),
+        F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    return int(lo_d), int(hi_d), int(lo_p), int(hi_p)
 
 
 def stage_zorder(spark: SparkSession, sf_dir: str) -> str:
@@ -187,3 +207,72 @@ def zorder_skip_stats(path: str,
                 break
         overlap += int(hit)
     return overlap, len(files)
+
+
+# ---- Incremental layout maintenance --------------------------------------
+
+N_DELTA_FILES = 8  # clustered files per appended batch
+
+
+def stage_zorder_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Base (90% of lineitem) z-ordered once; a later 10% ingest batch
+    appended as its own z-ordered file set UNDER THE BASE'S persisted
+    bucket bounds (json sidecar) — the maintenance move that keeps
+    every appended file a tight hyper-rectangle on the SAME curve
+    without rewriting the table. Compaction (q_sink_compaction's job)
+    later folds delta spans into base spans; until then a scan reads
+    base+delta and both prune identically."""
+    import json
+
+    path = _stage_dir("zorderinc_lineitem", sf_dir)
+    base_dir = os.path.join(path, "base")
+    delta_dir = os.path.join(path, "delta")
+    bounds_file = os.path.join(path, "_bounds.json")
+    if not os.path.exists(bounds_file):
+        li = load(spark, sf_dir, "lineitem")
+        base = li.where(F.pmod(F.col("l_orderkey"), F.lit(10)) != 0)
+        delta = li.where(F.pmod(F.col("l_orderkey"), F.lit(10)) == 0)
+        bounds = lineitem_bounds(base)
+        zorder_lineitem(base, N_ZFILES, bounds) \
+            .write.mode("overwrite").parquet(base_dir)
+        # The append: delta rows clustered under the PERSISTED bounds.
+        zorder_lineitem(delta, N_DELTA_FILES, bounds) \
+            .write.mode("overwrite").parquet(delta_dir)
+        with open(bounds_file, "w") as fh:
+            json.dump(bounds, fh)
+    return path
+
+
+@query(
+    "q_scan_zorder_incremental",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n_items,
+      {o_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '{_D_LO}' AND DATE '{_D_HI}'
+      AND l_partkey BETWEEN {_PK_LO} AND {_PK_HI}
+    GROUP BY l_returnflag
+    """,
+    tags=("S8", "layout", "zorder", "incremental"),
+)
+def q_scan_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D box scan over base+delta of the INCREMENTALLY maintained
+    z-ordered table (see stage_zorder_incremental): the union of the
+    two clustered file sets must return exactly what one scan of the
+    original table returns — appends lose no rows, duplicate none, and
+    (asserted in tests/test_layout.py) delta files prune by footer
+    stats just like base files because they share the persisted bucket
+    bounds."""
+    path = stage_zorder_incremental(spark, sf_dir)
+    df = spark.read.parquet(os.path.join(path, "base"),
+                            os.path.join(path, "delta"))
+    return (
+        df.where(
+            F.col("l_shipdate").between(_D_LO, _D_HI)
+            & F.col("l_partkey").between(_PK_LO, _PK_HI))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_extendedprice", "sum_price"))
+    )

@@ -60,3 +60,21 @@ def test_zorder_scan_pushes_both_predicates(spark, sf_dir):
     assert "PushedFilters" in p
     assert "l_partkey" in p.split("PushedFilters")[1][:400]
     assert "l_shipdate" in p.split("PushedFilters")[1][:400]
+
+
+def test_incremental_delta_prunes_like_base(spark, sf_dir):
+    import os
+
+    from sigma_rx7_spark.sources.layout import (
+        N_DELTA_FILES,
+        stage_zorder_incremental,
+    )
+    path = stage_zorder_incremental(spark, sf_dir)
+    b_hit, b_total = zorder_skip_stats(os.path.join(path, "base"))
+    d_hit, d_total = zorder_skip_stats(os.path.join(path, "delta"))
+    assert b_total == N_ZFILES and d_total == N_DELTA_FILES
+    # Both file sets sit on the same curve: the box prunes a majority
+    # of files in each (the delta has coarser spans - fewer files over
+    # the same key space - so its bound is proportionally looser).
+    assert b_hit <= b_total // 4, (b_hit, b_total)
+    assert d_hit <= d_total // 2, (d_hit, d_total)
