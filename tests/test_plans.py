@@ -596,3 +596,33 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         spark.conf.set(thr, old_thr)
         spark.conf.set(bc, old_bc)
+
+
+def test_exact_median_never_global_sorts(spark, sf_dir):
+    """A27: the two-pass median must not contain a global Sort over the
+    data — only window sorts inside hash partitions (Sort nodes under
+    an Exchange hashpartitioning, never rangepartitioning)."""
+    p = plan(spark, sf_dir, "q_agg_exact_median")
+    assert "rangepartitioning" not in p.lower()
+    # per-group stats and the target-bin relation ride broadcasts
+    assert "BroadcastExchange" in p
+
+
+def test_heavyhitters_candidates_broadcast(spark, sf_dir):
+    """A29: the exact recount joins the word stream to the candidate
+    set via broadcast — the token stream itself must never shuffle for
+    the join (its only wide op is the candidate-sized aggregate)."""
+    p = plan(spark, sf_dir, "q_text_heavyhitters")
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    # final top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_attribution_single_user_keyed_join(spark, sf_dir):
+    """W16: the lookback join keys on user equality (hash-joinable with
+    the range condition as a post-join filter), never a nested-loop
+    cross product."""
+    p = plan(spark, sf_dir, "q_attribution_multitouch")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
