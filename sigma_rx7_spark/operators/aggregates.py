@@ -1743,3 +1743,94 @@ def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((s2d - s1d * s1d / n) / (n - 1)).alias("var_qty"),
         F.col("lo").alias("min_qty"),
         F.col("hi").alias("max_qty"))
+
+
+# ---- Exact multi-quantile (binned two-pass, generalizes the median) ------
+
+QUANTILE_PS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "q_agg_exact_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rk = CEIL(0.5 * n) THEN l_extendedprice END)
+             AS p50,
+           MAX(CASE WHEN rk = CEIL(0.95 * n) THEN l_extendedprice END)
+             AS p95,
+           MAX(CASE WHEN rk = CEIL(0.99 * n) THEN l_extendedprice END)
+             AS p99,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+    tags=("A12", "quantile", "two-pass"),
+)
+def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped p50/p95/p99 in two passes, no global sort — the
+    scalable exact answer to the question A12's sketches approximate
+    (and A27's single-median recipe generalized to a quantile VECTOR
+    for one extra histogram-relation window, not one extra scan per
+    quantile): all three target ranks (rank = CEIL(p·n), the discrete
+    inverse-CDF definition — both engines evaluate the identical IEEE
+    expression, so even a 0.95·n landing microscopically above an
+    integer agrees) locate their bins in the SAME {MEDIAN_BINS}-bin
+    histogram; the second scan keeps only rows in any group's target
+    bins and ranks once per (group, quantile). Shuffle volume: one
+    histogram, then ~3·n/bins rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("v_lo"),
+        F.max("l_extendedprice").alias("v_hi"))
+    span = F.col("v_hi") - F.col("v_lo")
+    bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("l_extendedprice") - F.col("v_lo"))
+                * MEDIAN_BINS / span),
+        F.lit(MEDIAN_BINS - 1))).cast("int")
+    binned = li.join(F.broadcast(stats), "l_returnflag") \
+        .select("l_returnflag", "l_extendedprice", bin_of.alias("bin"))
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    targets = (
+        stats.select(
+            "l_returnflag", "n",
+            F.explode(F.array(*[F.lit(p) for p in QUANTILE_PS]))
+            .alias("p"))
+        .select("l_returnflag", "p", "n",
+                F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("rk"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    located = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .join(F.broadcast(targets), "l_returnflag")
+        .where((F.col("cum") >= F.col("rk"))
+               & (F.col("cum") - F.col("cnt") < F.col("rk")))
+        .select("l_returnflag", "p", "bin", "n",
+                (F.col("rk") - (F.col("cum") - F.col("cnt")))
+                .alias("offset"))
+    )
+    wbin = Window.partitionBy("l_returnflag", "p") \
+        .orderBy("l_extendedprice")
+    hits = (
+        binned.join(F.broadcast(located), ["l_returnflag", "bin"])
+        .withColumn("rk_in_bin", F.row_number().over(wbin))
+        .where(F.col("rk_in_bin") == F.col("offset"))
+    )
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(*[F.max(F.when(F.col("p") == F.lit(p),
+                            F.col("l_extendedprice")))
+               .alias(f"p{str(p)[2:]}" if p != 0.5 else "p50")
+               for p in QUANTILE_PS],
+             F.max("n").cast("bigint").alias("n_rows"))
+    )
