@@ -183,3 +183,152 @@ def run_tws_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_to_memory(
         running_user_stats_tws(ev), "stream_tws", output_mode="update")
+
+
+# ---- Streaming multi-touch attribution (T6 × W16) ------------------------
+
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7 days in epoch micros
+
+ATTR_STATE_SCHEMA = ("ts ARRAY<LONG>, ids ARRAY<LONG>, "
+                     "ch ARRAY<STRING>")
+ATTR_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("p_id", T.LongType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("touches_in_channel", T.IntegerType()),
+    T.StructField("total_touches", T.IntegerType()),
+    T.StructField("linear_credit", T.DoubleType()),
+    T.StructField("is_first", T.BooleanType()),
+    T.StructField("is_last", T.BooleanType()),
+])
+
+
+def _attr_update(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user attribution state machine: touches buffer into state;
+    each purchase is attributed against the buffered lookback window
+    the moment it arrives. Rows inside a batch are processed in
+    (ts, event_id) order; the buffer is pruned to the lookback behind
+    the newest event seen (valid under the same in-order assumption a
+    watermark enforces for late data)."""
+    if state.exists:
+        ts_buf, id_buf, ch_buf = (list(v) for v in state.get)
+    else:
+        ts_buf, id_buf, ch_buf = [], [], []
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, etype, value in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"],
+                pdf["value"]):
+            ts_us, eid = int(ts_us), int(eid)
+            if etype in ("click", "view"):
+                ts_buf.append(ts_us)
+                id_buf.append(eid)
+                ch_buf.append(etype)
+                continue
+            if etype != "purchase":  # signup/error: not a touch, not a
+                continue             # conversion
+            # purchase: credit the lookback window [ts-7d, ts)
+            lo = ts_us - ATTR_LOOKBACK_US
+            win = [(t, i, c) for t, i, c in zip(ts_buf, id_buf, ch_buf)
+                   if lo <= t < ts_us]
+            if not win:
+                out.append((eid, "(direct)", 0, 0, float(value),
+                            True, True))
+                continue
+            n = len(win)
+            first_ch = min(win)[2]
+            last_ch = max(win)[2]
+            by_ch: dict[str, int] = {}
+            for _, _, c in win:
+                by_ch[c] = by_ch.get(c, 0) + 1
+            for c, cnt in by_ch.items():
+                out.append((eid, c, cnt, n, float(value) * cnt / n,
+                            c == first_ch, c == last_ch))
+    # prune: keep touches inside the lookback behind the newest event
+    horizon = max(ts_buf, default=0) - ATTR_LOOKBACK_US
+    keep = [(t, i, c) for t, i, c in zip(ts_buf, id_buf, ch_buf)
+            if t >= horizon]
+    state.update(([t for t, _, _ in keep], [i for _, i, _ in keep],
+                  [c for _, _, c in keep]))
+    if out:
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ATTR_OUTPUT_SCHEMA.fields])
+
+
+def streaming_attribution(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream
+        # pre-shuffle slimming: signup/error rows are neither touches
+        # nor conversions — they must not reach the state store
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            (F.unix_micros(F.col("ts"))).alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_update,
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "q_stream_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             value FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS t_id, user_id, CAST(ts AS TIMESTAMP) AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), joined AS (
+      SELECT p.p_id, p.value, t.t_id, t.t_ts, t.channel
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY t_ts, t_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+             COUNT(t_id) OVER (PARTITION BY p_id) AS n_total
+      FROM joined
+    )
+    SELECT p_id,
+           COALESCE(channel, '(direct)') AS channel,
+           CAST(COUNT(t_id) AS INT) AS touches_in_channel,
+           CAST(MAX(n_total) AS INT) AS total_touches,
+           CASE WHEN MAX(n_total) = 0 THEN MAX(value)
+                ELSE MAX(value) * COUNT(t_id) / MAX(n_total)
+           END AS linear_credit,
+           MAX(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) = 1 AS is_first,
+           MAX(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) = 1 AS is_last
+    FROM ranked
+    GROUP BY p_id, COALESCE(channel, '(direct)')
+    """,
+    tags=("T6", "W16", "streaming", "attribution"),
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multi-touch attribution — the stateful twin of
+    q_attribution_multitouch, oracle-gated against the SAME batch SQL
+    (the lambda-architecture equivalence claim made checkable): per-user
+    touch buffers live in partitioned state, every purchase is credited
+    the moment it arrives from the buffered 7-day lookback, '(direct)'
+    for touchless conversions. Python credit arithmetic is the
+    identical IEEE multiply-then-divide the batch plan runs, so rows
+    hash-match exactly.
+
+    Caveats carried in code, not prose: first/last tiebreak = (ts, id)
+    tuple order; the buffer prunes behind the newest event (the
+    watermark-order assumption); equal-timestamp touches are excluded
+    by the strict t_ts < p_ts bound regardless of batch order."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        streaming_attribution(ev), "stream_attr", output_mode="append")
