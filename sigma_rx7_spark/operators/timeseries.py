@@ -652,3 +652,96 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max(F.when(F.col("rn_l") == 1, 1).otherwise(0)) == 1)
              .alias("is_last"))
     )
+
+
+# ---- Session event-pattern matching (CEP over sessionized history) -------
+
+_EVT_CHAR = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+PAT_CONVERT = "v.*c.*p"   # view, later a click, later a purchase
+
+
+@query(
+    "q_pattern_sessions",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE event_type
+               WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               ELSE 'e' END AS ch,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS prev_us
+      FROM events
+    ), numbered AS (
+      SELECT user_id, event_id, ts_us, ch,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > {SESSION_GAP_MIN} * 60 * 1000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM t
+    )
+    SELECT user_id, session_idx,
+           string_agg(ch, '' ORDER BY ts_us, event_id) AS seq,
+           CAST(COUNT(*) AS INT) AS n_events,
+           regexp_matches(string_agg(ch, '' ORDER BY ts_us, event_id),
+                          '{PAT_CONVERT}') AS converted,
+           COUNT(*) = 1 AS bounce,
+           contains(string_agg(ch, '' ORDER BY ts_us, event_id), 'ee')
+             AS error_burst
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+    tags=("W8", "cep", "pattern"),
+)
+def q_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-PATTERN MATCHING over sessionized history (the batch form
+    of MATCH_RECOGNIZE-style CEP): each session's ordered event-type
+    sequence collapses to a compact symbol string, and patterns become
+    plain regexes over it — conversion paths ('{PAT_CONVERT}'),
+    single-event bounces, error bursts ('ee'). The sequence string IS
+    the session fingerprint a funnel/UX analysis mines.
+
+    Scale shape: q_sessionize_batch's single (user)-keyed window pass
+    numbers sessions, then ONE hash aggregate builds each session's
+    string via sort_array(collect_list(struct)) — per-session payload
+    is bounded by session length (inactivity-capped), the regex runs
+    per SESSION not per event, and nothing re-shuffles after the first
+    exchange. Total (ts, event_id) order makes every sequence string
+    byte-identical at any partition count."""
+    from pyspark.sql import Window
+
+    ch = F.create_map(
+        *[F.lit(x) for kv in _EVT_CHAR.items() for x in kv]
+    )[F.col("event_type")]
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        ch.alias("ch"))
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    prev = F.lag("ts_us").over(order_w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)
+    numbered = ev.select(
+        "user_id", "event_id", "ts_us", "ch",
+        F.sum(new_session).over(run_w).alias("session_idx"))
+    seq = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(
+            F.struct("ts_us", "event_id", "ch"))),
+        lambda x: x["ch"]))
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(seq.alias("seq"),
+             F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select("user_id", "session_idx", "seq", "n_events",
+                F.col("seq").rlike(PAT_CONVERT).alias("converted"),
+                (F.col("n_events") == 1).alias("bounce"),
+                F.col("seq").contains("ee").alias("error_burst"))
+    )
