@@ -529,3 +529,80 @@ def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("quota").cast("bigint").alias("quota"),
                 "n_sampled", "id_checksum")
     )
+
+
+# ---- Approximate query processing: sampled estimate with error bound -----
+
+AQP_RATE = 1.0 / 16  # Bernoulli inclusion probability (one md5 nibble)
+
+
+@query(
+    "q_sample_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity
+      FROM lineitem
+      WHERE substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)),
+                   1, 1) = '0'
+    ), est AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+               AS s2
+      FROM s GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS true_total
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT est.l_returnflag, n_sampled,
+           s1 * 16 AS est_total,
+           sqrt(s2 * (1 - 0.0625)) * 16 AS se_total,
+           true_total,
+           abs(s1 * 16 - true_total) / true_total AS rel_err
+    FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+    """,
+    tags=("L5", "aqp", "sampling"),
+)
+def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING with a design-based error bound:
+    per-group total quantity estimated from a deterministic Bernoulli
+    1/16 sample (one md5 nibble over the row key — the repo's
+    engine-portable sampling convention), with the Horvitz-Thompson
+    standard error se(T̂) = (1/p)·√((1−p)·Σ_s x²) computed from the
+    SAME exact-decimal sufficient statistics discipline as
+    q_agg_state_merge (√ is IEEE-correctly-rounded, so unlike exp/ln it
+    needs no post-quantization). The true total and realized relative
+    error ride along AUDIT-style (the q_sim_recall_ivf posture): the
+    estimator's claim is hash-gated together with how good it actually
+    was. At 100 TB the sample scan is the only full-data pass an
+    interactive estimate pays, and the md5 gate pushes into the scan as
+    a deterministic filter."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("_k"))
+    nib = F.substring(F.md5(F.col("_k").cast("string")), 1, 1)
+    s = li.where(nib == "0")
+    from ..compat import q as qd
+    est = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(qd("l_quantity")).cast("double").alias("s1"),
+        F.sum(F.col("l_quantity").cast("decimal(19,6)")
+              * F.col("l_quantity").cast("decimal(19,6)"))
+        .cast("double").alias("s2"))
+    ex = li.groupBy("l_returnflag").agg(
+        F.sum(qd("l_quantity")).cast("double").alias("true_total"))
+    p = AQP_RATE
+    return (
+        est.join(ex, "l_returnflag")
+        .select("l_returnflag", "n_sampled",
+                (F.col("s1") * 16).alias("est_total"),
+                (F.sqrt(F.col("s2") * (1 - p)) * 16).alias("se_total"),
+                "true_total",
+                (F.abs(F.col("s1") * 16 - F.col("true_total"))
+                 / F.col("true_total")).alias("rel_err"))
+    )
