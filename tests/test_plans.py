@@ -626,3 +626,36 @@ def test_attribution_single_user_keyed_join(spark, sf_dir):
     p = plan(spark, sf_dir, "q_attribution_multitouch")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir):
+    """COUNT/MIN/MAX over a parquet table can be answered from footer
+    statistics alone (PushedAggregation) when the scan goes through the
+    V2 source — at 100 TB that's a metadata read instead of a data
+    pass. Session-scoped conf (V1/V2 source choice binds at read time
+    and pushdown resolves at optimization), so the capability is pinned
+    here rather than in a registered query; results are asserted equal
+    to the default-path scan."""
+    from pyspark.sql import functions as F
+
+    v1, ap = "spark.sql.sources.useV1SourceList", \
+        "spark.sql.parquet.aggregatePushdown"
+    old_v1, old_ap = spark.conf.get(v1), spark.conf.get(ap)
+    path = f"{sf_dir}/lineitem.parquet"
+    try:
+        spark.conf.set(v1, "")
+        spark.conf.set(ap, "true")
+        df = spark.read.parquet(path).agg(
+            F.expr("count(*)").alias("n"),
+            F.min("l_partkey").alias("lo"),
+            F.max("l_extendedprice").alias("hi"))
+        assert "PushedAggregation" in formatted_plan(df)
+        pushed = df.collect()[0]
+    finally:
+        spark.conf.set(v1, old_v1)
+        spark.conf.set(ap, old_ap)
+    plain = spark.read.parquet(path).agg(
+        F.expr("count(*)").alias("n"),
+        F.min("l_partkey").alias("lo"),
+        F.max("l_extendedprice").alias("hi")).collect()[0]
+    assert tuple(pushed) == tuple(plain)
