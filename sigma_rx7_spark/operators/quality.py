@@ -371,3 +371,86 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((p_b - p_a) * F.log(p_b / p_a).cast("decimal(18,6)")
          .cast("double")).alias("psi_term"),
     )
+
+
+# ---- Seasonal-baseline anomaly screen ------------------------------------
+
+SEASONAL_Z = 3.0
+
+
+@query(
+    "q_anomaly_seasonal",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n_events) AS DOUBLE) AS s1,
+             CAST(SUM(n_events * n_events) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.hour_start, h.n_events,
+           b.s1 / b.n_hours AS expected,
+           CASE WHEN b.n_hours > 1
+                     AND (b.s2 - b.s1 * b.s1 / b.n_hours)
+                         / (b.n_hours - 1) > 0
+                THEN (h.n_events - b.s1 / b.n_hours)
+                     / sqrt((b.s2 - b.s1 * b.s1 / b.n_hours)
+                            / (b.n_hours - 1))
+                ELSE 0.0 END AS z,
+           CASE WHEN b.n_hours > 1
+                     AND (b.s2 - b.s1 * b.s1 / b.n_hours)
+                         / (b.n_hours - 1) > 0
+                THEN abs((h.n_events - b.s1 / b.n_hours)
+                         / sqrt((b.s2 - b.s1 * b.s1 / b.n_hours)
+                                / (b.n_hours - 1))) > {SEASONAL_Z}
+                ELSE FALSE END AS is_anomaly
+    FROM hourly h JOIN base b
+      ON h.event_type = b.event_type AND h.hod = b.hod
+    """,
+    tags=("A14", "quality", "seasonal"),
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE anomaly screen: hourly event counts scored
+    against the baseline for THAT hour-of-day (per event type) — the
+    diurnal-profile upgrade of q_agg_anomaly's global z-score, which
+    would flag every 3 a.m. trough and miss a quiet noon. Every
+    statistic derives from INTEGER sufficient statistics (counts,
+    Σc, Σc²) so no decimal machinery is needed: identical IEEE
+    division/sqrt on identical integers is engine-exact, and the
+    degenerate cells (single hour or zero variance) are pinned to
+    z = 0 rather than NaN (engines disagree about NaN propagation long
+    before they disagree about arithmetic). Scale shape: corpus
+    collapses to (type, hour) cells in one hash agg; the baseline is a
+    (type × 24)-row relation broadcast back onto the cells."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hour_start"),
+                   F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n_events").cast("double").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+        .alias("s2"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_hours")) \
+        / (F.col("n_hours") - 1)
+    ok = (F.col("n_hours") > 1) & (var > 0)
+    mean = F.col("s1") / F.col("n_hours")
+    z = F.when(ok, (F.col("n_events") - mean) / F.sqrt(var)) \
+        .otherwise(F.lit(0.0))
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .select("event_type", "hour_start", "n_events",
+                mean.alias("expected"), z.alias("z"),
+                F.when(ok, F.abs(z) > SEASONAL_Z)
+                .otherwise(F.lit(False)).alias("is_anomaly"))
+    )
