@@ -141,9 +141,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # awaiting round-5 rotation (locally mirror-proven at sf0.001 AND
     # sf0.01): q_agg_ols, q_agg_winsorized, q_agg_chisq, q_window_streak, q_text_keywords, q_text_pmi, q_sample_negatives, q_dedup_recall_lsh, q_ml_logreg_train, q_quality_freshness, q_agg_gini, q_agg_transpose, q_udf_sql, q_sink_compaction, q_join_lateral_topk, q_embed_pca_power, q_embed_pq, q_sample_budget, q_pipeline_quality_model, q_graph_sssp, q_text_source_overlap, q_text_perplexity_filter, q_text_zipf, q_pipeline_incremental_dedup, q_agg_kmv_setops, q_stream_ingest_dedup, q_source_json_dlq, q_quality_psi,
     # and from the round-4 continuation session:
-    # q_domain_drug_eras, q_scan_zorder, q_link_entities,
-    # q_link_survivorship, q_text_bpe_merges, q_agg_exact_median,
-    # q_agg_state_merge, q_attribution_multitouch.
+    # q_domain_drug_eras, q_scan_zorder, q_scan_zorder_incremental,
+    # q_link_entities, q_link_survivorship, q_text_bpe_merges,
+    # q_text_heavyhitters, q_agg_exact_median, q_agg_exact_quantiles,
+    # q_agg_state_merge, q_attribution_multitouch,
+    # q_stream_attribution, q_pattern_sessions, q_sample_estimate,
+    # q_anomaly_seasonal.
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
