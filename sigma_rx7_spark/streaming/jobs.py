@@ -728,3 +728,69 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return ingest_dedup_report(state["df"])
+
+
+@query(
+    "q_stream_stream_left",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           epoch_us(CAST(b.ts AS TIMESTAMP))
+             - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+                                     + INTERVAL 1 HOUR
+    CROSS JOIN mx
+    WHERE a.event_type = 'view'
+      AND (b.event_id IS NOT NULL
+           OR CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+              < mx.max_ts - INTERVAL 2 HOUR)
+    """,
+    tags=("T8", "streaming", "outer"),
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (T8's harder sibling):
+    views with NO purchase in the following hour surface as explicit
+    NULL rows — but only once the watermark proves no match can still
+    arrive, which is the semantic difference from the batch left join:
+    an unmatched view finalizes when watermark (= max event time − 2 h)
+    passes view_ts + 1 h, so the stream's last ~3 h of unmatched views
+    are STILL PENDING at shutdown, by design, awaiting more data. The
+    oracle encodes exactly that cutoff (matches emit unconditionally;
+    null rows only for watermark-expired views), so the gate checks the
+    real streaming contract instead of pretending the tail doesn't
+    exist. State stays bounded by rate × 3 h exactly as in the inner
+    form."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("interval 1 hour")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "user_id", "view_id", "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    return run_to_memory(out, "stream_stream_left", output_mode="append")
