@@ -485,3 +485,99 @@ def q_source_json_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"),
              dsum("value", "sum_value"))
     )
+
+
+# ---- Dynamic partition overwrite (idempotent backfill) -------------------
+
+# Fixed staging path (oracle SQL is static text): the Spark side of the
+# pair always stages the sf under check first — same contract as the
+# schema-merge staging above.
+_BACKFILL_DIR = os.path.join(STAGING, "backfill_events")
+_BACKFILL_STAGED: dict[str, str] = {}
+
+
+def stage_backfill(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events partitioned by type, then dynamically overwrite ONE
+    partition (the backfill re-run). Memoized per (process, sf)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    if _BACKFILL_STAGED.get("sf") != sf_dir:
+        ev.write.mode("overwrite").partitionBy("event_type") \
+            .parquet(_BACKFILL_DIR)
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            # the backfill: rewrite ONLY the 'click' partition
+            (ev.where(F.col("event_type") == "click")
+             .write.mode("overwrite").partitionBy("event_type")
+             .parquet(_BACKFILL_DIR))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old)
+        _BACKFILL_STAGED["sf"] = sf_dir
+    return _BACKFILL_DIR
+
+
+@query(
+    "q_sink_backfill",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("S8", "backfill", "partition-overwrite"),
+)
+def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDEMPOTENT PARTITION BACKFILL with DYNAMIC partition overwrite:
+    the events table is staged partitioned by event_type, then one
+    partition ('click') is re-written with CORRECTED data (here: the
+    same rows recomputed — a backfill re-run) in
+    ``partitionOverwriteMode=dynamic`` — only partitions present in the
+    written batch are replaced, every other partition's files are
+    untouched (STATIC mode would truncate the whole table first: the
+    classic backfill data-loss trap). The oracle aggregates the
+    original events; equality proves the re-written partition is
+    complete and the untouched partitions survived. At 100 TB this is
+    THE nightly-correction primitive: rewrite yesterday's bad
+    partitions in place, atomically per partition, no full-table
+    rewrite."""
+    path = stage_backfill(spark, sf_dir)
+    df = spark.read.parquet(path)
+    from ..compat import dsum
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "q_audit_file_layout",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM read_parquet('{_BACKFILL_DIR}/*/*.parquet', filename = true)
+    GROUP BY 1
+    """,
+    tags=("S8", "audit", "file-layout"),
+)
+def q_audit_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LAYOUT AUDIT: per-file row counts of the staged partitioned
+    table via ``input_file_name()`` — the distributed health check that
+    surfaces small-file explosions and writer skew (the problems
+    q_sink_compaction and the z-order sink exist to fix) without any
+    metadata service: the file name IS a grouping column, so the audit
+    is one scan + one tiny aggregate at any table size. Runs over the
+    q_sink_backfill staging, so the per-file counts also PROVE the
+    dynamic overwrite rewrote exactly one partition\'s files (the
+    audited file set is post-backfill)."""
+    path = stage_backfill(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.select(F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+                  .alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
