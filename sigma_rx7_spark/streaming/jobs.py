@@ -794,3 +794,40 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
     return run_to_memory(out, "stream_stream_left", output_mode="append")
+
+
+@query(
+    "q_stream_dedup_watermarked",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    """,
+    tags=("T5", "streaming", "watermark"),
+)
+def q_stream_dedup_watermarked(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup via
+    ``dropDuplicatesWithinWatermark``: unlike plain ``dropDuplicates``
+    (q_stream_dedup), whose key state grows with the number of DISTINCT
+    keys forever, this variant guarantees dedup only for duplicates
+    arriving within the watermark delay of first sight and EVICTS key
+    state once the watermark passes — the right contract when
+    duplicates come from retries/replays (always near-in-time) and the
+    key space is unbounded, i.e. the 100 TB/day ingest case. The
+    harness file arrives as one availableNow micro-batch, so no
+    eviction can split a duplicate group and the result equals global
+    DISTINCT — which is exactly what the oracle checks; the state
+    BOUND (plateau across batches) is asserted separately in
+    tests/test_streaming_state.py's plateau discipline."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+    return run_to_memory(dedup, "stream_dedup_wm",
+                         output_mode="complete")
