@@ -490,29 +490,20 @@ def _qf_oracle() -> str:
     """
 
 
-@query("q_pipeline_quality_model", oracle=_qf_oracle(),
-       tags=("L3", "L6", "ml", "pipeline"))
-def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MODEL-BASED quality filtering, trained and applied in one plan:
-    learn a logistic gate in-engine (positives = documents whose lang
-    metadata says English — weak supervision; features = stopword ratio
-    + scaled mean token length, which genuinely predict it), then score
-    the WHOLE corpus and report keep/drop per source — the fastText-style classifier gate of production curation
-    pipelines (wiki-vs-crawl), expressed with q_ml_logreg_train's
-    engine-exact unrolled-GD recipe so a 1000-executor fit reproduces
-    this fit bit for bit.
 
-    Scale shape: each GD round is one scan + one 3-number aggregate
-    (the shuffle carries 3 decimals); the fitted 1-row weight relation
-    broadcasts into the scoring pass, which is a pure projection + one
-    per-source aggregate. Features are cheap column expressions — no
-    Python, no tokenizer UDF; sigmoid outputs are 6-dp-quantized before
-    every aggregation (libm exp drift, compat hazard 2)."""
-    d = load(spark, sf_dir, "documents")
+
+def _sigmoid_q(z):
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+        .cast("decimal(18,6)").cast("double")
+
+
+def quality_features(d: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars, x1, x2, y): the text features + weak
+    label both model queries (fit/report and eval) share."""
     toks = tokens(F.col("text"))
     ntok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
-    feats = d.select(
+    return d.select(
         "doc_id", "source", "n_chars",
         (stop_hits.cast("double") / ntok).alias("x1"),
         (F.length(F.regexp_replace("text", " ", "")).cast("double")
@@ -520,12 +511,11 @@ def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
 
-    def sigmoid_q(z):
-        return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
-            .cast("decimal(18,6)").cast("double")
 
+def fit_quality_weights(feats: DataFrame) -> DataFrame:
+    """1-row (w0,w1,w2) after QF_ROUNDS engine-exact batch-GD rounds."""
     def round_weights(df, w0, w1, w2):
-        p = sigmoid_q(w0 + w1 * F.col("x1") + w2 * F.col("x2"))
+        p = _sigmoid_q(w0 + w1 * F.col("x1") + w2 * F.col("x2"))
         g = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(w0).alias("_w0"),
@@ -552,8 +542,31 @@ def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = round_weights(
             feats.crossJoin(F.broadcast(w)),  # 1-row weight relation
             F.col("w0"), F.col("w1"), F.col("w2"))
-    p = sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
-                  + F.col("w2") * F.col("x2"))
+    return w
+
+
+@query("q_pipeline_quality_model", oracle=_qf_oracle(),
+       tags=("L3", "L6", "ml", "pipeline"))
+def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering, trained and applied in one plan:
+    learn a logistic gate in-engine (positives = documents whose lang
+    metadata says English — weak supervision; features = stopword ratio
+    + scaled mean token length, which genuinely predict it), then score
+    the WHOLE corpus and report keep/drop per source — the fastText-style classifier gate of production curation
+    pipelines (wiki-vs-crawl), expressed with q_ml_logreg_train's
+    engine-exact unrolled-GD recipe so a 1000-executor fit reproduces
+    this fit bit for bit.
+
+    Scale shape: each GD round is one scan + one 3-number aggregate
+    (the shuffle carries 3 decimals); the fitted 1-row weight relation
+    broadcasts into the scoring pass, which is a pure projection + one
+    per-source aggregate. Features are cheap column expressions — no
+    Python, no tokenizer UDF; sigmoid outputs are 6-dp-quantized before
+    every aggregation (libm exp drift, compat hazard 2)."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
     # Keep-above-mean-score gate: quality filters threshold on a score
     # QUANTILE of the fitted distribution, not an absolute 0.5 (the
     # class prior shifts the whole distribution under imbalance). The
@@ -649,3 +662,106 @@ def q_pipeline_incremental_dedup(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").cast("bigint").alias("total_chars"))
     )
+
+
+def _ml_eval_oracle() -> str:
+    """Confusion counts of the fitted gate at p>=0.5 vs the weak label,
+    over the same feature/GD CTEs as _qf_oracle."""
+    prev = ("0.0", "0.0", "0.0")
+    ctes = [_QF_FEATURES]
+    for r in range(1, QF_ROUNDS + 1):
+        w0, w1, w2 = prev
+        p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+             f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+        ctes.append(f"""g{r} AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST((y - {p}) AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+        CAST(SUM(CAST((y - {p}) * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST((y - {p}) * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM f
+    ), w{r} AS (
+      SELECT
+        CAST(CAST({w0} + {QF_ETA} * s0 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w0,
+        CAST(CAST({w1} + {QF_ETA} * s1 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w1,
+        CAST(CAST({w2} + {QF_ETA} * s2 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w2
+      FROM g{r}
+    )""")
+        prev = (f"(SELECT w0 FROM w{r})", f"(SELECT w1 FROM w{r})",
+                f"(SELECT w2 FROM w{r})")
+    w0, w1, w2 = prev
+    p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+         f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    thr AS (
+      SELECT CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        AS thr
+      FROM sc
+    ),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr) AND y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr) AND y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN p < (SELECT thr FROM thr) AND y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN p < (SELECT thr FROM thr) AND y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+           2.0 * tp / (2.0 * tp + fp + fn) AS f1,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM cm
+    """
+
+
+@query("q_ml_eval", oracle=_ml_eval_oracle(),
+       tags=("L6e", "ml-eval"))
+def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL EVALUATION in-engine: confusion matrix and
+    precision/recall/F1/accuracy of the trained quality gate
+    (fit_quality_weights — the exact weights q_pipeline_quality_model
+    ships) against its weak-supervision labels AT THE SHIPPED DECISION
+    POINT — the mean-score threshold the keep gate actually uses (a
+    fixed 0.5 sits above the prior-shifted score distribution here and
+    predicts nothing positive; evaluating a gate nobody runs would be
+    theater, and divides by zero under ANSI). One scan over the scored
+    relation; four integer counts; ratios are single IEEE divisions
+    from integers (engine-exact without quantization); the threshold is
+    a sufficient-statistics quotient compared against the 6-dp score
+    grid identically in both engines."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)) \
+        .select("y", p.alias("p")).persist()
+    thr = scored.agg(
+        (F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("thr"))
+    pos = F.col("p") >= F.col("thr")
+    y1 = F.col("y") == 1.0
+    cm = scored.crossJoin(F.broadcast(thr)).agg(
+        F.sum(F.when(pos & y1, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pos & ~y1, 1).otherwise(0)).cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pos & y1, 1).otherwise(0)).cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pos & ~y1, 1).otherwise(0)).cast("bigint")
+        .alias("tn"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        (tp.cast("double") / (tp + fp)).alias("precision_"),
+        (tp.cast("double") / (tp + fn)).alias("recall_"),
+        (F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn)).alias("f1"),
+        ((tp + tn).cast("double") / (tp + fp + fn + tn))
+        .alias("accuracy"))
