@@ -688,3 +688,42 @@ def test_cbo_statistics_feed_the_optimizer(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling: a 90%-hot join key makes one
+    shuffle partition dwarf the rest, and the final adaptive plan
+    splits it (SortMergeJoin(skew=true) reading an 'AQEShuffleRead
+    skewed' child) instead of letting one task carry the whole key —
+    the runtime complement to the manual salting operator
+    (q_join_salted), which remains the answer when the downstream agg
+    itself is skewed. Conf-scoped: local shuffle sizes sit under the
+    256 MiB production thresholds."""
+    from pyspark.sql import functions as F
+
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100000).select(
+            F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"))
+        right = spark.range(0, 100000).select(F.col("id").alias("k2"))
+        j = left.join(right, left.k == right.k2)
+        assert len(j.collect()) == 100000  # every row joins exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
