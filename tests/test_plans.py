@@ -710,7 +710,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
-    old = {k: spark.conf.get(k) for k in scoped}
+    old = {k: spark.conf.get(k, None) for k in scoped}
     try:
         for k, v in scoped.items():
             spark.conf.set(k, v)
@@ -726,4 +726,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert "AQEShuffleRead skewed" in plan
     finally:
         for k, v in old.items():
-            spark.conf.set(k, v)
+            if v in (None, ""):
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
