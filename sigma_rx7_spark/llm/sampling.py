@@ -606,3 +606,64 @@ def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("s1") * 16 - F.col("true_total"))
                  / F.col("true_total")).alias("rel_err"))
     )
+
+
+# ---- Group-aware split (leakage-safe holdout) ----------------------------
+
+GROUP_FOLDS = 5
+
+
+@query(
+    "q_split_grouped",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey AS
+                  VARCHAR)), 1, 8)) AS BIGINT) % {GROUP_FOLDS} AS INT)
+               AS fold
+      FROM lineitem
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_groups,
+           CAST(MAX(straddle) AS INT) AS max_folds_per_group
+    FROM assigned
+    JOIN (
+      SELECT l_orderkey AS k2,
+             CAST(COUNT(DISTINCT fold) AS INT) AS straddle
+      FROM assigned GROUP BY 1
+    ) s ON assigned.l_orderkey = s.k2
+    GROUP BY fold
+    """,
+    tags=("L5", "split", "leakage"),
+)
+def q_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE k-fold split: every lineitem of one ORDER lands in
+    the same fold (fold = md5(orderkey) prefix mod {GROUP_FOLDS}), the
+    leakage guard a row-wise split breaks — rows of one entity
+    straddling train/test lets the model memorize the entity. The
+    no-leakage property is IN THE OUTPUT, not prose:
+    ``max_folds_per_group`` is computed from the data and hash-gated
+    at 1. Fold assignment is the repo's engine-portable md5 recipe —
+    row-order- and partition-independent, reproducible on any cluster.
+    Scale shape: one orderkey-keyed aggregate for the straddle audit
+    (the assignment itself is a pure projection); at 100 TB the audit
+    is optional and the projection is free."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber")
+    fold = (F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")),
+                               1, 8), 16, 10).cast("bigint")
+            % GROUP_FOLDS).cast("int")
+    assigned = li.select("l_orderkey", "l_linenumber",
+                         fold.alias("fold"))
+    straddle = assigned.groupBy(F.col("l_orderkey").alias("k2")).agg(
+        F.countDistinct("fold").cast("int").alias("straddle"))
+    return (
+        assigned.join(straddle,
+                      assigned.l_orderkey == straddle.k2)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.countDistinct("l_orderkey").cast("bigint")
+             .alias("n_groups"),
+             F.max("straddle").cast("int").alias("max_folds_per_group"))
+    )

@@ -805,3 +805,68 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wrank))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "q_embed_audit",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             CAST(len(embedding) AS INT) AS dim,
+             CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                  AS DECIMAL(18,6)) AS nq
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(dim) AS dim_min,
+           MAX(dim) AS dim_max,
+           CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN isnan(CAST(nq AS DOUBLE))
+                           OR NOT isfinite(CAST(nq AS DOUBLE))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(MIN(nq) AS DOUBLE) AS norm_min,
+           CAST(MAX(nq) AS DOUBLE) AS norm_max,
+           CAST(SUM(nq) AS DOUBLE) / COUNT(*) AS norm_mean
+    FROM v
+    GROUP BY label
+    """,
+    tags=("L2", "audit", "embedding"),
+)
+def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE HEALTH AUDIT, per label: vector counts, dimension
+    consistency (a ragged column breaks every fold downstream), zero
+    vectors (cosine is undefined on them — normalized() guards, this
+    counts), non-finite norms, and the norm distribution (min/max/mean)
+    — the preflight every ANN/dedup/clustering stage should gate on
+    before trusting a new embedding batch. Norms are the repo's
+    fold-dot + IEEE sqrt (engine-exact), quantized to the 6-dp grid
+    BEFORE aggregation (compat rule 2: sqrt is correctly rounded, but
+    the SUM of norms must be order-insensitive). Pure per-row HOF math
+    + one hash agg: zero shuffle beyond the (label)-keyed aggregate."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "embeddings")
+    nq = F.sqrt(dot("embedding", "embedding")).cast(QDEC)
+    v = e.select(
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        nq.alias("nq"))
+    nd = F.col("nq").cast("double")
+    return (
+        v.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+             F.min("dim").alias("dim_min"),
+             F.max("dim").alias("dim_max"),
+             F.sum(F.when(F.col("nq") == 0, 1).otherwise(0))
+             .cast("bigint").alias("n_zero"),
+             F.sum(F.when(F.isnan(nd) | ~nd.between(
+                 float("-1e308"), float("1e308")), 1).otherwise(0))
+             .cast("bigint").alias("n_nonfinite"),
+             F.min("nq").cast("double").alias("norm_min"),
+             F.max("nq").cast("double").alias("norm_max"),
+             (F.sum("nq").cast("double") / F.count(F.lit(1)))
+             .alias("norm_mean"))
+    )
