@@ -765,3 +765,98 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn)).alias("f1"),
         ((tp + tn).cast("double") / (tp + fp + fn + tn))
         .alias("accuracy"))
+
+
+def _fates_oracle() -> str:
+    from .dedup import (
+        LSH_VERIFY_JACCARD,
+        _oracle_bands,
+        _oracle_minhash_sig,
+    )
+    from .sampling import TRAIN_NIBBLES, VAL_NIBBLES
+
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+            >= {MIN_TOKENS}
+    ),
+    {_oracle_minhash_sig(src="quality")},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM quality
+    ), displaced AS (
+      SELECT b_doc_id AS doc_id, MIN(a_doc_id) AS kept_by
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
+            >= {LSH_VERIFY_JACCARD}
+      GROUP BY b_doc_id
+    )
+    SELECT d.doc_id,
+           CASE
+             WHEN q.doc_id IS NULL THEN 'quality_fail'
+             WHEN x.doc_id IS NOT NULL THEN 'dup_loser'
+             WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  IN {tuple(TRAIN_NIBBLES)!r} THEN 'kept:train'
+             WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  IN {tuple(VAL_NIBBLES)!r} THEN 'kept:val'
+             ELSE 'kept:test'
+           END AS fate,
+           x.kept_by
+    FROM documents d
+    LEFT JOIN quality q ON d.doc_id = q.doc_id
+    LEFT JOIN displaced x ON d.doc_id = x.doc_id
+    """
+
+
+@query("q_pipeline_fates", oracle=_fates_oracle(),
+       tags=("L6", "provenance"))
+def q_pipeline_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT PROVENANCE through the near-dedup curation pass:
+    every input doc gets its fate — 'quality_fail' (under the token
+    gate), 'dup_loser' (displaced by a verified near-duplicate, with
+    ``kept_by`` = the canonical doc that displaced it), or
+    'kept:<split>' — the row-level audit trail q_pipeline_near_dedup's
+    aggregate report summarizes. This is what makes a curation decision
+    EXPLAINABLE at 100 TB: "why is doc X missing from training?" is one
+    point lookup in this relation rather than a pipeline re-run. Same
+    scale shape as the pipeline itself (the fate columns are two left
+    joins on doc ids) plus one (b_doc_id)-keyed min-aggregate for the
+    keeper attribution."""
+    from .dedup import lsh_verified_pairs
+    from .sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    quality = d.where(F.size(tokens(F.col("text"))) >= MIN_TOKENS)
+    displaced = (
+        lsh_verified_pairs(quality)
+        .groupBy(F.col("b_doc_id").alias("x_doc_id"))
+        .agg(F.min("a_doc_id").alias("kept_by"))
+    )
+    q = quality.select(F.col("doc_id").alias("q_doc_id"))
+    fate = (
+        F.when(F.col("q_doc_id").isNull(), "quality_fail")
+        .when(F.col("x_doc_id").isNotNull(), "dup_loser")
+        .otherwise(F.concat(F.lit("kept:"),
+                            hash_split(F.col("doc_id"))))
+    )
+    return (
+        d.select("doc_id")
+        .join(q, d.doc_id == F.col("q_doc_id"), "left")
+        .join(displaced, F.col("doc_id") == F.col("x_doc_id"), "left")
+        .select("doc_id", fate.alias("fate"), "kept_by")
+    )
