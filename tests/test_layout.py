@@ -78,3 +78,37 @@ def test_incremental_delta_prunes_like_base(spark, sf_dir):
     # the same key space - so its bound is proportionally looser).
     assert b_hit <= b_total // 4, (b_hit, b_total)
     assert d_hit <= d_total // 2, (d_hit, d_total)
+
+
+def test_codec_choice_zstd_beats_snappy_and_roundtrips(spark, sf_dir):
+    """Warehouse codec tuning, measured not asserted from folklore:
+    the same clustered data written zstd vs snappy — zstd must be
+    materially smaller (it is the capacity-tier default for cold data)
+    and both must round-trip identical rows. At 100 TB the delta is
+    directly storage cost; the trade is decode CPU, which is why the
+    hot tier often stays snappy/lz4."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.sources.formats import _stage_dir
+
+    src = (load(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_partkey", "l_shipdate",
+                   "l_extendedprice", "l_returnflag")
+           .repartitionByRange(4, "l_orderkey")
+           .sortWithinPartitions("l_orderkey"))
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        path = _stage_dir(f"codec_{codec}", sf_dir)
+        src.write.mode("overwrite") \
+            .option("compression", codec).parquet(path)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    assert sizes["zstd"] < sizes["snappy"] * 0.9, sizes
+    a = spark.read.parquet(_stage_dir("codec_snappy", sf_dir))
+    b = spark.read.parquet(_stage_dir("codec_zstd", sf_dir))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).limit(1).count() == 0
