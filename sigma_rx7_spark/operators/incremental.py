@@ -535,3 +535,62 @@ def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.valid_from").alias("valid_from"),
         )
     )
+
+
+# ---- Materialized-rollup query answering (aggregate navigator) -----------
+
+_MV_STAGED: dict[str, str] = {}
+
+
+def stage_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """The materialized view: per (day, event_type) pre-aggregate of the
+    event stream, persisted once — exact-decimal value sums so the
+    re-aggregation to coarser grains stays engine-exact (algebraic
+    states, the q_agg_state_merge contract applied to a stored MV)."""
+    import os
+
+    from ..sources.formats import _stage_dir
+    from ..compat import q as qd
+
+    path = _stage_dir("mv_daily_events", sf_dir)
+    if _MV_STAGED.get("sf") != sf_dir:
+        ev = load(spark, sf_dir, "events")
+        (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                    "event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(qd("value")).alias("sum_value_dec"))
+         .write.mode("overwrite").parquet(path))
+        _MV_STAGED["sf"] = sf_dir
+    return path
+
+
+@query(
+    "q_mv_rollup_answer",
+    oracle="""
+    SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("M1", "materialized-view"),
+)
+def q_mv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW ANSWERING (the aggregate navigator): a MONTHLY
+    report computed from the persisted DAILY pre-aggregate instead of
+    the raw event stream — counts add, exact-decimal sums add, so the
+    coarser grain is pure state re-aggregation (A28's mergeable-state
+    contract applied to a stored rollup). The oracle computes the
+    monthly numbers from RAW events: equality proves the MV navigation
+    is lossless. At 100 TB this is the interactive-dashboard contract —
+    the monthly query touches days × types rows (thousands) instead of
+    the raw stream (billions), and the MV refreshes incrementally per
+    ingest batch (q_merge_agg_incremental's job)."""
+    mv = spark.read.parquet(stage_daily_rollup(spark, sf_dir))
+    return (
+        mv.groupBy(F.date_trunc("month", "day").alias("month"),
+                   "event_type")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+             F.sum("sum_value_dec").cast("double").alias("sum_value"))
+    )
