@@ -276,3 +276,76 @@ def q_scan_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum("l_extendedprice", "sum_price"))
     )
+
+
+# ---- Min/max file index (metadata-table data skipping) -------------------
+
+_IDX_STAGED: dict[str, str] = {}
+_OK_LO, _OK_HI = 1000, 2999  # orderkey probe band (valid at every sf)
+
+
+def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Range-clustered lineitem + a PERSISTED min/max file index.
+
+    The index is built distributed — ``input_file_name()`` as a
+    grouping column — and stored as a tiny parquet table (one row per
+    file: min/max orderkey, rows). This is the poor-man's Iceberg
+    manifest: scan planning reads the INDEX, not footers, so skipping
+    survives object stores where listing+footer reads are the
+    bottleneck at 10⁶ files."""
+    import os
+
+    path = _stage_dir("idx_lineitem", sf_dir)
+    data_dir, idx_dir = os.path.join(path, "data"), os.path.join(path, "idx")
+    if _IDX_STAGED.get("sf") != sf_dir:
+        (load(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_quantity", "l_returnflag")
+         .repartitionByRange(N_ZFILES, "l_orderkey")
+         .sortWithinPartitions("l_orderkey")
+         .write.mode("overwrite").parquet(data_dir))
+        (spark.read.parquet(data_dir)
+         .groupBy(F.input_file_name().alias("file"))
+         .agg(F.min("l_orderkey").alias("min_ok"),
+              F.max("l_orderkey").alias("max_ok"),
+              F.count(F.lit(1)).alias("n_rows"))
+         .coalesce(1).write.mode("overwrite").parquet(idx_dir))
+        _IDX_STAGED["sf"] = sf_dir
+    return path
+
+
+@query(
+    "q_scan_indexed",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_OK_LO} AND {_OK_HI}
+    GROUP BY l_returnflag
+    """,
+    tags=("S1", "layout", "index"),
+)
+def q_scan_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-PLANNED SCAN: the file list for an orderkey range comes
+    from the persisted min/max index table (bounded metadata collect —
+    the IVF-probe pattern), and the reader opens ONLY those files,
+    with the residual predicate still pushed for row-group skipping
+    inside them. The oracle runs the same band on the original table:
+    equality proves index-planned scans lose nothing. File-count
+    reduction is asserted on the real reader in tests/test_layout.py.
+    At 100 TB the index is the manifest read (KBs) that replaces
+    listing + footer-probing a million files."""
+    import os
+
+    path = stage_indexed_lineitem(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "idx"))
+    files = [r.file for r in
+             idx.where((F.col("min_ok") <= _OK_HI)
+                       & (F.col("max_ok") >= _OK_LO)).collect()]
+    df = spark.read.parquet(*files)
+    return (
+        df.where(F.col("l_orderkey").between(_OK_LO, _OK_HI))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+             dsum("l_quantity", "sum_qty"))
+    )

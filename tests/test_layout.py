@@ -112,3 +112,25 @@ def test_codec_choice_zstd_beats_snappy_and_roundtrips(spark, sf_dir):
     b = spark.read.parquet(_stage_dir("codec_zstd", sf_dir))
     assert a.count() == b.count()
     assert a.exceptAll(b).limit(1).count() == 0
+
+
+def test_index_planned_scan_opens_fewer_files(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.sources.layout import (
+        _OK_HI,
+        _OK_LO,
+        stage_indexed_lineitem,
+    )
+    path = stage_indexed_lineitem(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "idx"))
+    total = idx.count()
+    chosen = idx.where((F.col("min_ok") <= _OK_HI)
+                       & (F.col("max_ok") >= _OK_LO)).count()
+    assert total == N_ZFILES
+    # the band covers a contiguous clustered range: a small slice of
+    # the file population
+    assert chosen < total // 2, (chosen, total)
+    assert chosen >= 1
