@@ -1214,3 +1214,48 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(HH_TOP_K)
     )
+
+
+# ---- Inverted-index conjunctive search -----------------------------------
+
+SEARCH_TERM_A, SEARCH_TERM_B = "window", "customer"
+
+
+@query(
+    "q_text_search_and",
+    oracle=f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, u.word AS term
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word IN ('{SEARCH_TERM_A}', '{SEARCH_TERM_B}')
+    )
+    SELECT a.doc_id
+    FROM postings a JOIN postings b ON a.doc_id = b.doc_id
+    WHERE a.term = '{SEARCH_TERM_A}' AND b.term = '{SEARCH_TERM_B}'
+    """,
+    tags=("L3", "search", "inverted-index"),
+)
+def q_text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE TERM SEARCH over the inverted posting relation:
+    docs containing BOTH probe terms, answered by intersecting the two
+    terms' postings — the search-engine AND primitive in its
+    distributed form (posting relations joined on doc_id, each side
+    pre-filtered to its term) rather than the serving form (sorted
+    posting arrays merged pointer-wise), because at corpus scale the
+    posting RELATION is what exists; the array form is what an index
+    server materializes from it per shard. Scale shape: the explode is
+    term-filtered at the scan (predicate pushes into the token
+    explode's input), DISTINCT collapses within-doc repeats before the
+    join, and the join keys on doc_id with both sides tiny fractions
+    of the corpus. The oracle runs the same logic from raw text —
+    equality proves the index answers match scanning."""
+    docs = load(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(SEARCH_TERM_A, SEARCH_TERM_B))
+        .distinct()
+    )
+    a = postings.where(F.col("term") == SEARCH_TERM_A).select("doc_id")
+    b = postings.where(F.col("term") == SEARCH_TERM_B).select("doc_id")
+    return a.join(b, "doc_id").select("doc_id")
