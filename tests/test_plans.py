@@ -730,3 +730,24 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cache_table_serves_from_memory(spark, sf_dir):
+    """CACHE materialization: a cached relation's consumers scan
+    InMemoryTableScan (columnar, memory-tier) instead of re-reading
+    parquet — the interactive-reuse tier under the MV layer
+    (q_mv_rollup_answer persists across jobs; cache persists across
+    QUERIES in one session). Also asserts unpersist restores the
+    file scan, so the cache is a hint, not a semantic change."""
+    from sigma_rx7_spark.io import load
+
+    df = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df.cache()
+    try:
+        df.count()  # materialize
+        p = formatted_plan(df.groupBy("n_name").count())
+        assert "InMemoryTableScan" in p
+    finally:
+        df.unpersist()
+    p2 = formatted_plan(df.groupBy("n_name").count())
+    assert "InMemoryTableScan" not in p2
