@@ -86,6 +86,10 @@ HEADLINE = [
     "q_link_entities",
     "q_text_bpe_merges",
     "q_attribution_multitouch",
+    "q_text_heavyhitters",
+    "q_pipeline_fates",
+    "q_mv_rollup_answer",
+    "q_scan_indexed",
 ]
 
 
