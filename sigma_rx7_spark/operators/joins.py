@@ -349,3 +349,77 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# ---- Pre-join cardinality audit ------------------------------------------
+
+TOP_HOT_KEYS = 10
+
+
+@query(
+    "q_join_cardinality_audit",
+    oracle=f"""
+    WITH l AS (
+      SELECT o_custkey AS k, COUNT(*) AS c_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT c_custkey AS k, COUNT(*) AS c_cust
+      FROM customer GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(l.k, r.k) AS k,
+             COALESCE(c_orders, 0) AS c_orders,
+             COALESCE(c_cust, 0) AS c_cust
+      FROM l FULL JOIN r ON l.k = r.k
+    )
+    SELECT CAST(k AS BIGINT) AS hot_key,
+           CAST(c_orders AS BIGINT) AS n_left,
+           CAST(c_cust AS BIGINT) AS n_right,
+           CAST(c_orders * c_cust AS BIGINT) AS pairs,
+           CAST((SELECT SUM(c_orders * c_cust) FROM j) AS BIGINT)
+             AS total_join_rows,
+           CAST((SELECT SUM(CASE WHEN c_cust = 0 THEN c_orders ELSE 0
+                            END) FROM j) AS BIGINT) AS orphan_left_rows
+    FROM j
+    ORDER BY pairs DESC, k
+    LIMIT {TOP_HOT_KEYS}
+    """,
+    tags=("J2", "audit", "cardinality"),
+)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-JOIN CARDINALITY AUDIT: per-key multiplicities on BOTH sides
+    of a prospective join, the exact output size it would produce
+    (Σ cₗ·cᵣ), the orphan volume, and the {TOP_HOT_KEYS} hottest keys —
+    the numbers that decide, BEFORE burning a 100 TB shuffle, whether
+    the join needs salting (hot-key pairs dominate), is safe
+    (multiplicities ~1), or is a bug (total_join_rows ≫ either input:
+    the accidental many-to-many every pipeline hits once). Runs on key
+    histograms (two key-keyed aggregates + a full outer join of
+    key-count relations) — input-row volume never joins. The audit
+    columns are all integers: engine-exact for free."""
+    o = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_orders"))
+    c = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k2")).agg(
+        F.count(F.lit(1)).alias("c_cust"))
+    j = (o.join(c, o.k == c.k2, "full")
+         .select(F.coalesce("k", "k2").alias("k"),
+                 F.coalesce("c_orders", F.lit(0)).alias("c_orders"),
+                 F.coalesce("c_cust", F.lit(0)).alias("c_cust"))
+         .persist())  # totals and top-k both consume it
+    totals = j.agg(
+        F.sum(F.col("c_orders") * F.col("c_cust")).cast("bigint")
+        .alias("total_join_rows"),
+        F.sum(F.when(F.col("c_cust") == 0, F.col("c_orders"))
+              .otherwise(0)).cast("bigint").alias("orphan_left_rows"))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(F.col("k").cast("bigint").alias("hot_key"),
+                F.col("c_orders").cast("bigint").alias("n_left"),
+                F.col("c_cust").cast("bigint").alias("n_right"),
+                (F.col("c_orders") * F.col("c_cust")).cast("bigint")
+                .alias("pairs"),
+                "total_join_rows", "orphan_left_rows")
+        .orderBy(F.col("pairs").desc(), "hot_key")
+        .limit(TOP_HOT_KEYS)
+    )
