@@ -831,3 +831,69 @@ def q_stream_dedup_watermarked(spark: SparkSession,
     )
     return run_to_memory(dedup, "stream_dedup_wm",
                          output_mode="complete")
+
+
+# ---- Streaming materialized-view refresh (T9 × A28) ----------------------
+
+def mv_fold(prev: DataFrame, batch_states: DataFrame) -> DataFrame:
+    """Fold one micro-batch's partial (day, type) states into the
+    running MV: union + re-aggregate — pure state ADDITION (counts and
+    exact-decimal sums are algebraic), so batch order cannot matter."""
+    return (
+        prev.unionByName(batch_states)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value_dec").alias("sum_value_dec"))
+    )
+
+
+@query(
+    "q_stream_mv_refresh",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T9", "A28", "streaming", "materialized-view"),
+)
+def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MV REFRESH — the third leg of the materialized-view
+    trio (q_mv_rollup_answer consumes the MV; q_merge_agg_incremental
+    refreshes it batch-to-batch; this maintains it FROM THE STREAM):
+    each micro-batch collapses to per-(day, type) partial states inside
+    foreachBatch, and ``mv_fold`` merges them into the running MV by
+    pure state addition, so convergence is batch-order-independent by
+    construction (the A28 mergeable-state argument, live). The oracle
+    is the full batch aggregate over raw events: equality proves the
+    incrementally-maintained MV never drifts from truth. At 100 TB the
+    per-batch work is one partial aggregate of THE BATCH plus a merge
+    against days×types rows — never a rescan of history."""
+    from ..compat import q as qd
+
+    ev = read_events_stream(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value")
+    spark_ref = spark
+    state = {"df": spark_ref.createDataFrame(
+        [], "day timestamp, event_type string, n_events bigint, "
+            "sum_value_dec decimal(28,6)")}
+
+    def fold(bdf: DataFrame, _batch_id: int) -> None:
+        batch_states = bdf.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(qd("value")).cast("decimal(28,6)")
+            .alias("sum_value_dec"))
+        state["df"] = mv_fold(state["df"], batch_states).localCheckpoint()
+
+    q = (ev.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="mvrefresh_ckpt_"))
+         .start())
+    q.awaitTermination()
+    return state["df"].select(
+        "day", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"))

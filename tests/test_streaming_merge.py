@@ -153,3 +153,33 @@ def test_ingest_dedup_is_batch_chop_invariant(spark, sf_dir):
                            d.where(F.col("doc_id") <= mid)])
     assert parity == oneshot
     assert reversed_halves == oneshot
+
+
+def test_mv_fold_is_batch_order_independent(spark, sf_dir):
+    """A28 live: folding the event stream into the MV in two different
+    batch orders converges to the identical MV (state addition is
+    commutative+associative with exact-decimal sums)."""
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.compat import q as qd
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.streaming.jobs import mv_fold
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value",
+        F.pmod(F.col("event_id"), F.lit(2)).alias("half"))
+
+    def states(half):
+        return (ev.where(F.col("half") == half)
+                .groupBy("day", "event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                     F.sum(qd("value")).cast("decimal(28,6)")
+                     .alias("sum_value_dec")))
+
+    empty = spark.createDataFrame(
+        [], "day timestamp, event_type string, n_events bigint, "
+            "sum_value_dec decimal(28,6)")
+    ab = mv_fold(mv_fold(empty, states(0)), states(1))
+    ba = mv_fold(mv_fold(empty, states(1)), states(0))
+    assert sorted(map(tuple, ab.collect())) \
+        == sorted(map(tuple, ba.collect()))
