@@ -1259,3 +1259,84 @@ def q_text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = postings.where(F.col("term") == SEARCH_TERM_A).select("doc_id")
     b = postings.where(F.col("term") == SEARCH_TERM_B).select("doc_id")
     return a.join(b, "doc_id").select("doc_id")
+
+
+# ---- Temporal vocabulary drift (log-odds with prior) ---------------------
+
+DRIFT_TOP = 15
+DRIFT_ALPHA = 1  # Dirichlet pseudo-count
+
+
+@query(
+    "q_text_vocab_drift",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id % 2 AS half, u.word AS term
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ), cnt AS (
+      SELECT term,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM w GROUP BY term
+    ), tot AS (
+      SELECT SUM(a) AS ta, SUM(b) AS tb, COUNT(*) AS v FROM cnt
+    ), z AS (
+      SELECT term, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+             (CAST(CAST(ln((a + {DRIFT_ALPHA})
+                  / (ta + v * {DRIFT_ALPHA} - a - {DRIFT_ALPHA}))
+                  AS DECIMAL(18,6)) AS DOUBLE)
+              - CAST(CAST(ln((b + {DRIFT_ALPHA})
+                  / (tb + v * {DRIFT_ALPHA} - b - {DRIFT_ALPHA}))
+                  AS DECIMAL(18,6)) AS DOUBLE))
+             / sqrt(1.0 / (a + {DRIFT_ALPHA}) + 1.0 / (b + {DRIFT_ALPHA}))
+               AS zscore
+      FROM cnt, tot
+    )
+    SELECT term, n_a, n_b, zscore
+    FROM z
+    ORDER BY abs(zscore) DESC, term
+    LIMIT {DRIFT_TOP}
+    """,
+    tags=("L3", "drift", "vocabulary"),
+)
+def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY DRIFT between two corpus slices (doc_id parity stands
+    in for time periods): per-term log-odds-ratio with a Dirichlet
+    prior, z-scored by its estimated variance — the "fightin' words"
+    screen that surfaces which terms a new crawl/period over- or
+    under-represents, where raw frequency deltas just rank common
+    words. PSI (q_quality_psi) answers "did the DISTRIBUTION move";
+    this answers "WHICH terms moved, significantly". Shape: one corpus
+    explode → one term-keyed aggregate; totals are a broadcast 1-row
+    relation; top-|z| via TakeOrdered, never a vocab sort. ln is
+    6-dp-quantized before the subtraction (compat rule 2); everything
+    else is IEEE on integers."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
+        F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    cnt = w.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"))
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"),
+                  F.count(F.lit(1)).alias("v"))
+    al = DRIFT_ALPHA
+
+    def lnq(x):
+        return F.log(x).cast("decimal(18,6)").cast("double")
+
+    a, b = F.col("a"), F.col("b")
+    ta, tb, v = F.col("ta"), F.col("tb"), F.col("v")
+    delta = (lnq((a + al) / (ta + v * al - a - al))
+             - lnq((b + al) / (tb + v * al - b - al)))
+    var = 1.0 / (a + al) + 1.0 / (b + al)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("term", a.cast("bigint").alias("n_a"),
+                b.cast("bigint").alias("n_b"),
+                (delta / F.sqrt(var)).alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), "term")
+        .limit(DRIFT_TOP)
+    )
