@@ -684,8 +684,18 @@ def srp_signature_bits(vectors: DataFrame, id_col: str = "vec_id",
 
 def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
                         bits: int = SRP_BITS,
-                        bands: int = SRP_BANDS) -> DataFrame:
-    """(a_vec_id, b_vec_id) pairs sharing >= 1 sign-bit band bucket."""
+                        bands: int = SRP_BANDS,
+                        dedup: bool = True) -> DataFrame:
+    """(a_vec_id, b_vec_id) pairs sharing >= 1 sign-bit band bucket.
+
+    ``dedup=False`` skips the cross-band DISTINCT — the candidate
+    relation then carries one row per (pair, matching band). When the
+    consumer applies a highly selective verify filter, deferring the
+    distinct until AFTER it removes the candidate-volume shuffle
+    entirely (measured on q_dedup_cosine_lsh: the 815k-pair distinct
+    was the single largest exchange; ~20% duplicate verify dots are
+    map-side and far cheaper). Deduping here remains right when the
+    consumer keeps most candidates."""
     r = bits // bands
     band_structs = F.array(*[
         F.struct(
@@ -702,11 +712,18 @@ def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
     # The banded relation is (id, band_idx, 4-char key) × bands rows —
     # tiny at any corpus size relative to the vectors themselves; same
     # posture as the minhash/simhash signature persists above.
+    # repartition BEFORE the self-join: the embeddings table arrives as
+    # one file -> one partition, and with dedup=False nothing downstream
+    # would redistribute, so the pair explosion and every verify dot
+    # would run single-threaded (measured: 10 s vs 5 s at sf0.1). A
+    # 16k-row shuffle here buys full-width parallelism for the 1M-pair
+    # stage that follows.
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bd")
-    ).select(id_col, "bd.band_idx", "bd.band_key").persist()
+    ).select(id_col, "bd.band_idx", "bd.band_key") \
+        .repartition(id_col).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -715,8 +732,8 @@ def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
         )
         .select(F.col(f"a.{id_col}").alias("a_vec_id"),
                 F.col(f"b.{id_col}").alias("b_vec_id"))
-        .distinct()
     )
+    return pairs.distinct() if dedup else pairs
 
 
 def _srp_oracle(bits: int = SRP_BITS, bands: int = SRP_BANDS,
@@ -794,13 +811,17 @@ def q_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p≈0.86) the same 8×4 config yields ~0.998 recall while pruning
     random pairs ~30×. The oracle mirrors the buckets, so the driver
     gate checks the LSH pipeline itself, not its recall. Measured at
-    sf0.1 (2000 vectors): 3.7 s vs 17.4 s for q_dedup_cosine's
-    all-pairs scorer — 4.7× even on the adversarial corpus, and the gap
+    sf0.1 (2000 vectors): 3.0 s (deferred-dedup + pre-join
+    repartition, down from 5.4 s) vs 17.4 s for q_dedup_cosine's
+    all-pairs scorer — 5.8× even on the adversarial corpus, and the gap
     widens quadratically with n."""
     e = load(spark, sf_dir, "embeddings")
     nv = e.select("vec_id", normalized("embedding").alias("nv"))
     sig = srp_signature_bits(nv)
-    cand = srp_candidate_pairs(sig)
+    # dedup deferred past the verify filter: the selective threshold
+    # keeps ~1e-4 of candidates, so distinct runs on survivors instead
+    # of shuffling the full candidate volume (see srp_candidate_pairs).
+    cand = srp_candidate_pairs(sig, dedup=False)
     a = nv.select(F.col("vec_id").alias("a_vec_id"), F.col("nv").alias("na"))
     b = nv.select(F.col("vec_id").alias("b_vec_id"), F.col("nv").alias("nb"))
     return (
@@ -809,6 +830,10 @@ def q_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_vec_id", "b_vec_id",
                 dot_idx("na", "nb").alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        # distinct on SURVIVORS (~1e-4 of candidates): collapses the
+        # per-band duplicates the deferred-dedup candidate relation
+        # carries, at survivor cost instead of candidate cost
+        .distinct()
     )
 
 
