@@ -1834,3 +1834,74 @@ def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                for p in QUANTILE_PS],
              F.max("n").cast("bigint").alias("n_rows"))
     )
+
+
+# ---- Three-valued-logic / NULL-semantics parity suite --------------------
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pri,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT COALESCE(pri, '(null)') AS pri_group,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(price) AS BIGINT) AS n_price_nonnull,
+           CAST(COUNT(DISTINCT price) AS BIGINT) AS n_price_distinct,
+           MIN(price) AS min_price,
+           CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_price_null,
+           CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pri_nullsafe,
+           BOOL_OR(price > 1e12) AS any_huge,
+           BOOL_OR(price > 1e12) IS NULL AS any_huge_unknown
+    FROM t
+    GROUP BY pri
+    """,
+    tags=("A1", "null-semantics"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED-LOGIC PARITY SUITE: the NULL behaviors engines
+    classically disagree on, in one hash-gated relation — NULL group
+    keys aggregate as their own group; COUNT(*) vs COUNT(col) vs
+    COUNT(DISTINCT col) over nulls; MIN skipping nulls (and returning
+    NULL for an all-null group if one existed); IS NOT DISTINCT FROM as
+    the null-safe comparator; and BOOL_OR over a predicate that is
+    false-or-null everywhere (SQL's unknown-propagation: all-false
+    gives false, but false+null gives... what each engine says — which
+    is exactly why it's gated). A user migrating filters/rollups from
+    the reference needs these semantics to be load-bearing, not
+    folklore. One scan, one aggregate; NULL injection is deterministic
+    key arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority")).alias("pri"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice")).alias("price"))
+    return (
+        t.groupBy("pri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.count("price").cast("bigint").alias("n_price_nonnull"),
+             F.countDistinct("price").cast("bigint")
+             .alias("n_price_distinct"),
+             F.min("price").alias("min_price"),
+             F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_price_null"),
+             F.sum(F.when(F.col("pri").eqNullSafe(F.lit(None)), 1)
+                   .otherwise(0)).cast("bigint").alias("n_pri_nullsafe"),
+             F.bool_or(F.col("price") > 1e12).alias("any_huge"),
+             F.bool_or(F.col("price") > 1e12).isNull()
+             .alias("any_huge_unknown"))
+        .select(F.coalesce("pri", F.lit("(null)")).alias("pri_group"),
+                "n_rows", "n_price_nonnull", "n_price_distinct",
+                "min_price", "n_price_null", "n_pri_nullsafe",
+                "any_huge", "any_huge_unknown")
+    )
