@@ -163,3 +163,49 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("props", F.lit(PII_EMAIL), F.lit(0)))
         .cast("bigint").alias("n_email_masked"),
     )
+
+
+# ---- Collation-aware grouping (Spark 4 COLLATE surface) ------------------
+
+
+@query(
+    "q_string_collation",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                  ELSE event_type END AS etv
+      FROM events
+    )
+    SELECT lower(min(etv)) AS key_lc,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT etv) AS BIGINT) AS n_case_variants
+    FROM t
+    GROUP BY lower(etv)
+    """,
+    tags=("F1", "collation"),
+)
+def q_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-INSENSITIVE GROUPING via Spark 4 COLLATIONS: mixed-case
+    feed values (a third of rows upper-cased, the classic multi-source
+    ingest mess) grouped under ``UTF8_LCASE`` so equivalence lives in
+    the COLUMN'S TYPE rather than scattered lower() calls — at 100 TB
+    the difference is that every downstream join/group on the column
+    inherits the semantics instead of each query re-normalizing (and
+    one forgotten lower() silently forking a group). The displayed key
+    is normalized via lower(min(raw)) because a collation group's
+    representative is whichever variant an engine meets first — the
+    kind of nondeterminism the gate exists to catch. Oracle: DuckDB
+    groups by lower(), the semantics UTF8_LCASE guarantees for ASCII
+    feeds."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type")).alias("etv"))
+    return (
+        t.groupBy(F.collate("etv", "UTF8_LCASE").alias("_ck"))
+        .agg(F.lower(F.min("etv")).alias("key_lc"),
+             F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.countDistinct("etv").cast("bigint")
+             .alias("n_case_variants"))
+        .drop("_ck")
+    )
