@@ -47,3 +47,48 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("days_since_epoch_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
     )
+
+
+# ---- Timezone-aware reporting (local business dates) ---------------------
+
+REPORT_ZONES = ("America/New_York", "Europe/Berlin", "Asia/Tokyo")
+
+
+_TZ_UNION = " UNION ALL ".join(
+    f"""SELECT '{z}' AS zone,
+           CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                AT TIME ZONE '{z}' AS DATE) AS local_date
+        FROM events""" for z in REPORT_ZONES)
+
+
+@query(
+    "q_date_timezones",
+    oracle=f"""
+    SELECT zone,
+           CAST(local_date AS DATE) AS local_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ({_TZ_UNION})
+    GROUP BY zone, local_date
+    """,
+    tags=("F3", "timezone"),
+)
+def q_date_timezones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEZONE-AWARE business dates: event counts per LOCAL calendar
+    day in three reporting zones — the global-dashboard requirement
+    where "daily" means the viewer's midnight, not UTC's, and where
+    DST transitions shift the boundary twice a year (both engines
+    resolve the same IANA zone rules, which is what the gate checks).
+    Spark: ``from_utc_timestamp`` + date_trunc per zone over one scan
+    (the explode of zones is a 3-row multiplier, not a re-read);
+    storage stays UTC — the only sane contract at 100 TB, with zone
+    conversion a presentation-layer projection."""
+    ev = load(spark, sf_dir, "events").select("ts")
+    zones = F.array(*[F.lit(z) for z in REPORT_ZONES])
+    return (
+        ev.select(F.explode(zones).alias("zone"), "ts")
+        .select("zone",
+                F.to_date(F.from_utc_timestamp("ts", F.col("zone")))
+                .alias("local_date"))
+        .groupBy("zone", "local_date")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
