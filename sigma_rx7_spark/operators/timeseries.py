@@ -745,3 +745,58 @@ def q_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_events") == 1).alias("bounce"),
                 F.col("seq").contains("ee").alias("error_burst"))
     )
+
+
+# ---- Event-type transition matrix (first-order Markov) -------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    """,
+    tags=("W3", "markov", "transitions"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX of the event stream: per
+    (from_type, to_type), the count of consecutive same-user pairs and
+    the row-normalized transition probability — the behavioral model
+    behind next-action prediction, funnel-leak diagnosis ("where do
+    users go after an error?") and synthetic-session generation. One
+    user-keyed window pass (the lead shares q_sessionize_batch's
+    single-sort discipline), then a 25-cell aggregate; the normalizing
+    window runs over the CELL relation (types², tiny) so the
+    probability division is one IEEE op from integer counts — exact in
+    both engines without quantization."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type"))
+    cnt = (seq.where(F.col("next_type").isNotNull())
+           .groupBy(F.col("event_type").alias("from_type"),
+                    F.col("next_type").alias("to_type"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wn = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"))

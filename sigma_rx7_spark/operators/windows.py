@@ -380,3 +380,71 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.element_at(vals, (n / 2).cast("int") + 1)) / 2.0)
         .alias("rolling_median"),
     )
+
+
+# ---- Pareto / revenue-concentration report -------------------------------
+
+PARETO_BUCKETS = 10
+
+
+@query(
+    "q_agg_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT revenue,
+             NTILE({PARETO_BUCKETS}) OVER (
+               ORDER BY revenue DESC, o_custkey) AS decile
+      FROM rev
+    ), tot AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS t
+      FROM ranked
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             AS decile_revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             / (SELECT t FROM tot) AS revenue_share
+    FROM ranked
+    GROUP BY decile
+    """,
+    tags=("W7", "pareto"),
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / CONCENTRATION report: customers bucketed into revenue
+    deciles (NTILE over per-customer totals, (revenue, custkey)
+    tiebreak for a total order), each decile's revenue and share — the
+    "top 10% of customers drive X% of revenue" question, and the
+    corpus-side twin of q_agg_gini's single-number concentration. The
+    window runs over the CUSTOMER relation (post-aggregation), not
+    orders: at 100 TB the global sort touches n_customers rows — if
+    even that is too wide, the documented relaxation is A12-sketch
+    decile cutpoints + one conditional pass, exactly the
+    q_agg_histogram_eqdepth trade. Revenue sums exact-decimal; the
+    share division is one IEEE op from exact sums."""
+    o = load(spark, sf_dir, "orders")
+    from ..compat import q as qd
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(qd("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    ranked = rev.select(
+        "revenue", F.ntile(PARETO_BUCKETS).over(w).alias("decile"))
+    tot = ranked.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double")
+        .alias("t"))
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+             F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double")
+             .alias("decile_revenue"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("decile").cast("int").alias("decile"),
+                "n_customers", "decile_revenue",
+                (F.col("decile_revenue") / F.col("t"))
+                .alias("revenue_share"))
+    )
