@@ -800,3 +800,66 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.select(
         "from_type", "to_type", "n",
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"))
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT p.user_id, (p.p_us - v.v_us) / 1000000 AS dt_s,
+             ROW_NUMBER() OVER (ORDER BY p.p_us - v.v_us, p.user_id)
+               AS rk,
+             COUNT(*) OVER () AS n
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           MAX(CASE WHEN rk = CEIL(0.5 * n) THEN dt_s END) AS p50_s,
+           MAX(CASE WHEN rk = CEIL(0.95 * n) THEN dt_s END) AS p95_s
+    FROM lat
+    """,
+    tags=("W11", "latency", "quantile"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION LATENCY: time from a user's first view to their first
+    subsequent purchase, summarized as exact p50/p95 (CEIL(p·n) rank,
+    the A30 definition) — the "how long does the funnel take"
+    companion to q_funnel_steps' "how many make it". Stage relations
+    are per-USER aggregates (events collapse before any join), so the
+    quantile window runs over converters only — a relation orders of
+    magnitude under the event volume; at 100 TB the A27/A30 binned
+    recipe swaps in if even that is too wide. Latencies are integer
+    microsecond differences divided once — engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_us").alias("v_us")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .where(F.col("ts_us") > F.col("v_us"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("p_us")))
+    lat = p.join(v, "user_id").select(
+        "user_id", ((F.col("p_us") - F.col("v_us")) / 1000000)
+        .alias("dt_s"))
+    w = Window.orderBy(F.col("dt_s"), "user_id")
+    ranked = lat.select(
+        "dt_s", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.max(F.when(F.col("rk") == F.ceil(0.5 * F.col("n")),
+                     F.col("dt_s"))).alias("p50_s"),
+        F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
+                     F.col("dt_s"))).alias("p95_s"))
