@@ -235,3 +235,72 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_value",
     )
+
+
+# ---- Nearest-event as-of join (bidirectional) ----------------------------
+
+NEAREST_WINDOW_US = 3600 * 1_000_000  # ±1 hour
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS c_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT p.p_id, c.c_id,
+             c.c_us - p.p_us AS dt_us,
+             abs(c.c_us - p.p_us) AS adt,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id
+               ORDER BY abs(c.c_us - p.p_us), c.c_us, c.c_id) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND abs(c.c_us - p.p_us) <= {NEAREST_WINDOW_US}
+    )
+    SELECT p_id, c_id, CAST(dt_us AS BIGINT) AS dt_us
+    FROM cand WHERE rn = 1
+    """,
+    tags=("J8", "asof", "nearest"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-EVENT AS-OF JOIN: each purchase pairs with the same
+    user's temporally CLOSEST click within ±1 h, either direction —
+    the sensor-alignment semantics (match the reading nearest the
+    event) that the backward-only as-of (J8/q_join_asof) cannot
+    express. Deterministic ties: (|Δt|, click time, click id). Scale
+    shape: one user-keyed equi join with the window bound as a
+    residual predicate (per-user candidate volume is rate-bounded by
+    the ±1 h window), one purchase-keyed ranked pass — the J3
+    date-bucket prefilter composes in front when single users run
+    hot."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("us").alias("p_us"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"), F.col("us").alias("c_us"))
+    adt = F.abs(F.col("c_us") - F.col("p_us"))
+    w = Window.partitionBy("p_id").orderBy(
+        F.abs(F.col("dt_us")), "c_us", "c_id")
+    return (
+        p.join(c, (p.user_id == c.c_user)
+               & (adt <= NEAREST_WINDOW_US))
+        .select("p_id", "c_id", "c_us",
+                (F.col("c_us") - F.col("p_us")).alias("dt_us"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_id", "c_id", F.col("dt_us").cast("bigint")
+                .alias("dt_us"))
+    )

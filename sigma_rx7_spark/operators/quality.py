@@ -454,3 +454,53 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(ok, F.abs(z) > SEASONAL_Z)
                 .otherwise(F.lit(False)).alias("is_anomaly"))
     )
+
+
+# ---- Sequence-integrity audit (ingestion gap/duplicate check) ------------
+
+
+@query(
+    "q_quality_sequence",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_id,
+             COUNT(*) AS n_copies
+      FROM events GROUP BY user_id, event_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(MIN(event_id) AS BIGINT) AS id_min,
+           CAST(MAX(event_id) AS BIGINT) AS id_max,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicates,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+             AS n_gaps
+    FROM pe
+    GROUP BY user_id
+    """,
+    tags=("quality", "sequence", "ingestion"),
+)
+def q_quality_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-INTEGRITY AUDIT: per producer (user), distinct-id
+    count, id range, duplicate copies, and GAPS in the id space
+    (range-width minus distinct count) — the exactly-once ingestion
+    check for feeds that promise dense monotonic ids: gaps mean lost
+    messages, duplicates mean replays, and both are pure integer
+    arithmetic from two hash aggregates sharing one (user, id)
+    partitioning. This is the cheap invariant a 100 TB/day pipeline
+    checks per ingest window BEFORE reconciling against the source;
+    the per-user gap counts here are nonzero by construction (ids are
+    globally dense, per-user sparse), which exercises the arithmetic
+    at both extremes."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    pe = ev.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_copies"))
+    return (
+        pe.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+             F.min("event_id").cast("bigint").alias("id_min"),
+             F.max("event_id").cast("bigint").alias("id_max"),
+             (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint")
+             .alias("n_duplicates"),
+             (F.max("event_id") - F.min("event_id") + 1
+              - F.count(F.lit(1))).cast("bigint").alias("n_gaps"))
+    )
