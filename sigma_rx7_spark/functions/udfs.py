@@ -225,3 +225,41 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderpriority
     """)
+
+
+# ---- pandas API on Spark (the DataFrame-API bridge surface) --------------
+
+
+@query(
+    "q_api_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           MIN(l_quantity) AS qmin,
+           MAX(l_quantity) AS qmax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("X1", "pandas-api"),
+)
+def q_api_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS API ON SPARK round trip: the same grouped aggregate a
+    pandas user writes (``groupby().agg(named tuples)``), executed as
+    a Catalyst plan via ``DataFrame.pandas_api()`` and handed back with
+    ``to_spark()`` — the migration bridge for notebook workloads coming
+    off single-node pandas. Count/min/max stay order-insensitive so the
+    hash gate applies; the point under the gate is that the pandas
+    SYNTAX compiled to the same distributed plan (no collect, no driver
+    pandas — assert: this function never materializes locally)."""
+    from ..io import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity")
+    out = (li.pandas_api()
+           .groupby("l_returnflag")
+           .agg(n=("l_quantity", "count"),
+                qmin=("l_quantity", "min"),
+                qmax=("l_quantity", "max")))
+    return (out.reset_index().to_spark()
+            .select("l_returnflag", F.col("n").cast("bigint").alias("n"),
+                    "qmin", "qmax"))
