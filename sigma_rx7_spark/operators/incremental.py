@@ -567,7 +567,10 @@ def stage_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "q_mv_rollup_answer",
     oracle="""
-    SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+    -- day/month date_trunc yields DATE in DuckDB; cast back to
+    -- TIMESTAMP to match Spark's date_trunc output type.
+    SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS month,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value

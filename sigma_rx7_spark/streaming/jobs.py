@@ -850,7 +850,10 @@ def mv_fold(prev: DataFrame, batch_states: DataFrame) -> DataFrame:
 @query(
     "q_stream_mv_refresh",
     oracle="""
-    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+    -- DATE->TIMESTAMP cast: DuckDB's day-grain date_trunc returns
+    -- DATE, Spark's returns TIMESTAMP (repo convention).
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS day,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
