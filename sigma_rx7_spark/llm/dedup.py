@@ -1657,3 +1657,63 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+def _dup_burden_oracle() -> str:
+    return f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), verified AS (
+      SELECT a_doc_id, b_doc_id
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
+            >= {LSH_VERIFY_JACCARD}
+    )
+    SELECT least(sa.source, sb.source) AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM verified v
+    JOIN documents sa ON sa.doc_id = v.a_doc_id
+    JOIN documents sb ON sb.doc_id = v.b_doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_dedup_burden_matrix", oracle=_dup_burden_oracle(),
+       tags=("L1", "dedup", "attribution"))
+def q_dedup_burden_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION-BURDEN ATTRIBUTION: verified near-dup pairs counted
+    per unordered SOURCE pair — the operational view that turns "the
+    corpus is 12% duplicated" into "feed C re-crawls feed A" (fix the
+    ingest) vs "feed D duplicates itself" (fix the crawler). Composes
+    the green md5-LSH→verify pair relation with two id-keyed source
+    lookups and a 15-cell aggregate; the least/greatest fold makes the
+    matrix upper-triangular deterministically. Same scale posture as
+    the pair source: shuffles carry ids and band hashes, never text."""
+    d = load(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d)
+    sa = d.select(F.col("doc_id").alias("a_doc_id"),
+                  F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("b_doc_id"),
+                  F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "a_doc_id").join(sb, "b_doc_id")
+        .groupBy(F.least("src_a", "src_b").alias("source_x"),
+                 F.greatest("src_a", "src_b").alias("source_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
