@@ -520,3 +520,57 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "sub", F.col("c_label").alias("code"), "dist2")
     )
+
+
+@query(
+    "q_cluster_geometry",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(x)
+               AS centroid
+      FROM ex GROUP BY label, pos
+    ), d2 AS (
+      SELECT a.c_label AS label_a, b.c_label AS label_b,
+             CAST(SUM(CAST((a.centroid - b.centroid)
+                           * (a.centroid - b.centroid)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS dist2
+      FROM cent a JOIN cent b
+        ON a.pos = b.pos AND a.c_label < b.c_label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, sqrt(dist2) AS dist
+    FROM d2
+    """,
+    tags=("L2", "clustering", "geometry"),
+)
+def q_cluster_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE GEOMETRY AUDIT: pairwise distances between the
+    per-label centroids — the separability fingerprint that tells a
+    pipeline whether two labels have collapsed (near-zero distance ⇒
+    IVF cells alias, semantic dedup over-merges) before any consumer
+    trusts the space. The pair join runs over the CENTROID relation
+    (k × dim rows — bounded metadata scale, k²·dim work), never over
+    vectors; squared terms quantize at 9 dp before the sum (the
+    rescale-hazard convention for structured arithmetic) and the final
+    sqrt is IEEE-exact."""
+    from ..compat import q as qz
+
+    ex = _exploded(spark, sf_dir)
+    cent = _centroids(ex)
+    a = cent.select(F.col("c_label").alias("label_a"), "pos",
+                    F.col("centroid").alias("ca"))
+    b = cent.select(F.col("c_label").alias("label_b"),
+                    F.col("pos").alias("pos_b"),
+                    F.col("centroid").alias("cb"))
+    diff2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    return (
+        a.join(b, (a.pos == b.pos_b)
+               & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(diff2.cast("decimal(18,9)")).cast("double")
+             .alias("dist2"))
+        .select("label_a", "label_b",
+                F.sqrt(F.col("dist2")).alias("dist"))
+    )
