@@ -860,3 +860,81 @@ def q_pipeline_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(displaced, F.col("doc_id") == F.col("x_doc_id"), "left")
         .select("doc_id", fate.alias("fate"), "kept_by")
     )
+
+
+def _split_leak_oracle() -> str:
+    from .dedup import (
+        LSH_VERIFY_JACCARD,
+        _oracle_bands,
+        _oracle_minhash_sig,
+    )
+    from .sampling import TRAIN_NIBBLES, VAL_NIBBLES
+
+    split = (f"CASE WHEN substr(md5(CAST({{c}} AS VARCHAR)), 1, 1) "
+             f"IN {tuple(TRAIN_NIBBLES)!r} THEN 'train' "
+             f"WHEN substr(md5(CAST({{c}} AS VARCHAR)), 1, 1) "
+             f"IN {tuple(VAL_NIBBLES)!r} THEN 'val' ELSE 'test' END")
+    return f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), verified AS (
+      SELECT a_doc_id, b_doc_id
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
+            >= {LSH_VERIFY_JACCARD}
+    )
+    SELECT least({split.format(c='a_doc_id')},
+                 {split.format(c='b_doc_id')}) AS split_x,
+           greatest({split.format(c='a_doc_id')},
+                    {split.format(c='b_doc_id')}) AS split_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           {split.format(c='a_doc_id')}
+             <> {split.format(c='b_doc_id')} AS is_leak
+    FROM verified
+    GROUP BY 1, 2, 4
+    """
+
+
+@query("q_split_leakage", oracle=_split_leak_oracle(),
+       tags=("L5", "L1", "leakage"))
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE AUDIT: verified near-duplicate pairs counted by
+    the (split, split) cell their members land in — every cross-split
+    cell (``is_leak``) is a member of the held-out set whose near-twin
+    sits in training: the contamination mode that inflates eval scores
+    and that row-hash splitting CANNOT prevent (near-dups hash
+    differently; only dedup-before-split or group-split by cluster
+    does). This query is the measurement that decides between those
+    mitigations. Composes the green pair relation with the split
+    assignment on both ids — id-keyed arithmetic only, no text, and a
+    splits² cell aggregate."""
+    from .dedup import lsh_verified_pairs
+    from .sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d)
+    sx = hash_split(F.col("a_doc_id"))
+    sy = hash_split(F.col("b_doc_id"))
+    return (
+        pairs.select(F.least(sx, sy).alias("split_x"),
+                     F.greatest(sx, sy).alias("split_y"),
+                     (sx != sy).alias("is_leak"))
+        .groupBy("split_x", "split_y", "is_leak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .select("split_x", "split_y", "n_dup_pairs", "is_leak")
+    )
