@@ -1905,3 +1905,69 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_price", "n_price_null", "n_pri_nullsafe",
                 "any_huge", "any_huge_unknown")
     )
+
+
+# ---- Hierarchical contribution rollup (share-of-parent) ------------------
+
+
+@query(
+    "q_agg_hierarchy_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    -- window sums re-quantize to decimal: double window sums are
+    -- engine-order-sensitive (compat rule 1 applies to windows too)
+    SELECT region, nation, revenue,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                          OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER ()
+                    AS DOUBLE) AS region_share_of_total
+    FROM rev
+    """,
+    tags=("A5", "W7", "hierarchy"),
+)
+def q_agg_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL CONTRIBUTION: revenue per nation with its share of
+    its region AND the region's share of the total, in one pass — the
+    drill-down percent-of-parent layout every regional dashboard
+    renders. The geography dims broadcast (region: 5 rows, nation: 25);
+    the fact aggregates BEFORE any window, so both share windows run
+    over the (region×nation) relation — at 100 TB the windows touch
+    ~200 rows regardless of fact volume. Shares are single IEEE
+    divisions from exact-decimal sums."""
+    from ..compat import q as qd
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(qd("o_totalprice")).cast("double").alias("revenue"))
+    )
+    wr = Window.partitionBy("region")
+    wa = Window.partitionBy(F.lit(1))
+    rsum = F.sum(F.col("revenue").cast("decimal(18,6)")).over(wr) \
+        .cast("double")
+    tsum = F.sum(F.col("revenue").cast("decimal(18,6)")).over(wa) \
+        .cast("double")
+    return rev.select(
+        "region", "nation", "revenue",
+        (F.col("revenue") / rsum).alias("share_of_region"),
+        (rsum / tsum).alias("region_share_of_total"))
