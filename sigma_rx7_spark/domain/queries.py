@@ -488,3 +488,82 @@ def q_domain_drug_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules.drug_eras)."""
     tables = stage_domain_tables(spark)
     return rules.drug_eras(tables["meds"])
+
+
+@query(
+    "q_domain_therapy_gaps",
+    oracle=f"""
+    WITH m AS (
+      SELECT patient_id, drug_class, med_id, start_date,
+             COALESCE(stop_date, start_date + INTERVAL 30 DAY) AS end_date
+      FROM {_p('meds')}
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                    OR start_date > MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), seq AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY patient_id, drug_class
+               ORDER BY start_date, med_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS era_seq
+      FROM flagged
+    ), eras AS (
+      SELECT patient_id, drug_class, era_seq,
+             MIN(start_date) AS era_start,
+             MAX(end_date) AS era_end
+      FROM seq GROUP BY patient_id, drug_class, era_seq
+    ), gaps AS (
+      SELECT patient_id, drug_class,
+             date_diff('day',
+               LAG(era_end) OVER (PARTITION BY patient_id, drug_class
+                                  ORDER BY era_seq),
+               era_start) AS gap_days
+      FROM eras
+    )
+    SELECT patient_id, drug_class,
+           CAST(COUNT(*) + 1 AS INT) AS n_eras,
+           CAST(MAX(gap_days) AS INT) AS max_gap_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY patient_id, drug_class
+    """,
+    tags=("domain", "W8", "interval"),
+)
+def q_domain_therapy_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THERAPY INTERRUPTIONS: for every (patient, class) with more than
+    one drug era, the count of eras and the longest / total gap between
+    consecutive eras — the persistence-failure view built ON TOP of the
+    era construction (reference README.md:3's longitudinal history):
+    q_domain_adherence asks "what fraction of days were covered",
+    this asks "how many times did therapy STOP, and for how long" —
+    the restart-pattern a step-therapy or abandonment review reads.
+    One more window + aggregate over the ERA relation (eras ≪ meds);
+    the era build's single (patient, class) partitioning is reused end
+    to end — no new shuffle key anywhere."""
+    from pyspark.sql import Window
+
+    tables = stage_domain_tables(spark)
+    eras = rules.drug_eras(tables["meds"])
+    w = Window.partitionBy("patient_id", "drug_class").orderBy("era_seq")
+    gaps = eras.select(
+        "patient_id", "drug_class",
+        F.datediff("era_start",
+                   F.lag("era_end").over(w)).alias("gap_days"))
+    return (
+        gaps.where(F.col("gap_days").isNotNull())
+        .groupBy("patient_id", "drug_class")
+        .agg((F.count(F.lit(1)) + 1).cast("int").alias("n_eras"),
+             F.max("gap_days").cast("int").alias("max_gap_days"),
+             F.sum("gap_days").cast("bigint").alias("total_gap_days"))
+    )
