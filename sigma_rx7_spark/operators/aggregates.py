@@ -1971,3 +1971,69 @@ def q_agg_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region", "nation", "revenue",
         (F.col("revenue") / rsum).alias("share_of_region"),
         (rsum / tsum).alias("region_share_of_total"))
+
+
+# ---- Weighted median (running-weight threshold) --------------------------
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,6)) AS wt
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice
+                           ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM w
+    ), hit AS (
+      SELECT l_returnflag, l_extendedprice, tot_wt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cum_wt, l_extendedprice) AS rn
+      FROM ranked
+      WHERE cum_wt * 2 >= tot_wt
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS weighted_median_price,
+           CAST(tot_wt AS DOUBLE) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+    tags=("A12", "weighted-median"),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN: the price at which half the QUANTITY mass sits
+    on each side (per return flag) — the volume-weighted center a plain
+    median misrepresents whenever line sizes vary (same statistic
+    behind VWAP-style costing, next to W-family's TWAP). Defined as the
+    smallest value whose running weight reaches half the total; weights
+    accumulate as exact decimals so the running sum is order-exact
+    (ties on price share a cum value; the (cum, price) row_number makes
+    the pick total-ordered). The running-weight window sorts per group
+    — the A27 binned recipe generalizes here too (bin by value, locate
+    the half-weight bin, rank only inside it) and is the documented
+    100 TB path; at harness scale the direct form IS the spec the
+    binned one must match."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.col("l_quantity").cast("decimal(18,6)").alias("wt"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("wt").over(wcum).alias("cum_wt"),
+        F.sum("wt").over(wtot).alias("tot_wt"))
+    whit = Window.partitionBy("l_returnflag").orderBy(
+        "cum_wt", "l_extendedprice")
+    return (
+        ranked.where(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .withColumn("rn", F.row_number().over(whit))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag",
+                F.col("l_extendedprice").alias("weighted_median_price"),
+                F.col("tot_wt").cast("double").alias("total_weight"))
+    )
