@@ -581,3 +581,52 @@ def q_audit_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+# ---- Raw text-line source (the HL7/log-file ingest shape) ----------------
+
+_TEXT_STAGED: dict[str, str] = {}
+
+
+@query(
+    "q_source_textlines",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("S3", "text-source"),
+)
+def q_source_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW TEXT-LINE ingest (``spark.read.text``) round trip: documents
+    staged as delimited lines (``doc_id|lang|text`` — the shape HL7
+    segment files, log feeds and every legacy line-oriented export
+    arrive in), re-read as a one-column text relation and re-parsed
+    with native split/getItem expressions, then aggregated against the
+    ORIGINAL parquet oracle — any line lost, mis-split, or truncated
+    by the round trip fails the hash gate. The parse stays row-local
+    (scan-speed, no Python); the 2-field limit on split keeps embedded
+    text intact past the second delimiter. This is the missing first
+    rung under the typed CSV/JSON loaders: the format BEFORE there is
+    a format."""
+    path = _stage_dir("textlines_docs", sf_dir)
+    if _TEXT_STAGED.get("sf") != sf_dir:
+        (load(spark, sf_dir, "documents")
+         .select(F.concat_ws("|", F.col("doc_id").cast("string"),
+                             "lang", "text").alias("value"))
+         .coalesce(4)
+         .write.mode("overwrite").text(path))
+        _TEXT_STAGED["sf"] = sf_dir
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\|", 3)
+    parsed = raw.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"))
+    return (
+        parsed.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(F.length("text")).cast("bigint").alias("total_chars"))
+    )
