@@ -448,3 +448,71 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("decile_revenue") / F.col("t"))
                 .alias("revenue_share"))
     )
+
+
+# ---- Inter-arrival gap quantiles per event type --------------------------
+
+
+@query(
+    "q_window_gap_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS gap_us
+      FROM events
+    ), ranked AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           MAX(CASE WHEN rk = CEIL(0.5 * n) THEN gap_us END) / 1000000.0
+             AS p50_s,
+           MAX(CASE WHEN rk = CEIL(0.95 * n) THEN gap_us END) / 1000000.0
+             AS p95_s
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("W3", "A30", "inter-arrival"),
+)
+def q_window_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL GAP QUANTILES: per event type, exact p50/p95 of
+    the time between a user's consecutive events of that type — the
+    cadence fingerprint that feeds retry detection (p50 near zero),
+    churn thresholds (p95 for "how long is unusually quiet"), and the
+    session-gap constant W8 hardcodes (this query is how you'd pick it
+    from data). Gaps come from one (user, type)-keyed lag pass; ranks
+    are per-TYPE (5 windows over the gap relation) with the A30
+    CEIL(p·n) definition; the one non-segmented sort is over gaps of a
+    single type — the binned A27/A30 recipe swaps in at the scale
+    where that bites. Integer microsecond gaps; one division at the
+    end."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"))
+    wl = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(wl)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("gap_us")
+    wn = W.partitionBy("event_type")
+    ranked = g.select(
+        "event_type", "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        (F.max(F.when(F.col("rk") == F.ceil(0.5 * F.col("n")),
+                      F.col("gap_us"))) / 1000000.0).alias("p50_s"),
+        (F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
+                      F.col("gap_us"))) / 1000000.0).alias("p95_s"))
