@@ -863,3 +863,55 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("dt_s"))).alias("p50_s"),
         F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
                      F.col("dt_s"))).alias("p95_s"))
+
+
+@query(
+    "q_percentile_bands_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS day,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT day, value,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY value) AS rk,
+             COUNT(*) OVER (PARTITION BY day) AS n
+      FROM d
+    )
+    SELECT day,
+           CAST(MAX(n) AS BIGINT) AS n_purchases,
+           MAX(CASE WHEN rk = CEIL(0.5 * n) THEN value END) AS p50,
+           MAX(CASE WHEN rk = CEIL(0.95 * n) THEN value END) AS p95
+    FROM ranked
+    GROUP BY day
+    """,
+    tags=("W12", "A30", "sla-bands"),
+)
+def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY PERCENTILE BANDS: exact p50/p95 of purchase value per
+    calendar day — the SLO/monitoring band chart (median line, tail
+    band) that a mean-per-day series hides outliers from. Day is the
+    partition key, so every rank window is day-local: the sort is
+    segmented by the same key the aggregate uses, one shuffle total,
+    and days are embarrassingly parallel — this exact shape scales to
+    any history length because no window ever crosses a day boundary.
+    A30's CEIL(p·n) rank definition; values compared raw (parquet
+    doubles, no arithmetic)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").alias("day"), "value")
+    wr = W.partitionBy("day").orderBy("value")
+    wn = W.partitionBy("day")
+    ranked = ev.select(
+        "day", "value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return ranked.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_purchases"),
+        F.max(F.when(F.col("rk") == F.ceil(0.5 * F.col("n")),
+                     F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
+                     F.col("value"))).alias("p95"))
