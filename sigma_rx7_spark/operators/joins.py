@@ -423,3 +423,74 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pairs").desc(), "hot_key")
         .limit(TOP_HOT_KEYS)
     )
+
+
+# ---- Supplier league table per part segment ------------------------------
+
+TOP_SUPPLIERS = 3
+
+
+@query(
+    "q_join_supplier_league",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, s.s_name AS supplier, n.n_name AS nation,
+           revenue,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT p_brand, l_suppkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY revenue DESC, l_suppkey) AS rnk
+      FROM rev
+    ) r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE rnk <= {TOP_SUPPLIERS}
+    """,
+    tags=("J2", "W1", "league"),
+)
+def q_join_supplier_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER LEAGUE TABLE: the top-{TOP_SUPPLIERS} suppliers by
+    discounted revenue within every part brand, with their nations —
+    the vendor-scorecard rollup exercising the supplier axis end to
+    end (fact → part dim for the segment, windowed rank inside each
+    segment, supplier+nation dims decoded LAST so the window runs on
+    keys, not names). Scale shape: one fact aggregate to (brand,
+    supplier) grain — everything after runs on that tiny relation;
+    all three dims broadcast; revenue exact-decimal; (revenue,
+    suppkey) total-orders the rank."""
+    from pyspark.sql import Window
+
+    from ..compat import q as qd
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("disc_price"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(qd("disc_price")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), "l_suppkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_SUPPLIERS)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_brand", F.col("s_name").alias("supplier"),
+                F.col("n_name").alias("nation"), "revenue",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
