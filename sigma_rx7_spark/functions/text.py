@@ -1340,3 +1340,71 @@ def q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "term")
         .limit(DRIFT_TOP)
     )
+
+
+# ---- Novelty audit: first-seen shingle fraction per document -------------
+
+
+@query(
+    "q_text_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, u.word AS shingle
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc
+      FROM sh GROUP BY shingle
+    ), per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_novel) AS BIGINT) AS novel_shingles,
+           CAST(SUM(p.n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_shingles)
+             AS novelty_rate
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("L3", "novelty", "ingest-monitoring"),
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY AUDIT: per source, the fraction of distinct tokens each
+    document contributes that NO earlier document (by arrival id) has
+    ever used — the freshness signal whose collapse means the crawler
+    is re-walking known content (and whose inverse tracks how fast the
+    corpus saturates a domain's vocabulary). First-seen attribution is
+    one min-aggregate over the (token → doc) relation — the shuffle
+    carries tokens and ids, never text; per-doc novelty is a second
+    id-keyed aggregate; the rate division is IEEE-from-integers. The
+    same shape runs at 100 TB with the min-aggregate as the only
+    vocabulary-sized state — and incrementally, the first_seen
+    relation IS the persistent index a nightly ingest folds into
+    (q_pipeline_incremental_dedup's discipline, at token grain)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("shingle")
+    ).where(F.col("shingle") != "").distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                   .otherwise(0)).alias("n_novel"))
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+             F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+             (F.sum("n_novel").cast("double") / F.sum("n_shingles"))
+             .alias("novelty_rate"))
+    )
