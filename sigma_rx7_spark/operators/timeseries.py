@@ -915,3 +915,69 @@ def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("value"))).alias("p50"),
         F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
                      F.col("value"))).alias("p95"))
+
+
+@query(
+    "q_cohort_retention_rate",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS active_day
+      FROM events
+    ), f AS (
+      SELECT user_id, MIN(active_day) AS cohort_day
+      FROM a GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY 1
+    ), cells AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+             COUNT(*) AS n_active
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_day,
+           CAST(c.day_offset AS INT) AS day_offset,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+    FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+    """,
+    tags=("W10", "retention"),
+)
+def q_cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED retention triangle: q_cohort_retention's counts
+    divided by each cohort's size — the comparable-across-cohorts form
+    every retention chart actually plots (a 60-user cohort retaining
+    30 is 50%; the raw triangle makes it look like half of a 120-user
+    cohort's day-0). Cohort sizes are one more aggregate over the
+    first-day relation, broadcast back onto the (cohort, offset)
+    cells; the rate is IEEE-from-integers. Same single
+    user_id-partitioning reuse as the count form."""
+    from pyspark.sql import Window as W  # noqa: F401  (symmetry)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day"))
+    active = ev.distinct().persist()
+    first = active.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        active.join(first, "user_id")
+        .select("cohort_day",
+                F.datediff("active_day", "cohort_day")
+                .alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select("cohort_day",
+                F.col("day_offset").cast("int").alias("day_offset"),
+                F.col("n_active").cast("bigint").alias("n_active"),
+                F.col("cohort_size").cast("bigint").alias("cohort_size"),
+                (F.col("n_active").cast("double")
+                 / F.col("cohort_size")).alias("retention_rate"))
+    )
