@@ -504,3 +504,53 @@ def q_quality_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max("event_id") - F.min("event_id") + 1
               - F.count(F.lit(1))).cast("bigint").alias("n_gaps"))
     )
+
+
+# ---- Benford first-digit screen ------------------------------------------
+
+
+@query(
+    "q_quality_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), cnt AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS t FROM cnt)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / (SELECT t FROM tot) AS observed,
+           CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,6))
+                AS DOUBLE) AS expected
+    FROM cnt
+    """,
+    tags=("quality", "benford"),
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT SCREEN: observed vs expected leading-digit
+    frequencies of order totals — the forensic-accounting test for
+    fabricated or truncated monetary data (organic multiplicative
+    amounts follow log10(1+1/d); synthetic-uniform data, like this
+    harness's, flunks it visibly — which is itself the point of
+    shipping observed AND expected side by side). First digits come
+    from the DECIMAL(18,2) string form so both engines see identical
+    text (raw double formatting differs); expected frequencies pass
+    through the 6-dp log quantization. One scan, a 9-row aggregate,
+    and a broadcast total."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        1, 1).cast("int")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("digit", F.col("n").cast("bigint").alias("n"),
+                (F.col("n").cast("double") / F.col("t"))
+                .alias("observed"),
+                F.log10(1.0 + 1.0 / F.col("digit"))
+                .cast("decimal(18,6)").cast("double").alias("expected"))
+    )
