@@ -667,3 +667,60 @@ def q_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_groups"),
              F.max("straddle").cast("int").alias("max_folds_per_group"))
     )
+
+
+# ---- Temperature-sweep mixture audit -------------------------------------
+
+SWEEP_TEMPS = (0.5, 0.7, 1.0)
+
+
+@query(
+    "q_sample_temp_sweep",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), mn AS (SELECT MIN(n_docs) AS n_min FROM n),
+    sweep AS (
+      SELECT source, n_docs, t.temp,
+             CAST(CAST(pow(CAST((SELECT n_min FROM mn) AS DOUBLE)
+                           / n_docs, t.temp)
+                       AS DECIMAL(18,6)) AS DOUBLE) AS keep_prob
+      FROM n CROSS JOIN (
+        SELECT unnest(ARRAY{list(SWEEP_TEMPS)}) AS temp) t
+    )
+    SELECT source, temp,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           keep_prob,
+           CAST(floor(n_docs * keep_prob) AS BIGINT) AS expected_kept
+    FROM sweep
+    """,
+    tags=("L5", "mixture", "temperature"),
+)
+def q_sample_temp_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE SWEEP for mixture rebalancing: the per-source keep
+    probability (n_min/n_source)^T and resulting corpus composition at
+    T = {SWEEP_TEMPS} — the planning table a curator reads BEFORE
+    committing to one temperature (T→0 keeps everything as-is, T=1
+    fully equalizes; q_sample_mixture then executes the chosen row's
+    policy). Source counts are one aggregate; the sweep is a 3-row
+    literal cross join over the SOURCES relation — planning costs
+    metadata, not data. pow() is transcendental, so probabilities pass
+    through the 6-dp quantization before the expected-count floor
+    (compat rule 2; floor AFTER quantization is then engine-exact)."""
+    d = load(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = n.agg(F.min("n_docs").alias("n_min"))
+    temps = F.explode(F.array(
+        *[F.lit(t) for t in SWEEP_TEMPS])).alias("temp")
+    keep = F.pow(F.col("n_min").cast("double") / F.col("n_docs"),
+                 F.col("temp")).cast("decimal(18,6)").cast("double")
+    return (
+        n.crossJoin(F.broadcast(mn))
+        .select("source", "n_docs", "n_min", temps)
+        .select("source", "temp",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                keep.alias("keep_prob"))
+        .withColumn("expected_kept",
+                    F.floor(F.col("n_docs") * F.col("keep_prob"))
+                    .cast("bigint"))
+    )
