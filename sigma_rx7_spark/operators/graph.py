@@ -375,3 +375,42 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SSSP_SQL)
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+    ), deg AS (
+      SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY degree
+    """,
+    tags=("graph", "degree"),
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the co-purchase graph: how many parts
+    have each neighbor count — the first thing to read before ANY
+    graph algorithm runs at scale, because it answers "do hubs exist"
+    (hubs ⇒ triangle orientation, salting, or sampling; a thin tail ⇒
+    plain joins are fine). Two hash aggregates over the edge relation
+    (node degrees, then the degree histogram — the second input is
+    node-sized, the output distinct-degree-sized). The L1b/L1d/L1e
+    family documents its hub strategies; this query is the measurement
+    those decisions cite."""
+    li = load(spark, sf_dir, "lineitem")
+    deg = (copurchase_edges(li)
+           .groupBy("src").agg(F.count(F.lit(1)).alias("degree")))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"),
+                "n_nodes")
+    )
