@@ -516,3 +516,56 @@ def q_window_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("gap_us"))) / 1000000.0).alias("p50_s"),
         (F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n")),
                       F.col("gap_us"))) / 1000000.0).alias("p95_s"))
+
+
+@query(
+    "q_window_peer_zscore",
+    oracle="""
+    WITH st AS (
+      SELECT s_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(19,6))
+                      * CAST(s_acctbal AS DECIMAL(19,6))) AS DOUBLE)
+               AS s2
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal,
+           CASE WHEN st.n > 1
+                     AND (st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1) > 0
+                THEN (s.s_acctbal - st.s1 / st.n)
+                     / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1))
+                ELSE 0.0 END AS peer_z
+    FROM supplier s JOIN st ON s.s_nationkey = st.s_nationkey
+    """,
+    tags=("W7", "A8", "peer-zscore"),
+)
+def q_window_peer_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEER-RELATIVE Z-SCORE: every supplier's account balance scored
+    against its NATION's distribution — the benchmarking normalization
+    ("is this vendor unusual among its peers, not globally") behind
+    outlier review queues and tiered credit policy. Peer moments come
+    from one hash aggregate (A28's exact-decimal sufficient statistics
+    with the DECIMAL(19,6) square convention; balances are bounded so
+    the <=15-digit cast rule holds), broadcast back row-wise — no
+    window over the full relation at all, so the shape is two narrow
+    passes at any scale. Degenerate peers (singleton or zero-variance
+    nations) pin to z = 0, the A31 NaN rule."""
+    s = load(spark, sf_dir, "supplier")
+    st = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double")
+        .alias("s1"),
+        F.sum(F.col("s_acctbal").cast("decimal(19,6)")
+              * F.col("s_acctbal").cast("decimal(19,6)")).cast("double")
+        .alias("s2"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    ok = (F.col("n") > 1) & (var > 0)
+    z = F.when(ok, (F.col("s_acctbal") - F.col("s1") / F.col("n"))
+               / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        s.join(F.broadcast(st), "s_nationkey")
+        .select("s_suppkey", "s_nationkey", "s_acctbal",
+                z.alias("peer_z"))
+    )
