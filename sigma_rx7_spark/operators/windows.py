@@ -525,8 +525,12 @@ def q_window_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s_nationkey,
              COUNT(*) AS n,
              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(s_acctbal AS DECIMAL(19,6))
-                      * CAST(s_acctbal AS DECIMAL(19,6))) AS DOUBLE)
+             -- squares of 2-dp balances carry only 4 real decimals:
+             -- rescaling the (38,12) sum to scale 4 drops ZEROS (exact)
+             -- and brings the double cast under the 15-digit bound
+             CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(19,6))
+                           * CAST(s_acctbal AS DECIMAL(19,6)))
+                       AS DECIMAL(30,4)) AS DOUBLE)
                AS s2
       FROM supplier GROUP BY s_nationkey
     )
@@ -557,8 +561,8 @@ def q_window_peer_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double")
         .alias("s1"),
         F.sum(F.col("s_acctbal").cast("decimal(19,6)")
-              * F.col("s_acctbal").cast("decimal(19,6)")).cast("double")
-        .alias("s2"))
+              * F.col("s_acctbal").cast("decimal(19,6)"))
+        .cast("decimal(30,4)").cast("double").alias("s2"))
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
         / (F.col("n") - 1)
     ok = (F.col("n") > 1) & (var > 0)
