@@ -751,3 +751,13 @@ def test_cache_table_serves_from_memory(spark, sf_dir):
         df.unpersist()
     p2 = formatted_plan(df.groupBy("n_name").count())
     assert "InMemoryTableScan" not in p2
+
+
+def test_novelty_shuffles_tokens_not_text(spark, sf_dir):
+    """q_text_novelty's exchanges must carry (token, id) columns only —
+    the full document text never shuffles (the same discipline
+    test_exact_dedup_shuffles_digest_not_text pins for dedup)."""
+    p = plan(spark, sf_dir, "q_text_novelty")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges, p
+    assert all("text" not in ln for ln in exchanges), exchanges
