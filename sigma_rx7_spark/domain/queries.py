@@ -567,3 +567,88 @@ def q_domain_therapy_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("gap_days").cast("int").alias("max_gap_days"),
              F.sum("gap_days").cast("bigint").alias("total_gap_days"))
     )
+
+
+@query(
+    "q_domain_refill_due",
+    oracle=f"""
+    WITH m AS (
+      SELECT patient_id, drug_class, med_id, start_date,
+             COALESCE(stop_date, start_date + INTERVAL 30 DAY) AS end_date
+      FROM {_p('meds')}
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                    OR start_date > MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), seq AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY patient_id, drug_class
+               ORDER BY start_date, med_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS era_seq
+      FROM flagged
+    ), eras AS (
+      SELECT patient_id, drug_class,
+             MIN(start_date) AS era_start,
+             MAX(end_date) AS era_end,
+             ROW_NUMBER() OVER (PARTITION BY patient_id, drug_class
+                                ORDER BY era_seq DESC) AS rn_last
+      FROM seq GROUP BY patient_id, drug_class, era_seq
+    ), horizon AS (
+      SELECT MAX(CAST(end_date AS DATE)) AS today FROM m
+    )
+    SELECT patient_id, drug_class,
+           CAST(era_end AS DATE) AS last_supply_end,
+           CAST(date_diff('day', CAST(era_end AS DATE),
+                          (SELECT today FROM horizon)) AS INT)
+             AS days_since_supply,
+           date_diff('day', CAST(era_end AS DATE),
+                     (SELECT today FROM horizon)) > 0 AS overdue
+    FROM eras
+    WHERE rn_last = 1
+      AND date_diff('day', CAST(era_end AS DATE),
+                    (SELECT today FROM horizon)) > -30
+    """,
+    tags=("domain", "W8", "refill"),
+)
+def q_domain_refill_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFILL WORKLIST: for every (patient, class), the LATEST exposure
+    era's supply end, days elapsed against the corpus horizon (max
+    supply date — the deterministic stand-in for "today"), and an
+    overdue flag; the list keeps rows inside a 30-day lookahead — the
+    actionable output the era machinery exists to feed (outreach
+    before therapy lapses, reference README.md:3's adherence
+    mission). One more window over the ERA relation to take each
+    pair's last era; the horizon is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    tables = stage_domain_tables(spark)
+    meds = tables["meds"]
+    eras = rules.drug_eras(meds)
+    w = Window.partitionBy("patient_id", "drug_class").orderBy(
+        F.col("era_seq").desc())
+    last = eras.withColumn("rn_last", F.row_number().over(w)) \
+        .where(F.col("rn_last") == 1)
+    horizon = meds.select(
+        F.coalesce(F.col("stop_date"),
+                   F.date_add(F.col("start_date"), 30)).alias("e")
+    ).agg(F.max("e").alias("today"))
+    days = F.datediff(F.col("today"), F.col("era_end"))
+    return (
+        last.crossJoin(F.broadcast(horizon))
+        .where(days > -30)
+        .select("patient_id", "drug_class",
+                F.col("era_end").alias("last_supply_end"),
+                days.cast("int").alias("days_since_supply"),
+                (days > 0).alias("overdue"))
+    )
