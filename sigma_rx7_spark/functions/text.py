@@ -1408,3 +1408,55 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("n_novel").cast("double") / F.sum("n_shingles"))
              .alias("novelty_rate"))
     )
+
+
+# ---- Language-ID confusion matrix ----------------------------------------
+
+
+@query(
+    "q_text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               > 0.12 AS pred_en
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_en,
+           CAST(SUM(CASE WHEN NOT pred_en THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_other,
+           CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS en_rate
+    FROM pred
+    GROUP BY lang
+    """,
+    tags=("L3", "langid", "ml-eval"),
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID CONFUSION: the stopword-ratio classifier's verdicts
+    broken down per METADATA language — the per-class error view
+    (which languages does the cheap gate mistake for English?) that
+    q_ml_eval's single-threshold global matrix can't show and that
+    decides when to escalate a language to the trigram profile
+    classifier (q_text_langid_trigram). One scan, a langs-sized
+    aggregate; rates are IEEE-from-integers."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda x: x.isin(*EN_STOPWORDS)))
+    pred = (stop_hits.cast("double") / F.size(toks)) > 0.12
+    return (
+        d.select("lang", pred.alias("pred_en"))
+        .groupBy("lang")
+        .agg(F.sum(F.when(F.col("pred_en"), 1).otherwise(0))
+             .cast("bigint").alias("n_pred_en"),
+             F.sum(F.when(~F.col("pred_en"), 1).otherwise(0))
+             .cast("bigint").alias("n_pred_other"),
+             (F.sum(F.when(F.col("pred_en"), 1).otherwise(0))
+              .cast("double") / F.count(F.lit(1))).alias("en_rate"))
+    )
