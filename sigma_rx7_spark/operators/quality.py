@@ -554,3 +554,59 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log10(1.0 + 1.0 / F.col("digit"))
                 .cast("decimal(18,6)").cast("double").alias("expected"))
     )
+
+
+# ---- Column-profile audit (per-column fill/cardinality) ------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority", "o_orderdate")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*)
+             AS cardinality_ratio
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q_quality_profile", oracle=_profile_oracle(),
+       tags=("quality", "profile"))
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILE: per-column row/null/distinct counts and
+    cardinality ratio for the orders table, unpivoted to one row per
+    column — the table-shape summary every catalog/expectation tool
+    (and every ANALYZE, cf. the CBO test) starts from: near-1.0
+    cardinality flags key candidates, near-0 flags categorical dims,
+    and null counts are the contract check. One scan computes every
+    column's statistics in a single aggregate (count + count(col) +
+    count_distinct(col) per column side by side); the unpivot is a
+    stack() over the 1-row result — at 100 TB this is one pass
+    regardless of column count."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+        ]
+    one = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__dist" for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(column_name, n_rows, n_null, n_distinct)"
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_distinct").cast("double") / F.col("n_rows"))
+        .alias("cardinality_ratio"))
