@@ -981,3 +981,70 @@ def q_cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_active").cast("double")
                  / F.col("cohort_size")).alias("retention_rate"))
     )
+
+
+@query(
+    "q_daily_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT n AS x,
+             LAG(n) OVER (ORDER BY day) AS y
+      FROM d
+    ), pairs AS (SELECT x, y FROM lagged WHERE y IS NOT NULL),
+    s AS (
+      SELECT COUNT(*) AS k,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs
+    )
+    SELECT CAST(k AS BIGINT) AS n_pairs,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE) / k)
+           / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / k)
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / k)) AS lag1_autocorr
+    FROM s
+    """,
+    tags=("W3", "A15", "autocorrelation"),
+)
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of the daily event-count series — the
+    one-number persistence/seasonality probe (near 0: arrivals are
+    memoryless day to day; strongly positive: trending load, capacity
+    planning should smooth; negative: alternating pattern worth a
+    look). The series collapses to one row per day FIRST, so the lag
+    window and the A15 sufficient-statistic Pearson form both run on a
+    days-sized relation — integer counts end to end, one sqrt at the
+    close."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"))
+    lag = d.select(
+        F.col("n").alias("x"),
+        F.lag("n").over(W.orderBy("day")).alias("y")
+    ).where(F.col("y").isNotNull())
+    s = lag.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    k = F.col("k")
+    num = F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / k
+    den = F.sqrt(
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double") / k)
+        * (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double") / k))
+    return s.select(k.cast("bigint").alias("n_pairs"),
+                    (num / den).alias("lag1_autocorr"))
