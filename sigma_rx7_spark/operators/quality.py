@@ -610,3 +610,49 @@ def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         (F.col("n_distinct").cast("double") / F.col("n_rows"))
         .alias("cardinality_ratio"))
+
+
+# ---- Cross-table temporal integrity --------------------------------------
+
+
+@query(
+    "q_quality_temporal",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN CAST(l.l_shipdate AS TIMESTAMP)
+                              < CAST(o.o_orderdate AS TIMESTAMP)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_before_order,
+           CAST(SUM(CASE WHEN CAST(l.l_shipdate AS TIMESTAMP)
+                              < CAST(o.o_orderdate AS TIMESTAMP)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS violation_rate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("quality", "temporal-integrity"),
+)
+def q_quality_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE TEMPORAL INTEGRITY: lineitems shipped BEFORE their
+    order existed, per order status — the causality rule (child event
+    ≥ parent event) that catches timezone mishandling, backdated
+    loads, and clock-skewed producers, and that single-table checks
+    (Q7's sequence audit, the per-table profile) cannot see. The
+    harness data violates it on purpose-like scale (~5% of lines),
+    which is the realistic shape: this check reports rates for
+    triage, it doesn't assert zero. One fact-fact equi join keyed on
+    the FK (the only shuffle) + conditional counts."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    viol = F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1) \
+        .otherwise(0)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+             F.sum(viol).cast("bigint").alias("n_ship_before_order"),
+             (F.sum(viol).cast("double") / F.count(F.lit(1)))
+             .alias("violation_rate"))
+    )
