@@ -686,7 +686,10 @@ SWEEP_TEMPS = (0.5, 0.7, 1.0)
                            / n_docs, t.temp)
                        AS DECIMAL(18,6)) AS DOUBLE) AS keep_prob
       FROM n CROSS JOIN (
-        SELECT unnest(ARRAY{list(SWEEP_TEMPS)}) AS temp) t
+        -- CAST: duckdb types a decimal-literal array as DECIMAL(2,1);
+        -- Spark's lit() temps are DOUBLE
+        SELECT CAST(unnest(ARRAY{list(SWEEP_TEMPS)}) AS DOUBLE)
+          AS temp) t
     )
     SELECT source, temp,
            CAST(n_docs AS BIGINT) AS n_docs,
