@@ -938,3 +938,104 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
         .select("split_x", "split_y", "n_dup_pairs", "is_leak")
     )
+
+
+# ---- Corpus release gate (composite GO/NO-GO) ----------------------------
+
+GATE_MAX_DUP_RATE = 0.05     # verified near-dup pairs per doc
+GATE_MAX_QFAIL_RATE = 0.20   # quality-gate failure share
+
+
+def _release_gate_oracle() -> str:
+    from .dedup import (
+        LSH_VERIFY_JACCARD,
+        _oracle_bands,
+        _oracle_minhash_sig,
+    )
+    from .sampling import TRAIN_NIBBLES, VAL_NIBBLES
+
+    split = (f"CASE WHEN substr(md5(CAST({{c}} AS VARCHAR)), 1, 1) "
+             f"IN {tuple(TRAIN_NIBBLES)!r} THEN 'train' "
+             f"WHEN substr(md5(CAST({{c}} AS VARCHAR)), 1, 1) "
+             f"IN {tuple(VAL_NIBBLES)!r} THEN 'val' ELSE 'test' END")
+    return f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), verified AS (
+      SELECT a_doc_id, b_doc_id
+      FROM cand
+      JOIN words wa ON wa.doc_id = a_doc_id
+      JOIN words wb ON wb.doc_id = b_doc_id
+      WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+              / greatest(len(wa.w) + len(wb.w)
+                         - len(list_intersect(wa.w, wb.w)), 1)
+            >= {LSH_VERIFY_JACCARD}
+    ), counts AS (
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS n_docs,
+        (SELECT COUNT(*) FROM verified) AS n_dup_pairs,
+        (SELECT COUNT(*) FROM documents
+         WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+               < {MIN_TOKENS}) AS n_quality_fail,
+        (SELECT COUNT(*) FROM verified
+         WHERE {split.format(c='a_doc_id')}
+               <> {split.format(c='b_doc_id')}) AS n_leak_pairs
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+           CAST(n_quality_fail AS BIGINT) AS n_quality_fail,
+           CAST(n_leak_pairs AS BIGINT) AS n_leak_pairs,
+           CAST(n_dup_pairs AS DOUBLE) / n_docs AS dup_rate,
+           CAST(n_quality_fail AS DOUBLE) / n_docs AS qfail_rate,
+           CAST(n_dup_pairs AS DOUBLE) / n_docs <= {GATE_MAX_DUP_RATE}
+             AND CAST(n_quality_fail AS DOUBLE) / n_docs
+                 <= {GATE_MAX_QFAIL_RATE}
+             AND n_leak_pairs = 0 AS release_ok
+    FROM counts
+    """
+
+
+@query("q_corpus_release_gate", oracle=_release_gate_oracle(),
+       tags=("L6", "release-gate"))
+def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS RELEASE GATE: ONE row answering "may this corpus ship" —
+    near-dup pair rate, quality-failure rate, and cross-split leak
+    count, each against its threshold, folded into a single
+    ``release_ok`` verdict: the CI gate a dataset release pipeline
+    blocks on, composed from the same green stages the detailed audits
+    expose (q_dedup_burden_matrix, q_pipeline_fates, q_split_leakage
+    are the drill-downs when this row is red). All counts are
+    id-keyed aggregates of existing bounded-shuffle machinery; the
+    verdict is integer/IEEE arithmetic."""
+    from .dedup import lsh_verified_pairs
+    from .sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d).persist()
+    n_docs = d.count()
+    n_dup = pairs.count()
+    n_qfail = d.where(
+        F.size(tokens(F.col("text"))) < MIN_TOKENS).count()
+    n_leak = pairs.where(
+        hash_split(F.col("a_doc_id")) != hash_split(F.col("b_doc_id"))
+    ).count()
+    dup_rate = n_dup / n_docs
+    qfail_rate = n_qfail / n_docs
+    ok = (dup_rate <= GATE_MAX_DUP_RATE
+          and qfail_rate <= GATE_MAX_QFAIL_RATE and n_leak == 0)
+    return spark.createDataFrame(
+        [(n_docs, n_dup, n_qfail, n_leak, dup_rate, qfail_rate, ok)],
+        "n_docs bigint, n_dup_pairs bigint, n_quality_fail bigint, "
+        "n_leak_pairs bigint, dup_rate double, qfail_rate double, "
+        "release_ok boolean")
