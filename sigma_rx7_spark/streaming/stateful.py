@@ -332,3 +332,86 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_to_memory(
         streaming_attribution(ev), "stream_attr", output_mode="append")
+
+
+# ---- Streaming Markov transition counts (T6 × W18) -----------------------
+
+TRANS_STATE_SCHEMA = "last_type STRING, last_ts LONG, last_id LONG"
+TRANS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("from_type", T.StringType()),
+    T.StructField("to_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _trans_update(key, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user transition counter: state carries only the LAST event
+    seen; each batch is processed in (ts, id) order and every
+    consecutive pair increments its (from, to) cell. Emits this
+    batch's cell increments (append): the sink-side aggregate sums
+    them — the same additive-state discipline as mv_fold."""
+    if state.exists:
+        last_type, last_ts, last_id = state.get
+    else:
+        last_type, last_ts, last_id = None, None, None
+    counts: dict[tuple, int] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, etype in zip(pdf["ts_us"], pdf["event_id"],
+                                     pdf["event_type"]):
+            if last_type is not None:
+                k2 = (last_type, etype)
+                counts[k2] = counts.get(k2, 0) + 1
+            last_type, last_ts, last_id = etype, int(ts_us), int(eid)
+    state.update((last_type, last_ts, last_id))
+    if counts:
+        yield pd.DataFrame(
+            [(a, b, n) for (a, b), n in counts.items()],
+            columns=["from_type", "to_type", "n"])
+
+
+@query(
+    "q_stream_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("T6", "W18", "streaming", "markov"),
+)
+def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Markov transition counts — the stateful twin of
+    q_event_transitions, gated against the same batch SQL: per-user
+    state is ONE row (the last event seen), each batch emits its
+    (from, to) cell increments, and the sink aggregate folds them
+    additively — so the count matrix converges identically however the
+    stream is batch-chopped (state carries the cross-batch pair; the
+    in-batch pairs are order-resolved locally). State size: one tuple
+    per user, no history — the O(1)-per-key posture that runs forever
+    at ingest scale."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    inc = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _trans_update,
+            outputStructType=TRANS_OUTPUT_SCHEMA,
+            stateStructType=TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(inc, "stream_transitions", output_mode="append")
+    return (out.groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("bigint").alias("n")))
