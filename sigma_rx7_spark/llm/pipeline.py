@@ -1039,3 +1039,91 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_dup_pairs bigint, n_quality_fail bigint, "
         "n_leak_pairs bigint, dup_rate double, qfail_rate double, "
         "release_ok boolean")
+
+
+def _lift_oracle() -> str:
+    prev = ("0.0", "0.0", "0.0")
+    ctes = [_QF_FEATURES]
+    for r in range(1, QF_ROUNDS + 1):
+        w0, w1, w2 = prev
+        p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+             f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+        ctes.append(f"""g{r} AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST((y - {p}) AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+        CAST(SUM(CAST((y - {p}) * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST((y - {p}) * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM f
+    ), w{r} AS (
+      SELECT
+        CAST(CAST({w0} + {QF_ETA} * s0 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w0,
+        CAST(CAST({w1} + {QF_ETA} * s1 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w1,
+        CAST(CAST({w2} + {QF_ETA} * s2 / n AS DECIMAL(18,6)) AS DOUBLE)
+          AS w2
+      FROM g{r}
+    )""")
+        prev = (f"(SELECT w0 FROM w{r})", f"(SELECT w1 FROM w{r})",
+                f"(SELECT w2 FROM w{r})")
+    w0, w1, w2 = prev
+    p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
+         f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT doc_id, y, {p} AS p FROM f),
+    deciled AS (
+      SELECT y, NTILE(10) OVER (ORDER BY p DESC, doc_id) AS decile
+      FROM sc
+    ), cells AS (
+      SELECT decile,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos
+      FROM deciled GROUP BY decile
+    ), tot AS (
+      SELECT SUM(n_pos) AS tp, SUM(n_docs) AS td FROM cells
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           (CAST(n_pos AS DOUBLE) / n_docs)
+             / (CAST((SELECT tp FROM tot) AS DOUBLE)
+                / (SELECT td FROM tot)) AS lift
+    FROM cells
+    """
+
+
+@query("q_ml_lift", oracle=_lift_oracle(), tags=("L6e", "ml-eval"))
+def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFT TABLE for the trained quality gate: documents ranked by
+    fitted score into deciles ((p DESC, doc_id) total order), each
+    decile's positive rate relative to the base rate — the gains view
+    that tells a curator how sharply the model CONCENTRATES the
+    positives (top-decile lift ≫ 1 ⇒ score-ranked selection buys a lot
+    over random), complementing q_ml_eval's single-threshold matrix.
+    The ntile runs over the scored DOC relation; counts are integers;
+    lift is two IEEE divisions from exact counts."""
+    from pyspark.sql import Window
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    sc = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", "y", p.alias("p"))
+    wd = Window.orderBy(F.col("p").desc(), "doc_id")
+    deciled = sc.select("y", F.ntile(10).over(wd).alias("decile"))
+    cells = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("n_pos"))
+    tot = cells.agg(F.sum("n_pos").alias("tp"),
+                    F.sum("n_docs").alias("td"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(F.col("decile").cast("int").alias("decile"),
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("n_pos").cast("bigint").alias("n_pos"),
+                ((F.col("n_pos").cast("double") / F.col("n_docs"))
+                 / (F.col("tp").cast("double") / F.col("td")))
+                .alias("lift"))
+    )
