@@ -415,3 +415,69 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(inc, "stream_transitions", output_mode="append")
     return (out.groupBy("from_type", "to_type")
             .agg(F.sum("n").cast("bigint").alias("n")))
+
+
+# ---- Streaming sequence-integrity audit (T6 × Q7) ------------------------
+
+SEQ_STATE_SCHEMA = "n LONG, id_min LONG, id_max LONG"
+SEQ_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_ids", T.LongType()),
+    T.StructField("id_min", T.LongType()),
+    T.StructField("id_max", T.LongType()),
+    T.StructField("n_gaps", T.LongType()),
+])
+
+
+def _seq_update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, lo, hi = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            bmin, bmax = int(pdf["event_id"].min()), \
+                int(pdf["event_id"].max())
+            lo = bmin if lo is None else min(lo, bmin)
+            hi = bmax if hi is None else max(hi, bmax)
+    state.update((n, lo, hi))
+    if n:
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_ids": [n], "id_min": [lo],
+             "id_max": [hi], "n_gaps": [hi - lo + 1 - n]})
+
+
+@query(
+    "q_stream_sequence",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(MIN(event_id) AS BIGINT) AS id_min,
+           CAST(MAX(event_id) AS BIGINT) AS id_max,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+             AS n_gaps
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T6", "quality", "streaming", "sequence"),
+)
+def q_stream_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sequence-integrity audit — Q7's gap detection as a
+    live per-producer monitor with O(1) state (count, min, max): gaps
+    = id-range width minus arrivals, valid because producer ids are
+    unique (the duplicate branch needs the batch form's set — state
+    here stays three longs per key forever). Update-mode emissions
+    give the CURRENT gap count after every batch; the final state is
+    batch-equivalent, which is what the oracle gates."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_id")
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _seq_update,
+            outputStructType=SEQ_OUTPUT_SCHEMA,
+            stateStructType=SEQ_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "stream_sequence", output_mode="update")
