@@ -263,3 +263,48 @@ def q_api_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.reset_index().to_spark()
             .select("l_returnflag", F.col("n").cast("bigint").alias("n"),
                     "qmin", "qmax"))
+
+
+# ---- SQL scripting (Spark 4 BEGIN/END procedural surface) ----------------
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) > (
+      SELECT AVG(n) FROM (
+        SELECT COUNT(*) AS n FROM events GROUP BY event_type))
+    """,
+    tags=("X4", "sql-scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN…END``): the above-average-types
+    report written PROCEDURALLY — a declared variable captures the
+    mean group size in one statement, the next statement filters with
+    it — the migration surface for stored-procedure workloads
+    (PL/SQL, T-SQL) whose logic arrives as scripts, not single
+    queries. Semantically identical to the oracle's correlated
+    subquery form (which is how a Spark-first rewrite would phrase
+    it); the scripting value is that multi-statement control flow
+    (DECLARE/SET/IF/WHILE) now parses and plans natively instead of
+    being orchestrated from Python. The conf flips parsing on; plans
+    are ordinary Catalyst plans."""
+    from ..io import load as _load
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _load(spark, sf_dir, "events").createOrReplaceTempView("_script_ev")
+    return spark.sql("""
+    BEGIN
+      DECLARE avg_n DOUBLE DEFAULT 0.0;
+      SET avg_n = (SELECT AVG(n) FROM (
+        SELECT COUNT(*) AS n FROM _script_ev GROUP BY event_type));
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM _script_ev
+      GROUP BY event_type
+      HAVING COUNT(*) > avg_n;
+    END
+    """)
