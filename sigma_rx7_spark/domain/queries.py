@@ -32,16 +32,27 @@ _STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary",
                   "allergies", "conditions")
 
 
+_DOMAIN_STAGED: dict[str, DataFrame] = {}
+
+
 def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
     """Write the deterministic fixtures to parquet and read them back, so
-    the Spark pipeline and the DuckDB oracle consume identical bytes."""
+    the Spark pipeline and the DuckDB oracle consume identical bytes.
+
+    Memoized per process: the fixtures are deterministic, so one write
+    serves every domain query — and composed queries (the alert inbox
+    unions four rule pipelines in ONE plan) REQUIRE it: a re-stage
+    between member calls overwrites files an earlier member's plan
+    still references (observed: FAILED_READ_FILE mid-materialization).
+    """
+    if _DOMAIN_STAGED:
+        return dict(_DOMAIN_STAGED)
     tables = fixtures.build_domain_tables(spark)
-    staged = {}
     for t in _STAGED_TABLES:
         path = os.path.join(_STAGE, t)
         tables[t].coalesce(1).write.mode("overwrite").parquet(path)
-        staged[t] = spark.read.parquet(path)
-    return staged
+        _DOMAIN_STAGED[t] = spark.read.parquet(path)
+    return dict(_DOMAIN_STAGED)
 
 
 def _p(table: str) -> str:
@@ -652,3 +663,69 @@ def q_domain_refill_due(spark: SparkSession, sf_dir: str) -> DataFrame:
                 days.cast("int").alias("days_since_supply"),
                 (days > 0).alias("overdue"))
     )
+
+
+# ---- Unified alert inbox summary -----------------------------------------
+
+# Composed AT IMPORT TIME from the already-registered rule queries'
+# own oracle texts — the aggregate can never drift from the rules it
+# summarizes, because it IS them.
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_INBOX_PARTS = (
+    ("allergy_alert", "q_domain_allergy_alerts"),
+    ("care_gap", "q_domain_treatment_gap"),
+    ("refill_overdue", "q_domain_refill_due"),
+    ("recommendation", "q_domain_recommendations"),
+)
+
+_INBOX_FILTERS = {
+    "care_gap": "WHERE care_gap",
+    "refill_overdue": "WHERE overdue",
+}
+
+
+def _inbox_oracle() -> str:
+    parts = []
+    for tag, name in _INBOX_PARTS:
+        sub = _REG[name].oracle
+        flt = _INBOX_FILTERS.get(tag, "")
+        parts.append(
+            f"SELECT '{tag}' AS alert_type, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_alerts, "
+            f"CAST(COUNT(DISTINCT patient_id) AS BIGINT) AS n_patients "
+            f"FROM ({sub}) {flt}")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_domain_alert_inbox", oracle=_inbox_oracle(),
+       tags=("domain", "inbox"))
+def q_domain_alert_inbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED ALERT INBOX: one summary row per alert family — allergy
+    contraindications, care gaps, overdue refills, and actionable
+    recommendations — with alert and distinct-patient counts: the
+    feed the reference's clinician UI presents (README.md:69-71's
+    alert/recommendation views), here as the engine-side aggregate
+    those views page over. Both sides are COMPOSED from the registered
+    rule queries themselves (Spark: each family's DataFrame counted
+    and unioned in one plan; oracle: the same four oracle texts
+    wrapped and unioned at import time), so the inbox cannot drift
+    from the rules it summarizes."""
+    fams = {
+        "allergy_alert": q_domain_allergy_alerts(spark, sf_dir),
+        "care_gap": q_domain_treatment_gap(spark, sf_dir)
+        .where(F.col("care_gap")),
+        "refill_overdue": q_domain_refill_due(spark, sf_dir)
+        .where(F.col("overdue")),
+        "recommendation": q_domain_recommendations(spark, sf_dir),
+    }
+    out = None
+    for tag, df in fams.items():
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.countDistinct("patient_id").cast("bigint")
+            .alias("n_patients")
+        ).select(F.lit(tag).alias("alert_type"), "n_alerts",
+                 "n_patients")
+        out = row if out is None else out.unionAll(row)
+    return out
