@@ -1048,3 +1048,35 @@ def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sy").cast("double") * F.col("sy").cast("double") / k))
     return s.select(k.cast("bigint").alias("n_pairs"),
                     (num / den).alias("lag1_autocorr"))
+
+
+@query(
+    "q_usage_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("W9", "heatmap"),
+)
+def q_usage_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USAGE HEATMAP: event and distinct-user counts per (day-of-week,
+    hour-of-day) cell — the 7×24 rhythm grid behind capacity planning
+    and maintenance-window choice, and the seasonal profile A31's
+    anomaly screen normalizes against. One hash aggregate to 168
+    cells; distinct users add the one count-distinct expansion. The
+    dow/hod extraction matches DuckDB's numbering (dayofweek: Sunday=
+    0/1 alignment verified by the gate itself — calendar-function
+    numbering is a classic silent cross-engine divergence, which is
+    exactly why this trivial-looking query earns an oracle row)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
