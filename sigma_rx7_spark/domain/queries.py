@@ -729,3 +729,77 @@ def q_domain_alert_inbox(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_patients")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "q_domain_era_survival",
+    oracle=f"""
+    WITH m AS (
+      SELECT patient_id, drug_class, med_id, start_date,
+             COALESCE(stop_date, start_date + INTERVAL 30 DAY) AS end_date
+      FROM {_p('meds')}
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                    OR start_date > MAX(end_date) OVER (
+                         PARTITION BY patient_id, drug_class
+                         ORDER BY start_date, med_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), seq AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY patient_id, drug_class
+               ORDER BY start_date, med_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS era_seq
+      FROM flagged
+    ), eras AS (
+      SELECT patient_id, drug_class, era_seq,
+             date_diff('day', MIN(start_date),
+                       CAST(MAX(end_date) AS DATE)) + 1 AS era_days
+      FROM seq GROUP BY patient_id, drug_class, era_seq
+    ), tot AS (SELECT COUNT(*) AS n FROM eras)
+    SELECT CAST(k.k AS INT) AS month_k,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_eras,
+           CAST(SUM(CASE WHEN era_days >= 30 * k.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           CAST(SUM(CASE WHEN era_days >= 30 * k.k THEN 1 ELSE 0 END)
+                AS DOUBLE) / (SELECT n FROM tot) AS survival
+    FROM eras CROSS JOIN (SELECT unnest(range(1, 7)) AS k) k
+    GROUP BY k.k
+    """,
+    tags=("domain", "survival"),
+)
+def q_domain_era_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THERAPY PERSISTENCE CURVE: the fraction of drug eras still
+    running at 1..6 months of duration — the Kaplan-Meier-shaped
+    persistence view ("how long do patients actually stay on therapy")
+    a formulary review reads next to adherence; all eras here have
+    known ends (the fixtures close every interval), so the curve is
+    exact shares, not censored estimates. Era durations come from the
+    shared era machinery; the curve is a 6-row explode over the ERA
+    relation + one aggregate — months × eras rows, integer arithmetic,
+    one division per row."""
+    tables = stage_domain_tables(spark)
+    eras = rules.drug_eras(tables["meds"])
+    k = F.explode(F.sequence(F.lit(1), F.lit(6))).alias("month_k")
+    tot = eras.agg(F.count(F.lit(1)).alias("n"))
+    surv = F.when(F.col("era_days") >= 30 * F.col("month_k"), 1) \
+        .otherwise(0)
+    return (
+        eras.select("era_days", k)
+        .groupBy("month_k")
+        .agg(F.sum(surv).cast("bigint").alias("n_surviving"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("month_k").cast("int").alias("month_k"),
+                F.col("n").cast("bigint").alias("n_eras"),
+                "n_surviving",
+                (F.col("n_surviving").cast("double") / F.col("n"))
+                .alias("survival"))
+    )
