@@ -2037,3 +2037,53 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").alias("weighted_median_price"),
                 F.col("tot_wt").cast("double").alias("total_weight"))
     )
+
+
+# ---- Backlog aging report ------------------------------------------------
+
+
+@query(
+    "q_agg_backlog_aging",
+    oracle="""
+    WITH h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS today
+               FROM orders),
+    open_orders AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT today FROM h)) AS age_days
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+           CASE WHEN age_days < 90 THEN '0-89'
+                WHEN age_days < 365 THEN '90-364'
+                WHEN age_days < 730 THEN '365-729'
+                ELSE '730+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(age_days) AS INT) AS oldest_days
+    FROM open_orders
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "backlog", "aging"),
+)
+def q_agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKLOG AGING: open orders bucketed by age against the corpus
+    horizon (max order date — the deterministic "today"), per priority
+    — the operations report that turns a backlog COUNT into a
+    triage-able shape (a pile of fresh orders is throughput; a pile of
+    730+ ones is a stuck-workflow alarm, priority class telling you
+    who is owed first). One scan with the horizon as a broadcast
+    1-row relation; bucket edges are integer day arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    h = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    age = F.datediff(F.col("today"), F.to_date("o_orderdate"))
+    bucket = (F.when(age < 90, "0-89")
+              .when(age < 365, "90-364")
+              .when(age < 730, "365-729")
+              .otherwise("730+"))
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(h))
+        .groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.max(age).cast("int").alias("oldest_days"))
+    )
