@@ -1080,3 +1080,91 @@ def q_usage_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
              F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_daily_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT n AS m FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, day) AS rk,
+               COUNT(*) OVER () AS c
+        FROM d) WHERE rk = (c + 1) // 2
+    ), signed AS (
+      SELECT day, n > (SELECT m FROM med) AS hi
+      FROM d WHERE n <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT hi,
+             CASE WHEN LAG(hi) OVER (ORDER BY day) IS NULL
+                    OR LAG(hi) OVER (ORDER BY day) <> hi
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ), s AS (
+      SELECT SUM(new_run) AS r,
+             SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           2.0 * n1 * n2 / (n1 + n2) + 1 AS expected_runs,
+           (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))) AS z
+    FROM s
+    """,
+    tags=("W3", "runs-test"),
+)
+def q_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the daily series: count of
+    above/below-median runs vs expectation — the regime-shift detector
+    that complements q_daily_autocorr (autocorrelation measures
+    persistence strength; too FEW runs means sustained regimes, too
+    MANY means oscillation, |z| > 2 either way says the series is not
+    exchangeable and capacity models should not assume i.i.d. days).
+    Median via the exact lower-median rank (days-sized window);
+    median-tied days drop per the classic test; run boundaries from
+    one lag pass; the closing statistic is IEEE on four integers."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"))
+    wm = W.orderBy("n", "day")
+    ranked = d.select(
+        "day", "n", F.row_number().over(wm).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("c"))
+    med = ranked.where(
+        F.col("rk") == F.floor((F.col("c") + 1) / 2)).select(
+        F.col("n").alias("m"))
+    signed = (
+        d.crossJoin(F.broadcast(med))
+        .where(F.col("n") != F.col("m"))
+        .select("day", (F.col("n") > F.col("m")).alias("hi"))
+    )
+    wl = W.orderBy("day")
+    runs = signed.select(
+        "hi",
+        F.when(F.lag("hi").over(wl).isNull()
+               | (F.lag("hi").over(wl) != F.col("hi")), 1)
+        .otherwise(0).alias("new_run"))
+    s = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("hi"), 1).otherwise(0)).alias("n2"))
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    exp_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+    return s.select(
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        exp_r.alias("expected_runs"),
+        ((r - exp_r) / F.sqrt(var)).alias("z"))
