@@ -1460,3 +1460,57 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.when(F.col("pred_en"), 1).otherwise(0))
               .cast("double") / F.count(F.lit(1))).alias("en_rate"))
     )
+
+
+# ---- Source diversity (language-mix entropy per feed) --------------------
+
+
+@query(
+    "q_text_source_diversity",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, SUM(n) AS t FROM cnt GROUP BY source
+    ), terms AS (
+      SELECT c.source,
+             CAST(CAST(-(CAST(c.n AS DOUBLE) / t.t)
+                       * ln(CAST(c.n AS DOUBLE) / t.t)
+                       AS DECIMAL(18,6)) AS DOUBLE) AS term
+      FROM cnt c JOIN tot t ON c.source = t.source
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(MAX(t.t) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+             AS lang_entropy
+    FROM terms s JOIN tot t ON s.source = t.source
+    GROUP BY s.source
+    """,
+    tags=("L3", "diversity", "entropy"),
+)
+def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE DIVERSITY: Shannon entropy of each feed's language mix —
+    the one-number answer to "is this source monolingual or mixed",
+    read next to the mixture planner (a high-entropy feed resists
+    per-language budget targets; a zero-entropy one IS a language
+    bucket). Per-(source, lang) counts from one aggregate; each
+    -p·ln(p) term is 6-dp-quantized BEFORE the per-source sum (compat
+    rule 2: ln drifts, and the SUM of quantized terms must itself be
+    order-insensitive, so terms re-quantize into an exact-decimal
+    sum)."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    term = (-p * F.log(p)).cast("decimal(18,6)").cast("double")
+    return (
+        cnt.join(tot, "source")
+        .select("source", "t", term.alias("term"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+             F.max("t").cast("bigint").alias("n_docs"),
+             F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
+             .alias("lang_entropy"))
+    )
