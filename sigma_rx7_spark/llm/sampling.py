@@ -727,3 +727,64 @@ def q_sample_temp_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("n_docs") * F.col("keep_prob"))
                     .cast("bigint"))
     )
+
+
+# ---- Deterministic source interleave (training order) --------------------
+
+
+@query(
+    "q_pipeline_interleave",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+      SELECT d.doc_id, d.source, s.source_idx, s.n_sources,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS within_rank
+      FROM documents d JOIN src s ON d.source = s.source
+    )
+    SELECT doc_id, source,
+           CAST(within_rank AS INT) AS within_rank,
+           CAST((within_rank - 1) * n_sources + source_idx AS BIGINT)
+             AS position
+    FROM ranked
+    """,
+    tags=("L5", "interleave", "ordering"),
+)
+def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC SOURCE INTERLEAVE: a reproducible global training
+    order that round-robins sources — docs shuffle within their source
+    by md5 digest (the engine-portable pseudo-random order), then
+    position = (within_rank−1)·K + source_idx, so any consecutive K
+    positions touch every source once: the anti-clumping guarantee
+    batch-level mixing needs (a plain global digest shuffle leaves
+    Poisson clumps of one source; this construction cannot). Per-source
+    windows partition by the source key (never one global window);
+    the source index comes from a sources-sized broadcast relation.
+    Positions are unique by construction across the corpus — the gate
+    checks the exact assignment, not just the property."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    wsrc = W.orderBy("source")  # sources-sized relation only
+    src = srcs.select(
+        "source", (F.row_number().over(wsrc) - 1).alias("source_idx"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1)))
+        .alias("n_sources"))
+    wr = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(src), "source")
+        .withColumn("within_rank", F.row_number().over(wr))
+        .select("doc_id", "source",
+                F.col("within_rank").cast("int").alias("within_rank"),
+                ((F.col("within_rank") - 1) * F.col("n_sources")
+                 + F.col("source_idx")).cast("bigint").alias("position"))
+    )
