@@ -803,3 +803,63 @@ def q_domain_era_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_surviving").cast("double") / F.col("n"))
                 .alias("survival"))
     )
+
+
+@query(
+    "q_domain_price_trend",
+    oracle=f"""
+    WITH p AS (
+      SELECT rxcui, effective_date, price,
+             ROW_NUMBER() OVER (PARTITION BY rxcui
+                                ORDER BY effective_date, price) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY rxcui
+                                ORDER BY effective_date DESC, price DESC)
+               AS rn_z,
+             COUNT(*) OVER (PARTITION BY rxcui) AS n_points
+      FROM {_p('prices')}
+    ), fl AS (
+      SELECT rxcui, n_points,
+             MAX(CASE WHEN rn_a = 1 THEN price END) AS first_price,
+             MAX(CASE WHEN rn_z = 1 THEN price END) AS last_price
+      FROM p GROUP BY rxcui, n_points
+    )
+    SELECT rxcui, CAST(n_points AS INT) AS n_points,
+           first_price, last_price,
+           (last_price - first_price) / first_price AS pct_change,
+           last_price > first_price AS increased
+    FROM fl
+    """,
+    tags=("domain", "pricing", "trend"),
+)
+def q_domain_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE TREND per drug code: first vs latest published price with
+    percent change — the drug-price inflation view the reference's
+    pricing knowledge table exists to power (README.md:8's public
+    pricing feed), and the input a substitution recommendation's
+    savings column drifts with over time. First/last selection via
+    total-ordered rank pairs folded in one aggregate (no self-join);
+    the percent change is a single IEEE division of parquet-identical
+    doubles."""
+    from pyspark.sql import Window as W
+
+    prices = stage_domain_tables(spark)["prices"]
+    wa = W.partitionBy("rxcui").orderBy("effective_date", "price")
+    wz = W.partitionBy("rxcui").orderBy(
+        F.col("effective_date").desc(), F.col("price").desc())
+    wn = W.partitionBy("rxcui")
+    p = prices.select(
+        "rxcui", "price",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+        F.count(F.lit(1)).over(wn).alias("n_points"))
+    fl = p.groupBy("rxcui", "n_points").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("price")))
+        .alias("first_price"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("price")))
+        .alias("last_price"))
+    return fl.select(
+        "rxcui", F.col("n_points").cast("int").alias("n_points"),
+        "first_price", "last_price",
+        ((F.col("last_price") - F.col("first_price"))
+         / F.col("first_price")).alias("pct_change"),
+        (F.col("last_price") > F.col("first_price")).alias("increased"))
