@@ -1168,3 +1168,75 @@ def q_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_below"),
         exp_r.alias("expected_runs"),
         ((r - exp_r) / F.sqrt(var)).alias("z"))
+
+
+@query(
+    "q_session_length_dist",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS prev_us
+      FROM events
+    ), numbered AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us
+                                > {SESSION_GAP_MIN} * 60 * 1000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM t
+    ), sessions AS (
+      SELECT user_id, session_idx, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 3 THEN '2-3'
+                WHEN n_events <= 10 THEN '4-10'
+                ELSE '11+' END AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY 1
+    """,
+    tags=("W8", "histogram", "sessions"),
+)
+def q_session_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-LENGTH DISTRIBUTION: sessions bucketed by event count —
+    the engagement-shape fingerprint (a spike of 1-event sessions is
+    bounce traffic or bot probing; a heavy 11+ tail is power users or
+    scraping — either way the mix, not the mean, is the signal). Built
+    ON W8's single-pass sessionization (same one shuffle + one sort),
+    plus a session-keyed aggregate and a 4-cell histogram — nothing
+    touches event volume twice."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    prev = F.lag("ts_us").over(order_w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)
+    sessions = (
+        ev.select("user_id",
+                  F.sum(new_session).over(run_w).alias("session_idx"))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bucket = (F.when(F.col("n_events") == 1, "1")
+              .when(F.col("n_events") <= 3, "2-3")
+              .when(F.col("n_events") <= 10, "4-10")
+              .otherwise("11+"))
+    return (
+        sessions.groupBy(bucket.alias("size_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+             F.sum("n_events").cast("bigint").alias("n_events"))
+    )
