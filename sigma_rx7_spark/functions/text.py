@@ -1514,3 +1514,56 @@ def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
              .alias("lang_entropy"))
     )
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH w AS (
+      SELECT source, u.word AS word
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ), vocab AS (
+      SELECT source, word, COUNT(*) AS n
+      FROM w GROUP BY source, word
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_rate,
+           CAST(COUNT(*) AS DOUBLE) / SUM(n) AS type_token_ratio
+    FROM vocab
+    GROUP BY source
+    """,
+    tags=("L3", "vocabulary", "hapax"),
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY RICHNESS per source: hapax-legomena rate (share of
+    once-used words) and type-token ratio — the lexical-diversity pair
+    that separates generative/natural feeds (hapax-heavy) from
+    template mills (tiny vocabularies ground flat), read as the
+    lexical complement to the Zipf-slope audit and the novelty curve.
+    One corpus explode → per-(source, word) counts → a sources-sized
+    summary; shuffles carry words and counts; ratios are
+    IEEE-from-integers."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source",
+                 F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        vocab.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+             F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+             .cast("bigint").alias("n_hapax"),
+             F.sum("n").cast("bigint").alias("n_tokens"),
+             (F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+              .cast("double") / F.count(F.lit(1))).alias("hapax_rate"),
+             (F.count(F.lit(1)).cast("double") / F.sum("n"))
+             .alias("type_token_ratio"))
+    )
