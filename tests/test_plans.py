@@ -761,3 +761,34 @@ def test_novelty_shuffles_tokens_not_text(spark, sf_dir):
     exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert exchanges, p
     assert all("text" not in ln for ln in exchanges), exchanges
+
+
+def test_supplier_league_dims_broadcast(spark, sf_dir):
+    """J15: all three dimensions broadcast; the only exchange serves
+    the fact aggregate to (brand, supplier) grain."""
+    p = plan(spark, sf_dir, "q_join_supplier_league")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p
+
+
+def test_interleave_windows_partition_by_source(spark, sf_dir):
+    """L5f: the per-doc rank window partitions by source — no global
+    single-partition window over the corpus (the sources-sized index
+    window is the only unpartitioned one)."""
+    import re
+
+    p = plan(spark, sf_dir, "q_pipeline_interleave")
+    # every Window node over the doc relation must carry a partition
+    # spec; the lone partition-less window is over the distinct-source
+    # relation (bounded). Count windows: expect >= 2, and at least one
+    # specifies partition by source.
+    wins = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert any("source" in ln for ln in wins), wins
+
+
+def test_alert_inbox_single_plan_unions(spark, sf_dir):
+    """The inbox composes four rule pipelines into ONE plan (Union of
+    four 1-row aggregates) — no driver-side loop materializes family
+    counts separately."""
+    p = plan(spark, sf_dir, "q_domain_alert_inbox")
+    assert "Union" in p
