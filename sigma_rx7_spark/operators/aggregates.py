@@ -2087,3 +2087,51 @@ def q_agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
              F.max(age).cast("int").alias("oldest_days"))
     )
+
+
+# ---- 2-D histogram (joint distribution grid) -----------------------------
+
+
+@query(
+    "q_agg_histogram2d",
+    oracle="""
+    SELECT CASE WHEN l_quantity <= 10 THEN 'q1-10'
+                WHEN l_quantity <= 25 THEN 'q11-25'
+                ELSE 'q26-50' END AS qty_bucket,
+           CASE WHEN l_extendedprice < 25000 THEN 'p<25k'
+                WHEN l_extendedprice < 50000 THEN 'p25-50k'
+                WHEN l_extendedprice < 75000 THEN 'p50-75k'
+                ELSE 'p75k+' END AS price_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM lineitem) AS share
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("A13", "histogram-2d"),
+)
+def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT-DISTRIBUTION GRID: lineitem counts over (quantity bucket ×
+    price bucket) with corpus share — the density grid a scatter
+    dashboard bins server-side (A13/A20 profile one dimension; the 2-D
+    grid is where "big orders are cheap per unit" correlations show as
+    off-diagonal mass, the visual companion to A15's single-number
+    correlation). One scan, a 12-cell aggregate, total broadcast; all
+    bucket edges are literals so both engines cut identically."""
+    li = load(spark, sf_dir, "lineitem")
+    qb = (F.when(F.col("l_quantity") <= 10, "q1-10")
+          .when(F.col("l_quantity") <= 25, "q11-25")
+          .otherwise("q26-50"))
+    pb = (F.when(F.col("l_extendedprice") < 25000, "p<25k")
+          .when(F.col("l_extendedprice") < 50000, "p25-50k")
+          .when(F.col("l_extendedprice") < 75000, "p50-75k")
+          .otherwise("p75k+"))
+    tot = li.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        li.groupBy(qb.alias("qty_bucket"), pb.alias("price_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .crossJoin(F.broadcast(tot))
+        .select("qty_bucket", "price_bucket", "n_items",
+                (F.col("n_items").cast("double") / F.col("t"))
+                .alias("share"))
+    )
