@@ -656,3 +656,56 @@ def q_quality_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(viol).cast("double") / F.count(F.lit(1)))
              .alias("violation_rate"))
     )
+
+
+# ---- Header/detail reconciliation ----------------------------------------
+
+
+@query(
+    "q_quality_reconcile",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)))
+                  AS DOUBLE) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(o.o_totalprice - l.line_total)
+                              > 0.01 * o.o_totalprice
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN l.line_total IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_headerless_lines
+    FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("quality", "reconciliation"),
+)
+def q_quality_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER/DETAIL RECONCILIATION: order headers whose total disagrees
+    with the exact-decimal sum of their lines beyond 1% — the
+    financial-close consistency check between an aggregate column and
+    the rows it claims to summarize (a mismatch means a partial load,
+    a price-revision half-applied, or a currency slip; orders with no
+    lines at all surface separately). Line totals collapse per order
+    BEFORE the join (one FK-keyed aggregate + one join, never
+    order×line pair volume); the tolerance comparison is IEEE on an
+    exact-decimal-derived double."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    from ..compat import q as qd
+    lines = load(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey")).agg(
+        F.sum(qd("l_extendedprice")).cast("double").alias("line_total"))
+    j = o.join(lines, o.o_orderkey == lines.l_orderkey, "left")
+    mism = F.when(
+        F.abs(F.col("o_totalprice") - F.col("line_total"))
+        > 0.01 * F.col("o_totalprice"), 1).otherwise(0)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.sum(mism).cast("bigint").alias("n_mismatched"),
+             F.sum(F.when(F.col("line_total").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_headerless_lines"))
+    )
