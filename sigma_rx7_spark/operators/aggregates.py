@@ -2135,3 +2135,47 @@ def q_agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_items").cast("double") / F.col("t"))
                 .alias("share"))
     )
+
+
+@query(
+    "q_agg_discount_bands",
+    oracle="""
+    SELECT CASE WHEN l_discount = 0 THEN 'none'
+                WHEN l_discount <= 0.05 THEN 'low'
+                ELSE 'high' END AS discount_band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(20,6))) AS DOUBLE) AS discount_cost,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("A2", "discount"),
+)
+def q_agg_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNT EFFECTIVENESS: volume and revenue per discount band —
+    whether discounted lines actually move more units (avg quantity by
+    band) and what the discounts cost against the net revenue they
+    rode on: the promotion-ROI cut of TPC-H Q6's revenue-impact
+    question. One scan, a 3-band aggregate; products quantize to
+    exact decimals before summation (both operands ≤ 2 dp, so the
+    6-dp quantization is lossless)."""
+    li = load(spark, sf_dir, "lineitem")
+    band = (F.when(F.col("l_discount") == 0, "none")
+            .when(F.col("l_discount") <= 0.05, "low")
+            .otherwise("high"))
+    from ..compat import q as qd
+    return (
+        li.groupBy(band.alias("discount_band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+             (F.sum(qd("l_quantity")).cast("double")
+              / F.count(F.lit(1))).alias("avg_qty"),
+             F.sum(qd(F.col("l_extendedprice") * F.col("l_discount")))
+             .cast("double").alias("discount_cost"),
+             F.sum(qd(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))))
+             .cast("double").alias("net_revenue"))
+    )
