@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the compact headline JSON as the FINAL stdout line (the external
+harness tail-captures ~2000 bytes and parses the last line):
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": 0.1}
+   "queries": {"q_...": min_sec, ...}, "sf": 0.1}
+Per-query medians print on a preceding line and, with the mins, land in
+BENCH_DETAIL.json next to this script.
 
 Each query is forced end-to-end with the noop sink (full computation +
 row materialization, no driver collect bottleneck). A warmup run of the
@@ -90,6 +93,14 @@ HEADLINE = [
     "q_pipeline_fates",
     "q_mv_rollup_answer",
     "q_scan_indexed",
+    # Round 5: previously-untimed heavyweights (iterative graph
+    # fixed-point, two-pass exact quantiles, incremental LSH dedup,
+    # stateful streaming attribution) so every expensive family has a
+    # recorded cost at the bench scale.
+    "q_graph_pagerank",
+    "q_agg_exact_quantiles",
+    "q_pipeline_incremental_dedup",
+    "q_stream_attribution",
 ]
 
 
@@ -120,14 +131,36 @@ def main() -> None:
         medians[name] = round(reps[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # The external bench harness captures only the LAST ~2000 bytes of
+    # stdout and parses the final JSON line, so the headline object must
+    # stay compact AND last: medians go on an earlier line (and to a
+    # detail file), the parsed line carries min timings only.  Round-4
+    # regression: one line with both per-query dicts overflowed the tail
+    # capture and the artifact recorded parsed=null.
+    detail = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
         "sf": sf,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps({"detail": "queries_median", "queries_median": medians}))
+    headline = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail again
+        headline["queries"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(headline)
+    print(line)
     spark.stop()
 
 

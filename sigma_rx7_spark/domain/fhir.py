@@ -54,6 +54,37 @@ def export_medication_requests(subs: DataFrame) -> DataFrame:
         "patient_id", "med_id", F.to_json(res).alias("fhir_json"))
 
 
+def export_bundles(subs: DataFrame) -> DataFrame:
+    """Substitution suggestions → ONE FHIR ``Bundle`` JSON per patient,
+    each entry a draft ``MedicationRequest`` (README.md:10,29 — the
+    batch-export shape: a collection Bundle of per-prescription
+    resources, array-of-struct nesting serialized with ``to_json``).
+
+    Entries are array_sort-ed on med_id so the serialized bundle text
+    is deterministic under any partitioning (collect_list order is
+    not). The per-patient aggregation is one hash shuffle on
+    patient_id; resource construction is pure column expressions."""
+    res = medication_request(
+        F.col("patient_id"), F.col("generic_rxcui"),
+        F.concat(F.col("drug_name"), F.lit(" (generic)")),
+    ).withField("id", F.col("med_id").cast("string")) \
+     .withField("authoredOn", F.col("start_date").cast("string"))
+    per = (
+        subs.select(
+            "patient_id",
+            F.struct(F.col("med_id"), res.alias("r")).alias("s"))
+        .groupBy("patient_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    entries = F.transform("ss", lambda s: F.struct(s["r"].alias("resource")))
+    bundle = F.struct(
+        F.lit("Bundle").alias("resourceType"),
+        F.lit("collection").alias("type"),
+        entries.alias("entry"),
+    )
+    return per.select("patient_id", F.to_json(bundle).alias("bundle_json"))
+
+
 # ---- ingest (README.md:3,76) --------------------------------------------
 
 _CODING = T.StructType([

@@ -57,13 +57,17 @@ def parse_patients(segments: DataFrame) -> DataFrame:
     f = F.col("fields")
     return pid.select(
         "msg_idx",
-        f.getItem(3).cast("long").alias("patient_id"),
+        # try_cast: real-world HL7 is messy — a malformed PID-3 must
+        # become NULL and drop from the typed extract, not throw the
+        # whole batch under ANSI mode (same contract as the UDTF twin's
+        # int()-guard below).
+        f.getItem(3).try_cast("long").alias("patient_id"),
         F.concat_ws(
             " ",
             _component(f.getItem(5), 2),
             _component(f.getItem(5), 1),
         ).alias("name"),
-        F.to_date(f.getItem(7), "yyyyMMdd").alias("birth_date"),
+        F.try_to_date(f.getItem(7), "yyyyMMdd").alias("birth_date"),
         f.getItem(8).alias("gender"),
     )
 

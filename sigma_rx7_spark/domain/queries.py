@@ -224,6 +224,68 @@ def q_domain_fhir_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUNDLE_ORACLE = f"""
+WITH {_SUBS_CTES}
+SELECT c.patient_id,
+       CAST(c.med_id AS VARCHAR) AS source_id,
+       'draft' AS status,
+       CAST(c.generic_rxcui AS VARCHAR) AS rxcui,
+       c.drug_name || ' (generic)' AS drug_name,
+       c.start_date AS authored_on,
+       CAST(COUNT(*) OVER (PARTITION BY c.patient_id) AS BIGINT)
+         AS n_in_bundle
+FROM subs_won c
+"""
+
+
+@query("q_domain_fhir_bundle", oracle=_BUNDLE_ORACLE, tags=("domain",))
+def q_domain_fhir_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR BUNDLE round-trip (README.md:10,29): every substitution
+    suggestion exported as a per-patient ``Bundle`` of draft
+    ``MedicationRequest`` resources — array-of-struct nesting through
+    ``to_json`` — then parsed BACK with the explicit ``from_json``
+    Bundle schema + entry explode, and every scalar leaf (id, status,
+    coding code/display, subject reference, authoredOn, entry count)
+    re-extracted from the parsed structs. The oracle computes the same
+    leaves relationally from the mirrored substitution CTEs: a lost
+    entry, mangled nesting, or dropped field on EITHER leg of the
+    round trip breaks the gate. This is the batch-export twin of
+    q_domain_fhir_export (single resources) and closes the [D]-tagged
+    bundle surface.
+
+    Scale shape: one hash shuffle on patient_id builds the bundles
+    (bounded arrays — prescriptions per patient, not corpus-sized);
+    serialize + parse are codegen'd per-row expressions, no Python."""
+    from .fhir import BUNDLE_SCHEMA, export_bundles
+
+    tables = stage_domain_tables(spark)
+    subs = rules.generic_substitutions(
+        tables["meds"], tables["orange_book"], tables["prices"])
+    # authoredOn = the prescription's start_date (subs drops it; med_id
+    # is the meds PK, so this broadcast lookup is loss- and dup-free).
+    subs = subs.join(
+        F.broadcast(tables["meds"].select("med_id", "start_date")),
+        "med_id")
+    bundles = export_bundles(subs)
+    parsed = bundles.select(
+        F.from_json("bundle_json", BUNDLE_SCHEMA).alias("b"))
+    ex = parsed.select(
+        F.size("b.entry").cast("bigint").alias("n_in_bundle"),
+        F.explode("b.entry").alias("entry"),
+    ).select("n_in_bundle", F.col("entry.resource").alias("r"))
+    coding0 = F.element_at("r.medicationCodeableConcept.coding", 1)
+    return ex.select(
+        F.regexp_extract("r.subject.reference", r"Patient/(\d+)", 1)
+        .cast("long").alias("patient_id"),
+        F.col("r.id").alias("source_id"),
+        F.col("r.status").alias("status"),
+        coding0.getField("code").alias("rxcui"),
+        coding0.getField("display").alias("drug_name"),
+        F.to_date("r.authoredOn").alias("authored_on"),
+        "n_in_bundle",
+    )
+
+
 # ---------------------------------------------------------------------------
 # HL7 v2 multi-segment round-trip (S3/X2 depth — README.md:3,76).
 #

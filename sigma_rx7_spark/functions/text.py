@@ -1194,7 +1194,18 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle's full group-by. This is also the repo's
     sanctioned demonstration of the mapInPandas slow path on a real
     algorithm (state that SQL cannot express), kept off the corpus-
-    sized hot path by design."""
+    sized hot path by design.
+
+    Exactness precondition + guard: the superset property covers every
+    word with global count > N/{MG_CAPACITY} (pigeonhole over the
+    partition summaries), so the fast path is provably exact — ties at
+    the k-th rank included — iff the k-th recounted candidate clears
+    that threshold. Zipf-shaped corpora clear it by orders of
+    magnitude; a pathologically flat or tie-heavy distribution (>~{MG_CAPACITY}
+    comparably-frequent words) might not, so the guard below recounts
+    the threshold at run time and falls back to the exact full
+    group-by (vocabulary-scale shuffle, still correct) instead of ever
+    returning an unproven ranking."""
     from pyspark.sql import types as T
 
     docs = load(spark, sf_dir, "documents")
@@ -1207,9 +1218,26 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                       T.StringType())]))
         .distinct()
     )
-    return (
+    fast = (
         words.join(F.broadcast(cands), "word")
         .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(HH_TOP_K)
+    )
+    # Runtime guarantee check (one bounded extra pass): N is an upper
+    # bound on the token count (split() empties included — a larger N
+    # only makes the guard stricter), k-th count comes from the
+    # candidate-sized aggregate. Guard holds => every word with count
+    # >= kth (ties included) is in the candidate superset => fast path
+    # is exact on ANY distribution that passes.
+    top = fast.collect()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")).first()["n"] or 0
+    if len(top) == HH_TOP_K and top[-1]["n_occurrences"] * MG_CAPACITY > n_tokens:
+        return fast
+    return (  # pragma: no cover - flat-distribution fallback
+        words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(HH_TOP_K)

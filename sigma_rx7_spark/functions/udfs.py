@@ -295,16 +295,27 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ordinary Catalyst plans."""
     from ..io import load as _load
 
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     _load(spark, sf_dir, "events").createOrReplaceTempView("_script_ev")
-    return spark.sql("""
-    BEGIN
-      DECLARE avg_n DOUBLE DEFAULT 0.0;
-      SET avg_n = (SELECT AVG(n) FROM (
-        SELECT COUNT(*) AS n FROM _script_ev GROUP BY event_type));
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM _script_ev
-      GROUP BY event_type
-      HAVING COUNT(*) > avg_n;
-    END
-    """)
+    # Scope the scripting conf to this call (shared session: leaking it
+    # would change parsing for every later query — same conf-scoping
+    # discipline as stage_backfill). BEGIN…END executes eagerly inside
+    # spark.sql(), so restoring in finally is safe.
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql("""
+        BEGIN
+          DECLARE avg_n DOUBLE DEFAULT 0.0;
+          SET avg_n = (SELECT AVG(n) FROM (
+            SELECT COUNT(*) AS n FROM _script_ev GROUP BY event_type));
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM _script_ev
+          GROUP BY event_type
+          HAVING COUNT(*) > avg_n;
+        END
+        """)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import query
+from .clustering import EMB_DIM, PQ_SUBS
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the probe set in the harness queries
@@ -620,7 +621,7 @@ WITH cent AS (
     FROM c)
 ), cb AS (
   SELECT lab.label AS c_label,
-         CAST((cex.pos - 1) // 16 AS INTEGER) AS sub, cex.pos,
+         CAST((cex.pos - 1) // {EMB_DIM // PQ_SUBS} AS INTEGER) AS sub, cex.pos,
          CAST(SUM(CAST(cex.x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(cex.x)
            AS centroid
   FROM cex JOIN lab ON cex.c_id = lab.c_id
@@ -726,10 +727,9 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     {ADC_SHORTLIST}-deep shortlist. All distance sums are exact-decimal
     (grid values survive every double<->decimal round trip); both
     argmins and both rankings carry total orders."""
-    from .clustering import EMB_DIM as DIM, PQ_SUBS
     from ..compat import q as qdec
 
-    width = DIM // PQ_SUBS
+    width = EMB_DIM // PQ_SUBS
     queries, corpus, centroids = _ivf_parts(spark, sf_dir)
     lab = load(spark, sf_dir, "embeddings").where(
         F.col("vec_id") >= N_QUERIES).select(

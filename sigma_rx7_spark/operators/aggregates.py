@@ -11,7 +11,7 @@ DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import davg, dsum, o_davg, o_dsum
@@ -112,17 +112,47 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx",
-    oracle=None,  # approximate — rows-only check (SURVEY.md §5)
-    tags=("A4", "rows-only"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A4", "sketch", "audit"),
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HLL++): the 100 TB-scale variant of
-    q_agg_distinct — constant memory per group instead of a distinct
-    shuffle. Not hash-comparable to an exact oracle by design."""
+    """Approximate count-distinct (HLL++) AS AN ORACLE-GATED AUDIT: the
+    100 TB-scale variant of q_agg_distinct — constant memory per group
+    instead of a distinct shuffle. The HLL register layout is
+    engine-private, so the ESTIMATE itself can never hash-match another
+    engine; what is checkable is the accuracy contract, the same move
+    that made the KMV sketch oracle-able (q_agg_kmv_distinct): output
+    the EXACT distinct count next to the sketch's verdict
+    ``|approx − exact| / exact ≤ 0.05`` as a boolean. HLL++ is
+    deterministic on fixed data, so the boolean is stable, and the
+    oracle asserts it TRUE alongside the exact counts — a red row now
+    means the sketch broke its tolerance, not merely "different bytes".
+    rsd=0.01 gives 5× headroom inside the 5%% gate.
+
+    Scale shape: the exact branch is the audit's cost (distinct
+    shuffle); production reads only the sketch branch — at 100 TB this
+    query IS the periodic sketch-health job, run on a sample or one
+    partition-slice, exactly like q_sim_recall_ivf audits the ANN
+    index."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01)
+        .alias("_approx_orders"),
+        F.countDistinct("l_orderkey").cast("bigint")
+        .alias("n_exact_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).select(
+        "l_returnflag", "n_exact_orders", "n_rows",
+        (F.abs(F.col("_approx_orders").cast("double")
+               - F.col("n_exact_orders"))
+         / F.col("n_exact_orders") <= F.lit(0.05)).alias("within_5pct"),
     )
 
 
@@ -257,34 +287,66 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx_quantile",
-    oracle=None,  # sketch-based — rows-only check, like q_agg_approx
-    tags=("A4", "A8", "rows-only"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+           TRUE AS p50_within_5pct,
+           TRUE AS p95_within_5pct,
+           TRUE AS p99_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A4", "A8", "sketch", "audit"),
 )
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB-scale
-    variant of q_agg_stats' exact median — mergeable constant-memory
-    sketches per partition instead of a per-group sort. Accuracy is bound
-    by the relative-error argument (1%% here), so the answer is stable but
-    not hash-comparable to ``quantile_cont`` by design.
+    """Approximate percentiles (Greenwald-Khanna sketch) AS AN
+    ORACLE-GATED AUDIT: the 100 TB-scale variant of q_agg_stats' exact
+    median — mergeable constant-memory sketches per partition instead
+    of a per-group sort. The sketch picks actual data values within a
+    rank-error bound (1/accuracy), which no other engine reproduces
+    bit-for-bit — so, as with q_agg_approx, the gate checks the
+    accuracy CONTRACT: exact ``quantile_cont`` values (already proven
+    bit-equal cross-engine by q_agg_stats) plus one boolean per
+    percentile asserting ``|approx − exact| / exact ≤ 0.05``. GK is
+    deterministic on fixed data, so the booleans are stable; accuracy
+    10000 (0.01%% rank error) leaves orders of magnitude of headroom on
+    any non-degenerate price distribution.
 
-    The three percentiles come back as scalar columns (one sketch, three
-    ``element_at`` projections) — array-typed result columns are avoided
-    throughout the harness surface because downstream pandas
-    canonicalization cannot sort on them."""
+    Scale shape: the exact branch (per-group sort) is the audit's
+    cost, run periodically or on a slice; production reads only the
+    sketch branch. The three percentiles come back as scalar columns
+    (one sketch, three ``element_at`` projections) — array-typed
+    result columns are avoided throughout the harness surface because
+    downstream pandas canonicalization cannot sort on them."""
     li = load(spark, sf_dir, "lineitem")
     pct = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-        F.lit(100),
+        F.lit(10000),
     )
+    epct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+
+    def ok(i: int) -> Column:
+        a = F.element_at("_pct", i).cast("double")
+        e = F.element_at("_epct", i).cast("double")
+        return (F.abs(a - e) / e <= F.lit(0.05))
+
     return li.groupBy("l_returnflag").agg(
         pct.alias("_pct"),
-        F.count(F.lit(1)).alias("n_rows"),
+        epct.alias("_epct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     ).select(
         "l_returnflag",
-        F.element_at("_pct", 1).alias("price_p50"),
-        F.element_at("_pct", 2).alias("price_p95"),
-        F.element_at("_pct", 3).alias("price_p99"),
         "n_rows",
+        F.element_at("_epct", 1).alias("exact_p50"),
+        F.element_at("_epct", 2).alias("exact_p95"),
+        F.element_at("_epct", 3).alias("exact_p99"),
+        ok(1).alias("p50_within_5pct"),
+        ok(2).alias("p95_within_5pct"),
+        ok(3).alias("p99_within_5pct"),
     )
 
 

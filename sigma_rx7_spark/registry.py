@@ -78,75 +78,97 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 4: everything in the round-3 list got its green row
-    # (CORRECTNESS_r03.json: 50/50 — every oracle-gated query in the
-    # repo now has a green driver row across r1-r3), so the r3 names
-    # rotate out; new round-4 queries prove on first exposure, and the
-    # remaining window slots backfill automatically with
-    # registration-order oracle-gated queries.
-    "q_domain_hl7_roundtrip",
-    "q_domain_hl7_udtf",
-    "q_dedup_cosine_lsh",
-    "q_pipeline_canonical",
-    "q_pipeline_pack",
-    "q_sim_recall_ivf",
-    "q_multimodal_fingerprint",
-    "q_domain_allergy_alerts",
-    "q_text_unigram_logprob",
-    # Round-4 additions (no driver row yet) — prove on first exposure.
-    "q_agg_corr",
-    "q_agg_mode",
-    "q_pipeline_chunk",
-    "q_interp_linear",
-    "q_domain_polypharmacy",
-    "q_domain_adherence",
-    "q_join_bucketed",
-    "q_join_dpp",
-    "q_embed_cov",
-    "q_source_binaryfile",
-    "q_window_ema",
-    "q_domain_treatment_gap",
-    "q_dedup_containment",
-    "q_merge_agg_incremental",
-    "q_agg_keyskew",
-    "q_source_schema_merge",
-    "q_agg_cube",
-    "q_text_langid_trigram",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_sample_weighted",
-    "q_agg_mad",
-    "q_merge_snapshot_diff",
-    "q_merge_scd2",
-    "q_merge_cdc_apply",
-    "q_quality_audit",
-    "q_text_vocab",
-    "q_agg_cooccurrence",
-    "q_agg_histogram_eqdepth",
-    "q_window_rolling_median",
-    "q_dedup_semantic",
-    "q_graph_reachability",
-    "q_stream_sliding_counts",
-    "q_source_pydatasource",
-    "q_agg_kmv_distinct",
-    "q_window_rolling_dau",
-    "q_text_bigram_logprob",
-    "q_stream_cdc_apply",
-    "q_join_scd2_asof",
-    "q_window_twap",
-    # 50th slot: this session's capstone — IVF-PQ ANN with exact refine
-    # (the remaining session additions queue for the round-5 rotation).
-    "q_sim_topk_ivfpq",
-    # Window full at 50. Implemented AFTER the cap and
-    # awaiting round-5 rotation (locally mirror-proven at sf0.001 AND
-    # sf0.01): q_agg_ols, q_agg_winsorized, q_agg_chisq, q_window_streak, q_text_keywords, q_text_pmi, q_sample_negatives, q_dedup_recall_lsh, q_ml_logreg_train, q_quality_freshness, q_agg_gini, q_agg_transpose, q_udf_sql, q_sink_compaction, q_join_lateral_topk, q_embed_pca_power, q_embed_pq, q_sample_budget, q_pipeline_quality_model, q_graph_sssp, q_text_source_overlap, q_text_perplexity_filter, q_text_zipf, q_pipeline_incremental_dedup, q_agg_kmv_setops, q_stream_ingest_dedup, q_source_json_dlq, q_quality_psi,
-    # and from the round-4 continuation session:
-    # q_domain_drug_eras, q_scan_zorder, q_scan_zorder_incremental,
-    # q_link_entities, q_link_survivorship, q_text_bpe_merges,
-    # q_text_heavyhitters, q_agg_exact_median, q_agg_exact_quantiles,
-    # q_agg_state_merge, q_attribution_multitouch,
-    # q_stream_attribution, q_pattern_sessions, q_sample_estimate,
-    # q_anomaly_seasonal.
+    # Round 5: every name in the round-4 window got its green row
+    # (CORRECTNESS_r04.json: 50/50), so all 50 rotate out. This round
+    # FREEZES net-new query additions (judge directive) and spends the
+    # window on the never-driver-checked backlog: the first 47
+    # rotation candidates in registration order (exactly the prefix
+    # `python scripts/rotation_candidates.py` emits) plus the three
+    # queries whose oracle changed this round — the two sketch queries
+    # promoted from rows-only to accuracy-gated audits, and the one
+    # sanctioned stretch addition (FHIR Bundle round-trip).
+    #
+    # Pre-freeze discipline (documented r4→r5): before committing this
+    # list, run the driver-scale mirror over it —
+    #   SIGMA_TEST_SF_DIR=/root/testdata/sf0.01 \
+    #     python -m pytest tests/test_oracle_mirror.py -q \
+    #       -k "<names joined with ' or '>"
+    # (scripts/prefreeze_mirror.sh runs exactly that for this list).
+    # Promoted / new this round — prove on first exposure:
+    "q_agg_approx",
+    "q_agg_approx_quantile",
+    "q_domain_fhir_bundle",
+    # Backlog, registration order:
+    "q_join_cardinality_audit",
+    "q_join_supplier_league",
+    "q_join_asof_nearest",
+    "q_agg_ols",
+    "q_agg_winsorized",
+    "q_agg_chisq",
+    "q_window_streak",
+    "q_agg_gini",
+    "q_agg_transpose",
+    "q_agg_kmv_setops",
+    "q_agg_exact_median",
+    "q_agg_state_merge",
+    "q_agg_exact_quantiles",
+    "q_null_semantics",
+    "q_agg_hierarchy_share",
+    "q_agg_weighted_median",
+    "q_agg_backlog_aging",
+    "q_agg_histogram2d",
+    "q_agg_discount_bands",
+    "q_agg_pareto",
+    "q_window_gap_quantiles",
+    "q_window_peer_zscore",
+    "q_attribution_multitouch",
+    "q_pattern_sessions",
+    "q_event_transitions",
+    "q_funnel_latency",
+    "q_percentile_bands_daily",
+    "q_cohort_retention_rate",
+    "q_daily_autocorr",
+    "q_usage_heatmap",
+    "q_daily_runs_test",
+    "q_session_length_dist",
+    "q_mv_rollup_answer",
+    "q_join_lateral_topk",
+    "q_graph_sssp",
+    "q_graph_degree_dist",
+    "q_link_entities",
+    "q_link_survivorship",
+    "q_quality_freshness",
+    "q_quality_psi",
+    "q_anomaly_seasonal",
+    "q_quality_sequence",
+    "q_quality_benford",
+    "q_quality_profile",
+    "q_quality_temporal",
+    "q_quality_reconcile",
+    "q_sink_compaction",
+    # Window full at 50. Still never-checked after this round (the
+    # round-6 rotation takes the next 50, rotation_candidates.py emits
+    # them): q_source_json_dlq, q_sink_backfill, q_audit_file_layout,
+    # q_source_textlines, q_scan_zorder, q_scan_zorder_incremental,
+    # q_scan_indexed, q_string_collation, q_date_timezones,
+    # q_ml_logreg_train, q_text_keywords, q_text_pmi,
+    # q_text_perplexity_filter, q_text_zipf, q_text_heavyhitters,
+    # q_text_search_and, q_text_vocab_drift, q_text_novelty,
+    # q_text_lang_confusion, q_text_source_diversity, q_text_hapax,
+    # q_text_bpe_merges, q_text_bpe_tokenize, q_sample_negatives,
+    # q_sample_budget, q_sample_estimate, q_split_grouped,
+    # q_sample_temp_sweep, q_pipeline_interleave,
+    # q_pipeline_token_budget, q_embed_audit, q_dedup_recall_lsh,
+    # q_text_source_overlap, q_dedup_burden_matrix,
+    # q_pipeline_quality_model, q_pipeline_incremental_dedup,
+    # q_ml_eval, q_pipeline_fates, q_split_leakage,
+    # q_corpus_release_gate, q_ml_lift, q_embed_pca_power, q_embed_pq,
+    # q_cluster_geometry, q_stream_ingest_dedup, q_stream_stream_left,
+    # q_stream_dedup_watermarked, q_stream_mv_refresh,
+    # q_stream_attribution, q_stream_transitions, q_stream_sequence,
+    # q_udf_sql, q_api_pandas, q_sql_scripting, q_domain_drug_eras,
+    # q_domain_therapy_gaps, q_domain_refill_due, q_domain_alert_inbox,
+    # q_domain_era_survival, q_domain_price_trend.
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

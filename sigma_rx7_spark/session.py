@@ -55,6 +55,9 @@ def get_spark(app_name: str = "sigma-rx7-spark", master: str | None = None,
         "SIGMA_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
     builder = builder.config("spark.ui.enabled", "false")
+    # Keep stdout/stderr parseable for harnesses that tail-capture output
+    # (the bench driver reads the last ~2000 bytes): no [Stage N:>] bars.
+    builder = builder.config("spark.ui.showConsoleProgress", "false")
     builder = builder.config("spark.driver.memory",
                              os.environ.get("SIGMA_DRIVER_MEM", "8g"))
     for k, v in {**_REQUIRED_CONF, **_PERF_CONF}.items():

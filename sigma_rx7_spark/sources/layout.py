@@ -297,7 +297,12 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
 
     path = _stage_dir("idx_lineitem", sf_dir)
     data_dir, idx_dir = os.path.join(path, "data"), os.path.join(path, "idx")
-    if _IDX_STAGED.get("sf") != sf_dir:
+    # Memo keyed by sf_dir (alternating scale factors in one process must
+    # not re-stage each other's layouts) + the on-disk _SUCCESS of the
+    # LAST write (idx), so a finished staging survives process restarts —
+    # same discipline as stage_zorder.
+    if (sf_dir not in _IDX_STAGED
+            and not os.path.exists(os.path.join(idx_dir, "_SUCCESS"))):
         (load(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_quantity", "l_returnflag")
          .repartitionByRange(N_ZFILES, "l_orderkey")
@@ -309,7 +314,7 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
               F.max("l_orderkey").alias("max_ok"),
               F.count(F.lit(1)).alias("n_rows"))
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
-        _IDX_STAGED["sf"] = sf_dir
+    _IDX_STAGED[sf_dir] = path
     return path
 
 

@@ -890,12 +890,15 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_dec"))
         state["df"] = mv_fold(state["df"], batch_states).localCheckpoint()
 
-    q = (ev.writeStream.foreachBatch(fold)
-         .trigger(availableNow=True)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="mvrefresh_ckpt_"))
-         .start())
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="mvrefresh_ckpt_")
+    try:
+        q = (ev.writeStream.foreachBatch(fold)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return state["df"].select(
         "day", "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
