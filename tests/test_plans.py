@@ -619,6 +619,20 @@ def test_heavyhitters_candidates_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_heavyhitters_exactness_precondition(spark, sf_dir):
+    """A29 exactness: the Misra-Gries superset guarantee covers the
+    k-th-ranked word (ties included) on this corpus — the documented
+    precondition of q_text_heavyhitters, verified on the shipped data
+    rather than assumed (pathologically flat distributions would need
+    a larger MG_CAPACITY or the exact group-by)."""
+    from sigma_rx7_spark.functions.text import heavyhitters_guard
+
+    row = heavyhitters_guard(spark, sf_dir).collect()[0]
+    assert row.exact_guaranteed, (
+        f"kth_count={row.kth_count} × capacity ≤ n_tokens={row.n_tokens}"
+        " — Misra-Gries superset no longer provably covers the top-k")
+
+
 def test_attribution_single_user_keyed_join(spark, sf_dir):
     """W16: the lookback join keys on user equality (hash-joinable with
     the range condition as a post-join filter), never a nested-loop
