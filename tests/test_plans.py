@@ -633,6 +633,28 @@ def test_heavyhitters_exactness_precondition(spark, sf_dir):
         " — Misra-Gries superset no longer provably covers the top-k")
 
 
+def test_pagerank_iteration_plan_shape(spark, sf_dir):
+    """L1d: every PageRank round joins the PERSISTED edge relation
+    (InMemoryTableScan — the derivation must not re-run per round) with
+    key-equi joins only, and the iteration never global-sorts: rank
+    mass shuffles hash-partitioned by node."""
+    p = plan(spark, sf_dir, "q_graph_pagerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_exact_quantiles_never_global_sorts(spark, sf_dir):
+    """A30: the two-pass quantile vector must locate bins via the
+    broadcast stats relation and rank only inside hash partitions —
+    no rangepartitioning anywhere (the whole point vs sort-based
+    quantiles)."""
+    p = plan(spark, sf_dir, "q_agg_exact_quantiles")
+    assert "rangepartitioning" not in p.lower()
+    assert "BroadcastExchange" in p
+
+
 def test_attribution_single_user_keyed_join(spark, sf_dir):
     """W16: the lookback join keys on user equality (hash-joinable with
     the range condition as a post-join filter), never a nested-loop
