@@ -70,9 +70,13 @@ def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
     # per consumer per round (measured: the whole derivation executed
     # 7x for 3 iterations).
     edges = edges.persist()
+    # nodes feeds the rank seed AND every round's left join — persist it
+    # too, or each of the iters+1 consumers re-runs the union+distinct
+    # shuffle over the edge relation. The count() that produces the
+    # scalar plan constant doubles as the materializing action.
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()).persist()
     n_nodes = nodes.count()  # scalar plan constant (bounded metadata)
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")).persist()
