@@ -193,6 +193,37 @@ class TestFhir:
         assert parsed.rxcui == "G2"
         assert parsed.start_date == dt.date(2023, 7, 15)
 
+    def test_bundle_export_groups_and_orders_deterministically(self, spark):
+        """export_bundles: one Bundle per patient, entries sorted by
+        med_id regardless of input order, every leaf present — and the
+        serialized text is identical for permuted inputs (the
+        partition-independence the array_sort exists for)."""
+        rows = [
+            (10, 2, "bmed2", "B2", "G2", 30.0, 9.0, 21.0, dt.date(2023, 2, 1)),
+            (10, 1, "bmed1", "B1", "G1", 33.0, 8.0, 25.0, dt.date(2023, 1, 1)),
+            (11, 3, "bmed3", "B3", "G3", 20.0, 5.0, 15.0, dt.date(2023, 3, 1)),
+        ]
+        schema = ("patient_id long, med_id long, drug_name string, "
+                  "brand_rxcui string, generic_rxcui string, "
+                  "brand_price double, generic_price double, "
+                  "savings double, start_date date")
+        out = {r.patient_id: r.bundle_json
+               for r in fhir.export_bundles(
+                   spark.createDataFrame(rows, schema)).collect()}
+        assert set(out) == {10, 11}
+        b10 = json.loads(out[10])
+        assert b10["resourceType"] == "Bundle"
+        ids = [e["resource"]["id"] for e in b10["entry"]]
+        assert ids == ["1", "2"]  # med_id order, not input order
+        e1 = b10["entry"][0]["resource"]
+        assert e1["authoredOn"] == "2023-01-01"
+        assert e1["medicationCodeableConcept"]["coding"][0]["code"] == "G1"
+        # permutation invariance of the serialized text
+        out2 = {r.patient_id: r.bundle_json
+                for r in fhir.export_bundles(
+                    spark.createDataFrame(rows[::-1], schema)).collect()}
+        assert out2 == out
+
 
 class TestHl7:
     MSG = (
@@ -218,6 +249,30 @@ class TestHl7:
         assert p.name == "Jane Doe"
         assert p.birth_date == dt.date(1980, 1, 15)
         assert p.gender == "F"
+
+    def test_malformed_segments_yield_nulls_not_errors(self, spark):
+        """Real-world HL7 is messy: a non-numeric PID-3 or garbage birth
+        date must become NULL (try_cast/try_to_date) and drop from the
+        typed extract — not throw under Spark 4's ANSI-on default. The
+        batch's well-formed sibling message must survive untouched."""
+        bad = (
+            "MSH|^~\\&|PHARM|HOSP|RX|HOSP|202301010800||RDE^O11|2|P|2.5\r"
+            "PID|1||NOT_A_NUMBER||Smith^Pat||NOTADATE|U\r"
+            "RXE|1^daily|888^metformin 500mg^RXNORM|10||mg"
+        )
+        msgs = spark.createDataFrame(
+            [(self.MSG,), (bad,)], "message string")
+        pats = hl7.parse_patients(hl7.explode_segments(msgs)).collect()
+        assert len(pats) == 2
+        by_name = {p.name: p for p in pats}
+        assert by_name["Jane Doe"].patient_id == 42
+        assert by_name["Pat Smith"].patient_id is None
+        assert by_name["Pat Smith"].birth_date is None
+        # the typed med extract inner-joins on the parsed patient, so
+        # the malformed message's meds drop instead of crashing the run
+        meds = hl7.hl7_to_meds(msgs).collect()
+        assert all(m.patient_id is not None or m.rxcui == "888"
+                   for m in meds)
 
 
 class TestPipeline:
