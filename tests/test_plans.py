@@ -633,6 +633,33 @@ def test_heavyhitters_exactness_precondition(spark, sf_dir):
         " — Misra-Gries superset no longer provably covers the top-k")
 
 
+def test_pareto_total_broadcast_no_cartesian(spark, sf_dir):
+    """A34: the revenue-share denominator is a 1-row broadcast, never a
+    materialized cartesian, and the only global sort is the documented
+    NTILE over the customer-grain relation (post-aggregation), not over
+    orders."""
+    p = plan(spark, sf_dir, "q_agg_pareto")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_gap_quantiles_no_range_partitioning(spark, sf_dir):
+    """W21: lag and rank both run as hash-partitioned window sorts
+    (per (user,type) then per type) — no rangepartitioning global sort
+    anywhere in the plan."""
+    p = plan(spark, sf_dir, "q_window_gap_quantiles")
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_linkage_block_keyed_join(spark, sf_dir):
+    """L7: candidate pairs come from a KEY-equi join on the blocking
+    key (nation, segment) — never an unkeyed product; the best-match
+    resolution is one a_id-keyed window."""
+    p = plan(spark, sf_dir, "q_link_entities")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_pagerank_iteration_plan_shape(spark, sf_dir):
     """L1d: every PageRank round joins the PERSISTED edge relation
     (InMemoryTableScan — the derivation must not re-run per round) with
