@@ -10,7 +10,7 @@ extracts (patients from PID, prescriptions from RXE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,60 @@ def _component(field, i: int):
     return F.split(field, r"\^").getItem(i - 1)
 
 
+# HL7 v2 escape sequences (the public v2.x encoding rules): delimiter
+# characters inside a VALUE must be escaped or they change the message
+# structure. Escaping by chained replace is sound (escape the escape
+# char first; the inserted sequences contain no later-replaced chars).
+# UNescaping by global replace is NOT: "|E|" escapes to "\F\E\F\",
+# which contains a false "\E\" match spanning two real tokens — so the
+# decoder tokenizes left-to-right instead: split on the escape char,
+# every ODD piece is an escape code, every even piece literal text
+# (each \X\ sequence contributes exactly its two backslashes, and
+# literals contain none, so the alternation is an invariant).
+_HL7_ESC = (
+    ("\\", "\\E\\"),   # escape char (must be first on render)
+    ("|", "\\F\\"),    # field separator
+    ("^", "\\S\\"),    # component separator
+    ("~", "\\R\\"),    # repetition separator
+    ("&", "\\T\\"),    # subcomponent separator
+)
+
+_ESC_CODE = {"E": "\\", "F": "|", "S": "^", "R": "~", "T": "&"}
+
+
+def hl7_escape(c: Column) -> Column:
+    """Value text → wire-safe HL7 text (pure replace chain, codegen'd)."""
+    for raw, esc in _HL7_ESC:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def hl7_unescape(c: Column) -> Column:
+    """Wire HL7 text → value text: one split + positional transform +
+    join (left-to-right tokenization as pure column expressions —
+    codegen'd, no Python). Unknown escape codes are preserved verbatim,
+    per the v2 convention."""
+    def decode(x: Column, i: Column) -> Column:
+        code = F.when(x == "E", F.lit("\\"))
+        for k, v in _ESC_CODE.items():
+            if k != "E":
+                code = code.when(x == k, F.lit(v))
+        code = code.otherwise(F.concat(F.lit("\\"), x, F.lit("\\")))
+        return F.when(i % 2 == 0, x).otherwise(code)
+
+    return F.array_join(F.transform(F.split(c, r"\\"), decode), "")
+
+
+def _unesc_py(s):
+    """Python twin of hl7_unescape for the UDTF slow path."""
+    if s is None:
+        return None
+    parts = s.split("\\")
+    return "".join(
+        p if i % 2 == 0 else _ESC_CODE.get(p, "\\" + p + "\\")
+        for i, p in enumerate(parts))
+
+
 def parse_patients(segments: DataFrame) -> DataFrame:
     """PID segments → patient rows.
 
@@ -64,8 +118,8 @@ def parse_patients(segments: DataFrame) -> DataFrame:
         f.getItem(3).try_cast("long").alias("patient_id"),
         F.concat_ws(
             " ",
-            _component(f.getItem(5), 2),
-            _component(f.getItem(5), 1),
+            hl7_unescape(_component(f.getItem(5), 2)),
+            hl7_unescape(_component(f.getItem(5), 1)),
         ).alias("name"),
         F.try_to_date(f.getItem(7), "yyyyMMdd").alias("birth_date"),
         f.getItem(8).alias("gender"),
@@ -83,8 +137,10 @@ def parse_prescriptions(segments: DataFrame) -> DataFrame:
     f = F.col("fields")
     return rxe.select(
         "msg_idx",
-        _component(f.getItem(2), 1).alias("rxcui"),
-        _component(f.getItem(2), 2).alias("drug_name"),
+        hl7_unescape(_component(f.getItem(2), 1)).alias("rxcui"),
+        hl7_unescape(_component(f.getItem(2), 2)).alias("drug_name"),
+        # dose_spec keeps its STRUCTURAL ^ (qty^interval) — only the
+        # leaf components of coded fields are value text to unescape.
         f.getItem(1).alias("dose_spec"),
     )
 
@@ -109,7 +165,8 @@ def build_messages(meds: DataFrame) -> DataFrame:
     """
     seg = F.concat(
         F.lit("RXE|"), F.col("med_id").cast("string"), F.lit("^daily|"),
-        F.col("rxcui").cast("string"), F.lit("^"), F.col("drug_name"),
+        hl7_escape(F.col("rxcui").cast("string")), F.lit("^"),
+        hl7_escape(F.col("drug_name")),
         F.lit("^RXNORM|10||mg"))
     per_patient = (
         meds.select(
@@ -177,6 +234,6 @@ def hl7_meds_udtf():
             for i, (mid, f) in enumerate(rxes):
                 comp = f[2].split("^")
                 name = comp[1] if len(comp) > 1 else None
-                yield pid, i, mid, comp[0], name
+                yield pid, i, mid, _unesc_py(comp[0]), _unesc_py(name)
 
     return Hl7Meds

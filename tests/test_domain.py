@@ -275,6 +275,52 @@ class TestHl7:
                    for m in meds)
 
 
+class TestHl7Escaping:
+    """HL7 v2 delimiter escaping (\\F\\ \\S\\ \\R\\ \\T\\ \\E\\): the
+    render→parse round trip must be lossless for drug names containing
+    the wire delimiters themselves — the injection case unescaped
+    renderers get wrong."""
+
+    NASTY = [
+        "amox|cillin",          # field separator
+        "beta^blocker",         # component separator
+        "a~b&c",                # repetition + subcomponent
+        "back\\slash",          # escape char itself
+        "all|of^them~at&once\\",
+        "\\F\\ literal-looking",  # pre-escaped-looking text survives
+    ]
+
+    def test_roundtrip_with_delimiters(self, spark):
+        from sigma_rx7_spark.domain.hl7 import build_messages, hl7_to_meds
+
+        meds = spark.createDataFrame(
+            [(100 + i, 7, name, str(9000 + i), dt.date(2023, 1, 1))
+             for i, name in enumerate(self.NASTY)],
+            "med_id long, patient_id long, drug_name string, "
+            "rxcui string, start_date date")
+        out = hl7_to_meds(build_messages(meds)).collect()
+        assert {(r.patient_id, r.rxcui, r.drug_name) for r in out} == {
+            (7, str(9000 + i), name) for i, name in enumerate(self.NASTY)}
+
+    def test_udtf_twin_unescapes_identically(self, spark):
+        from sigma_rx7_spark.domain.hl7 import build_messages, hl7_meds_udtf
+        from pyspark.sql.functions import lit
+
+        meds = spark.createDataFrame(
+            [(200 + i, 8, name, str(9100 + i), dt.date(2023, 1, 1))
+             for i, name in enumerate(self.NASTY)],
+            "med_id long, patient_id long, drug_name string, "
+            "rxcui string, start_date date")
+        msgs = build_messages(meds)
+        udtf_cls = hl7_meds_udtf()
+        spark.udtf.register("_t_hl7", udtf_cls)
+        msgs.createOrReplaceTempView("_t_msgs")
+        rows = spark.sql(
+            "SELECT t.* FROM _t_msgs, LATERAL _t_hl7(message) t").collect()
+        assert {(r.patient_id, r.rxcui, r.drug_name) for r in rows} == {
+            (8, str(9100 + i), name) for i, name in enumerate(self.NASTY)}
+
+
 class TestPipeline:
     def test_recommendations_end_to_end(self, spark):
         tables = fixtures.build_domain_tables(spark)

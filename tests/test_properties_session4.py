@@ -65,3 +65,30 @@ def test_misra_gries_superset_guarantee(words, capacity):
     for w, c in Counter(words).items():
         if c > n / capacity:
             assert w in kept, (w, c, n, capacity)
+
+
+# ---- HL7 escape/unescape round trip --------------------------------------
+
+from sigma_rx7_spark.domain.hl7 import _HL7_ESC, _unesc_py  # noqa: E402
+
+
+def _esc_py(s: str) -> str:
+    for raw, esc in _HL7_ESC:
+        s = s.replace(raw, esc)
+    return s
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="|^~&\\EFSRT abc", max_size=40))
+def test_hl7_escape_roundtrip_dense_delimiters(s):
+    """Lossless encode/decode on delimiter-dense adversarial text —
+    including strings that LOOK like escape sequences (the global-
+    replace decoder failed exactly here: '|E|' -> '\\F\\E\\F\\' has a
+    false \\E\\ spanning two real tokens)."""
+    assert _unesc_py(_esc_py(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_hl7_escape_roundtrip_unicode(s):
+    assert _unesc_py(_esc_py(s)) == s
