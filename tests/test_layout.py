@@ -134,3 +134,26 @@ def test_index_planned_scan_opens_fewer_files(spark, sf_dir):
     # the file population
     assert chosen < total // 2, (chosen, total)
     assert chosen >= 1
+
+
+def test_index_staging_memo_is_sf_keyed(spark, sf_dir):
+    """Repeat staging for the SAME sf must be a no-op (idempotent memo
+    + on-disk _SUCCESS), and a DIFFERENT sf must stage to its own path
+    instead of overwriting — alternating scale factors in one process
+    previously thrashed the single-slot memo."""
+    import os
+
+    from sigma_rx7_spark.sources.layout import stage_indexed_lineitem
+
+    p1 = stage_indexed_lineitem(spark, sf_dir)
+    marker = os.path.join(p1, "idx", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    assert stage_indexed_lineitem(spark, sf_dir) == p1
+    assert os.path.getmtime(marker) == mtime  # not re-written
+    other = "/root/testdata/sf0.01"
+    if os.path.isdir(other) and other != sf_dir:
+        p2 = stage_indexed_lineitem(spark, other)
+        assert p2 != p1
+        # and returning to the first sf still does not re-stage
+        assert stage_indexed_lineitem(spark, sf_dir) == p1
+        assert os.path.getmtime(marker) == mtime
