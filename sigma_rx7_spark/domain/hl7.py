@@ -77,17 +77,27 @@ def hl7_escape(c: Column) -> Column:
 def hl7_unescape(c: Column) -> Column:
     """Wire HL7 text → value text: one split + positional transform +
     join (left-to-right tokenization as pure column expressions —
-    codegen'd, no Python). Unknown escape codes are preserved verbatim,
-    per the v2 convention."""
+    codegen'd, no Python). Malformed input degrades losslessly: an
+    unknown escape code is preserved verbatim per the v2 convention,
+    and an UNPAIRED trailing escape char (a code piece that is the
+    last split piece, so it was never closed) is reconstituted as the
+    raw text it was, not wrapped into a sequence that was never
+    there."""
+    parts = F.split(c, r"\\")
+    n = F.size(parts)
+
     def decode(x: Column, i: Column) -> Column:
         code = F.when(x == "E", F.lit("\\"))
         for k, v in _ESC_CODE.items():
             if k != "E":
                 code = code.when(x == k, F.lit(v))
         code = code.otherwise(F.concat(F.lit("\\"), x, F.lit("\\")))
-        return F.when(i % 2 == 0, x).otherwise(code)
+        unclosed = F.concat(F.lit("\\"), x)
+        return (F.when(i % 2 == 0, x)
+                .when(i == n - 1, unclosed)
+                .otherwise(code))
 
-    return F.array_join(F.transform(F.split(c, r"\\"), decode), "")
+    return F.array_join(F.transform(parts, decode), "")
 
 
 def _unesc_py(s):
@@ -95,8 +105,11 @@ def _unesc_py(s):
     if s is None:
         return None
     parts = s.split("\\")
+    last = len(parts) - 1
     return "".join(
-        p if i % 2 == 0 else _ESC_CODE.get(p, "\\" + p + "\\")
+        p if i % 2 == 0
+        else ("\\" + p if i == last
+              else _ESC_CODE.get(p, "\\" + p + "\\"))
         for i, p in enumerate(parts))
 
 

@@ -1029,10 +1029,12 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user ids; the k-th smallest hash h_k estimates the distinct
     count as (k−1)/h_k. This is the mergeable-sketch idea behind A4's
     approx_count_distinct — but where HLL's register layout is
-    engine-private (A4 is rows-only forever), KMV over a DETERMINISTIC
+    engine-private (A4's gate therefore checks its accuracy CONTRACT,
+    not its bytes — see q_agg_approx), KMV over a DETERMINISTIC
     PORTABLE hash is bit-reproducible in any engine, so the estimator
-    itself sits behind the exact-match gate, alongside its exact count
-    and never more than one plan away from a relative-error audit.
+    VALUE itself sits behind the exact-match gate, alongside its exact
+    count and never more than one plan away from a relative-error
+    audit.
 
     Scale shape: the sketch is a k-row-per-group relation — the
     row_number window runs over the DISTINCT (group, key) relation, and

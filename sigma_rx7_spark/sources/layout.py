@@ -281,6 +281,7 @@ def q_scan_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Min/max file index (metadata-table data skipping) -------------------
 
 _IDX_STAGED: dict[str, str] = {}
+_IDX_LAYOUT_V = 1  # bump when the staged projection/index layout changes
 _OK_LO, _OK_HI = 1000, 2999  # orderkey probe band (valid at every sf)
 
 
@@ -298,11 +299,24 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
     path = _stage_dir("idx_lineitem", sf_dir)
     data_dir, idx_dir = os.path.join(path, "data"), os.path.join(path, "idx")
     # Memo keyed by sf_dir (alternating scale factors in one process must
-    # not re-stage each other's layouts) + the on-disk _SUCCESS of the
-    # LAST write (idx), so a finished staging survives process restarts —
-    # same discipline as stage_zorder.
-    if (sf_dir not in _IDX_STAGED
-            and not os.path.exists(os.path.join(idx_dir, "_SUCCESS"))):
+    # not re-stage each other's layouts) + an on-disk completion marker,
+    # so a finished staging survives process restarts — same discipline
+    # as stage_zorder. The marker carries a LAYOUT VERSION: bumping
+    # _IDX_LAYOUT_V whenever the staged projection / file count / index
+    # aggregation changes invalidates stale stagings left by older code
+    # (a bare _SUCCESS would silently serve the old layout).
+    tag = os.path.join(path, "_layout_v.txt")
+
+    def _tag_ok() -> bool:
+        try:
+            with open(tag) as fh:
+                return fh.read().strip() == str(_IDX_LAYOUT_V)
+        except OSError:
+            return False
+
+    if sf_dir not in _IDX_STAGED and not (
+            os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+            and _tag_ok()):
         (load(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_quantity", "l_returnflag")
          .repartitionByRange(N_ZFILES, "l_orderkey")
@@ -314,6 +328,8 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
               F.max("l_orderkey").alias("max_ok"),
               F.count(F.lit(1)).alias("n_rows"))
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
+        with open(tag, "w") as fh:
+            fh.write(str(_IDX_LAYOUT_V))
     _IDX_STAGED[sf_dir] = path
     return path
 
