@@ -193,6 +193,17 @@ class TestFhir:
         assert parsed.rxcui == "G2"
         assert parsed.start_date == dt.date(2023, 7, 15)
 
+    def test_malformed_bundle_json_quarantines_as_null(self, spark):
+        """Corrupt or non-Bundle JSON must surface as NULL rows from
+        the explicit-schema from_json (the documented quarantine
+        contract in fhir.py's module docstring), never throw."""
+        bad = spark.createDataFrame(
+            [("{not json",), ("42",), ('{"resourceType":"Bundle"}',)],
+            "bundle_json string")
+        rows = fhir.parse_medication_requests(bad).collect()
+        # entries explode to zero rows for all three (no entry array)
+        assert rows == []
+
     def test_bundle_export_groups_and_orders_deterministically(self, spark):
         """export_bundles: one Bundle per patient, entries sorted by
         med_id regardless of input order, every leaf present — and the
