@@ -633,6 +633,28 @@ def test_heavyhitters_exactness_precondition(spark, sf_dir):
         " — Misra-Gries superset no longer provably covers the top-k")
 
 
+def test_profile_single_scan_with_expand(spark, sf_dir):
+    """Q9: the per-column profile must compute every column's
+    null/distinct stats from ONE scan of the table (multi-distinct via
+    Expand), not one scan per column — the property that keeps it one
+    pass at 100 TB regardless of column count."""
+    import re
+
+    p = plan(spark, sf_dir, "q_quality_profile")
+    # formatted explain prints each node once in the tree and once in
+    # the details section — count detail headers, one per scan NODE
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p
+
+
+def test_benford_total_broadcasts(spark, sf_dir):
+    """Q8: the frequency denominator is a broadcast 1-row total joined
+    into the 9-row digit relation — never a materialized product."""
+    p = plan(spark, sf_dir, "q_quality_benford")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
 def test_pareto_total_broadcast_no_cartesian(spark, sf_dir):
     """A34: the revenue-share denominator is a 1-row broadcast, never a
     materialized cartesian, and the only global sort is the documented
