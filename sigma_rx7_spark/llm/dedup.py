@@ -816,6 +816,11 @@ def q_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs scorer — 5.8× even on the adversarial corpus, and the gap
     widens quadratically with n."""
     e = load(spark, sf_dir, "embeddings")
+    # nv is deliberately NOT persisted despite three consumers (the
+    # signature pass and both verify-join sides): normalization is a
+    # cheap per-row fold, and caching it pins the single-input-file
+    # partitioning onto the verify joins (measured 3.3 -> 4.2 s) where
+    # the re-derived branches parallelize after their exchanges.
     nv = e.select("vec_id", normalized("embedding").alias("nv"))
     sig = srp_signature_bits(nv)
     # dedup deferred past the verify filter: the selective threshold
