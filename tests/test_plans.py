@@ -633,6 +633,15 @@ def test_heavyhitters_exactness_precondition(spark, sf_dir):
         " — Misra-Gries superset no longer provably covers the top-k")
 
 
+def test_mv_answer_reads_rollup_not_events(spark, sf_dir):
+    """M5': the monthly report must plan over the persisted daily
+    rollup (a days×types relation), never rescan the raw events table
+    — the whole contract of MV answering at 100 TB."""
+    p = plan(spark, sf_dir, "q_mv_rollup_answer")
+    assert "mv_daily_events" in p, p
+    assert "events.parquet" not in p
+
+
 def test_profile_single_scan_with_expand(spark, sf_dir):
     """Q9: the per-column profile must compute every column's
     null/distinct stats from ONE scan of the table (multi-distinct via
