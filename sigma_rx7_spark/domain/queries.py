@@ -33,6 +33,7 @@ _STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary",
 
 
 _DOMAIN_STAGED: dict[str, DataFrame] = {}
+_DOMAIN_LAYOUT_V = 1  # bump when fixtures.py changes the staged content
 
 
 def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
@@ -44,14 +45,38 @@ def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
     unions four rule pipelines in ONE plan) REQUIRE it: a re-stage
     between member calls overwrites files an earlier member's plan
     still references (observed: FAILED_READ_FILE mid-materialization).
+
+    CROSS-process safety (round-5 incident: a concurrent session
+    re-staged these paths mid-read and failed 16 tests in the other
+    process): a completed staging is detected by an on-disk layout-
+    version marker plus per-table _SUCCESS files — same discipline as
+    sources/layout.py:stage_indexed_lineitem — and is NEVER
+    overwritten by a fresh process. The marker version invalidates
+    stagings left by older fixture code; only then do we rewrite.
     """
     if _DOMAIN_STAGED:
         return dict(_DOMAIN_STAGED)
-    tables = fixtures.build_domain_tables(spark)
+    tag = os.path.join(_STAGE, "_layout_v.txt")
+
+    def _tag_ok() -> bool:
+        try:
+            with open(tag) as fh:
+                return fh.read().strip() == str(_DOMAIN_LAYOUT_V)
+        except OSError:
+            return False
+
+    complete = _tag_ok() and all(
+        os.path.exists(os.path.join(_STAGE, t, "_SUCCESS"))
+        for t in _STAGED_TABLES)
+    if not complete:
+        tables = fixtures.build_domain_tables(spark)
+        for t in _STAGED_TABLES:
+            path = os.path.join(_STAGE, t)
+            tables[t].coalesce(1).write.mode("overwrite").parquet(path)
+        with open(tag, "w") as fh:
+            fh.write(str(_DOMAIN_LAYOUT_V))
     for t in _STAGED_TABLES:
-        path = os.path.join(_STAGE, t)
-        tables[t].coalesce(1).write.mode("overwrite").parquet(path)
-        _DOMAIN_STAGED[t] = spark.read.parquet(path)
+        _DOMAIN_STAGED[t] = spark.read.parquet(os.path.join(_STAGE, t))
     return dict(_DOMAIN_STAGED)
 
 

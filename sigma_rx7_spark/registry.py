@@ -78,97 +78,74 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 5: every name in the round-4 window got its green row
-    # (CORRECTNESS_r04.json: 50/50), so all 50 rotate out. This round
-    # FREEZES net-new query additions (judge directive) and spends the
-    # window on the never-driver-checked backlog: the first 47
-    # rotation candidates in registration order (exactly the prefix
-    # `python scripts/rotation_candidates.py` emits) plus the three
-    # queries whose oracle changed this round — the two sketch queries
-    # promoted from rows-only to accuracy-gated audits, and the one
-    # sanctioned stretch addition (FHIR Bundle round-trip).
+    # Round 6: all 50 round-5 window names got green rows
+    # (CORRECTNESS_r05.json: 50/50 pass, zero errs), so the whole
+    # window rotates out. The registry stays FROZEN (268 queries; the
+    # only sanctioned stretch is one domain query, judge brief item 7)
+    # and the window takes the next 50 never-driver-checked names —
+    # exactly the first 50 rotation candidates in registration order
+    # as emitted by `python scripts/rotation_candidates.py` at
+    # round-6 start (60 pending before this round; 10 remain after:
+    # q_stream_sequence, q_udf_sql, q_api_pandas, q_sql_scripting,
+    # q_domain_drug_eras, q_domain_therapy_gaps, q_domain_refill_due,
+    # q_domain_alert_inbox, q_domain_era_survival,
+    # q_domain_price_trend — the round-7 window clears them and then
+    # re-banks the oldest r1/r2 greens via
+    # `python scripts/rotation_candidates.py --age`).
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
-    #   SIGMA_TEST_SF_DIR=/root/testdata/sf0.01 \
-    #     python -m pytest tests/test_oracle_mirror.py -q \
-    #       -k "<names joined with ' or '>"
-    # (scripts/prefreeze_mirror.sh runs exactly that for this list).
-    # Promoted / new this round — prove on first exposure:
-    "q_agg_approx",
-    "q_agg_approx_quantile",
-    "q_domain_fhir_bundle",
-    # Backlog, registration order:
-    "q_join_cardinality_audit",
-    "q_join_supplier_league",
-    "q_join_asof_nearest",
-    "q_agg_ols",
-    "q_agg_winsorized",
-    "q_agg_chisq",
-    "q_window_streak",
-    "q_agg_gini",
-    "q_agg_transpose",
-    "q_agg_kmv_setops",
-    "q_agg_exact_median",
-    "q_agg_state_merge",
-    "q_agg_exact_quantiles",
-    "q_null_semantics",
-    "q_agg_hierarchy_share",
-    "q_agg_weighted_median",
-    "q_agg_backlog_aging",
-    "q_agg_histogram2d",
-    "q_agg_discount_bands",
-    "q_agg_pareto",
-    "q_window_gap_quantiles",
-    "q_window_peer_zscore",
-    "q_attribution_multitouch",
-    "q_pattern_sessions",
-    "q_event_transitions",
-    "q_funnel_latency",
-    "q_percentile_bands_daily",
-    "q_cohort_retention_rate",
-    "q_daily_autocorr",
-    "q_usage_heatmap",
-    "q_daily_runs_test",
-    "q_session_length_dist",
-    "q_mv_rollup_answer",
-    "q_join_lateral_topk",
-    "q_graph_sssp",
-    "q_graph_degree_dist",
-    "q_link_entities",
-    "q_link_survivorship",
-    "q_quality_freshness",
-    "q_quality_psi",
-    "q_anomaly_seasonal",
-    "q_quality_sequence",
-    "q_quality_benford",
-    "q_quality_profile",
-    "q_quality_temporal",
-    "q_quality_reconcile",
-    "q_sink_compaction",
-    # Window full at 50. Still never-checked after this round (the
-    # round-6 rotation takes the next 50, rotation_candidates.py emits
-    # them): q_source_json_dlq, q_sink_backfill, q_audit_file_layout,
-    # q_source_textlines, q_scan_zorder, q_scan_zorder_incremental,
-    # q_scan_indexed, q_string_collation, q_date_timezones,
-    # q_ml_logreg_train, q_text_keywords, q_text_pmi,
-    # q_text_perplexity_filter, q_text_zipf, q_text_heavyhitters,
-    # q_text_search_and, q_text_vocab_drift, q_text_novelty,
-    # q_text_lang_confusion, q_text_source_diversity, q_text_hapax,
-    # q_text_bpe_merges, q_text_bpe_tokenize, q_sample_negatives,
-    # q_sample_budget, q_sample_estimate, q_split_grouped,
-    # q_sample_temp_sweep, q_pipeline_interleave,
-    # q_pipeline_token_budget, q_embed_audit, q_dedup_recall_lsh,
-    # q_text_source_overlap, q_dedup_burden_matrix,
-    # q_pipeline_quality_model, q_pipeline_incremental_dedup,
-    # q_ml_eval, q_pipeline_fates, q_split_leakage,
-    # q_corpus_release_gate, q_ml_lift, q_embed_pca_power, q_embed_pq,
-    # q_cluster_geometry, q_stream_ingest_dedup, q_stream_stream_left,
-    # q_stream_dedup_watermarked, q_stream_mv_refresh,
-    # q_stream_attribution, q_stream_transitions, q_stream_sequence,
-    # q_udf_sql, q_api_pandas, q_sql_scripting, q_domain_drug_eras,
-    # q_domain_therapy_gaps, q_domain_refill_due, q_domain_alert_inbox,
-    # q_domain_era_survival, q_domain_price_trend.
+    #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
+    "q_source_json_dlq",
+    "q_sink_backfill",
+    "q_audit_file_layout",
+    "q_source_textlines",
+    "q_scan_zorder",
+    "q_scan_zorder_incremental",
+    "q_scan_indexed",
+    "q_string_collation",
+    "q_date_timezones",
+    "q_ml_logreg_train",
+    "q_text_keywords",
+    "q_text_pmi",
+    "q_text_perplexity_filter",
+    "q_text_zipf",
+    "q_text_heavyhitters",
+    "q_text_search_and",
+    "q_text_vocab_drift",
+    "q_text_novelty",
+    "q_text_lang_confusion",
+    "q_text_source_diversity",
+    "q_text_hapax",
+    "q_text_bpe_merges",
+    "q_text_bpe_tokenize",
+    "q_sample_negatives",
+    "q_sample_budget",
+    "q_sample_estimate",
+    "q_split_grouped",
+    "q_sample_temp_sweep",
+    "q_pipeline_interleave",
+    "q_pipeline_token_budget",
+    "q_embed_pca_power",
+    "q_embed_pq",
+    "q_cluster_geometry",
+    "q_embed_audit",
+    "q_dedup_recall_lsh",
+    "q_text_source_overlap",
+    "q_dedup_burden_matrix",
+    "q_pipeline_quality_model",
+    "q_pipeline_incremental_dedup",
+    "q_ml_eval",
+    "q_pipeline_fates",
+    "q_split_leakage",
+    "q_corpus_release_gate",
+    "q_ml_lift",
+    "q_stream_ingest_dedup",
+    "q_stream_stream_left",
+    "q_stream_dedup_watermarked",
+    "q_stream_mv_refresh",
+    "q_stream_attribution",
+    "q_stream_transitions",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
