@@ -121,14 +121,20 @@ def main() -> None:
     run("q_agg_pricing_summary")  # JVM/codegen warmup
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         # Steady-state: min of 3 (first run pays per-query planning /
         # codegen that a long-lived session amortizes away), plus the
         # median so a reader can separate real regressions from this
-        # box's measured run-to-run noise.
+        # box's measured run-to-run noise, plus the max-min spread so a
+        # round-over-round delta can be read against the same query's
+        # own in-process variance (sub-second queries wobble 1.3-1.5x
+        # between rounds; a delta inside the recorded spread is floor
+        # noise, not a regression).
         reps = sorted(run(name) for _ in range(3))
         timings[name] = round(reps[0], 3)
         medians[name] = round(reps[1], 3)
+        spreads[name] = round(reps[-1] - reps[0], 3)
 
     total = round(sum(timings.values()), 3)
     # The external bench harness captures only the LAST ~2000 bytes of
@@ -143,13 +149,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # Per-query max-min over the 3 in-process reps: the measured
+        # run-to-run noise floor to read cross-round deltas against.
+        "queries_spread": spreads,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps({"detail": "queries_median", "queries_median": medians}))
-    headline = {k: v for k, v in detail.items() if k != "queries_median"}
+    print(json.dumps({"detail": "queries_spread", "queries_spread": spreads}))
+    headline = {k: v for k, v in detail.items()
+                if k not in ("queries_median", "queries_spread")}
     line = json.dumps(headline)
     if len(line) > 1900:  # belt-and-braces: never overflow the tail again
         headline["queries"] = {"see": "BENCH_DETAIL.json"}

@@ -950,3 +950,103 @@ def q_domain_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("last_price") - F.col("first_price"))
          / F.col("first_price")).alias("pct_change"),
         (F.col("last_price") > F.col("first_price")).alias("increased"))
+
+
+_DENIAL_QUEUE_ORACLE = f"""
+WITH {_SUBS_CTES},
+coverage AS (SELECT * FROM {_p('coverage')}),
+formulary AS (SELECT * FROM {_p('formulary')}),
+aligned AS (
+  SELECT s.patient_id, s.med_id,
+         CAST(s.generic_rxcui AS VARCHAR) AS rxcui,
+         'draft' AS status,
+         c.plan_id,
+         f.tier IS NOT NULL AS on_formulary,
+         COALESCE(f.tier, 4) AS tier,
+         COALESCE(f.prior_auth, TRUE) AS prior_auth,
+         s.brand_price - s.generic_price AS savings,
+         CAST(CAST(
+           1.0 / (1.0 + exp(-(-2.0
+             + 0.01 * s.generic_price
+             + 0.4 * COALESCE(f.tier, 4)
+             + 1.5 * CASE WHEN COALESCE(f.prior_auth, TRUE)
+                          THEN 1 ELSE 0 END)))
+           AS DECIMAL(18,6)) AS DOUBLE) AS denial_risk
+  FROM subs_won s
+  LEFT JOIN coverage c ON s.patient_id = c.patient_id
+  LEFT JOIN formulary f
+    ON c.plan_id = f.plan_id AND s.generic_rxcui = f.rxcui
+)
+SELECT patient_id, med_id, rxcui, status, plan_id, on_formulary,
+       tier, prior_auth, savings, denial_risk,
+       ROW_NUMBER() OVER (PARTITION BY plan_id
+                          ORDER BY denial_risk DESC, med_id) AS queue_pos
+FROM aligned
+"""
+
+
+@query("q_domain_denial_queue", oracle=_DENIAL_QUEUE_ORACLE,
+       tags=("domain", "denial", "fhir"))
+def q_domain_denial_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIOR-AUTH DENIAL QUEUE over the draft FHIR exports — the E1→E3
+    composition the reference's feature list describes (README.md:9-10):
+    the denial-risk scoring function applied to the PROPOSED therapy of
+    every draft MedicationRequest, ranked per payer plan so each plan's
+    prior-auth work queue surfaces its riskiest drafts first.
+
+    Unlike q_domain_recommendations' scored column (the CURRENT brand
+    med's placement), the queue scores the GENERIC being proposed: its
+    formulary tier/prior-auth flag under the patient's plan and its
+    as-of price feed the logistic — a draft likely to be denied needs
+    the paperwork before submission. The rxcui/status columns are
+    RE-EXTRACTED from the serialized FHIR JSON (export_medication_
+    requests), so the gate proves the queue ranks the actual export
+    artifacts, not a parallel relation.
+
+    Scale shape: subs is fact-sized; coverage and formulary are
+    broadcast dims; the window partitions by plan_id (each payer's
+    queue ranks independently — no global sort). The logistic passes
+    through exp, so it is decimal-quantized at 6 dp on both sides per
+    the module convention; tie-break on med_id (unique per draft)
+    makes the rank total."""
+    from pyspark.sql import Window
+
+    from ..functions.scoring import logistic_score
+
+    tables = stage_domain_tables(spark)
+    subs = rules.generic_substitutions(
+        tables["meds"], tables["orange_book"], tables["prices"])
+    exported = export_medication_requests(subs)
+    j = F.col("fhir_json")
+    drafts = exported.select(
+        "med_id",
+        F.get_json_object(
+            j, "$.medicationCodeableConcept.coding[0].code").alias("rxcui"),
+        F.get_json_object(j, "$.status").alias("status"),
+    )
+    plan = tables["coverage"].select("patient_id", "plan_id")
+    fm = tables["formulary"].select(
+        F.col("plan_id").alias("f_plan_id"),
+        F.col("rxcui").alias("f_rxcui"), "tier", "prior_auth")
+    aligned = (
+        subs.join(drafts, "med_id")
+        .join(F.broadcast(plan), "patient_id", "left")
+        .join(F.broadcast(fm),
+              (F.col("plan_id") == F.col("f_plan_id"))
+              & (F.col("generic_rxcui") == F.col("f_rxcui")), "left")
+        .select(
+            "patient_id", "med_id", "rxcui", "status", "plan_id",
+            F.col("tier").isNotNull().alias("on_formulary"),
+            F.coalesce("tier", F.lit(4)).alias("tier"),
+            F.coalesce("prior_auth", F.lit(True)).alias("prior_auth"),
+            "savings",
+            logistic_score(
+                price=F.col("generic_price"),
+                tier=F.coalesce("tier", F.lit(4)),
+                prior_auth=F.coalesce("prior_auth", F.lit(True)),
+            ).cast("decimal(18,6)").cast("double").alias("denial_risk"),
+        )
+    )
+    w = Window.partitionBy("plan_id").orderBy(
+        F.desc("denial_risk"), F.asc("med_id"))
+    return aligned.withColumn("queue_pos", F.row_number().over(w))
