@@ -540,27 +540,47 @@ def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Materialized-rollup query answering (aggregate navigator) -----------
 
 _MV_STAGED: dict[str, str] = {}
+_MV_LAYOUT_V = 1  # bump when the rollup grain/measures change
 
 
 def stage_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
     """The materialized view: per (day, event_type) pre-aggregate of the
     event stream, persisted once — exact-decimal value sums so the
     re-aggregation to coarser grains stays engine-exact (algebraic
-    states, the q_agg_state_merge contract applied to a stored MV)."""
+    states, the q_agg_state_merge contract applied to a stored MV).
+
+    Cross-process safe (the layout.py marker discipline): a completed
+    staging — version stamp + _SUCCESS on disk — is reused, never
+    overwritten by a fresh process, so a concurrent session cannot
+    yank the MV out from under this process's open plans. The memo is
+    sf_dir-keyed so alternating scale factors in one process don't
+    re-stage each other's rollups."""
     import os
 
     from ..sources.formats import _stage_dir
     from ..compat import q as qd
 
     path = _stage_dir("mv_daily_events", sf_dir)
-    if _MV_STAGED.get("sf") != sf_dir:
+    tag = os.path.join(path, "_layout_v.txt")
+
+    def _tag_ok() -> bool:
+        try:
+            with open(tag) as fh:
+                return fh.read().strip() == str(_MV_LAYOUT_V)
+        except OSError:
+            return False
+
+    if sf_dir not in _MV_STAGED and not (
+            os.path.exists(os.path.join(path, "_SUCCESS")) and _tag_ok()):
         ev = load(spark, sf_dir, "events")
         (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
                     "event_type")
          .agg(F.count(F.lit(1)).alias("n_events"),
               F.sum(qd("value")).alias("sum_value_dec"))
          .write.mode("overwrite").parquet(path))
-        _MV_STAGED["sf"] = sf_dir
+        with open(tag, "w") as fh:
+            fh.write(str(_MV_LAYOUT_V))
+    _MV_STAGED[sf_dir] = path
     return path
 
 
