@@ -886,3 +886,12 @@ def test_alert_inbox_single_plan_unions(spark, sf_dir):
     counts separately."""
     p = plan(spark, sf_dir, "q_domain_alert_inbox")
     assert "Union" in p
+
+
+def test_denial_queue_dims_broadcast_no_global_sort(spark, sf_dir):
+    """E1→E3 denial queue: coverage and formulary ride broadcasts onto
+    the fact-sized substitution relation (no shuffle for the dims), and
+    ranking partitions by plan_id — no rangepartitioning global sort."""
+    p = plan(spark, sf_dir, "q_domain_denial_queue")
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
