@@ -157,3 +157,34 @@ def test_index_staging_memo_is_sf_keyed(spark, sf_dir):
         # and returning to the first sf still does not re-stage
         assert stage_indexed_lineitem(spark, sf_dir) == p1
         assert os.path.getmtime(marker) == mtime
+
+
+def test_staging_marker_discipline(tmp_path):
+    """Round-6 contract: a completed staging (version stamp + _SUCCESS)
+    is detected and reused; a missing _SUCCESS, absent stamp, or stamp
+    from another layout version all force a (re)build. No Spark needed
+    — the guard is pure filesystem logic."""
+    from sigma_rx7_spark.llm.similarity import _mark_staged, _staging_ok
+
+    p = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(p)
+    # empty dir: not complete
+    assert not _staging_ok(p, "1")
+    # _SUCCESS without stamp: not complete (older code left it)
+    open(os.path.join(p, "_SUCCESS"), "w").close()
+    assert not _staging_ok(p, "1")
+    # stamp + _SUCCESS: complete for that stamp only
+    _mark_staged(p, "1")
+    assert _staging_ok(p, "1")
+    assert not _staging_ok(p, "2")          # version bump invalidates
+    assert not _staging_ok(p, "1:sf0.01")   # sf-qualified stamp differs
+    # multi-subdir artifacts: every part needs its _SUCCESS
+    os.makedirs(os.path.join(p, "cells"))
+    os.makedirs(os.path.join(p, "centroids"))
+    assert not _staging_ok(p, "1", "cells", "centroids")
+    open(os.path.join(p, "cells", "_SUCCESS"), "w").close()
+    assert not _staging_ok(p, "1", "cells", "centroids")
+    open(os.path.join(p, "centroids", "_SUCCESS"), "w").close()
+    assert _staging_ok(p, "1", "cells", "centroids")
