@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
 from . import fixtures, hl7, rules
 from .fhir import RXNORM_SYSTEM, export_medication_requests
 
@@ -33,7 +34,15 @@ _STAGED_TABLES = ("meds", "orange_book", "prices", "coverage", "formulary",
 
 
 _DOMAIN_STAGED: dict[str, DataFrame] = {}
-_DOMAIN_LAYOUT_V = 1  # bump when fixtures.py changes the staged content
+
+
+def _domain_stamp() -> str:
+    """Stamp of the staged fixture set: hashes the whole fixtures
+    MODULE (every staged table comes from build_domain_tables and its
+    file-level constants), so any fixture change auto-invalidates the
+    staging — no hand-maintained version integer to forget (r6
+    advice)."""
+    return src_stamp(fixtures)
 
 
 def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
@@ -56,25 +65,19 @@ def stage_domain_tables(spark: SparkSession) -> dict[str, DataFrame]:
     """
     if _DOMAIN_STAGED:
         return dict(_DOMAIN_STAGED)
-    tag = os.path.join(_STAGE, "_layout_v.txt")
-
-    def _tag_ok() -> bool:
-        try:
-            with open(tag) as fh:
-                return fh.read().strip() == str(_DOMAIN_LAYOUT_V)
-        except OSError:
-            return False
-
-    complete = _tag_ok() and all(
-        os.path.exists(os.path.join(_STAGE, t, "_SUCCESS"))
-        for t in _STAGED_TABLES)
-    if not complete:
+    stamp = _domain_stamp()
+    if not staging_ok(_STAGE, stamp, *_STAGED_TABLES):
+        # begin_staging FIRST (r6 advice): the seven table subdirs
+        # rewrite one at a time under a single parent marker, and
+        # without the BUILDING sentinel a concurrent process on an
+        # older fixtures revision would see its own still-matching
+        # marker over a half-rewritten table set and read mid-rebuild.
+        begin_staging(_STAGE)
         tables = fixtures.build_domain_tables(spark)
         for t in _STAGED_TABLES:
             path = os.path.join(_STAGE, t)
             tables[t].coalesce(1).write.mode("overwrite").parquet(path)
-        with open(tag, "w") as fh:
-            fh.write(str(_DOMAIN_LAYOUT_V))
+        mark_staged(_STAGE, stamp)
     for t in _STAGED_TABLES:
         _DOMAIN_STAGED[t] = spark.read.parquet(os.path.join(_STAGE, t))
     return dict(_DOMAIN_STAGED)

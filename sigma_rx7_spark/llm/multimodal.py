@@ -180,31 +180,23 @@ _MEDIA_STAGE = os.path.join(os.path.dirname(os.path.dirname(
     "media_fixture")
 
 
-_MEDIA_LAYOUT_V = 1  # bump when build_media_table changes the fixture
-
-
 def stage_media(spark: SparkSession) -> DataFrame:
     """Write the deterministic media fixture to parquet and read it back,
     so Spark and the DuckDB oracle consume identical payload bytes (the
-    domain-staging contract). A completed staging (version stamp +
+    domain-staging contract). A completed staging (source-hash stamp +
     _SUCCESS) is reused, never overwritten — re-writing identical bytes
     on every call was both wasted work and the cross-process
-    FAILED_READ_FILE overwrite race fixed repo-wide in round 6."""
-    tag = os.path.join(_MEDIA_STAGE, "_layout_v.txt")
+    FAILED_READ_FILE overwrite race fixed repo-wide in round 6. The
+    stamp hashes build_media_table's source, so a fixture change
+    auto-invalidates old stagings (r6 advice)."""
+    from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
 
-    def _tag_ok() -> bool:
-        try:
-            with open(tag) as fh:
-                return fh.read().strip() == str(_MEDIA_LAYOUT_V)
-        except OSError:
-            return False
-
-    if not (os.path.exists(os.path.join(_MEDIA_STAGE, "_SUCCESS"))
-            and _tag_ok()):
+    stamp = src_stamp(build_media_table)
+    if not staging_ok(_MEDIA_STAGE, stamp):
+        begin_staging(_MEDIA_STAGE)
         build_media_table(spark).coalesce(1).write.mode("overwrite") \
             .parquet(_MEDIA_STAGE)
-        with open(tag, "w") as fh:
-            fh.write(str(_MEDIA_LAYOUT_V))
+        mark_staged(_MEDIA_STAGE, stamp)
     return spark.read.parquet(_MEDIA_STAGE)
 
 

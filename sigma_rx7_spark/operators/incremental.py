@@ -540,7 +540,6 @@ def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Materialized-rollup query answering (aggregate navigator) -----------
 
 _MV_STAGED: dict[str, str] = {}
-_MV_LAYOUT_V = 1  # bump when the rollup grain/measures change
 
 
 def stage_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
@@ -560,26 +559,22 @@ def stage_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.formats import _stage_dir
     from ..compat import q as qd
 
+    from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
+
     path = _stage_dir("mv_daily_events", sf_dir)
-    tag = os.path.join(path, "_layout_v.txt")
-
-    def _tag_ok() -> bool:
-        try:
-            with open(tag) as fh:
-                return fh.read().strip() == str(_MV_LAYOUT_V)
-        except OSError:
-            return False
-
-    if sf_dir not in _MV_STAGED and not (
-            os.path.exists(os.path.join(path, "_SUCCESS")) and _tag_ok()):
+    # Stamp = hash of this builder's own source: changing the rollup
+    # grain or measures edits this function, which auto-invalidates
+    # stagings built by the old grain (r6 advice — no version integer).
+    stamp = src_stamp(stage_daily_rollup)
+    if sf_dir not in _MV_STAGED and not staging_ok(path, stamp):
+        begin_staging(path)
         ev = load(spark, sf_dir, "events")
         (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
                     "event_type")
          .agg(F.count(F.lit(1)).alias("n_events"),
               F.sum(qd("value")).alias("sum_value_dec"))
          .write.mode("overwrite").parquet(path))
-        with open(tag, "w") as fh:
-            fh.write(str(_MV_LAYOUT_V))
+        mark_staged(path, stamp)
     _MV_STAGED[sf_dir] = path
     return path
 

@@ -78,74 +78,79 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 6: all 50 round-5 window names got green rows
-    # (CORRECTNESS_r05.json: 50/50 pass, zero errs), so the whole
-    # window rotates out. The registry stays FROZEN (268 queries; the
-    # only sanctioned stretch is one domain query, judge brief item 7)
-    # and the window takes the next 50 never-driver-checked names —
-    # exactly the first 50 rotation candidates in registration order
-    # as emitted by `python scripts/rotation_candidates.py` at
-    # round-6 start (60 pending before this round; 10 remain after:
-    # q_stream_sequence, q_udf_sql, q_api_pandas, q_sql_scripting,
-    # q_domain_drug_eras, q_domain_therapy_gaps, q_domain_refill_due,
-    # q_domain_alert_inbox, q_domain_era_survival,
-    # q_domain_price_trend — the round-7 window clears them and then
-    # re-banks the oldest r1/r2 greens via
-    # `python scripts/rotation_candidates.py --age`).
+    # Round 7 window (judge brief item 1): close the driver-green
+    # ledger. Round 6 banked its whole 50-name window green
+    # (CORRECTNESS_r06.json: 50/50 pass, zero errs), leaving exactly 11
+    # oracle-gated queries that have NEVER had a driver correctness row
+    # (`python scripts/rotation_candidates.py` at round-7 start). They
+    # lead this window; a green r7 row for each closes the ledger at
+    # 265/265 oracle-gated queries driver-proven. Next:
+    # q_agg_approx_quantile — its oracle changed THIS round (exact
+    # percentiles now quantized to DECIMAL(18,6) on both sides, judge
+    # item 4), and a changed oracle re-enters the window on first
+    # exposure. The remaining 38 slots re-bank the STALEST greens
+    # (`rotation_candidates.py --age`: the full r1 cohort, then r2 in
+    # age order) — those rows are 5-6 rounds old and the code around
+    # them has evolved since. The registry stays FROZEN at 269 queries
+    # this round (brief item 1: add nothing).
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    "q_source_json_dlq",
-    "q_sink_backfill",
-    "q_audit_file_layout",
-    "q_source_textlines",
-    "q_scan_zorder",
-    "q_scan_zorder_incremental",
-    "q_scan_indexed",
-    "q_string_collation",
-    "q_date_timezones",
-    "q_ml_logreg_train",
-    "q_text_keywords",
-    "q_text_pmi",
-    "q_text_perplexity_filter",
-    "q_text_zipf",
-    "q_text_heavyhitters",
-    "q_text_search_and",
-    "q_text_vocab_drift",
-    "q_text_novelty",
-    "q_text_lang_confusion",
-    "q_text_source_diversity",
-    "q_text_hapax",
-    "q_text_bpe_merges",
-    "q_text_bpe_tokenize",
-    "q_sample_negatives",
-    "q_sample_budget",
-    "q_sample_estimate",
-    "q_split_grouped",
-    "q_sample_temp_sweep",
-    "q_pipeline_interleave",
-    "q_pipeline_token_budget",
-    "q_embed_pca_power",
-    "q_embed_pq",
-    "q_cluster_geometry",
-    "q_embed_audit",
-    "q_dedup_recall_lsh",
-    "q_text_source_overlap",
-    "q_dedup_burden_matrix",
-    "q_pipeline_quality_model",
-    "q_pipeline_incremental_dedup",
-    "q_ml_eval",
-    "q_pipeline_fates",
-    "q_split_leakage",
-    "q_corpus_release_gate",
-    "q_ml_lift",
-    "q_stream_ingest_dedup",
-    "q_stream_stream_left",
-    "q_stream_dedup_watermarked",
-    "q_stream_mv_refresh",
-    "q_stream_attribution",
-    "q_stream_transitions",
+    # never-driver-checked (11; registration order)
+    "q_stream_sequence",
+    "q_udf_sql",
+    "q_api_pandas",
+    "q_sql_scripting",
+    "q_domain_drug_eras",
+    "q_domain_therapy_gaps",
+    "q_domain_refill_due",
+    "q_domain_alert_inbox",
+    "q_domain_era_survival",
+    "q_domain_price_trend",
+    "q_domain_denial_queue",
+    # oracle changed this round (decimal-quantized compare)
+    "q_agg_approx_quantile",
+    # stalest driver-greens, oldest first (r1 cohort ...)
+    "q_subquery_scalar",
+    "q_subquery_exists",
+    "q_agg_grouping_sets",
+    "q_source_csv",
+    "q_source_json",
+    "q_sink_partitioned",
+    "q_string_funcs",
+    "q_string_parse",
+    "q_string_fuzzy",
+    "q_text_pii_scrub",
+    "q_date_funcs",
+    "q_math_score",
+    "q_conditional",
+    # (... then the oldest of the r2 cohort)
+    "q_source_orc",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_json_variant",
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_tokens",
+    "q_text_repetition",
+    "q_text_ngrams",
+    "q_text_tfidf",
+    "q_text_entropy",
+    "q_split_train_test",
+    "q_sample_stratified",
+    "q_sample_mixture",
+    "q_sample_reservoir",
+    "q_cluster_centroids",
+    "q_cluster_assign",
+    "q_cluster_kmeans_step",
+    "q_sim_topk",
+    "q_embed_quantize",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_lsh_verified",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

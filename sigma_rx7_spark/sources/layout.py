@@ -122,10 +122,19 @@ def lineitem_bounds(df: DataFrame) -> tuple[int, int, int, int]:
 
 
 def stage_zorder(spark: SparkSession, sf_dir: str) -> str:
+    # Completed-staging guard (repo-wide discipline, ..staging): the
+    # stamp hashes the clustering code, so a curve/bucketing change
+    # rebuilds instead of silently serving the old layout — the bare
+    # _SUCCESS check this replaced could not tell the two apart.
+    from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
+
     path = _stage_dir("zorder_lineitem", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    stamp = src_stamp(zorder_lineitem, stage_zorder)
+    if not staging_ok(path, stamp):
+        begin_staging(path)
         (zorder_lineitem(load(spark, sf_dir, "lineitem"))
          .write.mode("overwrite").parquet(path))
+        mark_staged(path, stamp)
     return path
 
 
@@ -224,11 +233,20 @@ def stage_zorder_incremental(spark: SparkSession, sf_dir: str) -> str:
     base+delta and both prune identically."""
     import json
 
+    from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
+
     path = _stage_dir("zorderinc_lineitem", sf_dir)
     base_dir = os.path.join(path, "base")
     delta_dir = os.path.join(path, "delta")
     bounds_file = os.path.join(path, "_bounds.json")
-    if not os.path.exists(bounds_file):
+    # base+delta rewrite under one parent marker: begin_staging's
+    # BUILDING sentinel covers the window where base is new but delta
+    # (and the bounds sidecar) are still the old layout's.
+    stamp = src_stamp(zorder_lineitem, lineitem_bounds,
+                      stage_zorder_incremental)
+    if not (staging_ok(path, stamp, "base", "delta")
+            and os.path.exists(bounds_file)):
+        begin_staging(path)
         li = load(spark, sf_dir, "lineitem")
         base = li.where(F.pmod(F.col("l_orderkey"), F.lit(10)) != 0)
         delta = li.where(F.pmod(F.col("l_orderkey"), F.lit(10)) == 0)
@@ -240,6 +258,7 @@ def stage_zorder_incremental(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite").parquet(delta_dir)
         with open(bounds_file, "w") as fh:
             json.dump(bounds, fh)
+        mark_staged(path, stamp)
     return path
 
 
@@ -281,7 +300,6 @@ def q_scan_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Min/max file index (metadata-table data skipping) -------------------
 
 _IDX_STAGED: dict[str, str] = {}
-_IDX_LAYOUT_V = 1  # bump when the staged projection/index layout changes
 _OK_LO, _OK_HI = 1000, 2999  # orderkey probe band (valid at every sf)
 
 
@@ -301,22 +319,19 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
     # Memo keyed by sf_dir (alternating scale factors in one process must
     # not re-stage each other's layouts) + an on-disk completion marker,
     # so a finished staging survives process restarts — same discipline
-    # as stage_zorder. The marker carries a LAYOUT VERSION: bumping
-    # _IDX_LAYOUT_V whenever the staged projection / file count / index
-    # aggregation changes invalidates stale stagings left by older code
-    # (a bare _SUCCESS would silently serve the old layout).
-    tag = os.path.join(path, "_layout_v.txt")
+    # as stage_zorder. The marker carries a SOURCE-HASH stamp: any
+    # change to this builder (projection, file count, index aggregation)
+    # auto-invalidates stagings left by older code (a bare _SUCCESS
+    # would silently serve the old layout; r6 advice retired the
+    # hand-bumped integer). begin_staging's BUILDING sentinel covers
+    # the data/idx two-subdir rewrite window against concurrent
+    # readers on any code revision.
+    from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
 
-    def _tag_ok() -> bool:
-        try:
-            with open(tag) as fh:
-                return fh.read().strip() == str(_IDX_LAYOUT_V)
-        except OSError:
-            return False
-
-    if sf_dir not in _IDX_STAGED and not (
-            os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
-            and _tag_ok()):
+    stamp = src_stamp(stage_indexed_lineitem)
+    if sf_dir not in _IDX_STAGED and not staging_ok(
+            path, stamp, "data", "idx"):
+        begin_staging(path)
         (load(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_quantity", "l_returnflag")
          .repartitionByRange(N_ZFILES, "l_orderkey")
@@ -328,8 +343,7 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
               F.max("l_orderkey").alias("max_ok"),
               F.count(F.lit(1)).alias("n_rows"))
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
-        with open(tag, "w") as fh:
-            fh.write(str(_IDX_LAYOUT_V))
+        mark_staged(path, stamp)
     _IDX_STAGED[sf_dir] = path
     return path
 

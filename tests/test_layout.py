@@ -160,31 +160,77 @@ def test_index_staging_memo_is_sf_keyed(spark, sf_dir):
 
 
 def test_staging_marker_discipline(tmp_path):
-    """Round-6 contract: a completed staging (version stamp + _SUCCESS)
-    is detected and reused; a missing _SUCCESS, absent stamp, or stamp
-    from another layout version all force a (re)build. No Spark needed
-    — the guard is pure filesystem logic."""
-    from sigma_rx7_spark.llm.similarity import _mark_staged, _staging_ok
+    """Round-6/7 contract: a completed staging (stamp + _SUCCESS) is
+    detected and reused; a missing _SUCCESS, absent stamp, stamp from
+    another layout, or an in-progress BUILDING sentinel all force a
+    (re)build. No Spark needed — the guard is pure filesystem logic."""
+    from sigma_rx7_spark.staging import (
+        begin_staging,
+        mark_staged,
+        staging_ok,
+    )
 
     p = str(tmp_path / "stage")
     import os
 
     os.makedirs(p)
     # empty dir: not complete
-    assert not _staging_ok(p, "1")
+    assert not staging_ok(p, "1")
     # _SUCCESS without stamp: not complete (older code left it)
     open(os.path.join(p, "_SUCCESS"), "w").close()
-    assert not _staging_ok(p, "1")
+    assert not staging_ok(p, "1")
     # stamp + _SUCCESS: complete for that stamp only
-    _mark_staged(p, "1")
-    assert _staging_ok(p, "1")
-    assert not _staging_ok(p, "2")          # version bump invalidates
-    assert not _staging_ok(p, "1:sf0.01")   # sf-qualified stamp differs
+    mark_staged(p, "1")
+    assert staging_ok(p, "1")
+    assert not staging_ok(p, "2")          # version bump invalidates
+    assert not staging_ok(p, "1:sf0.01")   # sf-qualified stamp differs
     # multi-subdir artifacts: every part needs its _SUCCESS
     os.makedirs(os.path.join(p, "cells"))
     os.makedirs(os.path.join(p, "centroids"))
-    assert not _staging_ok(p, "1", "cells", "centroids")
+    assert not staging_ok(p, "1", "cells", "centroids")
     open(os.path.join(p, "cells", "_SUCCESS"), "w").close()
-    assert not _staging_ok(p, "1", "cells", "centroids")
+    assert not staging_ok(p, "1", "cells", "centroids")
     open(os.path.join(p, "centroids", "_SUCCESS"), "w").close()
-    assert _staging_ok(p, "1", "cells", "centroids")
+    assert staging_ok(p, "1", "cells", "centroids")
+    # r6-advice mixed-version race: begin_staging's BUILDING sentinel
+    # makes the mid-rebuild state incomplete to EVERY stamp — including
+    # the one that was just valid — until mark_staged restores it.
+    begin_staging(p)
+    assert not staging_ok(p, "1", "cells", "centroids")
+    assert not staging_ok(p, "BUILDING", "cells", "centroids")
+    mark_staged(p, "2")
+    assert staging_ok(p, "2", "cells", "centroids")
+    # begin_staging also creates a missing parent dir
+    q = str(tmp_path / "fresh")
+    begin_staging(q)
+    assert os.path.exists(os.path.join(q, "_layout_v.txt"))
+
+
+def test_src_stamp_tracks_builder_source(tmp_path):
+    """src_stamp derives the layout version from builder SOURCE: same
+    builders → same stamp across calls/processes; different builder
+    code or extra salt → different stamp (the automatic bump that
+    replaced the hand-maintained integers, r6 advice)."""
+    from sigma_rx7_spark.llm import similarity
+    from sigma_rx7_spark.staging import src_stamp
+
+    def builder_a():
+        return 1
+
+    def builder_b():
+        return 2
+
+    s1 = src_stamp(builder_a)
+    assert s1 == src_stamp(builder_a)                  # deterministic
+    assert s1 != src_stamp(builder_b)                  # code-sensitive
+    assert s1 != src_stamp(builder_a, extra="dim=8")   # salt-sensitive
+    assert s1 != src_stamp(builder_a, builder_b)       # set-sensitive
+    assert len(s1) == 12 and s1 != "BUILDING"
+    # modules hash too (the domain fixtures stamp hashes fixtures.py)
+    assert src_stamp(similarity) == src_stamp(similarity)
+    # and the production per-artifact stamps are distinct from each
+    # other (split per artifact, not one shared constant)
+    cent = similarity._cent_stamp()
+    ivf = src_stamp(similarity.build_ivf_index, similarity.ivf_assign,
+                    extra=cent)
+    assert cent != ivf
