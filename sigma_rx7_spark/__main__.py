@@ -9,6 +9,12 @@ driver harness uses:
     python -m sigma_rx7_spark run q_agg_pricing_summary --sf-dir ... -n 20
     python -m sigma_rx7_spark explain q_join_broadcast
     python -m sigma_rx7_spark oracle q_agg_pricing_summary
+    python -m sigma_rx7_spark report q_agg_pricing_summary -o out.html
+
+`report` is the S7 sink end-to-end (sources/report.py): the query's
+result rendered as a self-contained static HTML page + sibling JSON
+payload — the reference's "Run → rendered result" flow without the HTTP
+shell.
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("list", help="list registered queries")
     for name, hlp in (("run", "execute a query and show rows"),
                       ("explain", "show the formatted physical plan"),
-                      ("oracle", "print the DuckDB oracle SQL")):
+                      ("oracle", "print the DuckDB oracle SQL"),
+                      ("report", "render the result as HTML+JSON (S7)")):
         sp = sub.add_parser(name, help=hlp)
         sp.add_argument("query")
         if name != "oracle":
@@ -34,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             sp.add_argument("-n", type=int, default=20,
                             help="rows to show (0 = count only)")
+        if name == "report":
+            sp.add_argument("-o", "--out", default="report.html",
+                            help="output HTML path (sibling .json too)")
+            sp.add_argument("--limit", type=int, default=None,
+                            help="max rows in the report (in-plan bound)")
+            sp.add_argument("--title", default=None)
     args = p.parse_args(argv)
 
     from . import registry
@@ -69,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.inspect import formatted_plan
 
         print(formatted_plan(df))
+    elif args.cmd == "report":
+        from .sources.report import DEFAULT_LIMIT, write_report
+
+        payload = write_report(
+            df, args.out, title=args.title or args.query,
+            limit=args.limit or DEFAULT_LIMIT)
+        print(f"{args.out}: {payload['row_count']} row(s)"
+              f"{' (truncated)' if payload['truncated'] else ''}")
     else:
         if args.n:
             df.show(args.n, truncate=False)
