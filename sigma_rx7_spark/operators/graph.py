@@ -53,7 +53,7 @@ def release_graph_caches() -> int:
     """Unpersist every relation THIS MODULE persisted; return the count.
 
     Scoped release: only DataFrames registered by _persist_tracked are
-    touched (property-tested in tests/test_graph.py — an unrelated
+    touched (property-tested in tests/test_properties.py — an unrelated
     persisted relation survives a release). unpersist() on an already-
     evicted entry is a Spark no-op, so double release is safe. Call
     between graphs when feeding many distinct edge lists through
