@@ -1610,3 +1610,108 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.count(F.lit(1)).cast("double") / F.sum("n"))
              .alias("type_token_ratio"))
     )
+
+
+# ---- BM25 ranked retrieval (L3r) ------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.word AS term
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks
+      WHERE term IN ('{SEARCH_TERM_A}', '{SEARCH_TERM_B}')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(CAST(ln(1.0 + (corpus.n_docs - df.df + 0.5)
+                                / (df.df + 0.5)) AS DECIMAL(18,6))
+                  AS DOUBLE)
+             * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dl.dl / corpus.avgdl)) AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.term = df.term
+      CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(s AS DECIMAL(20,6))) AS DOUBLE) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    tags=("L3", "search", "bm25"),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OKAPI BM25 RANKED RETRIEVAL: top-k documents for a two-term query,
+    scored with the standard saturating-tf / length-normalized formula
+    (k1=1.2, b=0.75, the +1 idf variant that keeps scores positive when a
+    term appears in most documents). This is the ranking layer above
+    q_text_search_and's boolean AND — the relevance primitive of every
+    lexical retrieval stack and the usual first-stage ranker in front of
+    embedding rerankers.
+
+    Scale shape: the corpus is tokenized ONCE; document lengths and the
+    global (n_docs, avgdl) pair fall out of the same posting relation;
+    per-term tf is computed only for the query terms (the IN filter
+    pushes below the tf aggregate, so shuffle volume is query-term
+    postings, not the corpus); df and the corpus stats are 1-to-2-row
+    broadcast relations; top-k is TakeOrdered, never a global sort.
+    Determinism: idf passes through ln so it is 6-dp-quantized (compat
+    rule 2); everything else is integer-derived IEEE add/mul/div
+    (correctly rounded, engine-identical); the per-doc sum over the <=2
+    term partials goes through the exact-decimal dsum path.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(SEARCH_TERM_A, SEARCH_TERM_B))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+        .cast(QDEC).cast("double")
+    )
+    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+             + BM25_B * F.col("dl") / F.col("avgdl")))
+    s = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", s.alias("s"))
+    )
+    from ..compat import dsum
+    return (
+        scored.groupBy("doc_id").agg(dsum("s", "bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -2258,3 +2258,207 @@ def q_agg_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (1 - F.col("l_discount"))))
              .cast("double").alias("net_revenue"))
     )
+
+
+# ---- Count-min sketch frequency estimation (A40) ---------------------------
+
+CMS_P = 2147483647  # Mersenne prime 2^31-1: the universal-hash modulus
+CMS_W = 16          # buckets per row (tiny on purpose: collisions visible)
+CMS_HASHES = ((1103515245, 12345), (1299709, 7919), (15485863, 104729))
+CMS_PROBES = 10     # report the top-N exact keys' estimates
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_HASHES))
+    return f"""
+    WITH hashes(j, a, b) AS (VALUES {rows}),
+    keyed AS (
+      SELECT e.user_id, h.j,
+             ((h.a * (e.user_id % {CMS_P}) + h.b) % {CMS_P}) % {CMS_W}
+               AS bucket
+      FROM events e CROSS JOIN hashes h
+    ),
+    sketch AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM keyed GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id
+      LIMIT {CMS_PROBES}
+    ),
+    probes AS (
+      SELECT x.user_id, x.exact_cnt, h.j,
+             ((h.a * (x.user_id % {CMS_P}) + h.b) % {CMS_P}) % {CMS_W}
+               AS bucket
+      FROM exact x CROSS JOIN hashes h
+    )
+    SELECT p.user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(s.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@query(
+    "q_agg_cms",
+    oracle=_cms_oracle(),
+    tags=("A40", "sketch", "count-min"),
+)
+def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation with an exactness audit:
+    build a d=3 x w=16 CMS over event user_ids as a RELATION of
+    (hash_row, bucket, count) cells, then answer point queries for the
+    top-10 exact keys and report estimate vs truth. The sketch relation
+    is the distributed form of the classic array: per-partition partial
+    counts merge by (j, bucket) addition — exactly the CMS merge
+    property — so a 1000-executor build is one partial/final aggregate
+    producing d*w rows no matter the input size, and sketches from
+    different days/sources union+re-aggregate into the combined sketch.
+    The deliberately tiny width makes collisions visible at test scale:
+    the audit columns show the one-sided overestimate bias (estimate >=
+    truth always; never under).
+
+    Hashing is the universal family h(u) = ((a*u + b) mod P) mod w with
+    P = 2^31-1 and fixed (a, b) pairs — pure bigint arithmetic, bit-equal
+    in any engine (no reliance on engine-specific hash functions). Probe
+    keys join the d*w-row sketch via broadcast; MIN over the d rows is
+    the CMS point estimate."""
+    e = load(spark, sf_dir, "events").select("user_id")
+    hashes = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(CMS_HASHES)],
+        "j INT, a BIGINT, b BIGINT")
+    bucket = (
+        F.pmod(F.pmod(F.col("a") * F.pmod(F.col("user_id"), F.lit(CMS_P))
+                      + F.col("b"), F.lit(CMS_P)), F.lit(CMS_W))
+    ).alias("bucket")
+    sketch = (
+        e.crossJoin(F.broadcast(hashes))
+        .select("j", bucket)
+        .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(CMS_PROBES)
+    )
+    probes = exact.crossJoin(F.broadcast(hashes)).select(
+        "user_id", "exact_cnt", "j", bucket)
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("bigint")
+            .alias("overestimate"))
+    )
+
+
+# ---- Two-proportion A/B z-test (A41) ---------------------------------------
+
+AB_CONVERT_EVENT = "purchase"
+AB_BASELINE_EVENT = "click"
+
+
+@query(
+    "q_ab_proportions",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = '{AB_CONVERT_EVENT}'
+                           THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = '{AB_BASELINE_EVENT}'
+                           THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
+      FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           CASE WHEN n_a = 0 OR n_b = 0
+                     OR conv_a + conv_b = 0
+                     OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE CAST(CAST(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS zscore
+    FROM arms
+    """,
+    tags=("A41", "abtest", "inference"),
+)
+def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST for an A/B experiment: users split into
+    arms by id parity, conversion = the user's purchase events outnumber
+    their clicks (a scale-free per-user criterion: an any-occurrence
+    flag saturates to 100% once users average a handful of events),
+    and the pooled-variance z statistic decides whether the
+    conversion-rate gap is noise — the primitive behind every
+    experimentation platform's significance column. Two hash aggregates
+    (events -> per-user flag -> single pooled row); the per-user
+    reduction means duplicate events never inflate conversions, and the
+    final statistic is computed on ONE row, so the whole test adds one
+    shuffle over user_id regardless of event volume.
+
+    Determinism: every term is integer-ratio IEEE arithmetic
+    (add/sub/mul/div/sqrt are correctly rounded and engine-identical);
+    the z-score is still 6-dp-quantized on both sides as a belt (the
+    division chain is longer than most)."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == AB_CONVERT_EVENT, 1)
+                  .otherwise(0)).alias("n_conv_events"),
+            F.sum(F.when(F.col("event_type") == AB_BASELINE_EVENT, 1)
+                  .otherwise(0)).alias("n_base_events"))
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.when(F.col("n_conv_events") > F.col("n_base_events"), 1)
+            .otherwise(0).alias("converted"))
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .alias("conv_b"),
+    )
+    n_a, conv_a = F.col("n_a"), F.col("conv_a")
+    n_b, conv_b = F.col("n_b"), F.col("conv_b")
+    p_a = conv_a.cast("double") / n_a
+    p_b = conv_b.cast("double") / n_b
+    pooled = (conv_a + conv_b).cast("double") / (n_a + n_b)
+    degenerate = (
+        (n_a == 0) | (n_b == 0) | (conv_a + conv_b == 0)
+        | (conv_a + conv_b == n_a + n_b))
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        (p_a - p_b) / F.sqrt(
+            pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)))
+    from ..compat import QDEC
+    return arms.select(
+        n_a.cast("bigint").alias("n_a"),
+        conv_a.cast("bigint").alias("conv_a"),
+        n_b.cast("bigint").alias("n_b"),
+        conv_b.cast("bigint").alias("conv_b"),
+        p_a.alias("p_a"), p_b.alias("p_b"),
+        z.cast(QDEC).cast("double").alias("zscore"),
+    )

@@ -709,3 +709,72 @@ def q_quality_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("line_total").isNull(), 1).otherwise(0))
              .cast("bigint").alias("n_headerless_lines"))
     )
+
+
+# ---- k-anonymity audit (Q12) ----------------------------------------------
+
+KANON_K = 5          # minimum acceptable equivalence-class size
+KANON_BAND = 2000.0  # account-balance band width (quasi-identifier 3)
+
+
+@query(
+    "q_quality_kanon",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT) AS bal_band,
+             COUNT(*) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below_k,
+           CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size
+                    ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+           CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size
+                    ELSE 0 END) AS DOUBLE)
+             / SUM(class_size) AS at_risk_rate
+    FROM classes
+    """,
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def q_quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over the customer quasi-identifiers
+    (nation, market segment, account-balance band): the re-identification
+    screen a training-data release gate runs before publishing any
+    person-adjacent table — a record is at risk when its quasi-identifier
+    combination is shared by fewer than K rows, because an attacker who
+    knows those attributes can narrow the subject to a tiny set. Reports
+    the dataset's realized k (the smallest equivalence class), how many
+    classes and rows fall below the K=5 policy floor, and the at-risk
+    row fraction the release gate thresholds on.
+
+    Scale shape: one hash group-by over the QI tuple (shuffle carries the
+    QI columns + a count), then an O(#classes) single-row aggregate —
+    the audit never materializes per-row risk labels, so it costs the
+    same as any cardinality profile at 100 TB. The balance band is a
+    fixed-width floor-divide (exact IEEE, engine-identical); the risk
+    rate is one bigint-ratio division cast to double (correctly rounded,
+    deterministic cross-engine).
+    """
+    c = load(spark, sf_dir, "customer")
+    classes = (
+        c.groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / KANON_BAND).cast("bigint")
+            .alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    below = F.when(F.col("class_size") < KANON_K, F.col("class_size"))
+    return classes.agg(
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < KANON_K, 1).otherwise(0))
+        .cast("bigint").alias("n_classes_below_k"),
+        F.sum(F.coalesce(below, F.lit(0))).cast("bigint")
+        .alias("n_rows_below_k"),
+        (F.sum(F.coalesce(below, F.lit(0))).cast("double")
+         / F.sum("class_size")).alias("at_risk_rate"),
+    )
