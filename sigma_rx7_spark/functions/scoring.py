@@ -264,3 +264,89 @@ def q_ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)").cast("double").alias("brier"),
         )
     )
+
+
+# ---- Weight-of-evidence / information-value feature audit (X7) -------------
+
+WOE_BIN_WIDTH = 50000.0  # o_totalprice band width
+WOE_MAX_BIN = 9          # bins 0..9 (top bin open-ended)
+WOE_TARGET = "F"         # "bad" outcome: fulfilled orders as stand-in label
+
+
+@query(
+    "q_feature_woe",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(floor(o_totalprice / {WOE_BIN_WIDTH}) AS BIGINT),
+                   {WOE_MAX_BIN}) AS bin,
+             CASE WHEN o_orderstatus = '{WOE_TARGET}' THEN 1 ELSE 0 END
+               AS bad
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT bin,
+             SUM(bad) AS n_bad,
+             SUM(1 - bad) AS n_good
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n_bad) AS tot_bad, SUM(n_good) AS tot_good FROM per_bin
+    )
+    SELECT bin,
+           CAST(n_bad AS BIGINT) AS n_bad,
+           CAST(n_good AS BIGINT) AS n_good,
+           CAST(CAST(ln(((n_bad + CAST(0.5 AS DOUBLE)) * tot_good)
+                        / ((n_good + CAST(0.5 AS DOUBLE)) * tot_bad))
+                AS DECIMAL(18,6)) AS DOUBLE) AS woe,
+           (CAST(n_bad AS DOUBLE) / tot_bad
+            - CAST(n_good AS DOUBLE) / tot_good)
+           * CAST(CAST(ln(((n_bad + CAST(0.5 AS DOUBLE)) * tot_good)
+                          / ((n_good + CAST(0.5 AS DOUBLE)) * tot_bad))
+                  AS DECIMAL(18,6)) AS DOUBLE) AS iv_term
+    FROM per_bin, tot
+    """,
+    tags=("X7", "feature", "woe"),
+)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION-VALUE audit of a binned numeric
+    feature against a binary outcome — the classic credit-scoring
+    feature screen (and the standard monotonic-binning diagnostic
+    before logistic models): per price band, how strongly the band
+    shifts the log-odds of the outcome (WOE) and how much separation
+    the whole feature carries (IV = sum of iv_term). Bands are
+    fixed-width with an open top bin, so binning is one exact
+    floor-divide (no engine-dependent quantile edges); the +0.5
+    Laplace smoothing keeps empty cells finite.
+
+    Scale shape: one scan -> one tiny group-by (<= 10 bins) -> a
+    broadcast 1-row totals relation; output is O(bins). The only
+    transcendental is one ln per bin, 6-dp-quantized before the
+    iv_term product (compat rule 2); counts and ratios are
+    integer-derived IEEE."""
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / WOE_BIN_WIDTH)
+                .cast("bigint"), F.lit(WOE_MAX_BIN)).alias("bin"),
+        F.when(F.col("o_orderstatus") == WOE_TARGET, 1).otherwise(0)
+        .alias("bad"))
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("bad").alias("n_bad"),
+        F.sum(1 - F.col("bad")).alias("n_good"))
+    tot = per_bin.agg(F.sum("n_bad").alias("tot_bad"),
+                      F.sum("n_good").alias("tot_good"))
+    n_bad, n_good = F.col("n_bad"), F.col("n_good")
+    tot_bad, tot_good = F.col("tot_bad"), F.col("tot_good")
+    woe = (
+        F.log(((n_bad + 0.5) * tot_good) / ((n_good + 0.5) * tot_bad))
+        .cast("decimal(18,6)").cast("double")
+    )
+    iv_term = (n_bad.cast("double") / tot_bad
+               - n_good.cast("double") / tot_good) * woe
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select("bin",
+                n_bad.cast("bigint").alias("n_bad"),
+                n_good.cast("bigint").alias("n_good"),
+                woe.alias("woe"),
+                iv_term.alias("iv_term"))
+    )

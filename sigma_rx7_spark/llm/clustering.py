@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import q
+from ..compat import QDEC, q
 from ..io import load
 from ..registry import query
 
@@ -573,4 +573,123 @@ def q_cluster_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("dist2"))
         .select("label_a", "label_b",
                 F.sqrt(F.col("dist2")).alias("dist"))
+    )
+
+
+# ---- Johnson-Lindenstrauss random projection (L2h) -------------------------
+
+RP_OUT_DIM = 16            # projected dimensionality (64 -> 16)
+RP_A, RP_B = 1103515245, 12345
+RP_P = 2147483647          # sign hash: parity of ((A*k + B) mod P), k = i*16+j
+
+
+@query(
+    "q_embed_rp",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, g.i AS i,
+             CAST(embedding[g.i + 1] AS DOUBLE) AS x
+      FROM embeddings, range(0, {EMB_DIM}) g(i)
+    ),
+    proj AS (
+      SELECT c.vec_id, gj.j,
+             CAST(SUM(CAST(c.x * (CASE WHEN (({RP_A} * (c.i * {RP_OUT_DIM}
+                                              + gj.j) + {RP_B})
+                                         % {RP_P}) % 2 = 0
+                                   THEN CAST(1 AS DOUBLE)
+                                   ELSE CAST(-1 AS DOUBLE) END)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS y
+      FROM comp c, range(0, {RP_OUT_DIM}) gj(j)
+      GROUP BY c.vec_id, gj.j
+    ),
+    norm_out AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(y * y AS DECIMAL(20,6))) AS DOUBLE))
+               AS n_out
+      FROM proj GROUP BY vec_id
+    ),
+    norm_in AS (
+      SELECT vec_id, label,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(20,6))) AS DOUBLE))
+               AS n_in
+      FROM comp GROUP BY vec_id, label
+    ),
+    dist AS (
+      SELECT ni.label,
+             CASE WHEN ni.n_in = 0 THEN NULL
+                  ELSE (no.n_out / sqrt(CAST({RP_OUT_DIM} AS DOUBLE)))
+                       / ni.n_in END AS distortion
+      FROM norm_in ni JOIN norm_out no ON ni.vec_id = no.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(distortion) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(distortion AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(distortion) AS avg_distortion,
+           MIN(distortion) AS min_distortion,
+           MAX(distortion) AS max_distortion
+    FROM dist
+    GROUP BY label
+    """,
+    tags=("L2", "projection", "johnson-lindenstrauss"),
+)
+def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS RANDOM PROJECTION with a norm-distortion
+    audit: project every embedding from 64 to 16 dimensions through a
+    deterministic +/-1 sign matrix (Achlioptas's database-friendly JL
+    construction) and report, per label, how well scaled projected
+    norms preserve original norms — the measured guarantee that makes
+    the cheap 4x-smaller vectors usable for coarse ANN routing,
+    candidate pruning, and sketch-size dedup upstream of exact rerank.
+
+    The sign matrix is never materialized: entry s(i,j) is the parity
+    of a universal hash of the flattened index in pure bigint
+    arithmetic (engine-identical, no RNG state, any executor can
+    recompute any entry). Scale shape: the projection is one explode +
+    partial/final hash aggregate (component rows shrink back to
+    16/vector map-side); norms reuse the same exploded relation; the
+    audit output is O(#labels). Products are exact (+/-1 sign flips of
+    float32-derived doubles), so the 6-dp decimal quantization before
+    each order-insensitive sum is the only rounding, identical in both
+    engines. A distortion concentrated near 1.0 is the JL promise
+    realized; the min/max columns expose the tail the epsilon-bound
+    speaks about."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+
+    j_ids = spark.range(RP_OUT_DIM).select(F.col("id").cast("int").alias("j"))
+    k = (F.col("i") * RP_OUT_DIM + F.col("j")).cast("bigint")
+    sign = F.when(
+        F.pmod(F.pmod(F.lit(RP_A).cast("bigint") * k + RP_B,
+                      F.lit(RP_P)), F.lit(2)) == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = (
+        comp.join(F.broadcast(j_ids))
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("x") * sign).cast(QDEC)).cast("double").alias("y"))
+    )
+    norm_out = proj.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("y") * F.col("y")).cast(QDEC)).cast("double"))
+        .alias("n_out"))
+    norm_in = comp.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(QDEC)).cast("double"))
+        .alias("n_in"))
+    dist = (
+        norm_in.join(norm_out, "vec_id")
+        .select(
+            "label",
+            F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
+            .otherwise((F.col("n_out")
+                        / F.sqrt(F.lit(float(RP_OUT_DIM)))) / F.col("n_in"))
+            .alias("distortion"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(F.count("distortion").cast("bigint").alias("n_vecs"),
+             (F.sum(F.col("distortion").cast(QDEC)).cast("double")
+              / F.count("distortion")).alias("avg_distortion"),
+             F.min("distortion").alias("min_distortion"),
+             F.max("distortion").alias("max_distortion"))
     )

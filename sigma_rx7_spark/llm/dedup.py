@@ -1737,3 +1737,128 @@ def q_dedup_burden_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.greatest("src_a", "src_b").alias("source_y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
     )
+
+
+# ---- Prefix-filtered exact Jaccard join (L1k) ------------------------------
+
+# Threshold as an exact rational (4/5 = 0.8): both the prefix length and
+# the verify comparison stay in integer arithmetic, so no engine ever
+# rounds a float at the decision boundary.
+PREFIX_T_NUM, PREFIX_T_DEN = 4, 5
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i + 1, i + {SHINGLE_N}), ' ')
+               AS shingle
+      FROM toks,
+           UNNEST(range(0, greatest(len(w) - {SHINGLE_N}, 0) + 1)) AS u(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT da, db, it, sa.sz + sb.sz - it AS un
+      FROM inter
+      JOIN sz sa ON da = sa.doc_id
+      JOIN sz sb ON db = sb.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(it AS BIGINT) AS inter_size,
+           CAST(un AS BIGINT) AS union_size,
+           CAST(it AS DOUBLE) / un AS jaccard
+    FROM j
+    WHERE {PREFIX_T_DEN} * it >= {PREFIX_T_NUM} * un
+    """,
+    tags=("L1", "dedup", "prefix-filter"),
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED EXACT JACCARD SELF-JOIN (AllPairs/PPJoin family):
+    every document pair with shingle-set Jaccard >= 0.8, found WITHOUT
+    hashing and WITHOUT all-pairs comparison. Complementary to
+    MinHash-LSH (q_dedup_lsh_verified): LSH is probabilistic (recall <
+    1, tunable), the prefix filter is exact by a combinatorial argument
+    — order the vocabulary globally (rarest shingle first), keep only
+    each document's first |x| - ceil(t*|x|) + 1 shingles as its
+    "prefix", and any pair meeting the threshold MUST collide on at
+    least one prefix shingle (if two sets disagree on all of either
+    prefix, too few shingles remain to reach t). The oracle is the
+    unfiltered brute-force join, so a green row proves recall = 1.0
+    exactly, not approximately.
+
+    Scale shape: candidate generation joins PREFIX postings only —
+    rarest-first ordering makes prefix postings short and their
+    buckets small (the frequent shingles that would explode a postings
+    join never enter a prefix at high t). The shuffle carries (shingle,
+    doc_id) for prefixes, then (pair) for the verify join; the full
+    shingle relation is touched only for candidates' intersection
+    counts. Threshold arithmetic is exact-rational (integers 4/5), so
+    prefix lengths and accept decisions are bit-identical in any
+    engine. All set sizes are ints; the reported jaccard is one
+    int-ratio division (deterministic IEEE)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    # Global rarest-first order realized as a per-doc rank: each doc
+    # sorts its own shingles by (df, shingle) — a bounded per-doc
+    # window, never a global sort of the vocabulary.
+    ranked = (
+        sh.join(df_freq, "shingle")
+        .join(sz, "doc_id")
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")))
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer:
+    # ceil(4*sz/5) = floor((4*sz + 4) / 5); the float quotient of two
+    # bounded ints never rounds across an integer (k/5 is >= 1/5 from
+    # any integer when fractional), so floor is exact.
+    ceil_t_sz = F.floor(
+        (PREFIX_T_NUM * F.col("sz") + (PREFIX_T_DEN - 1)) / PREFIX_T_DEN)
+    prefix = ranked.where(F.col("r") <= F.col("sz") - ceil_t_sz + 1)
+
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db").distinct()
+    )
+
+    sha = sh.select(F.col("doc_id").alias("da"),
+                    F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db_v"),
+                    F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(sha, "da")
+        .join(shb, (F.col("db") == F.col("db_v"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("da", "db").agg(F.count(F.lit(1)).alias("it"))
+    )
+    sza = sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sz_a"))
+    szb = sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "da").join(szb, "db")
+        .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("it"))
+        .where(PREFIX_T_DEN * F.col("it") >= PREFIX_T_NUM * F.col("un"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                F.col("it").cast("bigint").alias("inter_size"),
+                F.col("un").cast("bigint").alias("union_size"),
+                (F.col("it").cast("double") / F.col("un"))
+                .alias("jaccard"))
+    )

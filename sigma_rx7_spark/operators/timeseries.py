@@ -1240,3 +1240,98 @@ def q_session_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
              F.sum("n_events").cast("bigint").alias("n_events"))
     )
+
+
+# ---- Trend/seasonal/residual decomposition (W28) ---------------------------
+
+DECOMP_HALF = 3  # centered moving-average half-width (7-day trend window)
+
+
+@query(
+    "q_ts_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT day,
+             CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(SUM(rev_dec) OVER w AS DOUBLE)
+               / (2 * {DECOMP_HALF} + 1) AS trend,
+             COUNT(*) OVER w AS n_frame
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                   AND {DECOMP_HALF} FOLLOWING)
+    ),
+    interior AS (
+      SELECT day, revenue, trend,
+             date_part('dow', day) AS dow,
+             revenue - trend AS detrended
+      FROM trended WHERE n_frame = 2 * {DECOMP_HALF} + 1
+    ),
+    seasonal AS (
+      SELECT dow,
+             CAST(SUM(CAST(detrended AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*) AS seasonal
+      FROM interior GROUP BY dow
+    )
+    SELECT i.day, i.revenue, i.trend, s.seasonal,
+           i.revenue - i.trend - s.seasonal AS residual
+    FROM interior i JOIN seasonal s ON i.dow = s.dow
+    """,
+    tags=("W28", "timeseries", "decomposition"),
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL TREND/SEASONAL/RESIDUAL DECOMPOSITION of the daily
+    revenue series (the moving-average skeleton of STL): trend = the
+    centered 7-day moving average, seasonal = the day-of-week mean of
+    the detrended series, residual = what neither explains — the
+    decomposition every seasonality-aware anomaly screen and forecast
+    baseline starts from (q_anomaly_seasonal consumes exactly this
+    shape; here the three components are the deliverable).
+
+    Scale shape: the raw fact table collapses to one row per DAY before
+    any window work, so the windowed relation is bounded by the
+    calendar, not the data (an unpartitioned 7-row frame over ~1k rows;
+    per-key series would partition by key). Determinism: daily revenue
+    is an exact decimal sum; the trend frame SUMS the decimals exactly
+    (order-insensitive — window frame addition order differs between
+    engines) and divides once as double; the seasonal mean quantizes
+    the detrended values before its exact sum; edge days without a
+    full frame are excluded on both sides (n_frame = 7), so no
+    partial-frame semantics leak. Day-of-week is Spark dayofweek-1 ==
+    DuckDB dow (Sunday = 0)."""
+    from pyspark.sql import Window
+    from ..compat import QDEC
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(QDEC)).alias("rev_dec"))
+    )
+    span = 2 * DECOMP_HALF + 1
+    w = (Window.orderBy("day")
+         .rowsBetween(-DECOMP_HALF, DECOMP_HALF))
+    trended = daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.sum("rev_dec").over(w).cast("double") / span).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_frame"))
+    interior = (
+        trended.where(F.col("n_frame") == span)
+        .select("day", "revenue", "trend",
+                (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+                (F.col("revenue") - F.col("trend")).alias("detrended"))
+    )
+    seasonal = interior.groupBy("dow").agg(
+        (F.sum(F.col("detrended").cast(QDEC)).cast("double")
+         / F.count(F.lit(1))).alias("seasonal"))
+    return (
+        interior.join(F.broadcast(seasonal), "dow")
+        .select("day", "revenue", "trend", "seasonal",
+                (F.col("revenue") - F.col("trend") - F.col("seasonal"))
+                .alias("residual"))
+    )
