@@ -2462,3 +2462,103 @@ def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_a.alias("p_a"), p_b.alias("p_b"),
         z.cast(QDEC).cast("double").alias("zscore"),
     )
+
+
+# ---- HBOS histogram-based outlier score (A42) -------------------------------
+
+HBOS_BINS = 10
+HBOS_TOP = 20
+_HBOS_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _hbos_oracle() -> str:
+    mins = ", ".join(f"MIN({f}) AS min_{f}, MAX({f}) AS max_{f}"
+                     for f in _HBOS_FEATS)
+    def bin_expr(f: str) -> str:
+        return (f"CASE WHEN max_{f} = min_{f} THEN 0 ELSE "
+                f"LEAST(CAST(floor(({f} - min_{f}) / (max_{f} - min_{f})"
+                f" * {HBOS_BINS}) AS BIGINT), {HBOS_BINS - 1}) END")
+    bins = ", ".join(f"{bin_expr(f)} AS bin_{f}" for f in _HBOS_FEATS)
+    hists = ", ".join(
+        f"h_{f} AS (SELECT bin_{f} AS b, COUNT(*) AS c FROM binned"
+        f" GROUP BY bin_{f})" for f in _HBOS_FEATS)
+    score = " + ".join(
+        f"CAST(CAST(-ln(CAST(h_{f}.c AS DOUBLE) / tot.n) AS DECIMAL(18,6))"
+        f" AS DOUBLE)" for f in _HBOS_FEATS)
+    joins = " ".join(
+        f"JOIN h_{f} ON binned.bin_{f} = h_{f}.b" for f in _HBOS_FEATS)
+    return f"""
+    WITH stats AS (SELECT {mins}, COUNT(*) AS n FROM lineitem),
+    binned AS (
+      SELECT l_orderkey, l_linenumber, {bins}
+      FROM lineitem, stats
+    ),
+    {hists},
+    tot AS (SELECT n FROM stats)
+    SELECT binned.l_orderkey, binned.l_linenumber,
+           {score} AS hbos_score
+    FROM binned {joins} CROSS JOIN tot
+    ORDER BY hbos_score DESC, binned.l_orderkey, binned.l_linenumber
+    LIMIT {HBOS_TOP}
+    """
+
+
+@query(
+    "q_agg_hbos",
+    oracle=_hbos_oracle(),
+    tags=("A42", "anomaly", "hbos"),
+)
+def q_agg_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS (HISTOGRAM-BASED OUTLIER SCORE) anomaly triage: per line
+    item, the sum over features of -ln(bin density) for its
+    (quantity, price, discount) histogram bins — the classic
+    linear-time unsupervised outlier screen (Goldstein & Dengel 2012):
+    a row is anomalous exactly when several of its attributes sit in
+    thin histogram bins, and unlike z-scores it needs no normality
+    assumption. Returns the top-20 triage list.
+
+    Scale shape: one pass for global min/max/count (broadcast 1-row),
+    one pass to bin (pure expressions), three O(bins)-row histogram
+    aggregates joined back by BROADCAST (the fact table never
+    shuffles), and a TakeOrdered top-k — HBOS is embarrassingly
+    parallel, which is why it's the standard first screen at data
+    scale. The z-score twin (q_agg_anomaly) flags per-group numeric
+    deviation; HBOS composes multiple features into one
+    distribution-free score. Determinism: bin edges are
+    min/max-derived IEEE (engine-identical); each -ln(density) is
+    6-dp-quantized (compat rule 2) and the 3-term sum is a fixed-order
+    expression, not an aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_HBOS_FEATS)
+    stats = li.agg(
+        *[m for f in _HBOS_FEATS
+          for m in (F.min(f).alias(f"min_{f}"), F.max(f).alias(f"max_{f}"))],
+        F.count(F.lit(1)).alias("n"))
+
+    def bin_col(f: str):
+        lo, hi = F.col(f"min_{f}"), F.col(f"max_{f}")
+        raw = F.floor((F.col(f) - lo) / (hi - lo) * HBOS_BINS)
+        return (F.when(hi == lo, F.lit(0).cast("bigint"))
+                .otherwise(F.least(raw.cast("bigint"),
+                                   F.lit(HBOS_BINS - 1)))).alias(f"bin_{f}")
+
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey", "l_linenumber", "n",
+        *[bin_col(f) for f in _HBOS_FEATS])
+
+    out = binned
+    for f in _HBOS_FEATS:
+        hist = (binned.groupBy(f"bin_{f}")
+                .agg(F.count(F.lit(1)).alias(f"c_{f}")))
+        out = out.join(F.broadcast(hist), f"bin_{f}")
+    score = None
+    for f in _HBOS_FEATS:
+        term = ((-F.log(F.col(f"c_{f}").cast("double") / F.col("n")))
+                .cast("decimal(18,6)").cast("double"))
+        score = term if score is None else score + term
+    return (
+        out.select("l_orderkey", "l_linenumber",
+                   score.alias("hbos_score"))
+        .orderBy(F.col("hbos_score").desc(), "l_orderkey", "l_linenumber")
+        .limit(HBOS_TOP)
+    )

@@ -903,3 +903,63 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value_dec").cast("double").alias("sum_value"))
+
+
+# ---- Streaming windowed top-k (T11) ----------------------------------------
+
+STREAM_TOPK = 3
+
+
+@query(
+    "q_stream_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT day, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {STREAM_TOPK}
+    """,
+    tags=("T11", "streaming", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WINDOWED TOP-K: the k most frequent event types per
+    tumbling day window — the live "trending now" leaderboard. Built as
+    the standard two-layer shape: the STREAMING layer maintains the
+    per-(window, type) counts incrementally (watermarked tumbling-window
+    aggregation — type cardinality is bounded, so state is tiny and the
+    update is a pure upsert); the RANK is applied on the materialized
+    serving table per refresh, because a global per-window rank is not
+    incrementally maintainable in the aggregation itself (a late event
+    can reorder the whole leaderboard — exactly why serving layers
+    re-rank on read). availableNow drains the file stream, making the
+    result equal the batch window + row_number plan, which is the
+    oracle. Tiebreak by event_type makes the selected rowset total-order
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("day"),
+                "event_type", "n_events")
+    )
+    mat = run_to_memory(agg, "stream_topk")
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (
+        mat.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STREAM_TOPK)
+        .select("day", "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("rk").cast("int").alias("rk"))
+    )
