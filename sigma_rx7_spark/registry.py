@@ -78,21 +78,19 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 7 window (judge brief item 1): close the driver-green
-    # ledger. Round 6 banked its whole 50-name window green
-    # (CORRECTNESS_r06.json: 50/50 pass, zero errs), leaving exactly 11
+    # Round 8 window. Round 7 ended before the external driver ran a
+    # correctness pass (no CORRECTNESS_r07.json exists), so the round-7
+    # window content is still the right content and stays: the 11
     # oracle-gated queries that have NEVER had a driver correctness row
-    # (`python scripts/rotation_candidates.py` at round-7 start). They
-    # lead this window; a green r7 row for each closes the ledger at
-    # 265/265 oracle-gated queries driver-proven. Next:
-    # q_agg_approx_quantile — its oracle changed THIS round (exact
-    # percentiles now quantized to DECIMAL(18,6) on both sides, judge
-    # item 4), and a changed oracle re-enters the window on first
-    # exposure. The remaining 38 slots re-bank the STALEST greens
-    # (`rotation_candidates.py --age`: the full r1 cohort, then r2 in
-    # age order) — those rows are 5-6 rounds old and the code around
-    # them has evolved since. The registry stays FROZEN at 269 queries
-    # this round (brief item 1: add nothing).
+    # lead; a green row for each closes the ledger at 265/265
+    # driver-proven. Next: q_agg_approx_quantile (oracle changed in r7 —
+    # exact percentiles decimal-quantized on both sides, r6 judge item
+    # 4) and the TEN queries ADDED this round (first-exposure proof,
+    # r5 practice): kanon, bm25, cms, ab, prefix, rp, woe, decompose,
+    # hbos, stream_topk. The remaining 28 slots re-bank the STALEST
+    # greens (`rotation_candidates.py --age`: the full r1 cohort, then
+    # r2 in age order) — the 10 displaced re-banks (q_cluster_* etc.)
+    # return in a later window; they hold r2 greens, nothing is lost.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -109,8 +107,19 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_domain_era_survival",
     "q_domain_price_trend",
     "q_domain_denial_queue",
-    # oracle changed this round (decimal-quantized compare)
+    # oracle changed in r7 (decimal-quantized compare)
     "q_agg_approx_quantile",
+    # added in round 8 — first-exposure proof
+    "q_quality_kanon",
+    "q_text_bm25",
+    "q_agg_cms",
+    "q_ab_proportions",
+    "q_dedup_prefix",
+    "q_embed_rp",
+    "q_feature_woe",
+    "q_ts_decompose",
+    "q_agg_hbos",
+    "q_stream_topk",
     # stalest driver-greens, oldest first (r1 cohort ...)
     "q_subquery_scalar",
     "q_subquery_exists",
@@ -141,16 +150,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_entropy",
     "q_split_train_test",
     "q_sample_stratified",
-    "q_sample_mixture",
-    "q_sample_reservoir",
-    "q_cluster_centroids",
-    "q_cluster_assign",
-    "q_cluster_kmeans_step",
-    "q_sim_topk",
-    "q_embed_quantize",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_lsh_verified",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
