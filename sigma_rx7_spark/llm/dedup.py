@@ -1806,7 +1806,16 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Threshold arithmetic is exact-rational (integers 4/5), so
     prefix lengths and accept decisions are bit-identical in any
     engine. All set sizes are ints; the reported jaccard is one
-    int-ratio division (deterministic IEEE)."""
+    int-ratio division (deterministic IEEE).
+
+    Measured at sf0.1 (5k docs, 260k distinct shingle rows): prefix
+    postings 55k rows -> 119k candidates vs 1.13M all-shared-shingle
+    pairs (~10x structural pruning; the residue is the corpus's
+    template vocabulary surviving into prefixes at t=0.8), 256 final
+    pairs, 6.0 s warm. Persisting the shingle relation was measured
+    and DECLINED (6.2 s — ReusedExchange already dedupes the explode
+    across the five consuming branches; the cost is the verify join +
+    per-doc rank, which persist cannot remove)."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")

@@ -895,3 +895,59 @@ def test_denial_queue_dims_broadcast_no_global_sort(spark, sf_dir):
     p = plan(spark, sf_dir, "q_domain_denial_queue")
     assert "BroadcastHashJoin" in p
     assert "rangepartitioning" not in p.lower()
+
+
+# ---- round-8 additions -----------------------------------------------------
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25: corpus stats / df are broadcast relations and the top-k is
+    TakeOrdered — no global sort of the scored postings."""
+    p = plan(spark, sf_dir, "q_text_bm25")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_cms_probe_joins_broadcast(spark, sf_dir):
+    """CMS: the d*w sketch relation and the hash-spec rows broadcast to
+    the probe join; the event relation never sort-merge-joins."""
+    p = plan(spark, sf_dir, "q_agg_cms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hbos_fact_never_shuffles_for_hists(spark, sf_dir):
+    """HBOS: stats + three histogram relations join back by BROADCAST;
+    the line-item relation must not enter a sort-merge join, and top-20
+    is TakeOrdered."""
+    p = plan(spark, sf_dir, "q_agg_hbos")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_prefix_join_carries_ids_not_text(spark, sf_dir):
+    """Prefix-filter Jaccard: every exchange after the shingle explode
+    carries (doc ids, shingle/count) columns, never the document text —
+    the no-pair-explosion posture shared with the LSH family."""
+    p = plan(spark, sf_dir, "q_dedup_prefix")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges
+    assert not any("text" in ln for ln in exchanges), exchanges
+
+
+def test_rp_projection_is_one_partial_final_agg(spark, sf_dir):
+    """JL projection: the component explode collapses map-side (partial
+    then final HashAggregate), and the j-ids relation broadcasts."""
+    p = plan(spark, sf_dir, "q_embed_rp")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_decompose_day_grain_before_window(spark, sf_dir):
+    """Decomposition: the window operates on the day-grain aggregate
+    (orders collapse first), and the seasonal join broadcasts."""
+    p = plan(spark, sf_dir, "q_ts_decompose")
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
