@@ -788,3 +788,49 @@ def q_pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("within_rank") - 1) * F.col("n_sources")
                  + F.col("source_idx")).cast("bigint").alias("position"))
     )
+
+
+# ---- Effective sample size of weighted sampling (L5h) ------------------------
+
+
+@query(
+    "q_sample_ess",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_w2,
+           CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars)
+             / SUM(n_chars * n_chars) AS ess,
+           (CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars)
+             / SUM(n_chars * n_chars)) / COUNT(*) AS ess_ratio
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("L5", "sampling", "diagnostics"),
+)
+def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of length-weighted sampling per source:
+    ESS = (sum w)^2 / sum w^2 (Kish) — how many EFFECTIVE documents a
+    weighted draw over this source really carries. A source whose
+    weight mass concentrates on a few long documents has ess_ratio
+    << 1: a mixture planner (q_sample_mixture) that targets it by raw
+    document count will oversample those few documents, so this audit
+    is the diagnostic read BEFORE committing weights (the same role
+    q_agg_keyskew plays for join keys, here for sampling weights).
+
+    Integer weights (n_chars) keep both moments exact bigints under
+    one partial/final aggregate; the two closing divisions are
+    deterministic IEEE. Output is O(#sources)."""
+    d = load(spark, sf_dir, "documents")
+    sum_w = F.sum("n_chars")
+    sum_w2 = F.sum(F.col("n_chars") * F.col("n_chars"))
+    ess = sum_w.cast("double") * sum_w / sum_w2
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             sum_w.cast("bigint").alias("sum_w"),
+             sum_w2.cast("bigint").alias("sum_w2"),
+             ess.alias("ess"),
+             (ess / F.count(F.lit(1))).alias("ess_ratio"))
+    )

@@ -2562,3 +2562,96 @@ def q_agg_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hbos_score").desc(), "l_orderkey", "l_linenumber")
         .limit(HBOS_TOP)
     )
+
+
+# ---- Welch's unequal-variance t-test (A43) ----------------------------------
+
+WELCH_EVENT = "purchase"
+
+
+@query(
+    "q_ab_welch",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(20,6))
+                           * CAST(value AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM events
+      WHERE event_type = '{WELCH_EVENT}'
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+        MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+        MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+      FROM arms
+    ),
+    mom AS (
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+             (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a AS va,
+             (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b AS vb
+      FROM wide
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           CAST(CAST((mean_a - mean_b) / sqrt(va + vb)
+                AS DECIMAL(18,6)) AS DOUBLE) AS t_welch,
+           CAST(CAST((va + vb) * (va + vb)
+                / (va * va / (n_a - 1) + vb * vb / (n_b - 1))
+                AS DECIMAL(18,6)) AS DOUBLE) AS df_welch
+    FROM mom
+    """,
+    tags=("A43", "abtest", "inference"),
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST on a continuous metric (purchase
+    value) between the two id-parity arms — the companion to the
+    proportion z-test (q_ab_proportions) for revenue-per-event /
+    latency-style metrics, with the Welch-Satterthwaite degrees of
+    freedom that stay honest when arm variances differ (the classic
+    failure of pooled Student's t on experiment data). One conditional
+    aggregate computes both arms' exact-decimal moments (the q_agg_stats
+    two-sum discipline: sum and sum-of-squares quantized, so
+    partial/final order never perturbs them); the statistic is assembled
+    on ONE row and both outputs are 6-dp-quantized because each passes
+    through a division chain and sqrt."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == WELCH_EVENT)
+    qv = F.col("value").cast("decimal(20,6)")
+    arms = (
+        e.select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "value")
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(qv).cast("double").alias("s1"),
+             F.sum((qv * qv).cast("decimal(38,12)")).cast("double")
+             .alias("s2"))
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s2_b"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a, mean_b = F.col("s1_a") / n_a, F.col("s1_b") / n_b
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / n_a) \
+        / (n_a - 1) / n_a
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / n_b) \
+        / (n_b - 1) / n_b
+    from ..compat import QDEC
+    t = (mean_a - mean_b) / F.sqrt(va + vb)
+    df = (va + vb) * (va + vb) / (va * va / (n_a - 1)
+                                  + vb * vb / (n_b - 1))
+    return wide.select(
+        n_a.cast("bigint").alias("n_a"), n_b.cast("bigint").alias("n_b"),
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        t.cast(QDEC).cast("double").alias("t_welch"),
+        df.cast(QDEC).cast("double").alias("df_welch"))

@@ -1335,3 +1335,81 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("revenue") - F.col("trend") - F.col("seasonal"))
                 .alias("residual"))
     )
+
+
+# ---- CUSUM changepoint detection (W29) --------------------------------------
+
+CUSUM_TOP = 5
+
+
+@query(
+    "q_ts_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    pref AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             SUM(x) OVER () AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    )
+    SELECT day,
+           CAST(x AS BIGINT) AS n_events,
+           CAST(n * p - t * k AS BIGINT) AS cusum_scaled,
+           CAST(n * p - t * k AS DOUBLE) / (n * t) AS cusum_norm
+    FROM pref
+    ORDER BY abs(n * p - t * k) DESC, day
+    LIMIT {CUSUM_TOP}
+    """,
+    tags=("W29", "timeseries", "changepoint"),
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT SCREEN on the daily event-count series: the
+    cumulative sum of deviations from the global mean peaks exactly at
+    a level shift, so the top-|CUSUM| days are the most likely
+    changepoints — the classic first-pass regime-shift locator next to
+    W26's runs test (which only says WHETHER the series is non-random,
+    not WHERE it broke). The statistic is kept INTEGER-SCALED:
+    CUSUM_k = sum_over_i<=k(x_i - T/n) is rescaled by n to
+    n*P_k - T*k (P = prefix sum, T = total, all bigint), so no float
+    enters the ranking and the argmax is bit-exact in any engine; the
+    normalized column divides once as double for interpretability.
+
+    Scale shape: events collapse to day grain first; one running-sum
+    window over the days-sized relation (unpartitioned by construction
+    — the calendar bounds it); top-k by TakeOrdered. The unscaled
+    mean never materializes, so there is no division inside the
+    recursion."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    pref = daily.select(
+        "day", "x",
+        F.sum("x").over(wp).alias("p"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("x").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    stat = F.col("n") * F.col("p") - F.col("t") * F.col("k")
+    return (
+        pref.select(
+            "day", F.col("x").cast("bigint").alias("n_events"),
+            stat.cast("bigint").alias("cusum_scaled"),
+            (stat.cast("double") / (F.col("n") * F.col("t")))
+            .alias("cusum_norm"))
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(CUSUM_TOP)
+    )

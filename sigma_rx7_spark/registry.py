@@ -85,12 +85,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # lead; a green row for each closes the ledger at 265/265
     # driver-proven. Next: q_agg_approx_quantile (oracle changed in r7 —
     # exact percentiles decimal-quantized on both sides, r6 judge item
-    # 4) and the TEN queries ADDED this round (first-exposure proof,
-    # r5 practice): kanon, bm25, cms, ab, prefix, rp, woe, decompose,
-    # hbos, stream_topk. The remaining 28 slots re-bank the STALEST
-    # greens (`rotation_candidates.py --age`: the full r1 cohort, then
-    # r2 in age order) — the 10 displaced re-banks (q_cluster_* etc.)
-    # return in a later window; they hold r2 greens, nothing is lost.
+    # 4) and the THIRTEEN queries ADDED this round (first-exposure
+    # proof, r5 practice): kanon, bm25, cms, ab-z, prefix, rp, woe,
+    # decompose, hbos, stream_topk, changepoint, ess, ab-welch. The
+    # remaining 25 slots re-bank the STALEST greens
+    # (`rotation_candidates.py --age`: the full r1 cohort, then r2 in
+    # age order) — the 13 displaced re-banks (q_cluster_* etc.) return
+    # in a later window; they hold r1/r2 greens, nothing is lost.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -120,6 +121,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_ts_decompose",
     "q_agg_hbos",
     "q_stream_topk",
+    "q_ts_changepoint",
+    "q_sample_ess",
+    "q_ab_welch",
     # stalest driver-greens, oldest first (r1 cohort ...)
     "q_subquery_scalar",
     "q_subquery_exists",
@@ -147,9 +151,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_repetition",
     "q_text_ngrams",
     "q_text_tfidf",
-    "q_text_entropy",
-    "q_split_train_test",
-    "q_sample_stratified",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
