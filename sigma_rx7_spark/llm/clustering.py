@@ -693,3 +693,167 @@ def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("distortion").alias("min_distortion"),
              F.max("distortion").alias("max_distortion"))
     )
+
+
+# ---- JL-projected-space recall audit (L2j) ----------------------------------
+
+# Probe/top-k constants MUST equal similarity.py's N_QUERIES/TOP_K
+# (q_sim_topk is the exact-neighbor side of this audit). Duplicated, not
+# imported: similarity.py imports THIS module at its top, so a
+# module-level reverse import breaks under similarity-first import
+# order; tests/test_plans.py asserts the values stay in sync.
+RP_QUERIES = 5
+RP_TOP_K = 10
+
+
+def _rp_proj_sql(src: str) -> str:
+    """Projection CTE body shared with the q_embed_rp oracle: (vec_id,
+    j, y) from the deterministic sign matrix, exact-decimal summed."""
+    return f"""
+      SELECT {src}.vec_id, gj.j,
+             CAST(SUM(CAST(CAST({src}.embedding[g.i + 1] AS DOUBLE)
+                           * (CASE WHEN (({RP_A} * (g.i * {RP_OUT_DIM}
+                                            + gj.j) + {RP_B})
+                                      % {RP_P}) % 2 = 0
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE CAST(-1 AS DOUBLE) END)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS y
+      FROM {src}, range(0, {EMB_DIM}) g(i), range(0, {RP_OUT_DIM}) gj(j)
+      GROUP BY {src}.vec_id, gj.j
+    """
+
+
+@query(
+    "q_sim_recall_rp",
+    oracle=f"""
+    WITH proj AS ({_rp_proj_sql("embeddings")}),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(y * y AS DECIMAL(20,6))) AS DOUBLE)) AS nn
+      FROM proj GROUP BY vec_id
+    ),
+    qp AS (SELECT p.vec_id AS q_id, p.j, p.y / n.nn AS qy
+           FROM proj p JOIN norms n ON p.vec_id = n.vec_id
+           WHERE p.vec_id < {RP_QUERIES} AND n.nn > 0),
+    cp AS (SELECT p.vec_id AS c_id, p.j, p.y / n.nn AS cy
+           FROM proj p JOIN norms n ON p.vec_id = n.vec_id
+           WHERE p.vec_id >= {RP_QUERIES} AND n.nn > 0),
+    cosp AS (
+      SELECT q_id, c_id,
+             CAST(SUM(CAST(qy * cy AS DECIMAL(20,6))) AS DOUBLE) AS cos_rp
+      FROM qp JOIN cp USING (j)
+      GROUP BY q_id, c_id
+    ),
+    rp_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_rp DESC, c_id) AS rn
+        FROM cosp
+      ) WHERE rn <= {RP_TOP_K}
+    ),
+    n2 AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    ),
+    bfq AS (SELECT vec_id AS q_id, nv AS q_nv FROM n2
+            WHERE vec_id < {RP_QUERIES}),
+    bfc AS (SELECT vec_id AS c_id, nv AS c_nv FROM n2
+            WHERE vec_id >= {RP_QUERIES}),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY list_inner_product(q_nv, c_nv) DESC, c_id) AS rn
+        FROM bfq CROSS JOIN bfc
+      ) WHERE rn <= {RP_TOP_K}
+    )
+    SELECT bf.q_id,
+           CAST(SUM(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {RP_TOP_K} AS recall_at_k
+    FROM bf LEFT JOIN rp_top r ON r.q_id = bf.q_id AND r.c_id = bf.c_id
+    GROUP BY bf.q_id
+    """,
+    tags=("L2", "audit", "johnson-lindenstrauss"),
+)
+def q_sim_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-PROJECTION QUALITY AUDIT: recall@10 of nearest-neighbor search
+    run in the 16-dim PROJECTED space against the exact 64-dim
+    brute-force neighbors, per probe — the q_sim_recall_ivf companion
+    for the q_embed_rp path, and the number that decides how a JL
+    sketch may be used (coarse routing / candidate pruning vs final
+    ranking). A JL map preserves NORMS and pairwise distances in
+    aggregate (the distortion q_embed_rp measures), but individual
+    neighbor RANKS can still swap — measuring recall on real probes is
+    the only honest way to size the rerank shortlist.
+
+    Scale shape: projection + norms are partial/final aggregates; the
+    probe-side cosine joins the 5 probes x candidates on the 16
+    projected components (bounded by the probe sample, the same
+    audit-sampling argument as the IVF recall job); top-k per probe is
+    a bounded window. Dot terms are decimal-quantized so the grouped
+    sums are order-insensitive and engine-identical.
+
+    Measured on the harness corpus: recall ~0 — the synthetic
+    embeddings are near-random (all pairwise cosines cluster near 0,
+    the regime q_sim_recall_ivf's docstring documents), and JL
+    preserves DISTANCES, not the rank order of distances that are all
+    equal; on clustered real embeddings the same audit reads high.
+    That a 16-dim sketch is NOT rank-faithful here is exactly what the
+    audit exists to catch before someone routes by it."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    j_ids = spark.range(RP_OUT_DIM).select(
+        F.col("id").cast("int").alias("j"))
+    k = (F.col("i") * RP_OUT_DIM + F.col("j")).cast("bigint")
+    sign = F.when(
+        F.pmod(F.pmod(F.lit(RP_A).cast("bigint") * k + RP_B,
+                      F.lit(RP_P)), F.lit(2)) == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = (
+        comp.join(F.broadcast(j_ids))
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("x") * sign).cast(QDEC)).cast("double")
+             .alias("y"))
+    )
+    norms = proj.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("y") * F.col("y")).cast(QDEC)).cast("double"))
+        .alias("nn"))
+    pn = (proj.join(norms, "vec_id").where(F.col("nn") > 0)
+          .select("vec_id", "j", (F.col("y") / F.col("nn")).alias("yn")))
+    qp = (pn.where(F.col("vec_id") < RP_QUERIES)
+          .select(F.col("vec_id").alias("q_id"), "j",
+                  F.col("yn").alias("qy")))
+    cp = (pn.where(F.col("vec_id") >= RP_QUERIES)
+          .select(F.col("vec_id").alias("c_id"), "j",
+                  F.col("yn").alias("cy")))
+    cosp = (
+        qp.join(cp, "j")
+        .groupBy("q_id", "c_id")
+        .agg(F.sum((F.col("qy") * F.col("cy")).cast(QDEC)).cast("double")
+             .alias("cos_rp"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_rp").desc(), "c_id")
+    rp_top = (cosp.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= RP_TOP_K)
+              .select("q_id", "c_id", F.lit(1).alias("hit")))
+
+    from .similarity import q_sim_topk
+    bf = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        bf.join(rp_top, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(n_hits.cast("bigint").alias("n_hits"),
+             (n_hits.cast("double") / RP_TOP_K).alias("recall_at_k"))
+    )

@@ -2655,3 +2655,110 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
         t.cast(QDEC).cast("double").alias("t_welch"),
         df.cast(QDEC).cast("double").alias("df_welch"))
+
+
+# ---- Mann-Whitney U test (A44) ----------------------------------------------
+
+MWU_EVENT = "purchase"
+
+
+@query(
+    "q_ab_mannwhitney",
+    oracle=f"""
+    WITH vals AS (
+      SELECT value AS v, user_id % 2 AS arm
+      FROM events WHERE event_type = '{MWU_EVENT}'
+    ),
+    per_value AS (
+      SELECT v,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM vals GROUP BY v
+    ),
+    pref AS (
+      SELECT v, c_a, c_b,
+             COALESCE(SUM(c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb_less,
+             c_a + c_b AS t
+      FROM per_value
+    ),
+    agg AS (
+      SELECT SUM(c_a * (2 * cb_less + c_b)) AS u2_a,
+             SUM(c_a) AS n_a, SUM(c_b) AS n_b,
+             SUM(t * t * t - t) AS tie_sum
+      FROM pref
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2_a AS BIGINT) AS u2_a,
+           CASE WHEN n_a = 0 OR n_b = 0
+                     OR (n_a + n_b + 1)
+                        - CAST(tie_sum AS DOUBLE)
+                          / ((n_a + n_b) * (n_a + n_b - 1)) <= 0
+                THEN NULL
+                ELSE CAST(CAST(
+                  (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                  / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                      * ((n_a + n_b + 1)
+                         - CAST(tie_sum AS DOUBLE)
+                           / ((n_a + n_b) * (n_a + n_b - 1)))))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS z_mwu
+    FROM agg
+    """,
+    tags=("A44", "abtest", "nonparametric"),
+)
+def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U TEST (rank-sum) on purchase value between the two
+    id-parity arms — the NONPARAMETRIC member of the A/B family
+    (q_ab_proportions: binary; q_ab_welch: parametric means; this:
+    distribution-free location shift, robust to the heavy-tailed
+    revenue distributions that break t-tests). The U statistic is
+    computed WITHOUT ranking rows: collapse to DISTINCT VALUES with
+    per-arm counts, one prefix-sum window over the value-level relation
+    (bounded by value cardinality, not row count), and
+    2*U_a = sum c_a*(2*C_b(<v) + c_b(v)) — the cross-pair count with
+    half-credit ties, kept as an exact INTEGER by the factor-2 scaling.
+    The tie-corrected normal approximation divides exact integer
+    moments once in double (quantized, degenerate-variance NULL guard).
+
+    At 100 TB the value-level collapse is the entire trick: ranks need
+    a global sort of rows, but U only needs per-value pair counts, so
+    the shuffle carries (value, c_a, c_b) — metric value cardinality —
+    and the window runs on that bounded relation."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == MWU_EVENT)
+    per_value = (
+        e.select(F.col("value").alias("v"),
+                 F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+        .groupBy("v")
+        .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c_a"),
+             F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c_b"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pref = per_value.select(
+        "c_a", "c_b",
+        F.coalesce(F.sum("c_b").over(wv), F.lit(0)).alias("cb_less"),
+        (F.col("c_a") + F.col("c_b")).alias("t"))
+    agg = pref.agg(
+        F.sum(F.col("c_a") * (2 * F.col("cb_less") + F.col("c_b")))
+        .alias("u2_a"),
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_sum"))
+    n_a, n_b, u2a = F.col("n_a"), F.col("n_b"), F.col("u2_a")
+    n = n_a + n_b
+    tie_adj = (n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1))
+    var = n_a.cast("double") * n_b / 12.0 * tie_adj
+    degenerate = (n_a == 0) | (n_b == 0) | (tie_adj <= 0)
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        (u2a.cast("double") - n_a.cast("double") * n_b)
+        / (2 * F.sqrt(var)))
+    from ..compat import QDEC
+    return agg.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        u2a.cast("bigint").alias("u2_a"),
+        z.cast(QDEC).cast("double").alias("z_mwu"))

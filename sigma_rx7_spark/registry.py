@@ -85,13 +85,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # lead; a green row for each closes the ledger at 265/265
     # driver-proven. Next: q_agg_approx_quantile (oracle changed in r7 —
     # exact percentiles decimal-quantized on both sides, r6 judge item
-    # 4) and the THIRTEEN queries ADDED this round (first-exposure
+    # 4) and the FIFTEEN queries ADDED this round (first-exposure
     # proof, r5 practice): kanon, bm25, cms, ab-z, prefix, rp, woe,
-    # decompose, hbos, stream_topk, changepoint, ess, ab-welch. The
-    # remaining 25 slots re-bank the STALEST greens
-    # (`rotation_candidates.py --age`: the full r1 cohort, then r2 in
-    # age order) — the 13 displaced re-banks (q_cluster_* etc.) return
-    # in a later window; they hold r1/r2 greens, nothing is lost.
+    # decompose, hbos, stream_topk, changepoint, ess, ab-welch,
+    # rp-recall, mann-whitney. The remaining 23 slots re-bank the
+    # STALEST greens (`rotation_candidates.py --age`: the full r1
+    # cohort, then r2 in age order) — the 15 displaced re-banks
+    # (q_cluster_* etc.) return in a later window; they hold r1/r2
+    # greens, nothing is lost.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -124,6 +125,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_ts_changepoint",
     "q_sample_ess",
     "q_ab_welch",
+    "q_sim_recall_rp",
+    "q_ab_mannwhitney",
     # stalest driver-greens, oldest first (r1 cohort ...)
     "q_subquery_scalar",
     "q_subquery_exists",
@@ -149,8 +152,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_fingerprint",
     "q_text_tokens",
     "q_text_repetition",
-    "q_text_ngrams",
-    "q_text_tfidf",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
