@@ -1816,11 +1816,24 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DECLINED (6.2 s — ReusedExchange already dedupes the explode
     across the five consuming branches; the cost is the verify join +
     per-doc rank, which persist cannot remove)."""
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(_shingles()).alias("shingle")).distinct()
+    return prefix_jaccard_pairs(sh)
+
+
+def prefix_jaccard_pairs(sh: DataFrame,
+                         t_num: int = PREFIX_T_NUM,
+                         t_den: int = PREFIX_T_DEN) -> DataFrame:
+    """Prefix-filtered exact Jaccard >= t_num/t_den self-join over a
+    DISTINCT (doc_id, shingle) relation. Library form of q_dedup_prefix
+    (which documents the algorithm and the measurements): callers bring
+    any tokenization; the recall-1.0 guarantee and the exact-rational
+    threshold arithmetic live here. Property-tested against a naive
+    all-pairs Python model on adversarial inputs
+    (tests/test_properties_r8.py)."""
+    from pyspark.sql import Window
+
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
@@ -1838,7 +1851,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded ints never rounds across an integer (k/5 is >= 1/5 from
     # any integer when fractional), so floor is exact.
     ceil_t_sz = F.floor(
-        (PREFIX_T_NUM * F.col("sz") + (PREFIX_T_DEN - 1)) / PREFIX_T_DEN)
+        (t_num * F.col("sz") + (t_den - 1)) / t_den)
     prefix = ranked.where(F.col("r") <= F.col("sz") - ceil_t_sz + 1)
 
     a = prefix.select(F.col("doc_id").alias("da"), "shingle")
@@ -1864,7 +1877,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sza, "da").join(szb, "db")
         .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("it"))
-        .where(PREFIX_T_DEN * F.col("it") >= PREFIX_T_NUM * F.col("un"))
+        .where(t_den * F.col("it") >= t_num * F.col("un"))
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
                 F.col("it").cast("bigint").alias("inter_size"),
                 F.col("un").cast("bigint").alias("union_size"),

@@ -2328,35 +2328,61 @@ def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys join the d*w-row sketch via broadcast; MIN over the d rows is
     the CMS point estimate."""
     e = load(spark, sf_dir, "events").select("user_id")
-    hashes = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(CMS_HASHES)],
-        "j INT, a BIGINT, b BIGINT")
-    bucket = (
-        F.pmod(F.pmod(F.col("a") * F.pmod(F.col("user_id"), F.lit(CMS_P))
-                      + F.col("b"), F.lit(CMS_P)), F.lit(CMS_W))
-    ).alias("bucket")
-    sketch = (
-        e.crossJoin(F.broadcast(hashes))
-        .select("j", bucket)
-        .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    sketch = cms_sketch(e, "user_id")
     exact = (
         e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "user_id")
         .limit(CMS_PROBES)
     )
-    probes = exact.crossJoin(F.broadcast(hashes)).select(
-        "user_id", "exact_cnt", "j", bucket)
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
+        cms_estimates(sketch, exact, "user_id")
         .select(
             "user_id",
             F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
             F.col("cms_est").cast("bigint").alias("cms_est"),
             (F.col("cms_est") - F.col("exact_cnt")).cast("bigint")
             .alias("overestimate"))
+    )
+
+
+def _cms_hashes(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(CMS_HASHES)],
+        "j INT, a BIGINT, b BIGINT")
+
+
+def _cms_bucket(key_col: str):
+    return (
+        F.pmod(F.pmod(F.col("a") * F.pmod(F.col(key_col), F.lit(CMS_P))
+                      + F.col("b"), F.lit(CMS_P)), F.lit(CMS_W))
+    ).alias("bucket")
+
+
+def cms_sketch(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the (j, bucket, cnt) count-min relation over a bigint key
+    column. Mergeable: sketches over disjoint inputs union + re-agg into
+    the combined sketch (property-tested in tests/test_properties_r8.py
+    along with the never-underestimates invariant)."""
+    hashes = _cms_hashes(keys.sparkSession)
+    return (
+        keys.crossJoin(F.broadcast(hashes))
+        .select("j", _cms_bucket(key_col))
+        .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(sketch: DataFrame, probes: DataFrame,
+                  key_col: str) -> DataFrame:
+    """Point-query a CMS relation: MIN over the d rows' bucket counts.
+    ``probes`` keeps its other columns; adds ``cms_est``."""
+    hashes = _cms_hashes(sketch.sparkSession)
+    others = [c for c in probes.columns if c != key_col]
+    keyed = probes.crossJoin(F.broadcast(hashes)).select(
+        key_col, *others, "j", _cms_bucket(key_col))
+    return (
+        keyed.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col, *others)
+        .agg(F.min("cnt").alias("cms_est"))
     )
 
 
@@ -2726,14 +2752,22 @@ def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort of rows, but U only needs per-value pair counts, so
     the shuffle carries (value, c_a, c_b) — metric value cardinality —
     and the window runs on that bounded relation."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "events").where(
         F.col("event_type") == MWU_EVENT)
+    vals = e.select(F.col("value").alias("v"),
+                    F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+    return mannwhitney_u(vals)
+
+
+def mannwhitney_u(vals: DataFrame) -> DataFrame:
+    """Mann-Whitney U over a (v, arm) relation (arm 0/1): the
+    rank-free value-level computation documented in q_ab_mannwhitney.
+    Library form, property-tested against naive pair counting on
+    tie-heavy random inputs (tests/test_properties_r8.py)."""
+    from pyspark.sql import Window
+
     per_value = (
-        e.select(F.col("value").alias("v"),
-                 F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
-        .groupBy("v")
+        vals.groupBy("v")
         .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c_a"),
              F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c_b"))
     )
