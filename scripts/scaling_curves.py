@@ -54,6 +54,8 @@ DEFAULT_NAMES = [
     "q_pipeline_fates", "q_agg_exact_quantiles", "q_agg_exact_median",
     "q_dedup_near", "q_quality_audit", "q_subquery_scalar",
     "q_window_rolling_dau", "q_text_heavyhitters", "q_sessionize_batch",
+    # round-8 additions with real data terms at sf0.1
+    "q_dedup_prefix", "q_agg_hbos", "q_sim_recall_rp", "q_embed_rp",
 ]
 FLOOR_PROBE = "q_agg_having"  # cheapest stable headline query
 
