@@ -963,3 +963,83 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_events").cast("bigint").alias("n_events"),
                 F.col("rk").cast("int").alias("rk"))
     )
+
+
+# ---- Streaming SCD-2 point-in-time enrichment (T12) -------------------------
+
+
+@query(
+    "q_stream_scd2_enrich",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)
+               AS prev_p
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderkey, ts
+      FROM ordered WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    ), dim AS (
+      SELECT o_custkey AS cust, o_orderpriority AS priority,
+             ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (
+               PARTITION BY o_custkey ORDER BY ts, o_orderkey),
+               TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(e.ts AS TIMESTAMP) AS ts,
+           d.priority AS priority_at_event
+    FROM events e
+    JOIN dim d ON e.user_id + 1 = d.cust
+              AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+              AND CAST(e.ts AS TIMESTAMP) < d.valid_to
+    """,
+    tags=("T12", "streaming", "scd2"),
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING POINT-IN-TIME ENRICHMENT: each streamed event joins the
+    SCD-2 customer-priority dimension on the interval covering its event
+    time — the live form of the M4b batch as-of join, and the shape
+    every real-time feature store serves ("what was this customer's
+    tier WHEN the event happened", never the current tier, which leaks
+    the future into training data). The dimension is built batch-side
+    with the SAME scd2_intervals derivation the batch family uses
+    (operators/incremental.py) — one code path for the dimension,
+    consumed by both engines.
+
+    Scale shape: a stream-static inner join — the static side is
+    re-read per microbatch (so a dimension refresh lands without
+    restarting the stream) and broadcasts when small; at warehouse
+    scale the dimension is bucketed on the join key. The interval
+    predicate rides ON the join (per-key intervals are few), never a
+    post-join filter over a cross product. availableNow drains the
+    stream, making the result equal the batch interval join, which is
+    the oracle. The user_id+1 = custkey offset is the harness's
+    referential convention (same as the T7 stream-static join)."""
+    from ..operators.incremental import scd2_intervals
+
+    orders = load(spark, sf_dir, "orders")
+    dim = scd2_intervals(
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderpriority").alias("event_type"),
+            F.col("o_orderkey").alias("event_id"),
+            F.col("o_orderdate").alias("ts"))
+    ).select(
+        F.col("user_id").alias("cust"),
+        F.col("event_type").alias("priority"),
+        "valid_from", "valid_to")
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id + 1 == dim.cust)
+        & (ev.ts >= dim.valid_from) & (ev.ts < dim.valid_to),
+    ).select("event_id", "user_id", "ts",
+             F.col("priority").alias("priority_at_event"))
+    return run_to_memory(joined, "stream_scd2_enrich",
+                         output_mode="append")
