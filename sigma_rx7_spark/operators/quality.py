@@ -778,3 +778,97 @@ def q_quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.coalesce(below, F.lit(0))).cast("double")
          / F.sum("class_size")).alias("at_risk_rate"),
     )
+
+
+# ---- Kolmogorov-Smirnov two-sample drift test (Q13) -------------------------
+
+_KS_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI screen
+
+
+@query(
+    "q_drift_ks",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_KS_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT v, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(c_a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_b,
+             SUM(c_a) OVER () AS n_a,
+             SUM(c_b) OVER () AS n_b
+      FROM per_value
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+             / (MAX(n_a) * MAX(n_b)) AS ks_d,
+           CAST(CAST(
+             CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+             / (MAX(n_a) * MAX(n_b))
+             * sqrt(CAST(MAX(n_a) AS DOUBLE) * MAX(n_b)
+                    / (MAX(n_a) + MAX(n_b)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS ks_stat
+    FROM cum
+    """,
+    tags=("Q13", "drift", "ks-test"),
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV-SMIRNOV TWO-SAMPLE TEST between the before/after
+    halves of the event-value stream (same cutoff as the PSI screen):
+    D = max ECDF gap. PSI answers "how much did the binned distribution
+    move" with a bin-sensitive score; KS is the bin-free exact
+    complement whose null distribution is known, so it closes the drift
+    family (PSI: magnitude, KS: significance) the way A41/A43/A44 close
+    the A/B family. The ECDF gap is kept INTEGER: the numerator
+    |n_b*cum_a - n_a*cum_b| is exact bigint at every distinct value, so
+    the argmax never compares floats; D and the scaled KS statistic
+    divide once at the end (quantized — sqrt is in the chain).
+
+    Scale shape: identical to the Mann-Whitney trick — collapse to
+    DISTINCT values with per-half counts, one prefix-sum window over
+    the value-cardinality-bounded relation, one max. No row-level rank,
+    no global sort of raw events."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < F.lit(_KS_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_value = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_value.select(
+        F.sum("c_a").over(wv).alias("cum_a"),
+        F.sum("c_b").over(wv).alias("cum_b"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"))
+    num = F.abs(F.col("n_b") * F.col("cum_a")
+                - F.col("n_a") * F.col("cum_b"))
+    agg = cum.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                  F.max(num).alias("d_num"))
+    n_a, n_b, d_num = F.col("n_a"), F.col("n_b"), F.col("d_num")
+    ks_d = d_num.cast("double") / (n_a * n_b)
+    ks_stat = ks_d * F.sqrt(n_a.cast("double") * n_b / (n_a + n_b))
+    from ..compat import QDEC
+    return agg.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        d_num.cast("bigint").alias("d_num"),
+        ks_d.alias("ks_d"),
+        ks_stat.cast(QDEC).cast("double").alias("ks_stat"))
