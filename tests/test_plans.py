@@ -960,3 +960,39 @@ def test_rp_recall_constants_match_similarity():
     from sigma_rx7_spark.llm import clustering, similarity
     assert clustering.RP_QUERIES == similarity.N_QUERIES
     assert clustering.RP_TOP_K == similarity.TOP_K
+
+
+def test_mwu_and_ks_shuffle_values_not_rows(spark, sf_dir):
+    """Mann-Whitney / KS: after the per-value collapse, exchanges carry
+    (value, counts) — the raw event columns (event_id, props) must never
+    appear in a shuffle, and no raw-row global sort exists."""
+    for name in ("q_ab_mannwhitney", "q_drift_ks"):
+        p = plan(spark, sf_dir, name)
+        exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert exchanges, name
+        assert not any("event_id" in ln or "props" in ln
+                       for ln in exchanges), (name, exchanges)
+
+
+def test_welch_single_pass_conditional_agg(spark, sf_dir):
+    """Welch t: both arms' moments come from ONE partial/final aggregate
+    over the filtered scan — no join between per-arm relations."""
+    p = plan(spark, sf_dir, "q_ab_welch")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_changepoint_windows_day_grain(spark, sf_dir):
+    """CUSUM: the running-sum window operates on the day-grain aggregate
+    and the top-k is TakeOrdered, never a global sort of events."""
+    p = plan(spark, sf_dir, "q_ts_changepoint")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" in p
+
+
+def test_ess_is_one_aggregate(spark, sf_dir):
+    """ESS: a single partial/final aggregate per source — no window, no
+    join, no second scan."""
+    p = plan(spark, sf_dir, "q_sample_ess")
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2
