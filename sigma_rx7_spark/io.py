@@ -154,6 +154,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def read_staged(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Re-read a staging this process (or a prior one) wrote, with the
+    WRITER'S schema instead of inference. Inference fails outright on an
+    empty staging (writing a zero-row DataFrame to parquet produces only
+    _SUCCESS, no schema-bearing part files) — and at 100 TB a zero-row
+    staging is routine (an empty partition day, a filtered-out tenant),
+    so every staged re-read in the repo goes through this. For
+    partitioned stagings the partition column is simply part of the
+    schema; Spark still resolves its values from directory names when
+    files exist. (Empty-input posture proven by
+    scripts/empty_input_sweep.py.)"""
+    return spark.read.schema(schema).parquet(path)
+
+
 def write_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
     """Columnar sink (SURVEY.md §2.1 S8): partitioned parquet staging.
 

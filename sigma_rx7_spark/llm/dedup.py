@@ -1588,7 +1588,12 @@ def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_true.crossJoin(n_lsh).crossJoin(n_hit)  # three 1-row relations
         .select(
             "n_true_pairs", "n_lsh_pairs", "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_true_pairs"))
+            # No true pairs (empty/near-empty corpus): recall is
+            # undefined, not a crash — NULL, matching SQL 0/0 semantics.
+            F.when(F.col("n_true_pairs") == 0,
+                   F.lit(None).cast("double"))
+            .otherwise(F.col("n_hits").cast("double")
+                       / F.col("n_true_pairs"))
             .alias("recall"),
         )
     )

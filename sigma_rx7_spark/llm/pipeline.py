@@ -1030,9 +1030,12 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_leak = pairs.where(
         hash_split(F.col("a_doc_id")) != hash_split(F.col("b_doc_id"))
     ).count()
-    dup_rate = n_dup / n_docs
-    qfail_rate = n_qfail / n_docs
-    ok = (dup_rate <= GATE_MAX_DUP_RATE
+    # Empty corpus: rates are vacuously 0 but the gate says NO-GO — a
+    # release pipeline must not publish a dataset with zero documents
+    # (and 0/0 must not crash the CI job that decides that).
+    dup_rate = n_dup / n_docs if n_docs else 0.0
+    qfail_rate = n_qfail / n_docs if n_docs else 0.0
+    ok = (n_docs > 0 and dup_rate <= GATE_MAX_DUP_RATE
           and qfail_rate <= GATE_MAX_QFAIL_RATE and n_leak == 0)
     return spark.createDataFrame(
         [(n_docs, n_dup, n_qfail, n_leak, dup_rate, qfail_rate, ok)],

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, read_staged
 from ..registry import query
 from ..staging import begin_staging, mark_staged, src_stamp, staging_ok
 from .clustering import EMB_DIM, PQ_SUBS
@@ -453,7 +453,9 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     that is what turns the read into an nprobe-cells directory prune
     instead of a full-corpus scan.
     """
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = read_staged(
+        spark, f"{path}/centroids",
+        "cell_id int, cent_vec array<double>")
     wq = Window.partitionBy("q_id").orderBy(
         F.desc("cent_sim"), F.asc("cell_id"))
     probe_cells = (
@@ -466,7 +468,8 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     )
     cell_ids = sorted({r["cell_id"] for r in
                        probe_cells.select("cell_id").distinct().collect()})
-    cells = (spark.read.parquet(f"{path}/cells")
+    cells = (read_staged(spark, f"{path}/cells",
+                         "c_id bigint, c_vec array<double>, cell_id int")
              .where(F.col("cell_id").isin(cell_ids)))
     scored = probe_cells.join(cells, "cell_id").select(
         "q_id", "c_id", dot_idx("q_vec", "c_vec").alias("cos_sim"))

@@ -126,6 +126,12 @@ def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
         .union(edges.select(F.col("dst").alias("node")))
         .distinct())
     n_nodes = nodes.count()  # scalar plan constant (bounded metadata)
+    if n_nodes == 0:
+        # Empty graph: no nodes means no ranks — return the typed empty
+        # result instead of dividing the teleport mass by zero (an empty
+        # edge relation is routine at scale: a day with no co-purchases).
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank_fp"))
     outdeg = _persist_tracked(edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")))
     teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)

@@ -608,7 +608,10 @@ def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_null").cast("bigint").alias("n_null"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
-        (F.col("n_distinct").cast("double") / F.col("n_rows"))
+        # Zero-row table: a profile over nothing reports NULL ratio
+        # rather than crashing the catalog job under ANSI mode.
+        F.when(F.col("n_rows") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_distinct").cast("double") / F.col("n_rows"))
         .alias("cardinality_ratio"))
 
 

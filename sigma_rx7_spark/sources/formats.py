@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..compat import dsum, o_dsum
-from ..io import load
+from ..io import load, read_staged
 from ..registry import query
 
 # Staging root lives inside the repo (the only writable area); per-sf
@@ -148,10 +148,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle aggregates the original parquet, proving the partitioned
     round-trip is lossless."""
     path = _stage_dir("part_events", sf_dir)
-    (load(spark, sf_dir, "events")
-     .select("event_id", "user_id", "value", "event_type")
-     .write.mode("overwrite").partitionBy("event_type").parquet(path))
-    staged = spark.read.parquet(path)
+    slim = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type")
+    slim.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    staged = read_staged(spark, path, slim.schema)
     return (
         staged.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -296,11 +296,12 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join over the original un-partitioned parquet."""
     path = _stage_dir("dpp_lineitem", sf_dir)
     marker = os.path.join(path, "_SUCCESS")
+    slim = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_linestatus", "l_returnflag")
     if not os.path.exists(marker):
-        (load(spark, sf_dir, "lineitem")
-         .select("l_quantity", "l_linestatus", "l_returnflag")
-         .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
-    fact = spark.read.parquet(path)
+        (slim.write.mode("overwrite")
+         .partitionBy("l_returnflag").parquet(path))
+    fact = read_staged(spark, path, slim.schema)
     dim = spark.createDataFrame(list(_FLAG_DIM), "flag string, "
                                 "flag_desc string")
     return (
@@ -411,10 +412,10 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "ts")
     ev.repartition(COMPACT_SMALL_FILES).write.mode(
         "overwrite").parquet(path_small)
-    (spark.read.parquet(path_small)
+    (read_staged(spark, path_small, ev.schema)
      .repartitionByRange(COMPACT_TARGET_FILES, "user_id", "ts")
      .write.mode("overwrite").parquet(path_big))
-    compacted = spark.read.parquet(path_big)
+    compacted = read_staged(spark, path_big, ev.schema)
     return compacted.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
@@ -544,7 +545,7 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions in place, atomically per partition, no full-table
     rewrite."""
     path = stage_backfill(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = read_staged(spark, path, "event_type string, value double")
     from ..compat import dsum
     return (
         df.groupBy("event_type")
@@ -574,7 +575,7 @@ def q_audit_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic overwrite rewrote exactly one partition\'s files (the
     audited file set is post-backfill)."""
     path = stage_backfill(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = read_staged(spark, path, "event_type string, value double")
     return (
         df.select(F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
                   .alias("file_name"))

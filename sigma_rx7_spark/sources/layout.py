@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..compat import dsum, o_dsum
-from ..io import load
+from ..io import load, read_staged
 from ..registry import query
 from .formats import _stage_dir
 
@@ -98,6 +98,8 @@ def zorder_lineitem(df: DataFrame, n_files: int = N_ZFILES,
         lo_d, hi_d, lo_p, hi_p = src.agg(
             F.min("_day"), F.max("_day"),
             F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+        if lo_d is None:  # empty relation: degenerate curve, zero rows
+            lo_d = hi_d = lo_p = hi_p = 0
     else:
         lo_d, hi_d, lo_p, hi_p = bounds
     zkey = morton_key(
@@ -118,6 +120,8 @@ def lineitem_bounds(df: DataFrame) -> tuple[int, int, int, int]:
     lo_d, hi_d, lo_p, hi_p = df.agg(
         F.min(day), F.max(day),
         F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    if lo_d is None:  # empty relation: degenerate curve, zero rows
+        return 0, 0, 0, 0
     return int(lo_d), int(hi_d), int(lo_p), int(hi_p)
 
 
@@ -170,7 +174,10 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet — the rewrite is pure layout, so any row lost or duplicated
     by the clustering pass fails the hash gate."""
     path = stage_zorder(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = read_staged(
+        spark, path,
+        "l_partkey bigint, l_shipdate timestamp, l_quantity double, "
+        "l_extendedprice double, l_returnflag string")
     return (
         df.where(
             F.col("l_shipdate").between(_D_LO, _D_HI)
@@ -285,8 +292,11 @@ def q_scan_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats just like base files because they share the persisted bucket
     bounds."""
     path = stage_zorder_incremental(spark, sf_dir)
-    df = spark.read.parquet(os.path.join(path, "base"),
-                            os.path.join(path, "delta"))
+    zschema = ("l_partkey bigint, l_shipdate timestamp, l_quantity double, "
+               "l_extendedprice double, l_returnflag string")
+    df = (read_staged(spark, os.path.join(path, "base"), zschema)
+          .unionByName(
+              read_staged(spark, os.path.join(path, "delta"), zschema)))
     return (
         df.where(
             F.col("l_shipdate").between(_D_LO, _D_HI)
@@ -337,7 +347,9 @@ def stage_indexed_lineitem(spark: SparkSession, sf_dir: str) -> str:
          .repartitionByRange(N_ZFILES, "l_orderkey")
          .sortWithinPartitions("l_orderkey")
          .write.mode("overwrite").parquet(data_dir))
-        (spark.read.parquet(data_dir)
+        (read_staged(spark, data_dir,
+                     "l_orderkey bigint, l_quantity double, "
+                     "l_returnflag string")
          .groupBy(F.input_file_name().alias("file"))
          .agg(F.min("l_orderkey").alias("min_ok"),
               F.max("l_orderkey").alias("max_ok"),
@@ -373,11 +385,17 @@ def q_scan_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = stage_indexed_lineitem(spark, sf_dir)
-    idx = spark.read.parquet(os.path.join(path, "idx"))
+    dschema = "l_orderkey bigint, l_quantity double, l_returnflag string"
+    idx = read_staged(spark, os.path.join(path, "idx"),
+                      "file string, min_ok bigint, max_ok bigint, "
+                      "n_rows bigint")
     files = [r.file for r in
              idx.where((F.col("min_ok") <= _OK_HI)
                        & (F.col("max_ok") >= _OK_LO)).collect()]
-    df = spark.read.parquet(*files)
+    if not files:  # index says no file can match: empty, typed result
+        df = spark.createDataFrame([], dschema)
+    else:
+        df = spark.read.schema(dschema).parquet(*files)
     return (
         df.where(F.col("l_orderkey").between(_OK_LO, _OK_HI))
         .groupBy("l_returnflag")

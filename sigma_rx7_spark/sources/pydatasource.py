@@ -50,15 +50,39 @@ class _ArrowParquetReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
 
+    def _files(self) -> list:
+        """The physical parquet files behind ``path``: the path itself
+        when it is a single file (the harness tables), or the part files
+        inside when it is a Spark-written directory (any staged table —
+        at warehouse scale a 'table path' is always a directory)."""
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        return [self.path]
+
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).num_row_groups
-        return [_RowGroupPartition(self.path, g) for g in range(n)]
+        parts = [
+            _RowGroupPartition(f, g)
+            for f in self._files()
+            for g in range(pq.ParquetFile(f).num_row_groups)
+        ]
+        if not parts:
+            # No files / zero row groups (an empty staging): Spark
+            # rejects an empty partition list, so emit one sentinel
+            # partition that reads nothing — the source returns a typed
+            # empty relation.
+            return [_RowGroupPartition(self.path, -1)]
+        return parts
 
     def read(self, partition):
         import pyarrow.parquet as pq
 
+        if partition.row_group < 0:  # empty-file sentinel
+            return
         f = pq.ParquetFile(partition.path)
         table = f.read_row_group(partition.row_group, columns=_DS_COLUMNS)
         yield from table.to_batches()

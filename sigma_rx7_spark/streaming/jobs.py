@@ -727,6 +727,14 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    if state["df"] is None:
+        # Zero batches arrived (empty source): the converged state is
+        # the typed empty relation, and the report must still produce
+        # its (empty) schema rather than crash the pipeline run.
+        state["df"] = spark.createDataFrame(
+            [],
+            "dig string, source string, n_docs bigint, "
+            "mindoc struct<doc_id: bigint, n_chars: bigint>")
     return ingest_dedup_report(state["df"])
 
 
