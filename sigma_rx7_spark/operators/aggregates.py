@@ -2796,3 +2796,145 @@ def mannwhitney_u(vals: DataFrame) -> DataFrame:
         n_b.cast("bigint").alias("n_b"),
         u2a.cast("bigint").alias("u2_a"),
         z.cast(QDEC).cast("double").alias("z_mwu"))
+
+
+# ---- CUPED variance reduction (A45) -----------------------------------------
+
+CUPED_CUTOFF = "2024-01-16 00:00:00"  # pre/post split (= incremental cutoff)
+CUPED_EVENT = "purchase"
+
+
+@query(
+    "q_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{CUPED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{CUPED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events
+      WHERE event_type = '{CUPED_EVENT}'
+      GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx / n AS mean_x,
+             CASE WHEN sxx - sx * sx / n = 0 THEN 0.0
+                  ELSE (sxy - (SELECT
+                                 CAST(SUM(CAST(y AS DECIMAL(20,6)))
+                                      AS DOUBLE) FROM per_user)
+                              * sx / n)
+                       / (sxx - sx * sx / n) END AS th
+      FROM mom
+    ),
+    adj AS (
+      SELECT arm, y, y - th * (x - mean_x) AS y_adj
+      FROM per_user, theta
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*) AS mean_y,
+           CAST(SUM(CAST(y_adj AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(*) AS mean_y_adj,
+           CAST(CAST(
+             (CAST(SUM(CAST(CAST(y AS DECIMAL(20,6))
+                            * CAST(y AS DECIMAL(20,6))
+                            AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) ** 2
+                / COUNT(*)) / (COUNT(*) - 1)
+             AS DECIMAL(18,6)) AS DOUBLE) AS var_y,
+           CAST(CAST(
+             (CAST(SUM(CAST(CAST(y_adj AS DECIMAL(20,6))
+                            * CAST(y_adj AS DECIMAL(20,6))
+                            AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(y_adj AS DECIMAL(20,6))) AS DOUBLE) ** 2
+                / COUNT(*)) / (COUNT(*) - 1)
+             AS DECIMAL(18,6)) AS DOUBLE) AS var_y_adj
+    FROM adj
+    GROUP BY arm
+    """,
+    tags=("A45", "abtest", "cuped"),
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION (controlled-experiment using pre-period
+    data): each user's post-period purchase value is adjusted by their
+    PRE-period value, y_adj = y - theta*(x - mean(x)) with theta =
+    cov(x,y)/var(x) — the standard experimentation-platform trick that
+    shrinks metric variance (so experiments reach significance with a
+    fraction of the traffic) without biasing the arm means, because the
+    pre-period covariate is independent of assignment. Reports per-arm
+    raw and adjusted means and variances: var_y_adj / var_y is the
+    realized variance-reduction factor the platform monitors.
+
+    Shape: one pass over purchase events -> per-user (pre, post) sums;
+    one 1-row pooled moment aggregate (broadcast); one map-side adjust;
+    one per-arm aggregate. theta's moments and all variances use the
+    exact-decimal two-sum discipline end to end, and both variance
+    outputs are 6-dp-quantized (they sit at the end of the longest
+    division chains). Degenerate var(x)=0 (no pre-period signal) pins
+    theta to 0 — CUPED degrades gracefully to the unadjusted metric."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == CUPED_EVENT)
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    qv = F.col("value").cast("decimal(20,6)")
+    zero = F.lit(0).cast("decimal(20,6)")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("ts") < cutoff, qv).otherwise(zero))
+             .cast("double").alias("x"),
+             F.sum(F.when(F.col("ts") >= cutoff, qv).otherwise(zero))
+             .cast("double").alias("y"))
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "x", "y")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(27,6)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(27,6)"))
+        .cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    varx = sxx - sx * sx / n
+    th = F.when(varx == 0, F.lit(0.0)).otherwise(
+        (sxy - sy * sx / n) / varx)
+    theta = mom.select(n.alias("n"), (sx / n).alias("mean_x"),
+                       th.alias("th"))
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm", "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x")))
+        .alias("y_adj"))
+
+    def var_of(col: str):
+        qy = F.col(col).cast("decimal(20,6)")
+        s1 = F.sum(qy).cast("double")
+        s2 = F.sum((qy * qy).cast("decimal(38,12)")).cast("double")
+        cnt = F.count(F.lit(1))
+        return (((s2 - s1 * s1 / cnt) / (cnt - F.lit(1)))
+                .cast("decimal(18,6)").cast("double"))
+
+    return (
+        adj.groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+             (F.sum(F.col("y").cast("decimal(20,6)")).cast("double")
+              / F.count(F.lit(1))).alias("mean_y"),
+             (F.sum(F.col("y_adj").cast("decimal(20,6)")).cast("double")
+              / F.count(F.lit(1))).alias("mean_y_adj"),
+             var_of("y").alias("var_y"),
+             var_of("y_adj").alias("var_y_adj"))
+        .select(F.col("arm").cast("bigint").alias("arm"),
+                "n_users", "mean_y", "mean_y_adj", "var_y", "var_y_adj")
+    )
