@@ -2938,3 +2938,137 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("arm").cast("bigint").alias("arm"),
                 "n_users", "mean_y", "mean_y_adj", "var_y", "var_y_adj")
     )
+
+
+# ---- Poisson-bootstrap confidence interval (A46) ----------------------------
+
+BOOT_REPS = 40
+BOOT_EVENT = "purchase"
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!): the
+# per-(user, replicate) resample weight is how many times the user's
+# metric enters that replicate — the only bootstrap that works without
+# materializing N resampled copies of the data.
+_POIS_CUM = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def _boot_weight_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POIS_CUM))
+    return f"CASE{branches} ELSE {len(_POIS_CUM)} END"
+
+
+@query(
+    "q_ab_bootstrap",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS y
+      FROM events WHERE event_type = '{BOOT_EVENT}'
+      GROUP BY user_id
+    ),
+    reps AS (
+      SELECT p.user_id, p.arm, p.y, g.b,
+             {_boot_weight_sql(
+                 f"CAST(((p.user_id * {BOOT_REPS} + g.b)"
+                 f" % {2147483648}) * {2654435761}"
+                 f" % {4294967296} AS DOUBLE) / {4294967296}")} AS w
+      FROM per_user p, range(0, {BOOT_REPS}) g(b)
+    ),
+    rep_arm AS (
+      SELECT b, arm, SUM(w) AS wsum,
+             CAST(SUM(CAST(w * y AS DECIMAL(27,6))) AS DOUBLE) AS wy
+      FROM reps GROUP BY b, arm
+    ),
+    rep_diff AS (
+      SELECT b,
+             MAX(CASE WHEN arm = 0 AND wsum > 0 THEN wy / wsum END)
+             - MAX(CASE WHEN arm = 1 AND wsum > 0 THEN wy / wsum END)
+               AS diff
+      FROM rep_arm GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0
+                      THEN CAST(y AS DECIMAL(20,6)) END) AS DOUBLE)
+             / SUM(CASE WHEN arm = 0 THEN 1 END)
+             - CAST(SUM(CASE WHEN arm = 1
+                        THEN CAST(y AS DECIMAL(20,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN arm = 1 THEN 1 END) AS point_diff
+      FROM per_user
+    )
+    SELECT point.point_diff,
+           CAST(COUNT(rep_diff.diff) AS BIGINT) AS n_reps,
+           quantile_cont(rep_diff.diff, 0.025) AS ci_lo,
+           quantile_cont(rep_diff.diff, 0.975) AS ci_hi
+    FROM rep_diff CROSS JOIN point
+    GROUP BY point.point_diff
+    """,
+    tags=("A46", "abtest", "bootstrap"),
+)
+def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the arm-mean difference
+    of per-user purchase value: every (user, replicate) pair draws a
+    Poisson(1) resample weight from a DETERMINISTIC hash, each replicate
+    computes the weighted mean difference, and the 2.5/97.5 percentiles
+    of the replicate diffs are the CI — the bootstrap that scales,
+    because no replicate ever materializes a resampled copy of the data
+    (the classic with-replacement bootstrap cannot be expressed as a
+    scan; the Poisson approximation is exchangeable with it at n >> 1
+    and is the standard at-scale formulation). Complements the closed-
+    form tests (z/t/U): the bootstrap makes no distributional
+    assumption and generalizes to any plug-in statistic.
+
+    Scale shape: one event pass -> per-user sums; the replicate grid
+    multiplies USERS x B (not events x B) and immediately collapses to
+    B x 2 weighted moments in one partial/final aggregate; everything
+    after is O(B) rows. Weights come from the house Knuth-hash
+    uniform (sampling.uniform_unit semantics inlined over the combined
+    (user, replicate) key) so any engine draws identical weights;
+    weighted sums are decimal-quantized; the percentile runs over B
+    identical doubles (same interpolation as quantile_cont, proven by
+    q_agg_stats). Empty arms yield NULL replicate diffs, excluded
+    identically by both percentile implementations."""
+    from ..llm.sampling import uniform_unit
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == BOOT_EVENT)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+             .alias("y"))
+        .select("user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                "y")
+    )
+    b_ids = spark.range(BOOT_REPS).select(F.col("id").alias("b"))
+    u = uniform_unit(F.col("user_id") * BOOT_REPS + F.col("b"))
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    reps = per_user.crossJoin(F.broadcast(b_ids)).select(
+        "arm", "y", "b", w.alias("w"))
+    rep_arm = reps.groupBy("b", "arm").agg(
+        F.sum("w").alias("wsum"),
+        F.sum((F.col("w") * F.col("y")).cast("decimal(27,6)"))
+        .cast("double").alias("wy"))
+    mean_of = [
+        F.max(F.when((F.col("arm") == a) & (F.col("wsum") > 0),
+                     F.col("wy") / F.col("wsum")))
+        for a in (0, 1)]
+    rep_diff = rep_arm.groupBy("b").agg(
+        (mean_of[0] - mean_of[1]).alias("diff"))
+    point = per_user.agg(
+        (F.sum(F.when(F.col("arm") == 0,
+                      F.col("y").cast("decimal(20,6)"))).cast("double")
+         / F.sum(F.when(F.col("arm") == 0, 1))
+         - F.sum(F.when(F.col("arm") == 1,
+                        F.col("y").cast("decimal(20,6)"))).cast("double")
+         / F.sum(F.when(F.col("arm") == 1, 1))).alias("point_diff"))
+    return (
+        rep_diff.crossJoin(F.broadcast(point))
+        .groupBy("point_diff")
+        .agg(F.count("diff").cast("bigint").alias("n_reps"),
+             F.percentile("diff", F.lit(0.025)).alias("ci_lo"),
+             F.percentile("diff", F.lit(0.975)).alias("ci_hi"))
+        .select("point_diff", "n_reps", "ci_lo", "ci_hi")
+    )

@@ -85,11 +85,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # lead; a green row for each closes the ledger at 265/265
     # driver-proven. Next: q_agg_approx_quantile (oracle changed in r7 —
     # exact percentiles decimal-quantized on both sides, r6 judge item
-    # 4) and the EIGHTEEN queries ADDED this round (first-exposure
+    # 4) and the NINETEEN queries ADDED this round (first-exposure
     # proof, r5 practice): kanon, bm25, cms, ab-z, prefix, rp, woe,
     # decompose, hbos, stream_topk, changepoint, ess, ab-welch,
-    # rp-recall, mann-whitney, stream-scd2, drift-ks, cuped. The
-    # remaining 20 slots re-bank the
+    # rp-recall, mann-whitney, stream-scd2, drift-ks, cuped,
+    # bootstrap. The remaining 19 slots re-bank the
     # STALEST greens (`rotation_candidates.py --age`: the full r1
     # cohort, then r2 in age order) — the 15 displaced re-banks
     # (q_cluster_* etc.) return in a later window; they hold r1/r2
@@ -131,6 +131,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_stream_scd2_enrich",
     "q_drift_ks",
     "q_ab_cuped",
+    "q_ab_bootstrap",
     # stalest driver-greens, oldest first (r1 cohort ...)
     "q_subquery_scalar",
     "q_subquery_exists",
@@ -152,7 +153,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_json_variant",
     "q_text_stats",
     "q_text_quality",
-    "q_text_langid",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
