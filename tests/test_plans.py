@@ -996,3 +996,22 @@ def test_ess_is_one_aggregate(spark, sf_dir):
     p = plan(spark, sf_dir, "q_sample_ess")
     assert "Join" not in p and "Window" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_cuped_theta_broadcasts(spark, sf_dir):
+    """CUPED: the pooled 1-row theta relation broadcasts to the adjust
+    step — the per-user relation never sort-merge-joins."""
+    p = plan(spark, sf_dir, "q_ab_cuped")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bootstrap_grid_is_users_times_b(spark, sf_dir):
+    """Poisson bootstrap: the replicate grid joins the per-USER relation
+    (never raw events) against the broadcast B-row id relation, and
+    events columns never enter an exchange after the per-user collapse."""
+    p = plan(spark, sf_dir, "q_ab_bootstrap")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert not any("event_id" in ln or "props" in ln or "event_type" in ln
+                   for ln in exchanges), exchanges
