@@ -815,14 +815,16 @@ _KS_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI screen
     SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
            CAST(MAX(n_b) AS BIGINT) AS n_b,
            CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num,
-           CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
-             / (MAX(n_a) * MAX(n_b)) AS ks_d,
-           CAST(CAST(
+           CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL ELSE
              CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
-             / (MAX(n_a) * MAX(n_b))
-             * sqrt(CAST(MAX(n_a) AS DOUBLE) * MAX(n_b)
-                    / (MAX(n_a) + MAX(n_b)))
-             AS DECIMAL(18,6)) AS DOUBLE) AS ks_stat
+               / (MAX(n_a) * MAX(n_b)) END AS ks_d,
+           CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL ELSE
+             CAST(CAST(
+               CAST(MAX(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+               / (MAX(n_a) * MAX(n_b))
+               * sqrt(CAST(MAX(n_a) AS DOUBLE) * MAX(n_b)
+                      / (MAX(n_a) + MAX(n_b)))
+               AS DECIMAL(18,6)) AS DOUBLE) END AS ks_stat
     FROM cum
     """,
     tags=("Q13", "drift", "ks-test"),
@@ -866,6 +868,10 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cum.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
                   F.max(num).alias("d_num"))
     n_a, n_b, d_num = F.col("n_a"), F.col("n_b"), F.col("d_num")
+    # Degenerate guard (mirrors q_ab_mannwhitney): with every event on
+    # one side of the cutoff the denominator is 0 — NULL, not 0/0,
+    # identically on both engines (Spark ANSI would otherwise raise).
+    degenerate = (n_a == 0) | (n_b == 0)
     ks_d = d_num.cast("double") / (n_a * n_b)
     ks_stat = ks_d * F.sqrt(n_a.cast("double") * n_b / (n_a + n_b))
     from ..compat import QDEC
@@ -873,5 +879,7 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_a.cast("bigint").alias("n_a"),
         n_b.cast("bigint").alias("n_b"),
         d_num.cast("bigint").alias("d_num"),
-        ks_d.alias("ks_d"),
-        ks_stat.cast(QDEC).cast("double").alias("ks_stat"))
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(ks_d).alias("ks_d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(ks_stat.cast(QDEC).cast("double")).alias("ks_stat"))

@@ -91,7 +91,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # rp-recall, mann-whitney, stream-scd2, drift-ks, cuped,
     # bootstrap. The remaining 19 slots re-bank the
     # STALEST greens (`rotation_candidates.py --age`: the full r1
-    # cohort, then r2 in age order) — the 15 displaced re-banks
+    # cohort, then r2 in age order) — the 19 displaced re-banks
     # (q_cluster_* etc.) return in a later window; they hold r1/r2
     # greens, nothing is lost.
     #

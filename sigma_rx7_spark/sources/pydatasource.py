@@ -54,12 +54,27 @@ class _ArrowParquetReader(DataSourceReader):
         """The physical parquet files behind ``path``: the path itself
         when it is a single file (the harness tables), or the part files
         inside when it is a Spark-written directory (any staged table —
-        at warehouse scale a 'table path' is always a directory)."""
+        at warehouse scale a 'table path' is always a directory). The
+        glob is RECURSIVE so a partitionBy-written layout (key=value/
+        subdirectories) is served too; a directory that has entries but
+        no readable parquet anywhere under it is an error, not an empty
+        relation — the empty-file sentinel is reserved for genuinely
+        empty stagings (only _SUCCESS/marker files)."""
         import glob
         import os
 
         if os.path.isdir(self.path):
-            return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            files = sorted(glob.glob(
+                os.path.join(self.path, "**", "*.parquet"), recursive=True))
+            if not files:
+                entries = [e for e in os.listdir(self.path)
+                           if not e.startswith((".", "_"))]
+                if entries:
+                    raise FileNotFoundError(
+                        f"{self.path!r} contains {len(entries)} non-marker "
+                        "entries but no *.parquet files anywhere under it — "
+                        "refusing to serve it as an empty relation")
+            return files
         return [self.path]
 
     def partitions(self):
