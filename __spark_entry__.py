@@ -16,6 +16,9 @@ from sigma_rx7_spark import registry
 
 FLAGSHIP = "q_agg_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+# The external correctness gate runs Spark + oracle side by side at
+# sf0.01; templated oracles (sf-keyed staged artifacts) resolve here.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; rows-only
-    queries (approximate / hash-randomized / JSON-formatting) omitted."""
+    queries (approximate / hash-randomized / JSON-formatting) omitted.
+    Templated oracles are specialized to the driver's gate scale."""
     return {
-        name: spec.oracle
+        name: spec.oracle_for(DRIVER_SF_DIR)
         for name, spec in registry.load_all().items()
         if spec.oracle is not None
     }

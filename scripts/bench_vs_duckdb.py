@@ -57,7 +57,7 @@ def main() -> None:
 
     def t_duck(name: str) -> float:
         t0 = time.perf_counter()
-        con.execute(specs[name].oracle).fetchall()
+        con.execute(specs[name].oracle_for(sf_dir)).fetchall()
         return time.perf_counter() - t0
 
     t_spark(names[0])  # JVM warmup

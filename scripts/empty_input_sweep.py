@@ -26,12 +26,11 @@ Notes on scope:
 - Streaming queries run their file-source harness against the empty
   events table; watermark/state logic must tolerate zero batches.
 
-Do NOT run concurrently with another session: the fixed-path oracle
-stagings (IVF oracle centroids, PQ assign) are keyed by sf_dir via their
-stamp, so sweeping the empty sf legitimately REBUILDS them — a completed
-staging for a different sf is supposed to be replaced, and a concurrent
-reader of the old sf's artifact would lose its files mid-read. Run it
-alone; the next ordinary run restages its own sf automatically.
+Safe to run concurrently with other sessions since round 9: every
+shared staging (IVF oracle centroids, PQ codes/assign, schema-merge
+batches, backfill) is keyed by sf_dir in its PATH, so sweeping the
+empty sf stages its own disjoint artifacts and never touches another
+session's scale factor.
 
 Run: python scripts/empty_input_sweep.py [--names a,b]
 Prints one JSON line {"pass": N, "fail": M, "failures": {...}}; exits

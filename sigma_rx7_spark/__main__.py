@@ -35,9 +35,8 @@ def main(argv: list[str] | None = None) -> int:
                       ("report", "render the result as HTML+JSON (S7)")):
         sp = sub.add_parser(name, help=hlp)
         sp.add_argument("query")
-        if name != "oracle":
-            sp.add_argument("--sf-dir", default=os.environ.get(
-                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+        sp.add_argument("--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
         if name == "run":
             sp.add_argument("-n", type=int, default=20,
                             help="rows to show (0 = count only)")
@@ -70,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         if spec.oracle is None:
             print(f"{args.query} is rows-only (no oracle)", file=sys.stderr)
             return 1
-        print(spec.oracle.strip())
+        print(spec.oracle_for(args.sf_dir).strip())
         return 0
 
     from .session import get_spark

@@ -56,8 +56,19 @@ _QUERY_MODULES = (
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB-runnable ANSI SQL, or None => rows-only check
+    # DuckDB-runnable ANSI SQL, a callable (sf_dir) -> SQL for oracles
+    # that read sf-keyed staged artifacts, or None => rows-only check.
+    oracle: str | Callable[[str], str] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        """The oracle SQL specialized to ``sf_dir``. Static oracles
+        return as-is; templated oracles substitute sf-keyed staged
+        paths at retrieval time, so two sessions mirroring different
+        scale factors never share (or clobber) one staged artifact."""
+        if callable(self.oracle):
+            return self.oracle(sf_dir)
+        return self.oracle
 
     @property
     def doc(self) -> str:

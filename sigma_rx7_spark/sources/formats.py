@@ -315,24 +315,35 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed staging paths (oracle SQL is static text): the driver always runs
 # the Spark side of a pair first at the sf under check, so the staged
-# bytes match — same contract as llm/similarity's centroid staging. A
-# module-level tag skips redundant rewrites within one process.
-_SCHEMA_B1 = os.path.join(STAGING, "schemav1_events")
-_SCHEMA_B2 = os.path.join(STAGING, "schemav2_events")
-_SCHEMA_STAGED: dict[str, str] = {}
+# bytes match — same contract as llm/similarity's centroid staging.
+# Paths are sf-keyed (round 9) and the oracle is a template resolved at
+# retrieval time, so concurrent sessions at different scale factors
+# stage disjoint batch dirs. A module-level set skips redundant
+# rewrites within one process.
+_SCHEMA_STAGED: set[str] = set()
 
 
-@query(
-    "q_source_schema_merge",
-    oracle=f"""
+def _schema_dirs(sf_dir: str) -> tuple[str, str]:
+    return (_stage_dir("schemav1_events", sf_dir),
+            _stage_dir("schemav2_events", sf_dir))
+
+
+def _schema_merge_oracle(sf_dir: str) -> str:
+    b1, b2 = _schema_dirs(sf_dir)
+    return f"""
     SELECT COALESCE(event_type, 'pre-upgrade') AS event_type,
            COUNT(*) AS n_events,
            {o_dsum('value', 'sum_value')}
     FROM read_parquet(
-      ['{_SCHEMA_B1}/*.parquet', '{_SCHEMA_B2}/*.parquet'],
+      ['{b1}/*.parquet', '{b2}/*.parquet'],
       union_by_name = true)
     GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "q_source_schema_merge",
+    oracle=_schema_merge_oracle,
     tags=("S10", "schema-evolution"),
 )
 def q_source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,16 +363,16 @@ def q_source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is this same operation amortized into the commit protocol."""
     ev = load(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    if _SCHEMA_STAGED.get("sf") != sf_dir:
+    b1, b2 = _schema_dirs(sf_dir)
+    if sf_dir not in _SCHEMA_STAGED:
         (ev.where(F.col("ts") < cutoff)
          .select("event_id", "user_id", "value")
-         .write.mode("overwrite").parquet(_SCHEMA_B1))
+         .write.mode("overwrite").parquet(b1))
         (ev.where(F.col("ts") >= cutoff)
          .select("event_id", "user_id", "value", "event_type")
-         .write.mode("overwrite").parquet(_SCHEMA_B2))
-        _SCHEMA_STAGED["sf"] = sf_dir
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        _SCHEMA_B1, _SCHEMA_B2)
+         .write.mode("overwrite").parquet(b2))
+        _SCHEMA_STAGED.add(sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(b1, b2)
     return (
         merged.select(
             F.coalesce("event_type", F.lit("pre-upgrade"))
@@ -490,20 +501,24 @@ def q_source_json_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- Dynamic partition overwrite (idempotent backfill) -------------------
 
-# Fixed staging path (oracle SQL is static text): the Spark side of the
-# pair always stages the sf under check first — same contract as the
-# schema-merge staging above.
-_BACKFILL_DIR = os.path.join(STAGING, "backfill_events")
-_BACKFILL_STAGED: dict[str, str] = {}
+# sf-keyed staging path (round 9) with a template oracle resolved at
+# retrieval time — concurrent sessions at different scale factors
+# stage disjoint dirs instead of clobbering one fixed path.
+_BACKFILL_STAGED: set[str] = set()
+
+
+def _backfill_dir(sf_dir: str) -> str:
+    return _stage_dir("backfill_events", sf_dir)
 
 
 def stage_backfill(spark: SparkSession, sf_dir: str) -> str:
     """Stage events partitioned by type, then dynamically overwrite ONE
     partition (the backfill re-run). Memoized per (process, sf)."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
-    if _BACKFILL_STAGED.get("sf") != sf_dir:
+    path = _backfill_dir(sf_dir)
+    if sf_dir not in _BACKFILL_STAGED:
         ev.write.mode("overwrite").partitionBy("event_type") \
-            .parquet(_BACKFILL_DIR)
+            .parquet(path)
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
@@ -511,12 +526,12 @@ def stage_backfill(spark: SparkSession, sf_dir: str) -> str:
             # the backfill: rewrite ONLY the 'click' partition
             (ev.where(F.col("event_type") == "click")
              .write.mode("overwrite").partitionBy("event_type")
-             .parquet(_BACKFILL_DIR))
+             .parquet(path))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            old)
-        _BACKFILL_STAGED["sf"] = sf_dir
-    return _BACKFILL_DIR
+        _BACKFILL_STAGED.add(sf_dir)
+    return path
 
 
 @query(
@@ -554,14 +569,19 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_audit_file_layout",
-    oracle=f"""
+def _file_layout_oracle(sf_dir: str) -> str:
+    return f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM read_parquet('{_BACKFILL_DIR}/*/*.parquet', filename = true)
+    FROM read_parquet('{_backfill_dir(sf_dir)}/*/*.parquet',
+                      filename = true)
     GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "q_audit_file_layout",
+    oracle=_file_layout_oracle,
     tags=("S8", "audit", "file-layout"),
 )
 def q_audit_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,7 +85,7 @@ def test_oracle_parity(name, spark, sf_dir):
     s_rows = [tuple(r) for r in s_pd.itertuples(index=False, name=None)]
 
     con = _duck(sf_dir)
-    k_pd = con.execute(spec.oracle).df()
+    k_pd = con.execute(spec.oracle_for(sf_dir)).df()
     con.close()
     d_cols = list(k_pd.columns)
     d_rows = [tuple(r) for r in k_pd.itertuples(index=False, name=None)]

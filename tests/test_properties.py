@@ -210,19 +210,26 @@ def test_shingles_match_python_model(spark, texts):
         assert got[i] == model, (t, got[i], model)
 
 
-def test_ivf_oracle_staging_carries_sf_tag(spark, sf_dir):
-    # The staged oracle centroids live at a FIXED path while their
-    # contents depend on sf_dir; the sidecar tag must record which
-    # corpus trained the staged bytes so a mismatched pairing is
-    # diagnosable (see _ivf_parts).
+def test_ivf_oracle_staging_is_sf_keyed(spark, sf_dir):
+    # The staged oracle centroids are keyed by sf_dir and the oracle
+    # SQL is resolved per sf at retrieval time, so concurrent sessions
+    # at different scale factors stage — and read — disjoint artifacts
+    # (the r8 cross-sf clobber). The staged path must exist after a
+    # run, be distinct across sfs, and appear verbatim in that sf's
+    # resolved oracle.
     import os
 
     from sigma_rx7_spark import registry
-    from sigma_rx7_spark.llm.similarity import _ORACLE_CENT
+    from sigma_rx7_spark.llm.similarity import _oracle_cent
 
-    registry.load_all()["q_sim_topk_ivf"].fn(spark, sf_dir).collect()
-    with open(os.path.join(_ORACLE_CENT, "_sf_tag.txt")) as fh:
-        assert fh.read() == sf_dir
+    spec = registry.load_all()["q_sim_topk_ivf"]
+    spec.fn(spark, sf_dir).collect()
+    path = _oracle_cent(sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert path in spec.oracle_for(sf_dir)
+    other = _oracle_cent("/root/testdata/sf0.42")
+    assert other != path
+    assert other in spec.oracle_for("/root/testdata/sf0.42")
 
 
 def test_pack_assignment_invariants(spark, sf_dir):
