@@ -192,7 +192,7 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderpriority
     """,
-    tags=("X5", "sql-udf"),
+    tags=("X9", "sql-udf"),
 )
 def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-DEFINED SCALAR FUNCTION (Spark 4 ``CREATE FUNCTION ...

