@@ -1,0 +1,31 @@
+#!/bin/sh
+# One-entrypoint round battery (SURVEY.md §5): a round cannot ship with
+# a sweep silently skipped. Order mirrors the per-round discipline:
+#
+#   1. full pytest suite at sf0.001 (oracle mirror + properties + plans)
+#   2. empty-input robustness sweep (every registered query on zero-row
+#      tables; exits nonzero on any crash)
+#   3. scaling curves with the superlinear gate (g10 > 14 fails: 10x
+#      rows should cost ~<=10x above the floor; the margin absorbs the
+#      measured noise of this box)
+#   4. pre-freeze driver-scale mirror of the _CHECK_PRIORITY window
+#      (sf0.01 — the external gate scale)
+#
+# Run from anywhere:  sh scripts/ci.sh
+# Takes ~25-30 min end to end on the local[32] box.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== [1/4] full suite (sf0.001) ==="
+python -m pytest tests/ -x -q
+
+echo "=== [2/4] empty-input sweep ==="
+python scripts/empty_input_sweep.py
+
+echo "=== [3/4] scaling curves (superlinear gate) ==="
+python scripts/scaling_curves.py --fail-over 14
+
+echo "=== [4/4] pre-freeze mirror at the driver gate scale (sf0.01) ==="
+sh scripts/prefreeze_mirror.sh
+
+echo "ci.sh: ALL GREEN"
