@@ -3072,3 +3072,436 @@ def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.percentile("diff", F.lit(0.975)).alias("ci_hi"))
         .select("point_diff", "n_reps", "ci_lo", "ci_hi")
     )
+
+
+# ---- Sequential A/B monitoring with an O'Brien-Fleming boundary (A47) -------
+
+SEQ_EVENT = "purchase"
+Z_ALPHA_2 = 1.959964  # two-sided alpha = 0.05
+Z_POWER_80 = 0.841621  # 80% power
+
+
+@query(
+    "q_ab_sequential",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             user_id % 2 AS arm,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(20,6))
+                           * CAST(value AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM events WHERE event_type = '{SEQ_EVENT}'
+      GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT day,
+             COALESCE(MAX(CASE WHEN arm = 0 THEN n END), 0) AS dn_a,
+             COALESCE(MAX(CASE WHEN arm = 0 THEN s1 END), 0) AS ds1_a,
+             COALESCE(MAX(CASE WHEN arm = 0 THEN s2 END), 0) AS ds2_a,
+             COALESCE(MAX(CASE WHEN arm = 1 THEN n END), 0) AS dn_b,
+             COALESCE(MAX(CASE WHEN arm = 1 THEN s1 END), 0) AS ds1_b,
+             COALESCE(MAX(CASE WHEN arm = 1 THEN s2 END), 0) AS ds2_b
+      FROM per_day GROUP BY day
+    ),
+    cum AS (
+      SELECT day,
+             SUM(dn_a) OVER w AS n_a, SUM(ds1_a) OVER w AS s1_a,
+             SUM(ds2_a) OVER w AS s2_a,
+             SUM(dn_b) OVER w AS n_b, SUM(ds1_b) OVER w AS s1_b,
+             SUM(ds2_b) OVER w AS s2_b,
+             SUM(dn_a + dn_b) OVER () AS n_total
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    mom AS (
+      SELECT day, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(n_a + n_b AS DOUBLE) / n_total AS info_frac,
+             s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+             CASE WHEN n_a > 1
+                  THEN (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a END
+               AS va,
+             CASE WHEN n_b > 1
+                  THEN (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b END
+               AS vb
+      FROM cum
+    )
+    SELECT day, n_a, n_b,
+           CAST(CAST(info_frac AS DECIMAL(18,6)) AS DOUBLE) AS info_frac,
+           CASE WHEN va IS NULL OR vb IS NULL OR va + vb <= 0 THEN NULL
+                ELSE CAST(CAST((mean_a - mean_b) / sqrt(va + vb)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS z,
+           CAST(CAST({Z_ALPHA_2} AS DOUBLE) / sqrt(info_frac)
+                AS DECIMAL(18,6)) AS z_bound,
+           CASE WHEN va IS NULL OR vb IS NULL OR va + vb <= 0 THEN NULL
+                ELSE abs((mean_a - mean_b) / sqrt(va + vb))
+                     >= CAST({Z_ALPHA_2} AS DOUBLE) / sqrt(info_frac) END
+             AS crossed
+    FROM mom
+    """,
+    tags=("A47", "abtest", "sequential"),
+)
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B MONITORING: the Welch z of the purchase-value
+    metric recomputed at every daily look, each compared against an
+    O'Brien-Fleming-style spending boundary z_bound = z_alpha/2 /
+    sqrt(information fraction) — the always-peeking discipline that lets
+    an experimenter stop early without inflating false positives (naive
+    daily peeking at a flat 1.96 roughly triples alpha). One row per
+    look: cumulative per-arm counts, information fraction, the z
+    statistic, the boundary, and the crossing flag.
+
+    Shape for 100 TB: the raw stream collapses to per-(day, arm) moments
+    in ONE hash aggregate (the same two-sum discipline as q_ab_welch —
+    sums decimal-quantized so partial/final order never perturbs them);
+    all cumulative arithmetic then runs over the day-cardinality-bounded
+    relation (~30 rows here, <=3650 for a decade), so the unpartitioned
+    window is a deliberate bounded-metadata pass, not a data-scale sort.
+    Early looks with n<2 in either arm yield NULL z (insufficient
+    variance information), mirrored exactly in the oracle; boundary and
+    z are 6-dp-quantized on both sides (division + sqrt chains).
+
+    The boundary shape is the standard OBF approximation (Lan-DeMets
+    alpha-spending family); the z_alpha/2 constant is pinned so both
+    engines compare against identical bytes."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == SEQ_EVENT)
+    qv = F.col("value").cast("decimal(20,6)")
+    per_day = (
+        e.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "value")
+        .groupBy("day", "arm")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(qv).cast("double").alias("s1"),
+             F.sum((qv * qv).cast("decimal(38,12)")).cast("double")
+             .alias("s2"))
+    )
+    def arm_col(a: int, c: str):
+        return F.coalesce(
+            F.max(F.when(F.col("arm") == a, F.col(c))), F.lit(0))
+    daily = per_day.groupBy("day").agg(
+        arm_col(0, "n").alias("dn_a"), arm_col(0, "s1").alias("ds1_a"),
+        arm_col(0, "s2").alias("ds2_a"),
+        arm_col(1, "n").alias("dn_b"), arm_col(1, "s1").alias("ds1_b"),
+        arm_col(1, "s2").alias("ds2_b"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = daily.select(
+        "day",
+        F.sum("dn_a").over(w).alias("n_a"),
+        F.sum("ds1_a").over(w).alias("s1_a"),
+        F.sum("ds2_a").over(w).alias("s2_a"),
+        F.sum("dn_b").over(w).alias("n_b"),
+        F.sum("ds1_b").over(w).alias("s1_b"),
+        F.sum("ds2_b").over(w).alias("s2_b"),
+        F.sum(F.col("dn_a") + F.col("dn_b")).over(wall).alias("n_total"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    info = (n_a + n_b).cast("double") / F.col("n_total")
+    mean_a, mean_b = F.col("s1_a") / n_a, F.col("s1_b") / n_b
+    va = F.when(n_a > 1, (F.col("s2_a") - F.col("s1_a") * F.col("s1_a")
+                          / n_a) / (n_a - 1) / n_a)
+    vb = F.when(n_b > 1, (F.col("s2_b") - F.col("s1_b") * F.col("s1_b")
+                          / n_b) / (n_b - 1) / n_b)
+    z_raw = (mean_a - mean_b) / F.sqrt(va + vb)
+    bound = F.lit(Z_ALPHA_2) / F.sqrt(info)
+    bad = va.isNull() | vb.isNull() | (va + vb <= 0)
+    z = F.when(bad, F.lit(None).cast("double")).otherwise(z_raw)
+    crossed = F.when(bad, F.lit(None).cast("boolean")).otherwise(
+        F.abs(z_raw) >= bound)
+    return cum.select(
+        "day", n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        info.cast(QDEC).cast("double").alias("info_frac"),
+        z.cast(QDEC).cast("double").alias("z"),
+        bound.cast(QDEC).cast("double").alias("z_bound"),
+        crossed.alias("crossed"))
+
+
+# ---- Sample-ratio-mismatch guardrail (A48) ----------------------------------
+
+SRM_CHI2_95 = 3.841459  # chi-square 95th percentile, 1 df
+
+
+@query(
+    "q_ab_srm",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM users
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS chi2,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / (n_a + n_b) > 3.841459 END AS srm_detected
+    FROM counts
+    """,
+    tags=("A48", "abtest", "guardrail"),
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH GUARDRAIL: chi-square goodness-of-fit of
+    the observed arm assignment against the designed 50/50 split — the
+    first check every experimentation platform runs, because a biased
+    assignment (bot filtering, logging loss, redirect bugs) silently
+    invalidates every downstream statistic no matter how significant it
+    looks. For an even split the statistic reduces to the exact integer
+    form (n_a - n_b)^2 / (n_a + n_b), so the only float op is one final
+    division: engine-identical by construction, belt-quantized anyway.
+    One distinct-users aggregate + one single-row assembly; the distinct
+    is the same user_id shuffle every A/B query here already pays."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct().select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+    counts = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    chi2 = ((n_a - n_b) * (n_a - n_b)).cast("double") / (n_a + n_b)
+    empty = (n_a + n_b) == 0
+    return counts.select(
+        n_a.cast("bigint").alias("n_a"), n_b.cast("bigint").alias("n_b"),
+        F.when(empty, F.lit(None).cast("double"))
+        .otherwise(chi2.cast(QDEC).cast("double")).alias("chi2"),
+        F.when(empty, F.lit(None).cast("boolean"))
+        .otherwise(chi2 > SRM_CHI2_95).alias("srm_detected"))
+
+
+# ---- Minimum detectable effect / sizing report (A49) -------------------------
+
+
+@query(
+    "q_ab_power",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(converted) AS conv
+      FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST(conv AS DOUBLE) / (n_a + n_b) END AS p_pooled,
+           CASE WHEN n_a = 0 OR n_b = 0 OR conv = 0
+                     OR conv = n_a + n_b THEN NULL
+                ELSE CAST(CAST(
+                  ({Z_ALPHA_2} + {Z_POWER_80})
+                  * sqrt(CAST(conv AS DOUBLE) / (n_a + n_b)
+                         * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS mde_abs,
+           CASE WHEN n_a = 0 OR n_b = 0 OR conv = 0
+                     OR conv = n_a + n_b THEN NULL
+                ELSE CAST(CAST(
+                  ({Z_ALPHA_2} + {Z_POWER_80})
+                  * sqrt(CAST(conv AS DOUBLE) / (n_a + n_b)
+                         * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+                  / (CAST(conv AS DOUBLE) / (n_a + n_b))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS mde_rel
+    FROM arms
+    """,
+    tags=("A49", "abtest", "sizing"),
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT SIZING REPORT: the minimum detectable effect (MDE) of
+    the running conversion experiment at 80% power / two-sided 5% alpha,
+    from the observed pooled rate and arm sizes — the number a reviewer
+    reads BEFORE the significance column ('a 2% lift is invisible at
+    this traffic; only >= mde_rel would have been detectable'). Uses the
+    standard normal-approximation sizing identity
+    mde = (z_alpha/2 + z_power) * sqrt(p(1-p)(1/n_a + 1/n_b)); both z
+    constants are pinned literals so the arithmetic is byte-identical
+    across engines, and the outputs are 6-dp-quantized (division + sqrt
+    chain). Same per-user conversion reduction as q_ab_proportions (one
+    user_id shuffle), one-row assembly after."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == AB_CONVERT_EVENT, 1)
+                  .otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("event_type") == AB_BASELINE_EVENT, 1)
+                  .otherwise(0)).alias("nb"))
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.when(F.col("nc") > F.col("nb"), 1).otherwise(0)
+            .alias("converted")))
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum("converted").alias("conv"))
+    n_a, n_b, conv = F.col("n_a"), F.col("n_b"), F.col("conv")
+    p = conv.cast("double") / (n_a + n_b)
+    mde = F.lit(Z_ALPHA_2 + Z_POWER_80) * F.sqrt(
+        p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+    degenerate = ((n_a == 0) | (n_b == 0) | (conv == 0)
+                  | (conv == n_a + n_b))
+    null_d = F.lit(None).cast("double")
+    return arms.select(
+        n_a.cast("bigint").alias("n_a"), n_b.cast("bigint").alias("n_b"),
+        F.when((n_a + n_b) == 0, null_d).otherwise(p).alias("p_pooled"),
+        F.when(degenerate, null_d)
+        .otherwise(mde.cast(QDEC).cast("double")).alias("mde_abs"),
+        F.when(degenerate, null_d)
+        .otherwise((mde / p).cast(QDEC).cast("double")).alias("mde_rel"))
+
+
+# ---- Delta-method ratio-metric test (A50) ------------------------------------
+
+
+@query(
+    "q_ab_delta",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS y,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT arm, COUNT(*) AS k,
+             CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             CAST(SUM(d) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(20,6))
+                           * CAST(y AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(d * d) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(20,6)) * d
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syd
+      FROM per_user GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, k, sy / sd AS r,
+             (syy - sy * sy / k) / (k - 1) AS vyy,
+             (sdd - sd * sd / k) / (k - 1) AS vdd,
+             (syd - sy * sd / k) / (k - 1) AS vyd,
+             sd / k AS dbar
+      FROM mom WHERE k > 1 AND sd > 0
+    ),
+    var_r AS (
+      SELECT arm, k, r,
+             (vyy - 2 * r * vyd + r * r * vdd) / (k * dbar * dbar)
+               AS vr
+      FROM stats
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN k END) AS k_a,
+             MAX(CASE WHEN arm = 0 THEN r END) AS r_a,
+             MAX(CASE WHEN arm = 0 THEN vr END) AS vr_a,
+             MAX(CASE WHEN arm = 1 THEN k END) AS k_b,
+             MAX(CASE WHEN arm = 1 THEN r END) AS r_b,
+             MAX(CASE WHEN arm = 1 THEN vr END) AS vr_b
+      FROM var_r
+    )
+    SELECT CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+           CAST(CAST(r_a AS DECIMAL(18,6)) AS DOUBLE) AS ratio_a,
+           CAST(CAST(r_b AS DECIMAL(18,6)) AS DOUBLE) AS ratio_b,
+           CASE WHEN k_a IS NULL OR k_b IS NULL
+                     OR vr_a + vr_b <= 0 THEN NULL
+                ELSE CAST(CAST((r_a - r_b) / sqrt(vr_a + vr_b)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS z_delta
+    FROM wide
+    """,
+    tags=("A50", "abtest", "ratio-metric"),
+)
+def q_ab_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD RATIO-METRIC TEST: revenue-per-click compared
+    between arms with the variance computed by the delta method over
+    USER-level aggregates — the correct treatment of ratio metrics
+    whose numerator and denominator are correlated within a user
+    (naive per-event variance understates it badly and overcalls
+    significance; randomization is by user, so the user is the i.i.d.
+    unit). Var(Y/D) ~ (s_yy - 2R*s_yd + R^2*s_dd) / (k * dbar^2) per
+    arm, then a two-sample z on the ratio difference.
+
+    One user_id hash aggregate reduces events to per-user (y, d); one
+    conditional aggregate per arm computes the five exact-decimal
+    moments; the statistic assembles on ONE row. Arms with k<=1 users
+    or zero denominator yield NULL (the guard matches the oracle
+    term for term). Ratios and z are 6-dp-quantized (division/sqrt
+    chains); all sums are decimal-quantized so partial/final
+    aggregation order never perturbs them."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == AB_CONVERT_EVENT,
+                         F.col("value").cast("decimal(20,6)"))
+                  .otherwise(F.lit(0).cast("decimal(20,6)")))
+            .cast("double").alias("y"),
+            F.sum(F.when(F.col("event_type") == AB_BASELINE_EVENT, 1)
+                  .otherwise(0)).alias("d"))
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                "y", "d"))
+    qy = F.col("y").cast("decimal(20,6)")
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(qy).cast("double").alias("sy"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum((qy * qy).cast("decimal(38,12)")).cast("double")
+        .alias("syy"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum((qy * F.col("d")).cast("decimal(38,12)")).cast("double")
+        .alias("syd"))
+    k, sy, sd = F.col("k"), F.col("sy"), F.col("sd")
+    stats = mom.where((k > 1) & (sd > 0)).select(
+        "arm", "k",
+        (sy / sd).alias("r"),
+        ((F.col("syy") - sy * sy / k) / (k - 1)).alias("vyy"),
+        ((F.col("sdd") - sd * sd / k) / (k - 1)).alias("vdd"),
+        ((F.col("syd") - sy * sd / k) / (k - 1)).alias("vyd"),
+        (sd / k).alias("dbar"))
+    r = F.col("r")
+    var_r = stats.select(
+        "arm", "k", "r",
+        ((F.col("vyy") - 2 * r * F.col("vyd") + r * r * F.col("vdd"))
+         / (F.col("k") * F.col("dbar") * F.col("dbar"))).alias("vr"))
+    wide = var_r.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("vr"))).alias("vr_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("vr"))).alias("vr_b"))
+    r_a, r_b = F.col("r_a"), F.col("r_b")
+    vr_sum = F.col("vr_a") + F.col("vr_b")
+    bad = (F.col("k_a").isNull() | F.col("k_b").isNull()
+           | (vr_sum <= 0))
+    z = F.when(bad, F.lit(None).cast("double")).otherwise(
+        (r_a - r_b) / F.sqrt(vr_sum))
+    return wide.select(
+        F.col("k_a").cast("bigint").alias("k_a"),
+        F.col("k_b").cast("bigint").alias("k_b"),
+        r_a.cast(QDEC).cast("double").alias("ratio_a"),
+        r_b.cast(QDEC).cast("double").alias("ratio_b"),
+        z.cast(QDEC).cast("double").alias("z_delta"))

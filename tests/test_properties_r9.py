@@ -1,0 +1,150 @@
+"""Round-9 property tests: every new statistical operator validated
+against a naive pure-Python model (engine parity alone cannot catch a
+formula that is wrong identically on both sides — the r8 discipline).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+Z_A = 1.959964
+Z_P = 0.841621
+
+
+def _events(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')").fetchall()
+    con.close()
+    return rows
+
+
+def _per_user(rows):
+    agg = {}
+    for uid, et, v, _ in rows:
+        y, nc, nb = agg.get(uid, (0.0, 0, 0))
+        if et == "purchase":
+            y, nc = y + round(v, 6), nc + 1
+        elif et == "click":
+            nb += 1
+        agg[uid] = (y, nc, nb)
+    return agg
+
+
+def test_ab_srm_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    users = {uid for uid, *_ in rows}
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    want = (n_a - n_b) ** 2 / (n_a + n_b)
+    got = registry.get("q_ab_srm").fn(spark, sf_dir).collect()[0]
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert got["chi2"] == pytest.approx(want, abs=1e-6)
+    assert got["srm_detected"] == (want > 3.841459)
+
+
+def test_ab_power_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    agg = _per_user(_events(sf_dir))
+    n_a = sum(1 for u in agg if u % 2 == 0)
+    n_b = len(agg) - n_a
+    conv = sum(1 for u, (y, nc, nb) in agg.items() if nc > nb)
+    p = conv / (n_a + n_b)
+    mde = (Z_A + Z_P) * math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    got = registry.get("q_ab_power").fn(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert got["p_pooled"] == pytest.approx(p, abs=1e-9)
+    assert got["mde_abs"] == pytest.approx(mde, abs=1e-5)
+    assert got["mde_rel"] == pytest.approx(mde / p, abs=1e-5)
+
+
+def test_ab_delta_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    agg = _per_user(_events(sf_dir))
+    out = {}
+    for arm in (0, 1):
+        pts = [(y, nb) for u, (y, nc, nb) in agg.items()
+               if u % 2 == arm]
+        k = len(pts)
+        sy = sum(y for y, d in pts)
+        sd = sum(d for y, d in pts)
+        assert k > 1 and sd > 0, "fixture: degenerate arm"
+        r = sy / sd
+        ybar, dbar = sy / k, sd / k
+        vyy = sum((y - ybar) ** 2 for y, d in pts) / (k - 1)
+        vdd = sum((d - dbar) ** 2 for y, d in pts) / (k - 1)
+        vyd = sum((y - ybar) * (d - dbar) for y, d in pts) / (k - 1)
+        vr = (vyy - 2 * r * vyd + r * r * vdd) / (k * dbar * dbar)
+        out[arm] = (k, r, vr)
+    z = (out[0][1] - out[1][1]) / math.sqrt(out[0][2] + out[1][2])
+    got = registry.get("q_ab_delta").fn(spark, sf_dir).collect()[0]
+    assert (got["k_a"], got["k_b"]) == (out[0][0], out[1][0])
+    assert got["ratio_a"] == pytest.approx(out[0][1], abs=1e-6)
+    assert got["ratio_b"] == pytest.approx(out[1][1], abs=1e-6)
+    # the naive model accumulates variance in a different order; the
+    # z tolerance reflects float noise, not formula slack
+    assert got["z_delta"] == pytest.approx(z, abs=1e-4)
+
+
+def test_ab_sequential_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    purchases = sorted(
+        ((ts.date(), uid % 2, round(v, 6))
+         for uid, et, v, ts in rows if et == "purchase"))
+    days = sorted({d for d, _, _ in purchases})
+    total = len(purchases)
+    got = {r["day"].isoformat() if hasattr(r["day"], "isoformat")
+           else str(r["day"]): r
+           for r in registry.get("q_ab_sequential").fn(spark, sf_dir)
+           .collect()}
+    assert len(got) == len(days)
+    for day in days:
+        upto = [(a, v) for d, a, v in purchases if d <= day]
+        va_vb = []
+        means = []
+        ns = []
+        for arm in (0, 1):
+            vals = [v for a, v in upto if a == arm]
+            n = len(vals)
+            ns.append(n)
+            means.append(sum(vals) / n if n else None)
+            va_vb.append(
+                sum((x - means[arm]) ** 2 for x in vals)
+                / (n - 1) / n if n > 1 else None)
+        r = got[day.isoformat()]
+        assert (r["n_a"], r["n_b"]) == tuple(ns)
+        info = sum(ns) / total
+        assert r["info_frac"] == pytest.approx(info, abs=1e-6)
+        bound = Z_A / math.sqrt(info)
+        assert r["z_bound"] == pytest.approx(bound, abs=1e-5)
+        if None in va_vb or sum(va_vb) <= 0:
+            assert r["z"] is None and r["crossed"] is None
+        else:
+            z = (means[0] - means[1]) / math.sqrt(sum(va_vb))
+            assert r["z"] == pytest.approx(z, abs=1e-4)
+            # crossing is decided on the engine's own quantized pair
+            # (a naive-float recompute can flip at the exact boundary)
+            assert r["crossed"] == (abs(r["z"]) >= r["z_bound"])
+
+
+def test_ab_sequential_boundary_tightens_monotonically(spark, sf_dir):
+    # The OBF-style boundary must be strictly decreasing in the
+    # information fraction: early looks demand more evidence.
+    from sigma_rx7_spark import registry
+
+    rows = sorted(registry.get("q_ab_sequential").fn(spark, sf_dir)
+                  .collect(), key=lambda r: str(r["day"]))
+    bounds = [r["z_bound"] for r in rows]
+    assert all(b1 >= b2 for b1, b2 in zip(bounds, bounds[1:]))
+    assert bounds[-1] == pytest.approx(Z_A, abs=1e-5)
