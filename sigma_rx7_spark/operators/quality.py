@@ -883,3 +883,104 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(ks_d).alias("ks_d"),
         F.when(degenerate, F.lit(None).cast("double"))
         .otherwise(ks_stat.cast(QDEC).cast("double")).alias("ks_stat"))
+
+
+# ---- 1-D Wasserstein (earth-mover) drift distance (Q14) ---------------------
+
+_W1_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI/KS screens
+
+
+@query(
+    "q_drift_wasserstein",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_W1_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT v, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c_a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_b,
+             LEAD(v) OVER (ORDER BY v) AS v_next,
+             SUM(c_a) OVER () AS n_a,
+             SUM(c_b) OVER () AS n_b
+      FROM per_value
+    ),
+    terms AS (
+      SELECT n_a, n_b,
+             CAST(abs(CAST(cum_a AS DOUBLE) / n_a
+                      - CAST(cum_b AS DOUBLE) / n_b)
+                  * (v_next - v) AS DECIMAL(27,9)) AS seg
+      FROM cum WHERE v_next IS NOT NULL AND n_a > 0 AND n_b > 0
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CASE WHEN MAX(n_a) IS NULL THEN NULL
+                ELSE CAST(COALESCE(SUM(seg), 0) AS DOUBLE) END
+             AS wasserstein_1
+    FROM terms
+    """,
+    tags=("Q14", "drift", "wasserstein"),
+)
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (EARTH-MOVER) DISTANCE between the before/after
+    halves of the event-value stream — the third member of the drift
+    family: PSI reports binned magnitude, KS the worst-point ECDF gap,
+    W1 the AREA between the ECDFs (|F_a - F_b| integrated over the
+    merged support), the only one of the three that scales with HOW FAR
+    mass moved, not just that it moved — the property that makes it the
+    standard embedding/feature drift metric.
+
+    Exactness discipline: each segment |cum_a/n_a - cum_b/n_b| *
+    (v_next - v) is deterministic IEEE per distinct value; segments are
+    quantized to the 9-dp decimal grid BEFORE summation so the total is
+    partial/final-order-insensitive (the compat rule for sums of
+    floats). Degenerate one-sided streams (n_a or n_b = 0) drop every
+    segment and report NULL.
+
+    Scale shape — identical to KS/MWU: collapse to DISTINCT values with
+    per-half counts, one prefix-sum/lead window over the
+    value-cardinality-bounded relation, one final sum. No row-level
+    sort of raw events anywhere."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < F.lit(_W1_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_value = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    wl = Window.orderBy("v")
+    cum = per_value.select(
+        "v",
+        F.sum("c_a").over(wv).alias("cum_a"),
+        F.sum("c_b").over(wv).alias("cum_b"),
+        F.lead("v").over(wl).alias("v_next"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    seg = (F.abs(F.col("cum_a").cast("double") / n_a
+                 - F.col("cum_b").cast("double") / n_b)
+           * (F.col("v_next") - F.col("v"))).cast("decimal(27,9)")
+    terms = cum.where(F.col("v_next").isNotNull()
+                      & (n_a > 0) & (n_b > 0)) \
+        .select(n_a, n_b, seg.alias("seg"))
+    return terms.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.when(F.max("n_a").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.coalesce(F.sum("seg"),
+                              F.lit(0).cast("decimal(27,9)"))
+                   .cast("double")).alias("wasserstein_1"))

@@ -573,3 +573,181 @@ def q_window_peer_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "s_acctbal",
                 z.alias("peer_z"))
     )
+
+
+# ---- Running-peak max drawdown (W32) ---------------------------------------
+
+
+@query(
+    "q_window_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS dv
+      FROM events GROUP BY 1, 2
+    ),
+    cumsum AS (
+      SELECT event_type, day,
+             SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_v
+      FROM daily
+    ),
+    cum AS (
+      SELECT event_type, day, cum_v,
+             MAX(cum_v) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak_v
+      FROM cumsum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(cum_v) AS DOUBLE) AS peak_value,
+           CAST(MAX(peak_v - cum_v) AS DOUBLE) AS max_drawdown,
+           CAST(CAST(MAX(CASE WHEN peak_v > 0
+                         THEN (peak_v - cum_v) / peak_v END)
+                AS DECIMAL(18,6)) AS DOUBLE) AS max_drawdown_frac
+    FROM cum
+    GROUP BY event_type
+    """,
+    tags=("W32", "timeseries", "drawdown"),
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN per event family: the daily net-value series
+    cumulated, tracked against its running peak, and reported as the
+    deepest peak-to-trough fall (absolute and as a fraction of the
+    peak) — the risk statistic behind budget monitors, revenue health
+    dashboards, and trading-style KPI reviews, and a windowing shape
+    (running max OF a running sum) none of the existing W rows cover.
+
+    Scale shape: the raw stream collapses to per-(type, day) decimal
+    sums in one hash aggregate; both nested windows and the final
+    aggregate then share ONE (event_type) partitioning over the
+    day-cardinality-bounded relation — no second shuffle, no global
+    sort. Cumulative sums are exact DECIMAL (order-insensitive); only
+    the final fraction is quantized (one division)."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type",
+                 F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+                 F.col("value").cast("decimal(20,6)").alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("dv")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = daily.select(
+        "event_type", "day",
+        F.sum("dv").over(w).alias("cum_v"))
+    cum = cum.select(
+        "event_type", "cum_v",
+        F.max("cum_v").over(w).alias("peak_v"))
+    frac = F.when(F.col("peak_v") > 0,
+                  (F.col("peak_v") - F.col("cum_v")) / F.col("peak_v"))
+    return cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("cum_v").cast("double").alias("peak_value"),
+        F.max(F.col("peak_v") - F.col("cum_v")).cast("double")
+        .alias("max_drawdown"),
+        F.max(frac).cast(QDEC).cast("double").alias("max_drawdown_frac"))
+
+
+# ---- Rolling cross-series correlation (W33) --------------------------------
+
+ROLL_CORR_DAYS = 7  # trailing window, inclusive
+
+
+@query(
+    "q_window_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS BIGINT) AS day_no,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT day, COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+             SUM(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day_no
+                   RANGE BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n < 2
+                     OR n * sxx - sx * sx <= 0
+                     OR n * syy - sy * sy <= 0 THEN NULL
+                ELSE CAST(CAST(
+                  (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS rolling_corr
+    FROM rolled
+    """,
+    tags=("W33", "timeseries", "rolling-corr"),
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING {ROLL_CORR_DAYS}-DAY PEARSON CORRELATION between two
+    derived daily series (purchase revenue vs click volume) — the
+    co-movement monitor behind "did spend stop tracking traffic this
+    week" alerts; a windowed RANGE-frame twin of the global A15
+    correlation. The frame is a true date-RANGE window over an integer
+    epoch-day key (identical on both engines, gap-robust: missing days
+    shrink the frame rather than silently stretching it the way a
+    rows-frame would).
+
+    Scale shape: events collapse to one bounded daily relation in a
+    single hash aggregate; ONE unpartitioned range window computes all
+    five rolling moments (bounded-metadata pass, <=3650 rows/decade).
+    Degenerate frames (n<2 or zero variance) are NULL on both sides;
+    the correlation is 6-dp-quantized (division + sqrt)."""
+    e = load(spark, sf_dir, "events")
+    from ..compat import QDEC
+
+    daily = (
+        e.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(20,6)").alias("v"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("v"))
+                  .otherwise(F.lit(0).cast("decimal(20,6)")))
+            .cast("double").alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("double").alias("y"))
+        .withColumn("day_no", F.datediff(F.col("day"),
+                                         F.lit("1970-01-01").cast("date"))
+                    .cast("bigint")))
+    w = (Window.orderBy("day_no")
+         .rangeBetween(-(ROLL_CORR_DAYS - 1), 0))
+    x, y = F.col("x"), F.col("y")
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"), F.sum(y).over(w).alias("sy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+        F.sum(x * y).over(w).alias("sxy"))
+    n = F.col("n")
+    covn = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vxn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyn = n * F.col("syy") - F.col("sy") * F.col("sy")
+    bad = (n < 2) | (vxn <= 0) | (vyn <= 0)
+    corr = F.when(bad, F.lit(None).cast("double")).otherwise(
+        (covn / F.sqrt(vxn * vyn)).cast(QDEC).cast("double"))
+    return rolled.select(
+        "day", n.cast("bigint").alias("n_days"),
+        corr.alias("rolling_corr"))

@@ -148,3 +148,90 @@ def test_ab_sequential_boundary_tightens_monotonically(spark, sf_dir):
     bounds = [r["z_bound"] for r in rows]
     assert all(b1 >= b2 for b1, b2 in zip(bounds, bounds[1:]))
     assert bounds[-1] == pytest.approx(Z_A, abs=1e-5)
+
+
+def test_drift_wasserstein_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import _W1_CUTOFF
+
+    import datetime as dt
+    cutoff = dt.datetime.fromisoformat(_W1_CUTOFF)
+    rows = _events(sf_dir)
+    a = sorted(v for _, _, v, ts in rows if ts < cutoff)
+    b = sorted(v for _, _, v, ts in rows if ts >= cutoff)
+    # naive: integrate |ECDF_a - ECDF_b| across the merged support
+    support = sorted(set(a) | set(b))
+    w1, ca, cb = 0.0, 0, 0
+    for v, v_next in zip(support, support[1:]):
+        ca += a.count(v)
+        cb += b.count(v)
+        w1 += abs(ca / len(a) - cb / len(b)) * (v_next - v)
+    got = registry.get("q_drift_wasserstein").fn(spark, sf_dir) \
+        .collect()[0]
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    # per-segment 9-dp quantization bounds the drift at n_segments*1e-9
+    assert got["wasserstein_1"] == pytest.approx(
+        w1, abs=1e-9 * len(support) + 1e-9)
+
+
+def test_window_drawdown_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    by_type = {}
+    for uid, et, v, ts in rows:
+        by_type.setdefault(et, {}).setdefault(ts.date(), []).append(
+            round(v, 6))
+    got = {r["event_type"]: r for r in
+           registry.get("q_window_drawdown").fn(spark, sf_dir).collect()}
+    for et, days in by_type.items():
+        cum, peak, mdd, mfrac, peak_seen = 0.0, None, 0.0, None, 0.0
+        for day in sorted(days):
+            cum = round(cum + sum(days[day]), 6)
+            peak_seen = max(peak_seen, cum)
+            mdd = max(mdd, round(peak_seen - cum, 6))
+            if peak_seen > 0:
+                f = (peak_seen - cum) / peak_seen
+                mfrac = f if mfrac is None else max(mfrac, f)
+        r = got[et]
+        assert r["n_days"] == len(days)
+        assert r["max_drawdown"] == pytest.approx(mdd, abs=1e-6)
+        if mfrac is not None:
+            assert r["max_drawdown_frac"] == pytest.approx(mfrac, abs=1e-5)
+
+
+def test_window_rolling_corr_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.windows import ROLL_CORR_DAYS
+
+    rows = _events(sf_dir)
+    daily = {}
+    for uid, et, v, ts in rows:
+        x, y = daily.get(ts.date(), (0.0, 0))
+        if et == "purchase":
+            x = round(x + round(v, 6), 6)
+        elif et == "click":
+            y += 1
+        daily[ts.date()] = (x, y)
+    days = sorted(daily)
+    got = {str(r["day"]): r for r in
+           registry.get("q_window_rolling_corr").fn(spark, sf_dir)
+           .collect()}
+    assert len(got) == len(days)
+    for d in days:
+        frame = [daily[e] for e in days
+                 if 0 <= (d - e).days <= ROLL_CORR_DAYS - 1]
+        n = len(frame)
+        r = got[str(d)]
+        assert r["n_days"] == n
+        sx = sum(x for x, y in frame)
+        sy = sum(y for x, y in frame)
+        sxx = sum(x * x for x, y in frame)
+        syy = sum(y * y for x, y in frame)
+        sxy = sum(x * y for x, y in frame)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            assert r["rolling_corr"] is None
+        else:
+            want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert r["rolling_corr"] == pytest.approx(want, abs=1e-4)
