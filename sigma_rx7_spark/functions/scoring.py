@@ -350,3 +350,75 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 woe.alias("woe"),
                 iv_term.alias("iv_term"))
     )
+
+
+# ---- Smoothed target encoding (X8) ------------------------------------------
+
+TE_SMOOTHING = 20.0  # pseudo-observations pulled toward the global mean
+
+
+@query(
+    "q_feature_target_encode",
+    oracle=f"""
+    WITH cat AS (
+      SELECT o_orderpriority AS category,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS s1
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(CAST(s1 AS DECIMAL(27,6))) AS DOUBLE) / SUM(n)
+               AS gmean
+      FROM cat
+    )
+    SELECT category,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(s1 / n AS DECIMAL(18,6)) AS DOUBLE) AS raw_mean,
+           CAST(CAST(
+             (s1 + CAST({TE_SMOOTHING} AS DOUBLE) * gmean)
+             / (n + CAST({TE_SMOOTHING} AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS encoded,
+           CAST(CAST(gmean AS DECIMAL(18,6)) AS DOUBLE) AS global_mean
+    FROM cat CROSS JOIN g
+    """,
+    tags=("X8", "feature", "target-encoding"),
+)
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED TARGET ENCODING of a categorical feature (order priority
+    -> mean order value): encoded = (sum_cat + m * global_mean) /
+    (n_cat + m), the empirical-Bayes shrinkage that keeps rare
+    categories from memorizing their few targets — the standard
+    high-cardinality categorical treatment in gradient-boosting
+    pipelines, and the regression companion to X7's WOE (binary
+    targets). Reported per category with the raw mean and the global
+    mean so the shrinkage is auditable.
+
+    One hash aggregate per category (decimal-exact sums), the global
+    mean derived FROM the category relation (no second scan of the
+    fact table), broadcast back over the category-cardinality-bounded
+    relation. Means are 6-dp-quantized (division chains); counts exact.
+    At 100 TB the encoder output IS the artifact a training pipeline
+    broadcasts into its feature join."""
+    from ..compat import QDEC
+
+    o = load(spark, sf_dir, "orders")
+    cat = (
+        o.groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+             .cast("double").alias("s1")))
+    glob = cat.agg(
+        (F.sum(F.col("s1").cast("decimal(27,6)")).cast("double")
+         / F.sum("n")).alias("gmean"))
+    m = F.lit(TE_SMOOTHING)
+    return (
+        cat.crossJoin(F.broadcast(glob))
+        .select(
+            "category", F.col("n").cast("bigint").alias("n"),
+            (F.col("s1") / F.col("n")).cast(QDEC).cast("double")
+            .alias("raw_mean"),
+            ((F.col("s1") + m * F.col("gmean")) / (F.col("n") + m))
+            .cast(QDEC).cast("double").alias("encoded"),
+            F.col("gmean").cast(QDEC).cast("double").alias("global_mean"))
+    )

@@ -1715,3 +1715,133 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# ---- Gopher-style quality-rule gate (L3q) ---------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 1000
+GOPHER_WL_MIN = 3.0
+GOPHER_WL_MAX = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DIGIT_RATIO = 0.1
+
+
+def _gopher_stop_hits_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN list_contains(list_filter(string_split(text, ' '), "
+        f"x -> x <> ''), '{w}') THEN 1 ELSE 0 END"
+        for w in EN_STOPWORDS)
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             length(replace(text, ' ', '')) AS nospace,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digits,
+             {_gopher_stop_hits_sql()} AS stop_hits
+      FROM documents
+    ),
+    flags AS (
+      SELECT
+        CASE WHEN n_tokens < {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END AS f1,
+        CASE WHEN n_tokens > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS f2,
+        CASE WHEN n_tokens = 0
+                  OR CAST(nospace AS DOUBLE) / n_tokens
+                     < CAST({GOPHER_WL_MIN} AS DOUBLE)
+                  OR CAST(nospace AS DOUBLE) / n_tokens
+                     > CAST({GOPHER_WL_MAX} AS DOUBLE)
+             THEN 1 ELSE 0 END AS f3,
+        CASE WHEN stop_hits < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+          AS f4,
+        CASE WHEN nospace = 0
+                  OR CAST(n_digits AS DOUBLE) / nospace
+                     > CAST({GOPHER_MAX_DIGIT_RATIO} AS DOUBLE)
+             THEN 1 ELSE 0 END AS f5
+      FROM feats
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(f1) AS c1, SUM(f2) AS c2, SUM(f3) AS c3,
+             SUM(f4) AS c4, SUM(f5) AS c5,
+             SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 = 0 THEN 1 ELSE 0 END)
+               AS n_pass
+      FROM flags
+    )
+    SELECT 'word_count_low' AS rule, CAST(c1 AS BIGINT) AS n_fail,
+           CAST(n_docs AS BIGINT) AS n_docs FROM agg
+    UNION ALL SELECT 'word_count_high', CAST(c2 AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM agg
+    UNION ALL SELECT 'mean_word_length', CAST(c3 AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM agg
+    UNION ALL SELECT 'stopword_floor', CAST(c4 AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM agg
+    UNION ALL SELECT 'digit_ratio', CAST(c5 AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM agg
+    UNION ALL SELECT 'all_rules_pass', CAST(n_docs - n_pass AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM agg
+    """,
+    tags=("L3q", "quality-rules", "gopher"),
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE RULE GATE: the composite hand-tuned quality filter
+    every pre-training corpus passes through (word-count window, mean
+    word length window, minimum distinct-stopword floor, digit-ratio
+    cap — the Rae et al. 2021 rule family), reported as one row per
+    rule (rule, n_fail, n_docs) plus the all-rules pass line an
+    ingestion gate alerts on. Complements q_text_quality (raw signals,
+    no policy) and q_pipeline_quality_model (learned filter) with the
+    RULE-BASED member of the filter family.
+
+    All five rules fold into ONE conditional-aggregation scan (adding a
+    rule is free — the q_quality_audit posture); the per-rule rows
+    explode from the single 1-row aggregate inside the plan. Integer
+    counts end to end; the two ratio thresholds compare IEEE doubles
+    built from integer counts, identical on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    nospace = F.length(F.regexp_replace("text", " ", ""))
+    n_digits = (F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", "")))
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        term = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        stop_hits = term if stop_hits is None else stop_hits + term
+    wl = nospace.cast("double") / n_tokens
+    dr = n_digits.cast("double") / nospace
+    f1 = F.when(n_tokens < GOPHER_MIN_WORDS, 1).otherwise(0)
+    f2 = F.when(n_tokens > GOPHER_MAX_WORDS, 1).otherwise(0)
+    f3 = F.when((n_tokens == 0) | (wl < GOPHER_WL_MIN)
+                | (wl > GOPHER_WL_MAX), 1).otherwise(0)
+    f4 = F.when(stop_hits < GOPHER_MIN_STOPWORDS, 1).otherwise(0)
+    f5 = F.when((nospace == 0) | (dr > GOPHER_MAX_DIGIT_RATIO), 1) \
+        .otherwise(0)
+    flags = d.select(f1.alias("f1"), f2.alias("f2"), f3.alias("f3"),
+                     f4.alias("f4"), f5.alias("f5"))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f1").alias("c1"), F.sum("f2").alias("c2"),
+        F.sum("f3").alias("c3"), F.sum("f4").alias("c4"),
+        F.sum("f5").alias("c5"),
+        F.sum(F.when(F.col("f1") + F.col("f2") + F.col("f3")
+                     + F.col("f4") + F.col("f5") == 0, 1).otherwise(0))
+        .alias("n_pass"))
+    rules = [("word_count_low", "c1"), ("word_count_high", "c2"),
+             ("mean_word_length", "c3"), ("stopword_floor", "c4"),
+             ("digit_ratio", "c5")]
+    pairs = F.array(
+        *[F.struct(F.lit(name).alias("rule"),
+                   F.col(c).cast("long").alias("n_fail"))
+          for name, c in rules],
+        F.struct(F.lit("all_rules_pass").alias("rule"),
+                 (F.col("n_docs") - F.col("n_pass")).cast("long")
+                 .alias("n_fail")))
+    return agg.select(
+        F.explode(pairs).alias("kv"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).select("kv.rule", "kv.n_fail", "n_docs")

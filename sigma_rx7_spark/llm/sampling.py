@@ -834,3 +834,65 @@ def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
              ess.alias("ess"),
              (ess / F.count(F.lit(1))).alias("ess_ratio"))
     )
+
+
+# ---- Stratified systematic sampling (L5i) ----------------------------------
+
+SYSTEMATIC_K = 10  # keep every k-th document per stratum
+
+
+@query(
+    "q_sample_systematic",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn % {SYSTEMATIC_K} = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN rn % {SYSTEMATIC_K} = 1 THEN n_chars
+                    ELSE 0 END) AS BIGINT) AS sampled_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY lang
+    """,
+    tags=("L5i", "sampling", "systematic"),
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED SYSTEMATIC SAMPLING: within each language stratum,
+    order documents by key digest and keep every {SYSTEMATIC_K}-th —
+    the evenly-spaced design that guarantees EXACT per-stratum sample
+    sizes (ceil(n/k), no binomial wobble) where the Bernoulli hash gates
+    (q_split_train_test, q_sample_stratified) only hit their rate in
+    expectation. The digest ordering makes the systematic frame a
+    pseudo-random permutation, so even spacing over it is a defensible
+    probability sample, and the whole assignment is row-order- and
+    partition-count-independent (digest order is a property of the
+    keys, not the layout).
+
+    Scale shape: ONE window partitioned by the stratum key (keyed
+    shuffle, no global sort — the rank never crosses strata), then the
+    same keyed aggregate; at 100 TB the per-stratum sort is the one
+    real cost, which is why the hash-gate samplers exist alongside this
+    exact-count design. Reported per stratum: population and sample
+    sizes plus character mass on both sides (integer-exact)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("lang", "n_chars",
+                      F.row_number().over(w).alias("rn"))
+    picked = F.col("rn") % SYSTEMATIC_K == 1
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(picked, 1).otherwise(0)).cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(picked, F.col("n_chars")).otherwise(0))
+        .cast("bigint").alias("sampled_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"))

@@ -3505,3 +3505,132 @@ def q_ab_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_a.cast(QDEC).cast("double").alias("ratio_a"),
         r_b.cast(QDEC).cast("double").alias("ratio_b"),
         z.cast(QDEC).cast("double").alias("z_delta"))
+
+
+# ---- Bloom-filter membership audit (A51) -------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3  # md5 hex slices (1-8, 9-16, 17-24) mod BLOOM_BITS
+
+
+def _bloom_pos_sql(key_expr: str) -> list[str]:
+    return [
+        f"CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), "
+        f"{1 + 8 * i}, 8)) AS BIGINT) % {BLOOM_BITS}"
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+@query(
+    "q_agg_bloom",
+    oracle=f"""
+    WITH built AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql("o_custkey"))}]) AS pos
+        FROM (SELECT DISTINCT o_custkey FROM orders)
+      )
+    ),
+    probe AS (
+      SELECT c_custkey,
+             unnest([{", ".join(_bloom_pos_sql("c_custkey"))}]) AS pos
+      FROM customer
+    ),
+    verdicts AS (
+      SELECT p.c_custkey,
+             CASE WHEN COUNT(b.pos) = {BLOOM_HASHES}
+                  THEN 1 ELSE 0 END AS bloom_pos
+      FROM probe p LEFT JOIN built b ON p.pos = b.pos
+      GROUP BY p.c_custkey
+    ),
+    truth AS (
+      SELECT c.c_custkey,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS member
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON c.c_custkey = o.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(t.member) AS BIGINT) AS n_members,
+           CAST(SUM(v.bloom_pos) AS BIGINT) AS n_bloom_positive,
+           CAST(SUM(CASE WHEN v.bloom_pos = 1 AND t.member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN v.bloom_pos = 0 AND t.member = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative,
+           CASE WHEN SUM(1 - t.member) = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST(SUM(CASE WHEN v.bloom_pos = 1 AND t.member = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+                  / SUM(1 - t.member)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS false_positive_rate
+    FROM verdicts v JOIN truth t ON v.c_custkey = t.c_custkey
+    """,
+    tags=("A51", "sketch", "bloom"),
+)
+def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER MEMBERSHIP AUDIT: an m={BLOOM_BITS}-bit / k=
+    {BLOOM_HASHES}-hash Bloom filter built over the customers who hold
+    orders, probed with EVERY customer, and scored against exact
+    membership — n_false_negative MUST be 0 (the Bloom guarantee,
+    asserted by a property test) while the measured false-positive rate
+    is the number a join-pruning deployment reads before trusting the
+    filter (the sketch behind runtime row-group skipping and semi-join
+    pushdown in every warehouse engine). Hash positions are md5 hex
+    slices mod m — engine-identical by the repo's md5 convention, so
+    the filter the oracle builds is bit-for-bit the Spark one.
+
+    Scale shape: the filter materializes as a DISTINCT-position
+    relation (<= m = {BLOOM_BITS} rows regardless of input size — the
+    'bitmap as a tiny relation' trick), broadcast into the probe join;
+    probes explode to k rows each, aggregate back to one verdict per
+    probe, and join the broadcast exact-membership dimension. No
+    driver-side state; the filter build is one distinct + one projection
+    over the build side."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def bloom_pos(key) -> list:
+        h = F.md5(key.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+            % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    build_keys = o.select("o_custkey").distinct()
+    built = (
+        build_keys.select(
+            F.explode(F.array(*bloom_pos(F.col("o_custkey"))))
+            .alias("pos"))
+        .distinct())
+    probe = c.select(
+        "c_custkey",
+        F.explode(F.array(*bloom_pos(F.col("c_custkey")))).alias("pos"))
+    verdicts = (
+        probe.join(F.broadcast(built.withColumn("hit", F.lit(1))),
+                   "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.when(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    == BLOOM_HASHES, 1).otherwise(0).alias("bloom_pos")))
+    truth = (
+        c.select("c_custkey")
+        .join(F.broadcast(build_keys.withColumn("m", F.lit(1))),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey",
+                F.coalesce(F.col("m"), F.lit(0)).alias("member")))
+    joined = verdicts.join(truth, "c_custkey")
+    from ..compat import QDEC
+    n_nonmem = F.sum(1 - F.col("member"))
+    n_fp = F.sum(F.when((F.col("bloom_pos") == 1)
+                        & (F.col("member") == 0), 1).otherwise(0))
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("member").cast("bigint").alias("n_members"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        n_fp.cast("bigint").alias("n_false_positive"),
+        F.sum(F.when((F.col("bloom_pos") == 0) & (F.col("member") == 1),
+                     1).otherwise(0)).cast("bigint")
+        .alias("n_false_negative"),
+        F.when(n_nonmem == 0, F.lit(None).cast("double"))
+        .otherwise((n_fp.cast("double") / n_nonmem).cast(QDEC)
+                   .cast("double")).alias("false_positive_rate"))

@@ -235,3 +235,102 @@ def test_window_rolling_corr_matches_naive_model(spark, sf_dir):
         else:
             want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
             assert r["rolling_corr"] == pytest.approx(want, abs=1e-4)
+
+
+def test_bloom_invariants(spark, sf_dir):
+    # The Bloom guarantee: zero false negatives at ANY parameters, and
+    # every true member is bloom-positive.
+    from sigma_rx7_spark import registry
+
+    r = registry.get("q_agg_bloom").fn(spark, sf_dir).collect()[0]
+    assert r["n_false_negative"] == 0
+    assert r["n_bloom_positive"] >= r["n_members"]
+    assert r["n_bloom_positive"] - r["n_members"] == r["n_false_positive"]
+    if r["false_positive_rate"] is not None:
+        assert 0.0 <= r["false_positive_rate"] <= 1.0
+
+
+def test_systematic_sample_counts_exact(spark, sf_dir):
+    # Systematic sampling's defining property vs Bernoulli gates:
+    # per-stratum sample size is exactly ceil(n/k), no wobble.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.sampling import SYSTEMATIC_K
+
+    for r in registry.get("q_sample_systematic").fn(spark, sf_dir) \
+            .collect():
+        want = -(-r["n_docs"] // SYSTEMATIC_K)  # ceil-div
+        assert r["n_sampled"] == want, (r["lang"], r["n_docs"],
+                                        r["n_sampled"], want)
+
+
+def test_gopher_rules_match_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.functions.text import (EN_STOPWORDS,
+                                                GOPHER_MAX_DIGIT_RATIO,
+                                                GOPHER_MAX_WORDS,
+                                                GOPHER_MIN_STOPWORDS,
+                                                GOPHER_MIN_WORDS,
+                                                GOPHER_WL_MAX,
+                                                GOPHER_WL_MIN)
+
+    con = duckdb.connect()
+    texts = [t for (t,) in con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()]
+    con.close()
+    fails = {k: 0 for k in ("word_count_low", "word_count_high",
+                            "mean_word_length", "stopword_floor",
+                            "digit_ratio", "all_rules_pass")}
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        n = len(toks)
+        nospace = len(t.replace(" ", ""))
+        digits = sum(ch.isdigit() for ch in t)
+        hits = sum(1 for w in EN_STOPWORDS if w in toks)
+        f = {
+            "word_count_low": n < GOPHER_MIN_WORDS,
+            "word_count_high": n > GOPHER_MAX_WORDS,
+            "mean_word_length": n == 0 or not (
+                GOPHER_WL_MIN <= nospace / n <= GOPHER_WL_MAX),
+            "stopword_floor": hits < GOPHER_MIN_STOPWORDS,
+            "digit_ratio": nospace == 0
+            or digits / nospace > GOPHER_MAX_DIGIT_RATIO,
+        }
+        for k, v in f.items():
+            fails[k] += v
+        fails["all_rules_pass"] += any(f.values())
+    got = {r["rule"]: r for r in
+           registry.get("q_text_gopher_rules").fn(spark, sf_dir)
+           .collect()}
+    for k, want in fails.items():
+        assert got[k]["n_fail"] == want, (k, got[k]["n_fail"], want)
+        assert got[k]["n_docs"] == len(texts)
+
+
+def test_target_encode_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.functions.scoring import TE_SMOOTHING
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderpriority, o_totalprice "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')").fetchall()
+    con.close()
+    by_cat = {}
+    for cat, v in rows:
+        n, s = by_cat.get(cat, (0, 0.0))
+        by_cat[cat] = (n + 1, s + round(v, 6))
+    gmean = sum(s for n, s in by_cat.values()) / len(rows)
+    got = {r["category"]: r for r in
+           registry.get("q_feature_target_encode").fn(spark, sf_dir)
+           .collect()}
+    assert set(got) == set(by_cat)
+    for cat, (n, s) in by_cat.items():
+        r = got[cat]
+        assert r["n"] == n
+        assert r["raw_mean"] == pytest.approx(s / n, abs=1e-4)
+        want = (s + TE_SMOOTHING * gmean) / (n + TE_SMOOTHING)
+        assert r["encoded"] == pytest.approx(want, abs=1e-4)
+        # shrinkage direction: encoded lies between raw and global mean
+        lo, hi = sorted((s / n, gmean))
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6
