@@ -1015,3 +1015,95 @@ def test_bootstrap_grid_is_users_times_b(spark, sf_dir):
     exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert not any("event_id" in ln or "props" in ln or "event_type" in ln
                    for ln in exchanges), exchanges
+
+
+# ---- round 9 ---------------------------------------------------------------
+
+
+def test_sequential_windows_run_on_day_grain(spark, sf_dir):
+    """Sequential monitor: the raw purchase stream collapses to
+    per-(day, arm) moments first — no exchange carries raw event
+    columns, and the cumulative windows run after aggregation."""
+    p = plan(spark, sf_dir, "q_ab_sequential")
+    assert "Window" in p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges
+    assert not any("event_id" in ln or "props" in ln
+                   for ln in exchanges), exchanges
+
+
+def test_srm_and_power_shuffle_user_grain_only(spark, sf_dir):
+    """SRM / MDE sizing: the only shuffles carry user-level columns —
+    the raw event payload never moves."""
+    for name in ("q_ab_srm", "q_ab_power", "q_ab_delta"):
+        p = plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in p, name
+        exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert not any("event_id" in ln or "props" in ln or "ts" in ln
+                       for ln in exchanges), (name, exchanges)
+
+
+def test_drawdown_shares_one_keyed_partitioning(spark, sf_dir):
+    """Drawdown: day-grain aggregate, then both nested windows AND the
+    final aggregate share the (event_type) partitioning — at most two
+    hash exchanges in the whole plan (grain collapse + key regroup)."""
+    p = plan(spark, sf_dir, "q_window_drawdown")
+    assert "Window" in p
+    assert p.count("Arguments: hashpartitioning") <= 2, p
+
+
+def test_rolling_corr_windows_bounded_daily_relation(spark, sf_dir):
+    """Rolling correlation: the range-frame window runs on the
+    day-grain aggregate (bounded), never on raw events."""
+    p = plan(spark, sf_dir, "q_window_rolling_corr")
+    assert "Window" in p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert not any("event_id" in ln or "props" in ln
+                   for ln in exchanges), exchanges
+
+
+def test_wasserstein_shuffles_values_not_rows(spark, sf_dir):
+    """W1 drift: after the per-value collapse, exchanges carry
+    (value, counts) only — the KS/MWU posture."""
+    p = plan(spark, sf_dir, "q_drift_wasserstein")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges
+    assert not any("event_id" in ln or "props" in ln or "user_id" in ln
+                   for ln in exchanges), exchanges
+
+
+def test_gopher_rules_single_scan_no_join(spark, sf_dir):
+    """Gopher gate: all five rules fold into one conditional aggregate
+    over one scan — no join anywhere, and the per-rule rows explode
+    from the single aggregated row."""
+    p = plan(spark, sf_dir, "q_text_gopher_rules")
+    assert "Join" not in p
+    assert "explode(" in p
+    assert p.lower().count("filescan") + p.lower().count("scan parquet") >= 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_systematic_sample_no_global_sort(spark, sf_dir):
+    """Systematic sampler: ONE stratum-keyed exchange feeds both the
+    window and the aggregate; no single-partition global sort."""
+    p = plan(spark, sf_dir, "q_sample_systematic")
+    assert "Window" in p
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert "SinglePartition" not in p.split("Window")[0]
+
+
+def test_target_encode_broadcasts_global_mean(spark, sf_dir):
+    """Target encoding: the 1-row global mean broadcasts back over the
+    category relation — no sort-merge join, no re-scan of orders."""
+    p = plan(spark, sf_dir, "q_feature_target_encode")
+    assert "SortMergeJoin" not in p
+    assert ("BroadcastNestedLoopJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_bloom_filter_relation_broadcasts(spark, sf_dir):
+    """Bloom audit: the <=m-row position relation and the build-key
+    dimension broadcast into the probe joins; the probe side never
+    sort-merge-joins."""
+    p = plan(spark, sf_dir, "q_agg_bloom")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
