@@ -89,81 +89,75 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 8 window. Round 7 ended before the external driver ran a
-    # correctness pass (no CORRECTNESS_r07.json exists), so the round-7
-    # window content is still the right content and stays: the 11
-    # oracle-gated queries that have NEVER had a driver correctness row
-    # lead; a green row for each closes the ledger at 265/265
-    # driver-proven. Next: q_agg_approx_quantile (oracle changed in r7 —
-    # exact percentiles decimal-quantized on both sides, r6 judge item
-    # 4) and the NINETEEN queries ADDED this round (first-exposure
-    # proof, r5 practice): kanon, bm25, cms, ab-z, prefix, rp, woe,
-    # decompose, hbos, stream_topk, changepoint, ess, ab-welch,
-    # rp-recall, mann-whitney, stream-scd2, drift-ks, cuped,
-    # bootstrap. The remaining 19 slots re-bank the
-    # STALEST greens (`rotation_candidates.py --age`: the full r1
-    # cohort, then r2 in age order) — the 19 displaced re-banks
-    # (q_cluster_* etc.) return in a later window; they hold r1/r2
-    # greens, nothing is lost.
+    # Round 9 window. The r8 window banked green for every name in it
+    # (CORRECTNESS_r08 50/50), closing the cumulative ledger at 284/284
+    # oracle-gated queries driver-proven — so this window's job is
+    # FRESHNESS (r8 verdict item 1): new operators enter on first
+    # exposure (the r5 practice), then every remaining slot re-banks
+    # the stalest greens in `rotation_candidates.py --age` order.
+    #
+    # 11 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
+    # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
+    # systematic sampler, target encoding, Bloom audit).
+    # 39 slots: the full r2 cohort (35 — includes the 19 re-banks the
+    # r8 window displaced) + the 4 oldest r3 greens.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # never-driver-checked (11; registration order)
-    "q_stream_sequence",
-    "q_udf_sql",
-    "q_api_pandas",
-    "q_sql_scripting",
-    "q_domain_drug_eras",
-    "q_domain_therapy_gaps",
-    "q_domain_refill_due",
-    "q_domain_alert_inbox",
-    "q_domain_era_survival",
-    "q_domain_price_trend",
-    "q_domain_denial_queue",
-    # oracle changed in r7 (decimal-quantized compare)
-    "q_agg_approx_quantile",
-    # added in round 8 — first-exposure proof
-    "q_quality_kanon",
-    "q_text_bm25",
-    "q_agg_cms",
-    "q_ab_proportions",
-    "q_dedup_prefix",
-    "q_embed_rp",
-    "q_feature_woe",
-    "q_ts_decompose",
-    "q_agg_hbos",
-    "q_stream_topk",
-    "q_ts_changepoint",
-    "q_sample_ess",
-    "q_ab_welch",
-    "q_sim_recall_rp",
-    "q_ab_mannwhitney",
-    "q_stream_scd2_enrich",
-    "q_drift_ks",
-    "q_ab_cuped",
-    "q_ab_bootstrap",
-    # stalest driver-greens, oldest first (r1 cohort ...)
-    "q_subquery_scalar",
-    "q_subquery_exists",
-    "q_agg_grouping_sets",
-    "q_source_csv",
-    "q_source_json",
-    "q_sink_partitioned",
-    "q_string_funcs",
-    "q_string_parse",
-    "q_string_fuzzy",
-    "q_text_pii_scrub",
-    "q_date_funcs",
-    "q_math_score",
-    "q_conditional",
-    # (... then the oldest of the r2 cohort)
-    "q_source_orc",
-    "q_json_extract",
-    "q_array_funcs",
-    "q_json_variant",
-    "q_text_stats",
-    "q_text_quality",
+    # added in round 9 — first-exposure proof
+    "q_ab_sequential",
+    "q_ab_srm",
+    "q_ab_power",
+    "q_ab_delta",
+    "q_window_drawdown",
+    "q_window_rolling_corr",
+    "q_drift_wasserstein",
+    "q_text_gopher_rules",
+    "q_sample_systematic",
+    "q_feature_target_encode",
+    "q_agg_bloom",
+    # stalest driver-greens, oldest first (the full r2 cohort)
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_tokens",
+    "q_text_repetition",
+    "q_text_ngrams",
+    "q_text_tfidf",
+    "q_text_entropy",
+    "q_split_train_test",
+    "q_sample_stratified",
+    "q_sample_mixture",
+    "q_sample_reservoir",
+    "q_cluster_centroids",
+    "q_cluster_assign",
+    "q_cluster_kmeans_step",
+    "q_sim_topk",
+    "q_embed_quantize",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_lsh_verified",
+    "q_dedup_substring",
+    "q_text_contamination",
+    "q_dedup_cosine",
+    "q_dedup_clusters",
+    "q_pipeline_corpus_curation",
+    "q_pipeline_near_dedup",
+    "q_stream_hourly_counts",
+    "q_stream_dedup",
+    "q_stream_sessions",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_merge",
+    "q_stream_stateful",
+    "q_udf_score",
+    "q_udaf_weighted",
+    "q_domain_recommendations",
+    # (... then the oldest of the r3 cohort)
+    "q_scan_project",
+    "q_filter_pred",
+    "q_derived_expr",
+    "q_join_broadcast",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
