@@ -984,3 +984,160 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce(F.sum("seg"),
                               F.lit(0).cast("decimal(27,9)"))
                    .cast("double")).alias("wasserstein_1"))
+
+
+# ---- Column-level profile drift sweep (Q15) ---------------------------------
+
+_DRIFT_CUTOFF = _PSI_CUTOFF
+DRIFT_NULL_RATE_TOL = 0.02   # absolute null-rate shift that flags
+DRIFT_MEAN_REL_TOL = 0.10    # relative mean shift that flags
+
+
+@query(
+    "q_quality_profile_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT CASE WHEN CAST(ts AS TIMESTAMP)
+                       < TIMESTAMP '{_DRIFT_CUTOFF}'
+                  THEN 0 ELSE 1 END AS half,
+             user_id, event_type, value
+      FROM events
+    ),
+    prof AS (
+      SELECT half, COUNT(*) AS n,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nn_uid,
+             SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn_val,
+             COUNT(DISTINCT event_type) AS nd_type,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s_val
+      FROM halves GROUP BY half
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN half = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN half = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN half = 0 THEN nn_uid END) AS nnu_a,
+        MAX(CASE WHEN half = 1 THEN nn_uid END) AS nnu_b,
+        MAX(CASE WHEN half = 0 THEN nn_val END) AS nnv_a,
+        MAX(CASE WHEN half = 1 THEN nn_val END) AS nnv_b,
+        MAX(CASE WHEN half = 0 THEN nd_type END) AS nd_a,
+        MAX(CASE WHEN half = 1 THEN nd_type END) AS nd_b,
+        MAX(CASE WHEN half = 0 THEN s_val END) AS s_a,
+        MAX(CASE WHEN half = 1 THEN s_val END) AS s_b
+      FROM prof
+    ),
+    metrics AS (
+      SELECT 'user_id_null_rate' AS metric,
+             CAST(nnu_a AS DOUBLE) / n_a AS before_v,
+             CAST(nnu_b AS DOUBLE) / n_b AS after_v,
+             abs(CAST(nnu_b AS DOUBLE) / n_b
+                 - CAST(nnu_a AS DOUBLE) / n_a)
+               > CAST({DRIFT_NULL_RATE_TOL} AS DOUBLE) AS drifted
+      FROM wide WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+      UNION ALL
+      SELECT 'value_null_rate',
+             CAST(nnv_a AS DOUBLE) / n_a,
+             CAST(nnv_b AS DOUBLE) / n_b,
+             abs(CAST(nnv_b AS DOUBLE) / n_b
+                 - CAST(nnv_a AS DOUBLE) / n_a)
+               > CAST({DRIFT_NULL_RATE_TOL} AS DOUBLE)
+      FROM wide WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+      UNION ALL
+      SELECT 'event_type_distinct',
+             CAST(nd_a AS DOUBLE), CAST(nd_b AS DOUBLE),
+             nd_a <> nd_b
+      FROM wide WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+      UNION ALL
+      SELECT 'value_mean',
+             s_a / (n_a - nnv_a),
+             s_b / (n_b - nnv_b),
+             CASE WHEN s_a = 0 THEN s_b <> 0
+                  ELSE abs(s_b / (n_b - nnv_b) / (s_a / (n_a - nnv_a))
+                           - 1.0)
+                       > CAST({DRIFT_MEAN_REL_TOL} AS DOUBLE) END
+      FROM wide
+      WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+        AND n_a - nnv_a > 0 AND n_b - nnv_b > 0
+    )
+    SELECT metric,
+           CAST(CAST(before_v AS DECIMAL(18,6)) AS DOUBLE) AS before_v,
+           CAST(CAST(after_v AS DECIMAL(18,6)) AS DOUBLE) AS after_v,
+           drifted
+    FROM metrics
+    """,
+    tags=("Q15", "drift", "profile"),
+)
+def q_quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-PROFILE DRIFT SWEEP: the cheap schema-health complement to
+    the value-distribution drift family (PSI/KS/W1 watch ONE metric's
+    distribution; this watches EVERY column's profile) — null rates,
+    categorical cardinality, and mean compared between the before/after
+    halves, one row per metric with a drift flag at fixed tolerances.
+    This is the screen that catches "the upstream team made user_id
+    nullable" or "a new event_type appeared" before any statistic does.
+
+    Both halves profile in ONE conditional-aggregation scan (the
+    q_quality_audit posture — adding a column is free); the metric rows
+    derive from the single 2-row profile. Ratios quantize to the 6-dp
+    grid; the flags compare IEEE doubles built from exact counts, so
+    both engines decide identically. Halves with no rows drop out
+    (NULL-guarded) rather than dividing by zero."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    halves = e.select(
+        F.when(F.col("ts") < F.lit(_DRIFT_CUTOFF).cast("timestamp"), 0)
+        .otherwise(1).alias("half"),
+        "user_id", "event_type", "value")
+    prof = halves.groupBy("half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .alias("nn_uid"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .alias("nn_val"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+        .alias("s_val"))
+
+    def side(h: int, c: str):
+        return F.max(F.when(F.col("half") == h, F.col(c)))
+    wide = prof.agg(
+        side(0, "n").alias("n_a"), side(1, "n").alias("n_b"),
+        side(0, "nn_uid").alias("nnu_a"), side(1, "nn_uid").alias("nnu_b"),
+        side(0, "nn_val").alias("nnv_a"), side(1, "nn_val").alias("nnv_b"),
+        side(0, "nd_type").alias("nd_a"), side(1, "nd_type").alias("nd_b"),
+        side(0, "s_val").alias("s_a"), side(1, "s_val").alias("s_b"))
+    both = F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    rows = []
+    for name, num_a, num_b in (
+            ("user_id_null_rate", F.col("nnu_a"), F.col("nnu_b")),
+            ("value_null_rate", F.col("nnv_a"), F.col("nnv_b"))):
+        b, a = num_a.cast("double") / n_a, num_b.cast("double") / n_b
+        rows.append(wide.where(both).select(
+            F.lit(name).alias("metric"), b.alias("before_v"),
+            a.alias("after_v"),
+            (F.abs(a - b) > DRIFT_NULL_RATE_TOL).alias("drifted")))
+    rows.append(wide.where(both).select(
+        F.lit("event_type_distinct").alias("metric"),
+        F.col("nd_a").cast("double").alias("before_v"),
+        F.col("nd_b").cast("double").alias("after_v"),
+        (F.col("nd_a") != F.col("nd_b")).alias("drifted")))
+    mean_a = F.col("s_a") / (n_a - F.col("nnv_a"))
+    mean_b = F.col("s_b") / (n_b - F.col("nnv_b"))
+    rows.append(
+        wide.where(both & (n_a - F.col("nnv_a") > 0)
+                   & (n_b - F.col("nnv_b") > 0))
+        .select(
+            F.lit("value_mean").alias("metric"),
+            mean_a.alias("before_v"), mean_b.alias("after_v"),
+            F.when(F.col("s_a") == 0, F.col("s_b") != 0)
+            .otherwise(F.abs(mean_b / mean_a - 1.0)
+                       > DRIFT_MEAN_REL_TOL).alias("drifted")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "metric",
+        F.col("before_v").cast(QDEC).cast("double").alias("before_v"),
+        F.col("after_v").cast(QDEC).cast("double").alias("after_v"),
+        "drifted")

@@ -1413,3 +1413,161 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
         .limit(CUSUM_TOP)
     )
+
+
+# ---- Seasonal-naive forecast backtest (W34) ---------------------------------
+
+FC_SEASON_DAYS = 7  # weekly seasonality: forecast(d) = actual(d - 7)
+
+
+@query(
+    "q_ts_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type, a.day, a.v,
+             f.v AS forecast
+      FROM daily a
+      JOIN daily f
+        ON f.event_type = a.event_type
+       AND f.day = a.day - INTERVAL {FC_SEASON_DAYS} DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+           CAST(CAST(SUM(CAST(abs(v - forecast) AS DECIMAL(27,6)))
+                / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mae,
+           CASE WHEN SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) > 0
+                THEN NULL
+                ELSE CAST(CAST(
+                  SUM(CAST(abs(v - forecast) / abs(v)
+                       AS DECIMAL(27,9))) / COUNT(*)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS mape,
+           CAST(CAST(SUM(CAST(forecast - v AS DECIMAL(27,6)))
+                / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS bias
+    FROM paired
+    GROUP BY event_type
+    """,
+    tags=("W34", "timeseries", "forecast"),
+)
+def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST: forecast(day) = actual(day -
+    {FC_SEASON_DAYS}) per event family, scored over every day that has
+    a same-weekday predecessor — MAE, MAPE, and signed bias per family.
+    The seasonal-naive is THE baseline every real forecasting system is
+    judged against (a model that can't beat 'same day last week'
+    shouldn't ship), so the backtest harness matters more than the
+    model; swapping a learned forecast into the same join is the
+    production path. Complements W28's decomposition (explains the
+    series) with the accuracy-measurement half.
+
+    Shape: day-grain decimal collapse, then an EQUI self-join on
+    (event_type, day - {FC_SEASON_DAYS}) over the bounded daily
+    relation (lag-by-key without a window — broadcastable both sides at
+    any horizon), one keyed aggregate of decimal-quantized error terms.
+    MAPE is NULL for a family with any zero-valued actual (no silent
+    divide-by-zero day-dropping — the honest posture); error sums are
+    per-term quantized so aggregation order never perturbs them."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type",
+                 F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+                 F.col("value").cast("decimal(20,6)").alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("double").alias("v")))
+    fc = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), FC_SEASON_DAYS).alias("day"),
+        F.col("v").alias("forecast"))
+    paired = daily.join(fc, ["event_type", "day"])
+    err = (F.col("v") - F.col("forecast"))
+    abs_err_q = F.abs(err).cast("decimal(27,6)")
+    rel_err_q = (F.abs(err) / F.abs(F.col("v"))).cast("decimal(27,9)")
+    n = F.count(F.lit(1))
+    has_zero = F.sum(F.when(F.col("v") == 0, 1).otherwise(0)) > 0
+    return paired.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_scored_days"),
+        (F.sum(abs_err_q).cast("double") / n).cast(QDEC).cast("double")
+        .alias("mae"),
+        F.when(has_zero, F.lit(None).cast("double"))
+        .otherwise((F.sum(rel_err_q).cast("double") / n)
+                   .cast(QDEC).cast("double")).alias("mape"),
+        (F.sum((-err).cast("decimal(27,6)")).cast("double") / n)
+        .cast(QDEC).cast("double").alias("bias"))
+
+
+# ---- Period-over-period growth report (W35) ---------------------------------
+
+
+@query(
+    "q_window_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS week_start,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, week_start, revenue, n_events,
+             LAG(revenue) OVER (PARTITION BY event_type
+                                ORDER BY week_start) AS prev_revenue
+      FROM weekly
+    )
+    SELECT event_type, week_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           revenue,
+           prev_revenue,
+           CASE WHEN prev_revenue IS NULL OR prev_revenue = 0 THEN NULL
+                ELSE CAST(CAST((revenue - prev_revenue) / prev_revenue
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS wow_growth
+    FROM lagged
+    """,
+    tags=("W35", "timeseries", "growth"),
+)
+def q_window_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEK-OVER-WEEK GROWTH REPORT: weekly revenue and event volume
+    per family with the WoW growth rate — the ubiquitous KPI-review
+    shape (this week vs last) that composes W9's multi-grain rollup
+    with W3's lag into the report every dashboard opens on. Weeks with
+    no predecessor or a zero base report NULL growth rather than an
+    engine-dependent division artifact.
+
+    Shape: week-grain decimal collapse first; ONE (event_type)-keyed
+    lag window over the bounded weekly relation; growth quantized to
+    the 6-dp grid (single division). Both engines truncate to Monday
+    weeks (date_trunc('week'))."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    weekly = (
+        e.select("event_type",
+                 F.to_date(F.date_trunc("week", F.col("ts")))
+                 .alias("week_start"),
+                 F.col("value").cast("decimal(20,6)").alias("v"))
+        .groupBy("event_type", "week_start")
+        .agg(F.sum("v").cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_events")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    lagged = weekly.withColumn("prev_revenue",
+                               F.lag("revenue").over(w))
+    growth = F.when(
+        F.col("prev_revenue").isNull() | (F.col("prev_revenue") == 0),
+        F.lit(None).cast("double")).otherwise(
+        ((F.col("revenue") - F.col("prev_revenue"))
+         / F.col("prev_revenue")).cast(QDEC).cast("double"))
+    return lagged.select(
+        "event_type", "week_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "revenue", "prev_revenue", growth.alias("wow_growth"))

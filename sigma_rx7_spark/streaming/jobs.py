@@ -1051,3 +1051,67 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("priority").alias("priority_at_event"))
     return run_to_memory(joined, "stream_scd2_enrich",
                          output_mode="append")
+
+
+# ---- Streaming sample-ratio-mismatch guardrail (T13) -------------------------
+
+
+@query(
+    "q_stream_srm",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM users
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS chi2,
+           CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / (n_a + n_b) > 3.841459 END AS srm_detected
+    FROM counts
+    """,
+    tags=("T13", "streaming", "abtest", "guardrail"),
+)
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SRM GUARDRAIL — the live twin of q_ab_srm, oracle-gated
+    against the SAME batch SQL (availableNow drains the file source, so
+    the streamed verdict equals the batch one: the lambda-architecture
+    equivalence claim, checkable). First-seen users dedup in partitioned
+    state (the assignment counter must count USERS, not events — an SRM
+    alarm that double-counts chatty users is itself biased), the arm
+    counts fold in a streaming aggregate, and the chi-square verdict is
+    computed on the 2-value result AFTER the sink (driver-side
+    arithmetic over an O(1) relation, not a collect of data).
+
+    In production this runs with a real trigger and the alarm fires
+    mid-experiment — the whole point of an SRM check; state is bounded
+    by the user universe, the same bound q_stream_dedup already
+    carries."""
+    from ..registry import get as _get  # noqa: F401  (parity w/ q_ab_srm)
+    ev = read_events_stream(spark, sf_dir)
+    users = ev.select("user_id").dropDuplicates(["user_id"]).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+    counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    arms = run_to_memory(counts, "stream_srm", output_mode="complete")
+    wide = arms.agg(
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("n"))),
+                   F.lit(0)).alias("n_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("n"))),
+                   F.lit(0)).alias("n_b"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    chi2 = ((n_a - n_b) * (n_a - n_b)).cast("double") / (n_a + n_b)
+    empty = (n_a + n_b) == 0
+    from ..compat import QDEC
+    return wide.select(
+        n_a.cast("bigint").alias("n_a"), n_b.cast("bigint").alias("n_b"),
+        F.when(empty, F.lit(None).cast("double"))
+        .otherwise(chi2.cast(QDEC).cast("double")).alias("chi2"),
+        F.when(empty, F.lit(None).cast("boolean"))
+        .otherwise(chi2 > 3.841459).alias("srm_detected"))

@@ -1107,3 +1107,34 @@ def test_bloom_filter_relation_broadcasts(spark, sf_dir):
     p = plan(spark, sf_dir, "q_agg_bloom")
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_forecast_backtest_joins_day_grain(spark, sf_dir):
+    """Forecast backtest: the self-join runs on the day-grain aggregate
+    (both sides bounded) — no exchange carries raw event columns."""
+    p = plan(spark, sf_dir, "q_ts_forecast_backtest")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges
+    assert not any("event_id" in ln or "props" in ln or "user_id" in ln
+                   for ln in exchanges), exchanges
+
+
+def test_window_growth_single_keyed_window(spark, sf_dir):
+    """WoW growth: week-grain collapse, then one keyed lag window; no
+    single-partition stage anywhere."""
+    p = plan(spark, sf_dir, "q_window_growth")
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_profile_drift_single_scan(spark, sf_dir):
+    """Profile drift: one scan of events feeds both halves' profiles
+    (conditional aggregation), no join of two scans."""
+    p = plan(spark, sf_dir, "q_quality_profile_drift")
+    assert "Join" not in p
+    # union of metric projections over the same 1-row aggregate is fine;
+    # what must not happen is profiling each half with its own scan+agg
+    # pipeline over raw events (the expensive shape is >1 exchange per
+    # union branch over event-grain data)
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
+    assert len(scans) >= 1

@@ -334,3 +334,101 @@ def test_target_encode_matches_naive_model(spark, sf_dir):
         # shrinkage direction: encoded lies between raw and global mean
         lo, hi = sorted((s / n, gmean))
         assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6
+
+
+def test_forecast_backtest_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.timeseries import FC_SEASON_DAYS
+
+    rows = _events(sf_dir)
+    daily = {}
+    for uid, et, v, ts in rows:
+        k = (et, ts.date())
+        daily[k] = round(daily.get(k, 0.0) + round(v, 6), 6)
+    import datetime as dt
+    got = {r["event_type"]: r for r in
+           registry.get("q_ts_forecast_backtest").fn(spark, sf_dir)
+           .collect()}
+    types = {et for et, _ in daily}
+    for et in types:
+        pairs = [(daily[(et, d)], daily[(et, d - dt.timedelta(
+            days=FC_SEASON_DAYS))])
+            for (e2, d) in daily if e2 == et
+            and (et, d - dt.timedelta(days=FC_SEASON_DAYS)) in daily]
+        if not pairs:
+            assert et not in got
+            continue
+        n = len(pairs)
+        mae = sum(abs(a - f) for a, f in pairs) / n
+        bias = sum(f - a for a, f in pairs) / n
+        r = got[et]
+        assert r["n_scored_days"] == n
+        assert r["mae"] == pytest.approx(mae, abs=1e-5)
+        assert r["bias"] == pytest.approx(bias, abs=1e-5)
+        if all(a != 0 for a, f in pairs):
+            mape = sum(abs(a - f) / abs(a) for a, f in pairs) / n
+            assert r["mape"] == pytest.approx(mape, abs=1e-5)
+        else:
+            assert r["mape"] is None
+
+
+def test_window_growth_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    weekly = {}
+    for uid, et, v, ts in rows:
+        monday = ts.date() - __import__("datetime").timedelta(
+            days=ts.date().weekday())
+        k = (et, monday)
+        n, s = weekly.get(k, (0, 0.0))
+        weekly[k] = (n + 1, round(s + round(v, 6), 6))
+    got = {(r["event_type"], str(r["week_start"])): r for r in
+           registry.get("q_window_growth").fn(spark, sf_dir).collect()}
+    assert len(got) == len(weekly)
+    for (et, wk), (n, s) in weekly.items():
+        r = got[(et, str(wk))]
+        assert r["n_events"] == n
+        assert r["revenue"] == pytest.approx(s, abs=1e-5)
+        prev_weeks = sorted(w for (e2, w) in weekly if e2 == et)
+        idx = prev_weeks.index(wk)
+        if idx == 0:
+            assert r["wow_growth"] is None
+        else:
+            prev = weekly[(et, prev_weeks[idx - 1])][1]
+            if prev == 0:
+                assert r["wow_growth"] is None
+            else:
+                assert r["wow_growth"] == pytest.approx(
+                    (s - prev) / prev, abs=1e-5)
+
+
+def test_stream_srm_equals_batch_srm(spark, sf_dir):
+    # Lambda-architecture equivalence: the streamed guardrail verdict
+    # must equal the batch one row for row.
+    from sigma_rx7_spark import registry
+
+    batch = registry.get("q_ab_srm").fn(spark, sf_dir).collect()[0]
+    stream = registry.get("q_stream_srm").fn(spark, sf_dir).collect()[0]
+    assert tuple(batch) == tuple(stream)
+
+
+def test_profile_drift_flags_are_consistent(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import (DRIFT_MEAN_REL_TOL,
+                                                   DRIFT_NULL_RATE_TOL)
+
+    rows = {r["metric"]: r for r in
+            registry.get("q_quality_profile_drift").fn(spark, sf_dir)
+            .collect()}
+    assert set(rows) == {"user_id_null_rate", "value_null_rate",
+                         "event_type_distinct", "value_mean"}
+    for m in ("user_id_null_rate", "value_null_rate"):
+        r = rows[m]
+        want = abs(r["after_v"] - r["before_v"]) > DRIFT_NULL_RATE_TOL
+        # quantized values can flip only within 1e-6 of the tolerance
+        if abs(abs(r["after_v"] - r["before_v"])
+               - DRIFT_NULL_RATE_TOL) > 1e-5:
+            assert r["drifted"] == want, (m, r)
+    r = rows["event_type_distinct"]
+    assert r["drifted"] == (r["before_v"] != r["after_v"])
