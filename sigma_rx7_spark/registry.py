@@ -96,11 +96,12 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # exposure (the r5 practice), then every remaining slot re-banks
     # the stalest greens in `rotation_candidates.py --age` order.
     #
-    # 11 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
+    # 15 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
     # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
-    # systematic sampler, target encoding, Bloom audit).
-    # 39 slots: the full r2 cohort (35 — includes the 19 re-banks the
-    # r8 window displaced) + the 4 oldest r3 greens.
+    # systematic sampler, target encoding, Bloom audit, forecast
+    # backtest, WoW growth, profile drift, streaming SRM).
+    # 35 slots: the full r2 cohort (includes the 19 re-banks the r8
+    # window displaced); the 4 oldest r3 greens return next round.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -117,6 +118,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_sample_systematic",
     "q_feature_target_encode",
     "q_agg_bloom",
+    "q_ts_forecast_backtest",
+    "q_window_growth",
+    "q_quality_profile_drift",
+    "q_stream_srm",
     # stalest driver-greens, oldest first (the full r2 cohort)
     "q_text_langid",
     "q_text_fingerprint",
@@ -153,11 +158,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_udf_score",
     "q_udaf_weighted",
     "q_domain_recommendations",
-    # (... then the oldest of the r3 cohort)
-    "q_scan_project",
-    "q_filter_pred",
-    "q_derived_expr",
-    "q_join_broadcast",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
