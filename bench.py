@@ -103,6 +103,13 @@ HEADLINE = [
     "q_agg_exact_quantiles",
     "q_pipeline_incremental_dedup",
     "q_stream_attribution",
+    # Round 9: the new operators with real data terms at sf0.1, benched
+    # so the judge sees their cost next to the relational core (the
+    # pre-existing 55 stay untouched for round-over-round comparison).
+    "q_ab_sequential",
+    "q_agg_bloom",
+    "q_ts_forecast_backtest",
+    "q_drift_wasserstein",
 ]
 
 # Queries whose recorded rep-to-rep spread exceeded 1 s in round 8

@@ -56,6 +56,9 @@ DEFAULT_NAMES = [
     "q_window_rolling_dau", "q_text_heavyhitters", "q_sessionize_batch",
     # round-8 additions with real data terms at sf0.1
     "q_dedup_prefix", "q_agg_hbos", "q_sim_recall_rp", "q_embed_rp",
+    # round-9 additions with real data terms at sf0.1
+    "q_ab_sequential", "q_ab_delta", "q_agg_bloom",
+    "q_drift_wasserstein", "q_text_gopher_rules", "q_sample_systematic",
 ]
 FLOOR_PROBE = "q_agg_having"  # cheapest stable headline query
 

@@ -314,3 +314,83 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("bigint").alias("n_bytes"),
         F.md5(F.hex("content")).alias("payload_md5"),
     )
+
+
+# ---- Payload-digest exact dedup audit (L4d) --------------------------------
+
+_REINGEST_OFFSET = 1000  # re-keyed ids of the simulated duplicate batch
+
+
+_MM_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT media_id, kind, payload
+  FROM read_parquet('{_MEDIA_STAGE}/*.parquet')
+),
+reingested AS (
+  SELECT media_id + {_REINGEST_OFFSET} AS media_id, kind, payload
+  FROM base WHERE kind = 'video'
+),
+corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM reingested
+),
+digests AS (
+  SELECT media_id, kind, md5(hex(payload)) AS payload_md5,
+         octet_length(payload) AS n_bytes
+  FROM corpus
+),
+groups AS (
+  SELECT kind, payload_md5,
+         COUNT(*) AS n_copies,
+         MIN(media_id) AS keeper_id,
+         MAX(n_bytes) AS n_bytes
+  FROM digests GROUP BY kind, payload_md5
+)
+SELECT kind,
+       CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_payloads,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_assets,
+       CAST(SUM((n_copies - 1) * n_bytes) AS BIGINT)
+         AS bytes_reclaimable
+FROM groups
+GROUP BY kind
+"""
+
+
+@query("q_multimodal_dedup", oracle=_MM_DEDUP_ORACLE,
+       tags=("L4d", "multimodal", "dedup"))
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD-DIGEST EXACT DEDUP over binary media — the L1 exact-dedup
+    discipline applied to the modality where it matters most per byte
+    (the same asset re-ingested under a new id is the single most common
+    media-lake defect, and payload bytes are the only truth — ids,
+    paths, and metadata all lie after a re-ingest). The corpus is the
+    fixture UNION a re-keyed copy of its videos (the simulated duplicate
+    batch), grouped by md5-of-hex digest; reported per kind: asset
+    count, unique payloads, duplicate assets, and reclaimable bytes —
+    the dedup savings estimate a storage review reads.
+
+    Deterministic keeper election (min media_id) makes the implied
+    keep-list engine-exact. Scale shape: one digest projection (the
+    shuffle carries 32-hex digests + ints, never payload bytes — the
+    L1 id-not-text posture) and two hash aggregates; at lake scale the
+    digest relation is the dedup index a catalog would persist.
+    sf_dir ignored (engine fixture)."""
+    base = stage_media(spark).select("media_id", "kind", "payload")
+    reingested = base.where(F.col("kind") == "video").select(
+        (F.col("media_id") + _REINGEST_OFFSET).alias("media_id"),
+        "kind", "payload")
+    corpus = base.unionAll(reingested)
+    digests = corpus.select(
+        "media_id", "kind",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"))
+    groups = digests.groupBy("kind", "payload_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("media_id").alias("keeper_id"),
+        F.max("n_bytes").alias("n_bytes"))
+    return groups.groupBy("kind").agg(
+        F.sum("n_copies").cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_payloads"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dup_assets"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).cast("bigint")
+        .alias("bytes_reclaimable"))

@@ -96,12 +96,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # exposure (the r5 practice), then every remaining slot re-banks
     # the stalest greens in `rotation_candidates.py --age` order.
     #
-    # 15 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
+    # 16 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
     # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
     # systematic sampler, target encoding, Bloom audit, forecast
-    # backtest, WoW growth, profile drift, streaming SRM).
-    # 35 slots: the full r2 cohort (includes the 19 re-banks the r8
-    # window displaced); the 4 oldest r3 greens return next round.
+    # backtest, WoW growth, profile drift, streaming SRM, media
+    # payload dedup).
+    # 34 slots: the r2 cohort in age order (includes the 19 re-banks
+    # the r8 window displaced); q_domain_recommendations and the 4
+    # oldest r3 greens return next round.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -122,6 +124,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_growth",
     "q_quality_profile_drift",
     "q_stream_srm",
+    "q_multimodal_dedup",
     # stalest driver-greens, oldest first (the full r2 cohort)
     "q_text_langid",
     "q_text_fingerprint",
@@ -157,7 +160,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_stream_stateful",
     "q_udf_score",
     "q_udaf_weighted",
-    "q_domain_recommendations",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
