@@ -437,10 +437,12 @@ _QF_FEATURES = f"""
     )"""
 
 
-def _qf_oracle() -> str:
-    """Unrolled GD over the feature CTE, then a corpus-wide scoring pass
-    grouped by source — _lr_oracle's recipe (scoring.py) retargeted at
-    text-quality features."""
+def _gd_ctes_and_p() -> tuple[list, str]:
+    """The unrolled-GD CTE chain over the feature CTE plus the final
+    quantized sigmoid expression — the shared core of every oracle
+    that scores documents with the fitted quality gate (_qf_oracle,
+    _ml_eval_oracle, _lift_oracle, _calibration_oracle). One builder
+    so the oracles can never train different models."""
     prev = ("0.0", "0.0", "0.0")
     ctes = [_QF_FEATURES]
     for r in range(1, QF_ROUNDS + 1):
@@ -468,6 +470,14 @@ def _qf_oracle() -> str:
     w0, w1, w2 = prev
     p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
          f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    return ctes, p
+
+
+def _qf_oracle() -> str:
+    """Unrolled GD over the feature CTE, then a corpus-wide scoring pass
+    grouped by source — _lr_oracle's recipe (scoring.py) retargeted at
+    text-quality features."""
+    ctes, p = _gd_ctes_and_p()
     ctes.append(f"""scored AS (
       SELECT source, n_chars, {p} AS p FROM f
     ), thr AS (
@@ -667,33 +677,7 @@ def q_pipeline_incremental_dedup(spark: SparkSession,
 def _ml_eval_oracle() -> str:
     """Confusion counts of the fitted gate at p>=0.5 vs the weak label,
     over the same feature/GD CTEs as _qf_oracle."""
-    prev = ("0.0", "0.0", "0.0")
-    ctes = [_QF_FEATURES]
-    for r in range(1, QF_ROUNDS + 1):
-        w0, w1, w2 = prev
-        p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
-             f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
-        ctes.append(f"""g{r} AS (
-      SELECT COUNT(*) AS n,
-        CAST(SUM(CAST((y - {p}) AS DECIMAL(18,6))) AS DOUBLE) AS s0,
-        CAST(SUM(CAST((y - {p}) * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        CAST(SUM(CAST((y - {p}) * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
-      FROM f
-    ), w{r} AS (
-      SELECT
-        CAST(CAST({w0} + {QF_ETA} * s0 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w0,
-        CAST(CAST({w1} + {QF_ETA} * s1 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w1,
-        CAST(CAST({w2} + {QF_ETA} * s2 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w2
-      FROM g{r}
-    )""")
-        prev = (f"(SELECT w0 FROM w{r})", f"(SELECT w1 FROM w{r})",
-                f"(SELECT w2 FROM w{r})")
-    w0, w1, w2 = prev
-    p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
-         f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    ctes, p = _gd_ctes_and_p()
     return f"""
     WITH {', '.join(ctes)},
     sc AS (SELECT y, {p} AS p FROM f),
@@ -1045,33 +1029,7 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lift_oracle() -> str:
-    prev = ("0.0", "0.0", "0.0")
-    ctes = [_QF_FEATURES]
-    for r in range(1, QF_ROUNDS + 1):
-        w0, w1, w2 = prev
-        p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
-             f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
-        ctes.append(f"""g{r} AS (
-      SELECT COUNT(*) AS n,
-        CAST(SUM(CAST((y - {p}) AS DECIMAL(18,6))) AS DOUBLE) AS s0,
-        CAST(SUM(CAST((y - {p}) * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        CAST(SUM(CAST((y - {p}) * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
-      FROM f
-    ), w{r} AS (
-      SELECT
-        CAST(CAST({w0} + {QF_ETA} * s0 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w0,
-        CAST(CAST({w1} + {QF_ETA} * s1 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w1,
-        CAST(CAST({w2} + {QF_ETA} * s2 / n AS DECIMAL(18,6)) AS DOUBLE)
-          AS w2
-      FROM g{r}
-    )""")
-        prev = (f"(SELECT w0 FROM w{r})", f"(SELECT w1 FROM w{r})",
-                f"(SELECT w2 FROM w{r})")
-    w0, w1, w2 = prev
-    p = (f"CAST(CAST(1.0 / (1.0 + exp(-({w0} + {w1} * x1"
-         f" + {w2} * x2))) AS DECIMAL(18,6)) AS DOUBLE)")
+    ctes, p = _gd_ctes_and_p()
     return f"""
     WITH {', '.join(ctes)},
     sc AS (SELECT doc_id, y, {p} AS p FROM f),
@@ -1130,3 +1088,76 @@ def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (F.col("tp").cast("double") / F.col("td")))
                 .alias("lift"))
     )
+
+
+# ---- Model calibration report (L6k) -----------------------------------------
+
+CAL_BINS = 10
+
+
+def _calibration_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    binned AS (
+      SELECT LEAST(CAST(floor(p * {CAL_BINS}) AS INTEGER),
+                   {CAL_BINS - 1}) AS bin, y, p
+      FROM sc
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(
+             CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,6)) AS DOUBLE) AS mean_predicted,
+           CAST(CAST(SUM(y) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+             AS observed_rate,
+           CAST(CAST(
+             abs(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 - SUM(y) / COUNT(*))
+             AS DECIMAL(18,6)) AS DOUBLE) AS calibration_gap
+    FROM binned
+    GROUP BY bin
+    """
+
+
+@query("q_ml_calibration", oracle=_calibration_oracle(),
+       tags=("L6k", "ml-eval", "calibration"))
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION REPORT (reliability table): the fitted quality
+    gate's predicted probabilities bucketed into {CAL_BINS} equal-width
+    bins, each reporting mean predicted probability vs observed label
+    rate and the absolute gap — the per-bin decomposition of expected
+    calibration error (ECE = n-weighted mean of the gap column). The
+    eval family's missing member: q_ml_eval says whether the gate
+    CLASSIFIES well at its threshold, this says whether its SCORES mean
+    what they claim — the property that decides if a score can be used
+    as a sampling weight or a review-queue priority rather than just a
+    rank.
+
+    Same trained weights as q_pipeline_quality_model/q_ml_eval (the
+    shared _gd_ctes_and_p oracle core — the three oracles cannot train
+    different models), one scoring pass, one {CAL_BINS}-row hash
+    aggregate. Scores are 6-dp-quantized BEFORE binning, so bin
+    membership is engine-exact; per-bin means quantize after their
+    division."""
+    from ..compat import QDEC
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * CAL_BINS).cast("int"),
+                F.lit(CAL_BINS - 1)).alias("bin"),
+        "y", "p")
+    n = F.count(F.lit(1))
+    mean_p = F.sum(F.col("p").cast(QDEC)).cast("double") / n
+    obs = F.sum("y") / n
+    return binned.groupBy("bin").agg(
+        n.cast("bigint").alias("n"),
+        mean_p.cast(QDEC).cast("double").alias("mean_predicted"),
+        obs.cast(QDEC).cast("double").alias("observed_rate"),
+        F.abs(mean_p - obs).cast(QDEC).cast("double")
+        .alias("calibration_gap"))

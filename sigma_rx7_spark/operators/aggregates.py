@@ -3634,3 +3634,205 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_nonmem == 0, F.lit(None).cast("double"))
         .otherwise((n_fp.cast("double") / n_nonmem).cast(QDEC)
                    .cast("double")).alias("false_positive_rate"))
+
+
+# ---- Paired (before/after) t-test (A52) --------------------------------------
+
+PAIRED_CUTOFF = "2024-01-16 00:00:00"  # the drift family's midpoint split
+
+
+@query(
+    "q_ab_paired",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                           < TIMESTAMP '{PAIRED_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS n_before,
+             SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                           >= TIMESTAMP '{PAIRED_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS n_after,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{PAIRED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS s_before,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{PAIRED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END)
+                  AS DOUBLE) AS s_after
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT CAST(CAST(s_after / n_after - s_before / n_before
+                  AS DECIMAL(18,6)) AS DOUBLE) AS d
+      FROM per_user WHERE n_before > 0 AND n_after > 0
+    ),
+    mom AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(d AS DECIMAL(20,6))
+                           * CAST(d AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM diffs
+    )
+    SELECT CAST(k AS BIGINT) AS n_pairs,
+           CASE WHEN k = 0 THEN NULL
+                ELSE CAST(CAST(s1 / k AS DECIMAL(18,6)) AS DOUBLE) END
+             AS mean_diff,
+           CASE WHEN k < 2 OR s2 - s1 * s1 / k <= 0 THEN NULL
+                ELSE CAST(CAST(
+                  (s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1) / k)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS t_paired,
+           CASE WHEN k < 2 THEN NULL
+                ELSE CAST(k - 1 AS BIGINT) END AS df
+    FROM mom
+    """,
+    tags=("A52", "abtest", "paired"),
+)
+def q_ab_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED T-TEST on per-user mean purchase value before vs after
+    the drift family's cutoff — "did the SAME users change", the
+    within-subject design whose pairing removes between-user variance
+    entirely (the reason it detects shifts the two-sample tests miss on
+    heterogeneous populations). Only users active in BOTH periods
+    contribute a pair; the statistic is t = d̄ / (s_d/√k) with k−1
+    degrees of freedom.
+
+    One user_id hash aggregate computes both periods' sums in the same
+    pass (conditional aggregation — no self-join of two period scans);
+    per-user diffs quantize to the 6-dp grid before the moment
+    aggregate so the paired relation is engine-exact; k<2 or
+    zero-variance diffs report NULL on both engines."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == AB_CONVERT_EVENT)
+    cut = F.lit(PAIRED_CUTOFF).cast("timestamp")
+    qv = F.col("value").cast("decimal(20,6)")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .alias("n_before"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .alias("n_after"),
+        F.sum(F.when(F.col("ts") < cut, qv)
+              .otherwise(F.lit(0).cast("decimal(20,6)")))
+        .cast("double").alias("s_before"),
+        F.sum(F.when(F.col("ts") >= cut, qv)
+              .otherwise(F.lit(0).cast("decimal(20,6)")))
+        .cast("double").alias("s_after"))
+    diffs = per_user.where(
+        (F.col("n_before") > 0) & (F.col("n_after") > 0)).select(
+        (F.col("s_after") / F.col("n_after")
+         - F.col("s_before") / F.col("n_before"))
+        .cast(QDEC).cast("double").alias("d"))
+    qd = F.col("d").cast("decimal(20,6)")
+    mom = diffs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(qd).cast("double").alias("s1"),
+        F.sum((qd * qd).cast("decimal(38,12)")).cast("double")
+        .alias("s2"))
+    k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
+    var_num = s2 - s1 * s1 / k
+    t = (s1 / k) / F.sqrt(var_num / (k - 1) / k)
+    null_d = F.lit(None).cast("double")
+    return mom.select(
+        k.cast("bigint").alias("n_pairs"),
+        F.when(k == 0, null_d).otherwise(
+            (s1 / k).cast(QDEC).cast("double")).alias("mean_diff"),
+        F.when((k < 2) | (var_num <= 0), null_d).otherwise(
+            t.cast(QDEC).cast("double")).alias("t_paired"),
+        F.when(k < 2, F.lit(None).cast("bigint")).otherwise(
+            (k - 1).cast("bigint")).alias("df"))
+
+
+# ---- One-way ANOVA across k groups (A53) --------------------------------------
+
+
+@query(
+    "q_ab_anova",
+    oracle="""
+    WITH grp AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(20,6))
+                           * CAST(value AS DECIMAL(20,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k,
+             SUM(n) AS n_total,
+             CAST(SUM(CAST(s1 AS DECIMAL(27,6))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(s1 * s1 / n AS DECIMAL(27,6))) AS DOUBLE)
+               AS sb_raw,
+             CAST(SUM(CAST(s2 - s1 * s1 / n AS DECIMAL(27,6)))
+                  AS DOUBLE) AS ssw
+      FROM grp
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           CASE WHEN k < 2 OR n_total <= k THEN NULL
+                ELSE CAST(CAST(sb_raw - st * st / n_total
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS ss_between,
+           CASE WHEN k < 2 OR n_total <= k THEN NULL
+                ELSE CAST(CAST(ssw AS DECIMAL(18,6)) AS DOUBLE) END
+             AS ss_within,
+           CASE WHEN k < 2 OR n_total <= k OR ssw <= 0 THEN NULL
+                ELSE CAST(CAST(
+                  ((sb_raw - st * st / n_total) / (k - 1))
+                  / (ssw / (n_total - k))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS f_stat
+    FROM tot
+    """,
+    tags=("A53", "abtest", "anova"),
+)
+def q_ab_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across the event-type groups on the value metric:
+    F = (SSB/(k−1)) / (SSW/(N−k)) — the k-group generalization that
+    closes the parametric family (A41: two proportions, A43: two
+    means, A44: two distributions, this: k means at once, the
+    variance-decomposition identity every multi-variant experiment
+    report starts from). SSB/SSW are assembled from per-group
+    sufficient statistics only (n, Σx, Σx² — the A28 mergeable-state
+    discipline), so the whole test is ONE per-group hash aggregate
+    plus a k-row fold: no second scan, no per-row deviation pass.
+
+    Decimal-quantized sums keep the group moments
+    aggregation-order-exact; SS terms and F quantize after their
+    division chains. Degenerate inputs (k<2 groups, N≤k rows, zero
+    within-variance) report NULL identically on both engines."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    qv = F.col("value").cast("decimal(20,6)")
+    grp = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qv).cast("double").alias("s1"),
+        F.sum((qv * qv).cast("decimal(38,12)")).cast("double")
+        .alias("s2"))
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("s1").cast("decimal(27,6)")).cast("double")
+        .alias("st"),
+        F.sum((F.col("s1") * F.col("s1") / F.col("n"))
+              .cast("decimal(27,6)")).cast("double").alias("sb_raw"),
+        F.sum((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+              .cast("decimal(27,6)")).cast("double").alias("ssw"))
+    k, n_tot = F.col("k"), F.col("n_total")
+    ssb = F.col("sb_raw") - F.col("st") * F.col("st") / n_tot
+    ssw = F.col("ssw")
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    bad = (k < 2) | (n_tot <= k)
+    null_d = F.lit(None).cast("double")
+    return tot.select(
+        k.cast("bigint").alias("n_groups"),
+        n_tot.cast("bigint").alias("n_total"),
+        F.when(bad, null_d).otherwise(ssb.cast(QDEC).cast("double"))
+        .alias("ss_between"),
+        F.when(bad, null_d).otherwise(ssw.cast(QDEC).cast("double"))
+        .alias("ss_within"),
+        F.when(bad | (ssw <= 0), null_d)
+        .otherwise(f_stat.cast(QDEC).cast("double")).alias("f_stat"))

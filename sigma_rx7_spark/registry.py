@@ -96,14 +96,16 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # exposure (the r5 practice), then every remaining slot re-banks
     # the stalest greens in `rotation_candidates.py --age` order.
     #
-    # 16 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
+    # 20 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
     # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
     # systematic sampler, target encoding, Bloom audit, forecast
     # backtest, WoW growth, profile drift, streaming SRM, media
-    # payload dedup).
-    # 34 slots: the r2 cohort in age order (includes the 19 re-banks
-    # the r8 window displaced); q_domain_recommendations and the 4
-    # oldest r3 greens return next round.
+    # payload dedup, calibration, paired t, ANOVA, streaming PSI).
+    # 30 slots: the r2 cohort in age order (includes most of the 19
+    # re-banks the r8 window displaced); q_stream_merge,
+    # q_stream_stateful, q_udf_score, q_udaf_weighted,
+    # q_domain_recommendations and the 4 oldest r3 greens return next
+    # round.
     #
     # Pre-freeze discipline (documented r4→r5): before committing this
     # list, run the driver-scale mirror over it —
@@ -125,6 +127,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_quality_profile_drift",
     "q_stream_srm",
     "q_multimodal_dedup",
+    "q_ml_calibration",
+    "q_ab_paired",
+    "q_ab_anova",
+    "q_stream_psi",
     # stalest driver-greens, oldest first (the full r2 cohort)
     "q_text_langid",
     "q_text_fingerprint",
@@ -156,10 +162,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_stream_sessions",
     "q_stream_static_join",
     "q_stream_stream_join",
-    "q_stream_merge",
-    "q_stream_stateful",
-    "q_udf_score",
-    "q_udaf_weighted",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

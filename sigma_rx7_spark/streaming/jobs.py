@@ -1115,3 +1115,170 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(chi2.cast(QDEC).cast("double")).alias("chi2"),
         F.when(empty, F.lit(None).cast("boolean"))
         .otherwise(chi2 > 3.841459).alias("srm_detected"))
+
+
+# ---- Streaming distribution-drift monitor (T14) ------------------------------
+
+
+def _stream_psi_oracle() -> str:
+    from ..operators.quality import _PSI_CUTOFF, PSI_BUCKETS
+    cuts_cols = ", ".join(
+        f"MAX(CASE WHEN bucket = {k} THEN hi END) AS c{k}"
+        for k in range(1, PSI_BUCKETS))
+    asg = " ".join(f"+ CAST(x.value > cuts.c{k} AS INT)"
+                   for k in range(1, PSI_BUCKETS))
+    return f"""
+    WITH a AS (
+      SELECT value, event_id FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_CUTOFF}'
+    ), dec AS (
+      SELECT bucket, MAX(value) AS hi FROM (
+        SELECT value,
+               NTILE({PSI_BUCKETS}) OVER (ORDER BY value, event_id)
+                 AS bucket
+        FROM a)
+      GROUP BY bucket
+    ), cuts AS (
+      SELECT {cuts_cols} FROM dec
+    ), asg_a AS (
+      SELECT 1 {asg.replace('x.value', 'a.value')} AS bucket
+      FROM a, cuts
+    ), na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg_a),
+    ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM asg_a GROUP BY bucket),
+    b AS (
+      SELECT value,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day
+      FROM events WHERE CAST(ts AS TIMESTAMP)
+                        >= TIMESTAMP '{_PSI_CUTOFF}'
+    ), asg_b AS (
+      SELECT x.day, 1 {asg} AS bucket FROM b x, cuts
+    ), nb AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM asg_b GROUP BY day
+    ), cb AS (
+      SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM asg_b GROUP BY day, bucket
+    ), grid AS (
+      SELECT nb.day, g.bucket, nb.n AS n_day
+      FROM nb CROSS JOIN (
+        SELECT CAST(unnest(range(1, {PSI_BUCKETS + 1})) AS INT)
+          AS bucket) g
+    ), terms AS (
+      SELECT grid.day, grid.n_day,
+             CAST(((COALESCE(cb.n_b, 0) + 1.0)
+                     / (grid.n_day + {PSI_BUCKETS})
+                   - (COALESCE(ca.n_a, 0) + 1.0)
+                     / ((SELECT n FROM na) + {PSI_BUCKETS}))
+                  * CAST(ln(((COALESCE(cb.n_b, 0) + 1.0)
+                               / (grid.n_day + {PSI_BUCKETS}))
+                            / ((COALESCE(ca.n_a, 0) + 1.0)
+                               / ((SELECT n FROM na) + {PSI_BUCKETS})))
+                         AS DECIMAL(18,6))
+                  AS DECIMAL(27,9)) AS term
+      FROM grid
+      LEFT JOIN cb ON cb.day = grid.day AND cb.bucket = grid.bucket
+      LEFT JOIN ca ON ca.bucket = grid.bucket
+    )
+    SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_events,
+           CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms GROUP BY day
+    """
+
+
+@query(
+    "q_stream_psi",
+    oracle=_stream_psi_oracle(),
+    tags=("T14", "streaming", "drift"),
+)
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DRIFT MONITOR: per-day PSI of the live value stream
+    against an offline reference distribution — the production drift
+    deployment (Q3 is the batch audit; this is the monitor that pages).
+    Decile edges are learned OFFLINE from the pre-cutoff reference (the
+    universal pattern: edges ship as a broadcast artifact, never
+    learned from the stream), the post-cutoff stream bucket-assigns via
+    a stream-static broadcast join, daily bucket counts fold in a
+    streaming aggregate, and the PSI fold runs over the O(days×buckets)
+    serving table. availableNow drains the file source, so the streamed
+    per-day PSI equals the batch computation — the oracle.
+
+    Determinism: per-bucket PSI terms carry the Q3 quantized-ln
+    discipline and additionally quantize each TERM to the 9-dp grid
+    before the per-day sum, so a 10-term sum can never depend on
+    aggregation order. State is bounded by days×buckets."""
+    from ..compat import QDEC
+    from ..operators.quality import PSI_BUCKETS
+    from ..io import load
+    from ..operators.incremental import MERGE_CUTOFF
+    from pyspark.sql import Window
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    a = ev.where(F.col("ts") < cutoff).select("value", "event_id")
+    dec = (
+        a.select("value",
+                 F.ntile(PSI_BUCKETS)
+                 .over(Window.orderBy("value", "event_id"))
+                 .alias("bucket"))
+        .groupBy("bucket").agg(F.max("value").alias("hi")))
+    cuts = dec.agg(*[
+        F.max(F.when(F.col("bucket") == k, F.col("hi"))).alias(f"c{k}")
+        for k in range(1, PSI_BUCKETS)
+    ]).withColumn("j", F.lit(1)).persist()
+
+    def bucket_expr():
+        return sum(
+            (F.col(f"c{k}") < F.col("value")).cast("int")
+            for k in range(1, PSI_BUCKETS)) + F.lit(1)
+
+    asg_a = a.withColumn("j", F.lit(1)) \
+        .join(F.broadcast(cuts), "j").select(bucket_expr().alias("bucket"))
+    ca = asg_a.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    na = asg_a.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+
+    # The stream side carries the learned edges as LITERALS — the
+    # broadcast-artifact semantics a deployed monitor has (k-1 scalars
+    # of bounded index metadata, the z-order-bounds precedent), and it
+    # sidesteps joining a streaming relation with a persisted 1-row
+    # batch relation, which Spark 4 rejects.
+    edge_row = cuts.collect()[0]
+    stream_bucket = sum(
+        (F.lit(edge_row[f"c{k}"]) < F.col("value")).cast("int")
+        for k in range(1, PSI_BUCKETS)) + F.lit(1)
+    stream = (read_events_stream(spark, sf_dir)
+              .where(F.col("ts") >= cutoff))
+    daily = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"),
+                       stream_bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "bucket",
+                "n_b"))
+    served = run_to_memory(daily, "stream_psi", output_mode="complete")
+
+    nb = served.groupBy("day").agg(
+        F.sum("n_b").cast("bigint").alias("n_day"))
+    grid = nb.crossJoin(
+        F.broadcast(spark.range(1, PSI_BUCKETS + 1).select(
+            F.col("id").cast("int").alias("bucket"))))
+    # rename the serving table's key columns before re-joining it with
+    # its own aggregate (same memory-sink view on both sides of the
+    # join would otherwise carry conflicting attribute ids)
+    sv = served.select(F.col("day").alias("s_day"),
+                       F.col("bucket").alias("s_bucket"), "n_b")
+    j = (grid.join(sv, (F.col("day") == F.col("s_day"))
+                   & (F.col("bucket") == F.col("s_bucket")), "left")
+         .join(F.broadcast(ca), "bucket", "left")
+         .crossJoin(F.broadcast(na)))
+    p_ref = (F.coalesce(F.col("n_a"), F.lit(0)) + 1.0) \
+        / (F.col("na") + PSI_BUCKETS)
+    p_day = (F.coalesce(F.col("n_b"), F.lit(0)) + 1.0) \
+        / (F.col("n_day") + PSI_BUCKETS)
+    term = ((p_day - p_ref)
+            * F.log(p_day / p_ref).cast(QDEC).cast("double")) \
+        .cast("decimal(27,9)")
+    return (j.select("day", "n_day", term.alias("term"))
+            .groupBy("day")
+            .agg(F.max("n_day").cast("bigint").alias("n_events"),
+                 F.sum("term").cast("double").alias("psi")))

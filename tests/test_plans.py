@@ -1138,3 +1138,22 @@ def test_profile_drift_single_scan(spark, sf_dir):
     # union branch over event-grain data)
     scans = [ln for ln in p.splitlines() if "Scan parquet" in ln]
     assert len(scans) >= 1
+
+
+def test_paired_and_anova_single_conditional_agg(spark, sf_dir):
+    """Paired t / ANOVA: sufficient statistics from ONE keyed aggregate
+    each — no self-join of period/group scans, no raw-row exchange."""
+    for name in ("q_ab_paired", "q_ab_anova"):
+        p = plan(spark, sf_dir, name)
+        assert "Join" not in p, name
+        exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert not any("event_id" in ln or "props" in ln
+                       for ln in exchanges), (name, exchanges)
+
+
+def test_calibration_broadcasts_weights(spark, sf_dir):
+    """Calibration: the 1-row fitted-weights relation broadcasts into
+    the scoring pass; no sort-merge join."""
+    p = plan(spark, sf_dir, "q_ml_calibration")
+    assert "SortMergeJoin" not in p
+    assert ("BroadcastNestedLoopJoin" in p) or ("BroadcastHashJoin" in p)

@@ -432,3 +432,83 @@ def test_profile_drift_flags_are_consistent(spark, sf_dir):
             assert r["drifted"] == want, (m, r)
     r = rows["event_type_distinct"]
     assert r["drifted"] == (r["before_v"] != r["after_v"])
+
+
+def test_ab_paired_matches_naive_model(spark, sf_dir):
+    import datetime as dt
+
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.aggregates import PAIRED_CUTOFF
+
+    cutoff = dt.datetime.fromisoformat(PAIRED_CUTOFF)
+    rows = _events(sf_dir)
+    per = {}
+    for uid, et, v, ts in rows:
+        if et != "purchase":
+            continue
+        nb, sb, na_, sa = per.get(uid, (0, 0.0, 0, 0.0))
+        if ts < cutoff:
+            nb, sb = nb + 1, sb + round(v, 6)
+        else:
+            na_, sa = na_ + 1, sa + round(v, 6)
+        per[uid] = (nb, sb, na_, sa)
+    diffs = [round(sa / na_ - sb / nb, 6)
+             for nb, sb, na_, sa in per.values() if nb > 0 and na_ > 0]
+    k = len(diffs)
+    got = registry.get("q_ab_paired").fn(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == k
+    mean = sum(diffs) / k
+    var = sum((d - mean) ** 2 for d in diffs) / (k - 1)
+    t = mean / math.sqrt(var / k)
+    assert got["mean_diff"] == pytest.approx(mean, abs=1e-5)
+    assert got["t_paired"] == pytest.approx(t, abs=1e-4)
+    assert got["df"] == k - 1
+
+
+def test_ab_anova_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    groups = {}
+    for uid, et, v, ts in rows:
+        groups.setdefault(et, []).append(round(v, 6))
+    vals = [v for g in groups.values() for v in g]
+    grand = sum(vals) / len(vals)
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2
+              for g in groups.values())
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g)
+              for g in groups.values())
+    k, n = len(groups), len(vals)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = registry.get("q_ab_anova").fn(spark, sf_dir).collect()[0]
+    assert (got["n_groups"], got["n_total"]) == (k, n)
+    assert got["ss_between"] == pytest.approx(ssb, rel=1e-4)
+    assert got["ss_within"] == pytest.approx(ssw, rel=1e-4)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_calibration_bins_partition_corpus(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = registry.get("q_ml_calibration").fn(spark, sf_dir).collect()
+    n_docs = registry.get("q_text_gopher_rules").fn(spark, sf_dir) \
+        .collect()[0]["n_docs"]
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_predicted"] <= 1.0
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        assert r["calibration_gap"] == pytest.approx(
+            abs(r["mean_predicted"] - r["observed_rate"]), abs=2e-6)
+
+
+def test_stream_psi_nonnegative_and_daily(spark, sf_dir):
+    # PSI is a sum of terms (q-p)*ln(q/p), each >= 0 — the daily
+    # monitor can never report negative drift.
+    from sigma_rx7_spark import registry
+
+    rows = registry.get("q_stream_psi").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= -1e-9, r
+        assert r["n_events"] > 0
