@@ -3836,3 +3836,101 @@ def q_ab_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ss_within"),
         F.when(bad | (ssw <= 0), null_d)
         .otherwise(f_stat.cast(QDEC).cast("double")).alias("f_stat"))
+
+
+# ---- Higher central moments: skewness / kurtosis (A54) ------------------------
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH pow AS (
+      SELECT event_type,
+             CAST(value AS DOUBLE) AS x,
+             CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  AS DECIMAL(38,6)) AS x2,
+             CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  * CAST(value AS DOUBLE) AS DECIMAL(38,6)) AS x3,
+             CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  AS DECIMAL(38,6)) AS x4
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(x3) AS DOUBLE) AS s3,
+             CAST(SUM(x4) AS DOUBLE) AS s4
+      FROM pow GROUP BY event_type
+    ),
+    central AS (
+      SELECT event_type, n, s1 / n AS m,
+             s2 / n - (s1 / n) * (s1 / n) AS v,
+             s3 / n - 3 * (s1 / n) * s2 / n
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n
+               + 6 * (s1 / n) * (s1 / n) * s2 / n
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM mom
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(m AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+                ELSE CAST(CAST(m3 / (v * sqrt(v)) AS DECIMAL(18,6))
+                     AS DOUBLE) END AS skewness,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+                ELSE CAST(CAST(m4 / (v * v) - 3.0 AS DECIMAL(18,6))
+                     AS DOUBLE) END AS excess_kurtosis
+    FROM central
+    """,
+    tags=("A54", "stats", "moments"),
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWNESS AND EXCESS KURTOSIS per event family — the 3rd/4th
+    standardized central moments that complete the A8/A15 moment family
+    (mean/var/corr stop at order 2; tail asymmetry and heavy-tailedness
+    are what decide whether a t-test is even appropriate — the reading
+    that routes a metric to A43 vs A44). Population-moment convention
+    (g1, g2 = m4/v² − 3).
+
+    Mergeable-state discipline: everything derives from the four raw
+    power sums (n, Σx, Σx², Σx³, Σx⁴) in ONE hash aggregate — the
+    power terms are deterministic IEEE per row and quantized to the
+    6-dp decimal grid BEFORE summation, so partial/final order can
+    never perturb the sums at any partition count. Degenerate groups
+    (n<2 or zero variance) report NULL on both engines."""
+    from ..compat import QDEC
+
+    e = load(spark, sf_dir, "events")
+    x = F.col("value").cast("double")
+    pow_ = e.select(
+        "event_type", x.alias("x"),
+        (x * x).cast("decimal(38,6)").alias("x2"),
+        (x * x * x).cast("decimal(38,6)").alias("x3"),
+        (x * x * x * x).cast("decimal(38,6)").alias("x4"))
+    mom = pow_.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double")
+        .alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum("x4").cast("double").alias("s4"))
+    n = F.col("n")
+    m = F.col("s1") / n
+    v = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (F.col("s4") / n - 4 * m * F.col("s3") / n
+          + 6 * m * m * F.col("s2") / n - 3 * m * m * m * m)
+    bad = (n < 2) | (v <= 0)
+    null_d = F.lit(None).cast("double")
+    return mom.select(
+        "event_type", n.cast("bigint").alias("n"),
+        m.cast(QDEC).cast("double").alias("mean"),
+        F.when(bad, null_d).otherwise(
+            (m3 / (v * F.sqrt(v))).cast(QDEC).cast("double"))
+        .alias("skewness"),
+        F.when(bad, null_d).otherwise(
+            (m4 / (v * v) - 3.0).cast(QDEC).cast("double"))
+        .alias("excess_kurtosis"))

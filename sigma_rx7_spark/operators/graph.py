@@ -474,3 +474,106 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("degree").cast("bigint").alias("degree"),
                 "n_nodes")
     )
+
+
+# ---- k-core decomposition, unrolled peeling (L1p) ----------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 5  # unrolled peel rounds (PageRank fixed-round discipline)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling as chained CTEs: round r keeps nodes whose
+    degree over the round-(r-1) surviving edge set is >= k, then drops
+    edges touching removed nodes. Mirrors the Spark loop exactly."""
+    ctes = ["""e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    )"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev}
+        UNION ALL SELECT v AS node FROM {prev})
+      GROUP BY node
+    ), k{r} AS MATERIALIZED (
+      SELECT node FROM d{r} WHERE deg >= {KCORE_K}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN k{r} ku ON e.u = ku.node
+      JOIN k{r} kv ON e.v = kv.node
+    )""")
+    last = KCORE_ROUNDS
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT
+      CAST((SELECT COUNT(*) FROM k{last}) AS BIGINT) AS n_core_nodes,
+      CAST((SELECT COUNT(*) FROM e{last}) AS BIGINT) AS n_core_edges,
+      (SELECT COUNT(*) FROM k{last})
+        = (SELECT COUNT(*) FROM k{last - 1}) AS converged,
+      CAST((SELECT MIN(deg) FROM (
+        SELECT COUNT(*) AS deg FROM (
+          SELECT u AS node FROM e{last}
+          UNION ALL SELECT v AS node FROM e{last})
+        GROUP BY node)) AS BIGINT) AS min_core_degree
+    """
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(), tags=("L1p", "graph"))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-CORE DECOMPOSITION of the undirected co-purchase graph
+    by iterative peeling — repeatedly remove nodes with degree <
+    {KCORE_K} until a fixed point — the standard dense-substructure
+    screen (community cores, spam rings, fraud cliques) that degree
+    distribution (L1j) and triangles (L1e) bracket but don't compute.
+    Reports core size, core edge count, the converged flag (the last
+    round removed nothing), and the core's minimum degree (>= k when
+    converged — the invariant a property test pins).
+
+    Unrolled-round discipline (the PageRank shape): {KCORE_ROUNDS}
+    peel rounds as chained Catalyst plans, each round ONE degree
+    aggregate (node, count) plus two semi-shaped joins that shrink the
+    edge relation — shuffles carry (node, bigint) and edge-id pairs
+    only. At 100 TB each round is a keyed aggregate + broadcast-able
+    survivor filter; rounds-to-converge is bounded by the degeneracy
+    ordering depth, and a driver loop over ROUNDS (not data) keeps the
+    whole decomposition inside the optimizer."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").where(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()
+        .localCheckpoint(eager=False))
+    prev_nodes = None
+    nodes = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        prev_nodes = nodes
+        nodes = deg.where(F.col("deg") >= KCORE_K).select("node") \
+            .localCheckpoint(eager=False)
+        edges = (
+            edges.join(nodes.withColumnRenamed("node", "u"), "u")
+            .join(nodes.withColumnRenamed("node", "v"), "v")
+            .select("u", "v").localCheckpoint(eager=False))
+    n_core = nodes.count()
+    n_prev = prev_nodes.count() if prev_nodes is not None else -1
+    n_edges = edges.count()
+    min_deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.min("deg").alias("m")).collect()[0]["m"])
+    return spark.createDataFrame(
+        [(n_core, n_edges, n_core == n_prev,
+          int(min_deg) if min_deg is not None else None)],
+        "n_core_nodes bigint, n_core_edges bigint, converged boolean, "
+        "min_core_degree bigint")

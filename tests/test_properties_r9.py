@@ -512,3 +512,44 @@ def test_stream_psi_nonnegative_and_daily(spark, sf_dir):
     for r in rows:
         assert r["psi"] >= -1e-9, r
         assert r["n_events"] > 0
+
+
+def test_agg_moments_match_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _events(sf_dir)
+    groups = {}
+    for uid, et, v, ts in rows:
+        groups.setdefault(et, []).append(float(v))
+    got = {r["event_type"]: r for r in
+           registry.get("q_agg_moments").fn(spark, sf_dir).collect()}
+    for et, xs in groups.items():
+        n = len(xs)
+        m = sum(xs) / n
+        v_ = sum((x - m) ** 2 for x in xs) / n
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        r = got[et]
+        assert r["n"] == n
+        assert r["mean"] == pytest.approx(m, abs=1e-4)
+        if n >= 2 and v_ > 0:
+            # catastrophic cancellation in the raw-sums form costs a few
+            # digits; the tolerance reflects that, not formula slack
+            assert r["skewness"] == pytest.approx(
+                m3 / v_ ** 1.5, rel=2e-3, abs=2e-3)
+            assert r["excess_kurtosis"] == pytest.approx(
+                m4 / v_ ** 2 - 3.0, rel=2e-3, abs=2e-3)
+
+
+def test_kcore_invariants(spark, sf_dir):
+    # When converged, every core node has degree >= k inside the core,
+    # and the core edge count is consistent with a simple graph.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.graph import KCORE_K
+
+    r = registry.get("q_graph_kcore").fn(spark, sf_dir).collect()[0]
+    if r["converged"] and r["n_core_nodes"] > 0:
+        assert r["min_core_degree"] >= KCORE_K
+        assert r["n_core_edges"] >= r["n_core_nodes"] * KCORE_K // 2
+    if r["n_core_nodes"] == 0:
+        assert r["n_core_edges"] == 0 and r["min_core_degree"] is None
