@@ -3775,9 +3775,9 @@ def q_ab_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_total AS BIGINT) AS n_total,
            CASE WHEN k < 2 OR n_total <= k THEN NULL
                 ELSE CAST(CAST(sb_raw - st * st / n_total
-                     AS DECIMAL(18,6)) AS DOUBLE) END AS ss_between,
+                     AS DECIMAL(18,3)) AS DOUBLE) END AS ss_between,
            CASE WHEN k < 2 OR n_total <= k THEN NULL
-                ELSE CAST(CAST(ssw AS DECIMAL(18,6)) AS DOUBLE) END
+                ELSE CAST(CAST(ssw AS DECIMAL(18,3)) AS DOUBLE) END
              AS ss_within,
            CASE WHEN k < 2 OR n_total <= k OR ssw <= 0 THEN NULL
                 ELSE CAST(CAST(
@@ -3830,9 +3830,15 @@ def q_ab_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         k.cast("bigint").alias("n_groups"),
         n_tot.cast("bigint").alias("n_total"),
-        F.when(bad, null_d).otherwise(ssb.cast(QDEC).cast("double"))
+        # SS magnitudes cross 15 significant digits at bench scale on
+        # the 6-dp grid (the round-4 decimal->double hazard: engine tie
+        # rules diverge past ~15 sig digits); 3 dp keeps the cast exact
+        # at any realistic scale and costs nothing semantically.
+        F.when(bad, null_d).otherwise(
+            ssb.cast("decimal(18,3)").cast("double"))
         .alias("ss_between"),
-        F.when(bad, null_d).otherwise(ssw.cast(QDEC).cast("double"))
+        F.when(bad, null_d).otherwise(
+            ssw.cast("decimal(18,3)").cast("double"))
         .alias("ss_within"),
         F.when(bad | (ssw <= 0), null_d)
         .otherwise(f_stat.cast(QDEC).cast("double")).alias("f_stat"))
