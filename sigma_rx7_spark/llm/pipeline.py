@@ -1161,3 +1161,86 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.cast(QDEC).cast("double").alias("observed_rate"),
         F.abs(mean_p - obs).cast(QDEC).cast("double")
         .alias("calibration_gap"))
+
+
+# ---- Exact AUC via the rank-sum identity (L6l) --------------------------------
+
+
+def _auc_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    per_value AS (
+      SELECT p,
+             SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS c0
+      FROM sc GROUP BY p
+    ),
+    pref AS (
+      SELECT c1, c0,
+             COALESCE(SUM(c0) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c0_less
+      FROM per_value
+    ),
+    agg AS (
+      SELECT SUM(c1 * (2 * c0_less + c0)) AS u2,
+             SUM(c1) AS n_pos, SUM(c0) AS n_neg
+      FROM pref
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(u2 AS BIGINT) AS u2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS auc
+    FROM agg
+    """
+
+
+@query("q_ml_auc", oracle=_auc_oracle(), tags=("L6l", "ml-eval", "auc"))
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC-ROC of the fitted quality gate via the rank-sum
+    identity AUC = U/(n₁n₀) — threshold-free ranking quality, the
+    number that survives when the decision point moves (q_ml_eval is
+    one threshold; q_ml_lift is deciles; this is the whole curve in one
+    scalar). Ties at equal scores earn half credit (midrank), exactly
+    the A44 tie discipline; the doubled statistic 2U stays INTEGER end
+    to end, so the only float op is the final division.
+
+    Shape: the same scored relation as the rest of the model-eval
+    family (shared _gd_ctes_and_p core), collapsed to DISTINCT score
+    values with per-class counts, one prefix-sum window over the
+    value-cardinality-bounded relation, one fold. No per-row ranking of
+    the corpus anywhere — the Mann-Whitney trick applied to model
+    evaluation, which is what makes exact AUC computable at corpus
+    scale without a global sort of scores."""
+    from pyspark.sql import Window
+
+    from ..compat import QDEC
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    per_value = scored.groupBy("p").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("c0"))
+    wv = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    pref = per_value.select(
+        "c1", "c0",
+        F.coalesce(F.sum("c0").over(wv), F.lit(0)).alias("c0_less"))
+    agg = pref.agg(
+        F.sum(F.col("c1") * (2 * F.col("c0_less") + F.col("c0")))
+        .alias("u2"),
+        F.sum("c1").alias("n_pos"), F.sum("c0").alias("n_neg"))
+    n1, n0, u2 = F.col("n_pos"), F.col("n_neg"), F.col("u2")
+    auc = u2.cast("double") / (2.0 * n1 * n0)
+    return agg.select(
+        n1.cast("bigint").alias("n_pos"), n0.cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        F.when((n1 == 0) | (n0 == 0), F.lit(None).cast("double"))
+        .otherwise(auc.cast(QDEC).cast("double")).alias("auc"))

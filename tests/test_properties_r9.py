@@ -553,3 +553,31 @@ def test_kcore_invariants(spark, sf_dir):
         assert r["n_core_edges"] >= r["n_core_nodes"] * KCORE_K // 2
     if r["n_core_nodes"] == 0:
         assert r["n_core_edges"] == 0 and r["min_core_degree"] is None
+
+
+def test_ml_auc_matches_naive_model(spark, sf_dir):
+    # AUC via naive pairwise comparison (ties half credit) over the
+    # same (y, p) relation the engine scores.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.pipeline import (_sigmoid_q,
+                                              fit_quality_weights,
+                                              quality_features)
+    from sigma_rx7_spark.io import load
+    from pyspark.sql import functions as F
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    pairs = [(r["y"], r["p"]) for r in
+             feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+             .collect()]
+    pos = [s for y, s in pairs if y == 1.0]
+    neg = [s for y, s in pairs if y == 0.0]
+    wins = sum(1.0 if sp > sn else 0.5 if sp == sn else 0.0
+               for sp in pos for sn in neg)
+    want = wins / (len(pos) * len(neg))
+    got = registry.get("q_ml_auc").fn(spark, sf_dir).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert got["auc"] == pytest.approx(want, abs=1e-6)
+    assert 0.0 <= got["auc"] <= 1.0
