@@ -231,3 +231,112 @@ def q_link_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("lev") > 0, F.lit(False)).alias("id_fuzzy"),
         F.coalesce(F.abs(F.col("c_acctbal") - F.col("b_bal")) > 10,
                    F.lit(False)).alias("bal_conflict"))
+
+
+# ---- Blocking-quality audit (L7c) ---------------------------------------------
+
+
+@query(
+    "q_link_blocking_audit",
+    oracle=f"""
+    WITH b AS ({_O_DIRTY}),
+    a AS (
+      SELECT c_custkey AS a_id, c_nationkey, c_mktsegment
+      FROM customer
+    ),
+    truth AS (
+      SELECT a.a_id,
+             CASE WHEN a.c_nationkey = b.b_nationkey
+                   AND a.c_mktsegment = b.b_mktsegment
+                  THEN 1 ELSE 0 END AS blocked
+      FROM a JOIN b ON b.b_id = a.a_id + {_B_OFFSET}
+    ),
+    blocks AS (
+      SELECT COALESCE(SUM(na * nb), 0) AS n_candidates
+      FROM (
+        SELECT COUNT(*) AS na, c_nationkey AS nk, c_mktsegment AS seg
+        FROM a GROUP BY 2, 3) x
+      JOIN (
+        SELECT COUNT(*) AS nb, b_nationkey AS nk, b_mktsegment AS seg
+        FROM b GROUP BY 2, 3) y
+        ON x.nk = y.nk AND x.seg = y.seg
+    ),
+    sizes AS (
+      SELECT (SELECT COUNT(*) FROM a) AS n_a,
+             (SELECT COUNT(*) FROM b) AS n_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT SUM(blocked) FROM truth) AS BIGINT)
+             AS n_blocked_true,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST((SELECT SUM(blocked) FROM truth) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM truth)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS pair_completeness,
+           CAST((SELECT n_candidates FROM blocks) AS BIGINT)
+             AS n_candidates,
+           CAST((SELECT n_a * n_b FROM sizes) AS BIGINT) AS n_cross,
+           CASE WHEN (SELECT n_a * n_b FROM sizes) = 0 THEN NULL
+                ELSE CAST(CAST(
+                  1.0 - CAST((SELECT n_candidates FROM blocks) AS DOUBLE)
+                        / (SELECT n_a * n_b FROM sizes)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS reduction_ratio
+    """,
+    tags=("L7c", "linkage", "blocking-audit"),
+)
+def q_link_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY AUDIT: the two numbers every blocking scheme is
+    judged by — PAIR COMPLETENESS (what fraction of true matches share
+    a block; the seeded every-7th nation shift makes the ceiling ~6/7
+    here, so the audit measures a real loss, not a tautology) and the
+    REDUCTION RATIO (1 − candidates/cross-product; how much work
+    blocking saves). This is the linkage twin of the dedup family's
+    measured-recall audits (q_dedup_recall_lsh, q_sim_recall_ivf): the
+    blocking decision gets a measured trade-off curve point, not an
+    assertion.
+
+    Exactness without pair enumeration: completeness joins the feeds on
+    the KNOWN truth key (one equi-join, no candidate generation), and
+    the candidate count is Σ|A_block|·|B_block| from two per-block
+    COUNT aggregates — the audit itself never materializes a pair, so
+    it runs at any corpus size."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"), "c_nationkey", "c_mktsegment")
+    b = dirty_feed(cust)
+    truth = a.join(b, F.col("b_id") == F.col("a_id") + _B_OFFSET) \
+        .select(
+            F.when((F.col("c_nationkey") == F.col("b_nationkey"))
+                   & (F.col("c_mktsegment") == F.col("b_mktsegment")),
+                   1).otherwise(0).alias("blocked"))
+    tr = truth.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("blocked").alias("n_blocked"))
+    ablk = a.groupBy(F.col("c_nationkey").alias("nk"),
+                     F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("na"))
+    bblk = b.groupBy(F.col("b_nationkey").alias("nk"),
+                     F.col("b_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("nb"))
+    cand = ablk.join(bblk, ["nk", "seg"]).agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .alias("n_candidates"))
+    sizes = a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("n_b")))
+    from ..compat import QDEC
+    j = tr.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(sizes))
+    return j.select(
+        F.col("n_true").cast("bigint").alias("n_true_pairs"),
+        F.col("n_blocked").cast("bigint").alias("n_blocked_true"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("n_blocked").cast("double") / F.col("n_true"))
+                   .cast(QDEC).cast("double"))
+        .alias("pair_completeness"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        (F.col("n_a") * F.col("n_b")).cast("bigint").alias("n_cross"),
+        F.when(F.col("n_a") * F.col("n_b") == 0,
+               F.lit(None).cast("double"))
+        .otherwise((1.0 - F.col("n_candidates").cast("double")
+                    / (F.col("n_a") * F.col("n_b")))
+                   .cast(QDEC).cast("double"))
+        .alias("reduction_ratio"))

@@ -581,3 +581,27 @@ def test_ml_auc_matches_naive_model(spark, sf_dir):
     assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
     assert got["auc"] == pytest.approx(want, abs=1e-6)
     assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_blocking_audit_matches_seeded_misses(spark, sf_dir):
+    # The dirty feed shifts every record whose trailing customer number
+    # is divisible by 7 into the next nation — exactly those true pairs
+    # (and only those) must fall outside their block.
+    import re
+
+    from sigma_rx7_spark import registry
+
+    con = duckdb.connect()
+    names = [n for (n,) in con.execute(
+        f"SELECT c_name FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()]
+    con.close()
+    nums = [int(re.search(r"(\d+)$", n).group(1)) for n in names]
+    n_shifted = sum(1 for x in nums if x % 7 == 0)
+    r = registry.get("q_link_blocking_audit").fn(spark, sf_dir) \
+        .collect()[0]
+    assert r["n_true_pairs"] == len(nums)
+    assert r["n_true_pairs"] - r["n_blocked_true"] == n_shifted
+    assert r["pair_completeness"] == pytest.approx(
+        1 - n_shifted / len(nums), abs=1e-5)
+    assert 0.0 < r["reduction_ratio"] < 1.0
