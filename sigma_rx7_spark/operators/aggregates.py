@@ -11,6 +11,8 @@ DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3940,3 +3942,137 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bad, null_d).otherwise(
             (m4 / (v * v) - 3.0).cast(QDEC).cast("double"))
         .alias("excess_kurtosis"))
+
+
+# ---- Benjamini-Hochberg FDR report across the A/B family (A55) ---------------
+
+FDR_Q = 0.05
+# Abramowitz-Stegun 26.2.17 tail polynomial: pure +,*,exp — correctly
+# rounded primitives only, so both engines evaluate it bit-identically.
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+
+# (test name, registered query, its statistic column); every statistic
+# is treated as standard normal (the t members at these df are within
+# the polynomial's own 7.5e-8 accuracy envelope — documented approx).
+_FDR_TESTS = (
+    ("proportions_z", "q_ab_proportions", "zscore"),
+    ("welch_t", "q_ab_welch", "t_welch"),
+    ("mannwhitney_z", "q_ab_mannwhitney", "z_mwu"),
+    ("delta_z", "q_ab_delta", "z_delta"),
+    ("paired_t", "q_ab_paired", "t_paired"),
+)
+
+
+def _fdr_oracle() -> str:
+    """Composes the five member oracles VERBATIM from the registry (the
+    q_domain_alert_inbox discipline: the report can never drift from
+    the tests it corrects), then applies the identical p-value
+    polynomial and BH step-up in SQL."""
+    from ..registry import _REGISTRY
+    b1, b2, b3, b4, b5 = _AS_B
+    members = ",\n".join(
+        f"m_{name} AS ({_REGISTRY[q].oracle})"
+        for name, q, _ in _FDR_TESTS)
+    stats = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS test, {col} AS z FROM m_{name}"
+        for name, q, col in _FDR_TESTS)
+    return f"""
+    WITH {members},
+    stats AS ({stats}),
+    live AS (SELECT test, z FROM stats WHERE z IS NOT NULL),
+    pv AS (
+      SELECT test, z,
+             CAST(2.0 * (exp(-abs(z) * abs(z) / 2.0) / sqrt(2.0 * pi())
+               * ((1.0 / (1.0 + {_AS_T} * abs(z)))
+                  * ({b1} + (1.0 / (1.0 + {_AS_T} * abs(z)))
+                     * ({b2} + (1.0 / (1.0 + {_AS_T} * abs(z)))
+                        * ({b3} + (1.0 / (1.0 + {_AS_T} * abs(z)))
+                           * ({b4} + (1.0 / (1.0 + {_AS_T} * abs(z)))
+                              * {b5}))))))
+               AS DECIMAL(18,9)) AS p
+      FROM live
+    ),
+    ranked AS (
+      SELECT test, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, test) AS i,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    dec AS (
+      SELECT *,
+             MAX(CASE WHEN CAST(p AS DOUBLE) * m
+                           <= i * CAST({FDR_Q} AS DOUBLE)
+                      THEN i ELSE 0 END) OVER () AS max_ok
+      FROM ranked
+    )
+    SELECT test,
+           CAST(CAST(z AS DECIMAL(18,6)) AS DOUBLE) AS z,
+           CAST(p AS DOUBLE) AS p_value,
+           CAST(i AS BIGINT) AS p_rank,
+           CAST(CAST(CAST(i AS DOUBLE) / m * {FDR_Q}
+                AS DECIMAL(18,9)) AS DOUBLE) AS bh_threshold,
+           i <= max_ok AS reject
+    FROM dec
+    """
+
+
+@query("q_ab_fdr", oracle=_fdr_oracle(),
+       tags=("A55", "abtest", "multiple-testing"))
+def q_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR REPORT across the experiment family: the
+    five z-valued tests the repo runs on this experiment (proportions,
+    Welch, Mann-Whitney, delta-method ratio, paired) corrected TOGETHER
+    at q={FDR_Q} — the multiple-testing discipline every metrics
+    platform applies before anyone reads a significance column (five
+    5%-level looks at one experiment are a ~23% family-wise false-alarm
+    machine uncorrected). Two-sided p-values come from the
+    Abramowitz-Stegun normal-tail polynomial (pure +,*,exp — the first
+    p-VALUE, not just statistic, the engine emits, unlocked by the
+    polynomial being engine-exact); BH is the step-up rule p(i) <=
+    (i/m)q with the largest-passing-rank acceptance.
+
+    Composition discipline: the Spark side CALLS the five registered
+    member queries and the oracle splices their registered SQL texts
+    verbatim (the alert-inbox pattern), so the corrected report can
+    never drift from the tests it corrects. Degenerate members (NULL
+    statistic) drop out and shrink m. Everything after the members is
+    a <=5-row relation; the windows are metadata-scale."""
+    from ..compat import QDEC
+    from ..registry import get as get_query
+
+    parts = []
+    for name, qname, col in _FDR_TESTS:
+        parts.append(
+            get_query(qname).fn(spark, sf_dir)
+            .select(F.lit(name).alias("test"), F.col(col).alias("z")))
+    stats = parts[0]
+    for df in parts[1:]:
+        stats = stats.unionAll(df)
+    live = stats.where(F.col("z").isNotNull())
+    az = F.abs(F.col("z"))
+    t = 1.0 / (1.0 + _AS_T * az)
+    b1, b2, b3, b4, b5 = _AS_B
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pdf = F.exp(-az * az / 2.0) / math.sqrt(2.0 * math.pi)
+    p = (2.0 * pdf * poly).cast("decimal(18,9)")
+    pv = live.select("test", "z", p.alias("p"))
+    wrank = Window.orderBy("p", "test")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = pv.select(
+        "test", "z", "p",
+        F.row_number().over(wrank).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("m"))
+    ok_rank = F.when(
+        F.col("p").cast("double") * F.col("m")
+        <= F.col("i") * F.lit(FDR_Q), F.col("i")).otherwise(0)
+    dec = ranked.withColumn("max_ok", F.max(ok_rank).over(wall))
+    return dec.select(
+        "test",
+        F.col("z").cast(QDEC).cast("double").alias("z"),
+        F.col("p").cast("double").alias("p_value"),
+        F.col("i").cast("bigint").alias("p_rank"),
+        (F.col("i").cast("double") / F.col("m") * FDR_Q)
+        .cast("decimal(18,9)").cast("double").alias("bh_threshold"),
+        (F.col("i") <= F.col("max_ok")).alias("reject"))

@@ -96,15 +96,15 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # exposure (the r5 practice), then every remaining slot re-banks
     # the stalest greens in `rotation_candidates.py --age` order.
     #
-    # 24 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
+    # 25 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
     # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
     # systematic sampler, target encoding, Bloom audit, forecast
     # backtest, WoW growth, profile drift, streaming SRM, media
     # payload dedup, calibration, paired t, ANOVA, streaming PSI,
-    # moments, k-core, exact AUC, blocking audit).
-    # 26 slots: the r2 cohort in age order (includes most of the 19
+    # moments, k-core, exact AUC, blocking audit, BH-FDR report).
+    # 25 slots: the r2 cohort in age order (includes most of the 19
     # re-banks the r8 window displaced); the displaced r2 tail
-    # (q_stream_dedup, q_stream_sessions, q_stream_static_join,
+    # (q_stream_hourly_counts, q_stream_dedup, q_stream_sessions, q_stream_static_join,
     # q_stream_stream_join, q_stream_merge,
     # q_stream_stateful, q_udf_score, q_udaf_weighted,
     # q_domain_recommendations) and the 4 oldest r3 greens return next
@@ -138,6 +138,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_graph_kcore",
     "q_ml_auc",
     "q_link_blocking_audit",
+    "q_ab_fdr",
     # stalest driver-greens, oldest first (the full r2 cohort)
     "q_text_langid",
     "q_text_fingerprint",
@@ -164,7 +165,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_pipeline_corpus_curation",
     "q_pipeline_near_dedup",
-    "q_stream_hourly_counts",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

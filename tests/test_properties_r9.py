@@ -605,3 +605,30 @@ def test_blocking_audit_matches_seeded_misses(spark, sf_dir):
     assert r["pair_completeness"] == pytest.approx(
         1 - n_shifted / len(nums), abs=1e-5)
     assert 0.0 < r["reduction_ratio"] < 1.0
+
+
+def test_ab_fdr_pvalues_and_bh_match_naive(spark, sf_dir):
+    # p-values must agree with the EXACT normal tail (erfc) within the
+    # Abramowitz-Stegun polynomial's documented 7.5e-8 envelope, and
+    # the reject set must equal a naive Python Benjamini-Hochberg.
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.aggregates import FDR_Q
+
+    rows = sorted(registry.get("q_ab_fdr").fn(spark, sf_dir).collect(),
+                  key=lambda r: r["p_rank"])
+    assert rows
+    m = len(rows)
+    for r in rows:
+        exact = math.erfc(abs(r["z"]) / math.sqrt(2.0))
+        assert r["p_value"] == pytest.approx(exact, abs=2e-7)
+        assert r["bh_threshold"] == pytest.approx(
+            r["p_rank"] / m * FDR_Q, abs=1e-9)
+    ps = [r["p_value"] for r in rows]
+    max_ok = max((i + 1 for i, p in enumerate(ps)
+                  if p <= (i + 1) / m * FDR_Q), default=0)
+    for i, r in enumerate(rows):
+        assert r["reject"] == (i + 1 <= max_ok), (r, max_ok)
+    # ranks are a permutation and p is non-decreasing in rank
+    assert [r["p_rank"] for r in rows] == list(range(1, m + 1))
+    assert all(a["p_value"] <= b["p_value"]
+               for a, b in zip(rows, rows[1:]))
