@@ -12,13 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from sigma_rx7_spark import registry
 
 FLAGSHIP = "q_agg_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The external correctness gate runs Spark + oracle side by side at
-# sf0.01; templated oracles (sf-keyed staged artifacts) resolve here.
-DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# sf0.01 by default; templated (sf-keyed) oracles resolve to the sf the
+# driver actually runs, taken from the environment when set, so the
+# oracle dict tracks a gate run at any scale (r9 advice).
+DRIVER_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def entry(spark: SparkSession) -> DataFrame:

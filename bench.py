@@ -157,6 +157,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    raw_spreads: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Steady-state: min of 3 (first run pays per-query planning /
@@ -178,6 +179,7 @@ def main() -> None:
         n = 5 if name in HIGH_VARIANCE else 3
         reps = sorted(run(name) for _ in range(n))
         all_reps.setdefault(name, [round(r, 3) for r in reps])
+        raw_spreads[name] = round(reps[-1] - reps[0], 3)
         if n == 5:
             reps = reps[:-1]
         timings[name] = round(reps[0], 3)
@@ -197,10 +199,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        # Per-query max-min over the in-process reps (worst rep dropped
-        # for HIGH_VARIANCE queries): the measured run-to-run noise
-        # floor to read cross-round deltas against.
+        # ROBUST spread: per-query max-min over the in-process reps,
+        # with the single worst rep dropped for HIGH_VARIANCE queries
+        # (n=5). Anywhere a "spread <= 1 s" claim cites this number it
+        # must say "robust spread (worst rep dropped, n=5)" — the
+        # honest label the r9 verdict asked for. The UNTRIMMED max-min
+        # sits right next to it in queries_spread_raw.
         "queries_spread": spreads,
+        # Raw (untrimmed) max-min over ALL reps, including the one the
+        # robust spread excluded.
+        "queries_spread_raw": raw_spreads,
         # Raw sorted rep lists, including any rep the spread excluded.
         "queries_reps": all_reps,
         "sf": sf,
@@ -212,7 +220,7 @@ def main() -> None:
     print(json.dumps({"detail": "queries_spread", "queries_spread": spreads}))
     headline = {k: v for k, v in detail.items()
                 if k not in ("queries_median", "queries_spread",
-                             "queries_reps")}
+                             "queries_spread_raw", "queries_reps")}
     line = json.dumps(headline)
     if len(line) > 1900:  # belt-and-braces: never overflow the tail again
         headline["queries"] = {"see": "BENCH_DETAIL.json"}

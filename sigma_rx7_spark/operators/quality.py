@@ -897,7 +897,7 @@ _W1_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI/KS screens
       SELECT value AS v,
              CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_W1_CUTOFF}'
                   THEN 1 ELSE 0 END AS in_a
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     per_value AS (
       SELECT v, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
@@ -953,7 +953,10 @@ def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-cardinality-bounded relation, one final sum. No row-level
     sort of raw events anywhere."""
     ev = load(spark, sf_dir, "events")
-    tagged = ev.select(
+    # NULL values carry no ECDF mass, and the engines disagree on NULL
+    # sort position (Spark NULLS FIRST vs DuckDB NULLS LAST) — drop them
+    # before the per-value collapse on BOTH sides (r9 advice).
+    tagged = ev.where(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),
         F.when(F.col("ts") < F.lit(_W1_CUTOFF).cast("timestamp"), 1)
         .otherwise(0).alias("in_a"))

@@ -1445,7 +1445,8 @@ FC_SEASON_DAYS = 7  # weekly seasonality: forecast(d) = actual(d - 7)
            CASE WHEN SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) > 0
                 THEN NULL
                 ELSE CAST(CAST(
-                  SUM(CAST(abs(v - forecast) / abs(v)
+                  SUM(CAST(CASE WHEN v <> 0
+                           THEN abs(v - forecast) / abs(v) END
                        AS DECIMAL(27,9))) / COUNT(*)
                   AS DECIMAL(18,6)) AS DOUBLE) END AS mape,
            CAST(CAST(SUM(CAST(forecast - v AS DECIMAL(27,6)))
@@ -1471,8 +1472,12 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (lag-by-key without a window — broadcastable both sides at
     any horizon), one keyed aggregate of decimal-quantized error terms.
     MAPE is NULL for a family with any zero-valued actual (no silent
-    divide-by-zero day-dropping — the honest posture); error sums are
-    per-term quantized so aggregation order never perturbs them."""
+    divide-by-zero day-dropping — the honest posture); the per-row
+    ratio itself is guarded with WHEN v <> 0 on BOTH engines so a
+    zero-actual day never evaluates 1/0 under ANSI mode (r9 advice) —
+    the aggregate-level has_zero guard then nulls the whole family as
+    documented; error sums are per-term quantized so aggregation order
+    never perturbs them."""
     from ..compat import QDEC
 
     e = load(spark, sf_dir, "events")
@@ -1489,7 +1494,8 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = daily.join(fc, ["event_type", "day"])
     err = (F.col("v") - F.col("forecast"))
     abs_err_q = F.abs(err).cast("decimal(27,6)")
-    rel_err_q = (F.abs(err) / F.abs(F.col("v"))).cast("decimal(27,9)")
+    rel_err_q = (F.when(F.col("v") != 0, F.abs(err) / F.abs(F.col("v")))
+                 .cast("decimal(27,9)"))
     n = F.count(F.lit(1))
     has_zero = F.sum(F.when(F.col("v") == 0, 1).otherwise(0)) > 0
     return paired.groupBy("event_type").agg(

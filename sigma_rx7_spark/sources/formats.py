@@ -33,7 +33,11 @@ STAGING = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def _stage_dir(kind: str, sf_dir: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # Key by the FULL sanitized path (same rule as llm.similarity._sf_key),
+    # not the basename: two roots with the same leaf (/a/sf0.01 vs
+    # /b/sf0.01) must stage disjoint artifacts (r9 advice).
+    tag = "".join(ch if ch.isalnum() else "_"
+                  for ch in sf_dir.rstrip("/")) or "sf"
     return os.path.join(STAGING, f"{kind}_{tag}")
 
 
