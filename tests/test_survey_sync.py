@@ -24,12 +24,19 @@ def _section2() -> str:
 
 
 def test_every_registered_query_has_a_survey_row():
+    # Tightened r10 (r9 verdict item 4): a prose mention no longer
+    # counts — every registered query must be cited from a TABLE ROW
+    # (a line starting with "| <ID> |"), so the operator inventory is
+    # the single enumerable contract.
     sec = _section2()
-    missing = sorted(n for n in registry.load_all() if n not in sec)
+    row_text = "\n".join(
+        ln for ln in sec.splitlines()
+        if re.match(r"^\| [A-Z]+[0-9]+[a-z0-9]* \|", ln))
+    missing = sorted(n for n in registry.load_all()
+                     if f"`{n}`" not in row_text)
     assert not missing, (
-        f"{len(missing)} registered queries lack a SURVEY §2 mention: "
-        f"{missing} — add a row (or extend the domain-composites "
-        "paragraph) before shipping")
+        f"{len(missing)} registered queries lack a SURVEY §2 TABLE ROW: "
+        f"{missing} — add a row before shipping")
 
 
 def test_survey_operator_ids_are_unique():
