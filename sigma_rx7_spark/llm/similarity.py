@@ -498,12 +498,10 @@ def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     query), then probe it with partition pruning — the persistent-index
     form of q_sim_topk_ivf (same centroids, same results; equality
     asserted in tests)."""
-    import os
     queries, corpus, centroids = _ivf_parts(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".staging",
-        f"ivf_{tag}")
+    # Full-path keying (r10, matching _sf_key everywhere): same-basename
+    # sf roots must stage disjoint indexes.
+    path = os.path.join(_STAGING_ROOT, f"ivf_{_sf_key(sf_dir)}")
     # Build only when no completed identical index exists on disk: the
     # index is deterministic per (builder code, sf — sf is in the path),
     # so rebuilding is both wasted build cost and the cross-process
@@ -519,6 +517,78 @@ def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(corpus, centroids, path)
         mark_staged(path, stamp)
     return probe_ivf_index(spark, path, queries)
+
+
+# ---- Incremental IVF index maintenance (L2i) -----------------------------
+
+# Deterministic arrival split: vectors with c_id % DELTA_MOD == DELTA_RES
+# are the "new batch"; the rest are the base the index was built from.
+DELTA_MOD, DELTA_RES = 16, 7
+
+
+@query("q_sim_index_incremental", oracle=_ivf_oracle,
+       tags=("L2i", "incremental"))
+def q_sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF INDEX MAINTENANCE — the ANN twin of S19's
+    incremental z-order (r9 verdict item 7): a delta embedding batch is
+    assigned into the EXISTING trained cells (one broadcast-centroid
+    argmax over the delta only — NO retrain, NO base rewrite) and lands
+    as a second cell-partitioned relation next to the base index;
+    probes union-scan base+delta with the same partition pruning. This
+    is how a 100 TB vector index absorbs daily arrivals: assignment
+    cost is O(|delta| x C), the base layout is immutable, and a
+    periodic retrain/compaction (the full build_ivf_index) resets
+    centroid drift — the same maintain-vs-rebuild split the z-order
+    family documents.
+
+    Gate: the probe result must equal the FULL-corpus IVF search
+    (q_sim_topk_ivf's oracle verbatim) — same centroids + argmax
+    assignment is partition-invariant, so splitting the corpus into
+    base+delta may change FILES but never RESULTS. That equality is
+    exactly the "maintenance loses nothing" claim."""
+    queries, corpus, centroids = _ivf_parts(spark, sf_dir)
+    base = corpus.where(F.col("c_id") % DELTA_MOD != DELTA_RES)
+    delta = corpus.where(F.col("c_id") % DELTA_MOD == DELTA_RES)
+    path = os.path.join(_STAGING_ROOT, f"ivfinc_{_sf_key(sf_dir)}")
+    stamp = src_stamp(build_ivf_index, ivf_assign, q_sim_index_incremental,
+                      extra=_cent_stamp() + f"|{DELTA_MOD}|{DELTA_RES}")
+    if not staging_ok(path, stamp, "cells", "centroids", "delta_cells"):
+        begin_staging(path)
+        build_ivf_index(base, centroids, path)
+        # The incremental step: assign the delta against the FROZEN
+        # centroids and append as its own cell-partitioned relation.
+        (ivf_assign(delta, centroids)
+         .write.mode("overwrite").partitionBy("cell_id")
+         .parquet(f"{path}/delta_cells"))
+        mark_staged(path, stamp)
+    centroids_r = read_staged(spark, f"{path}/centroids",
+                              "cell_id int, cent_vec array<double>")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id"))
+    probe_cells = (
+        queries.crossJoin(F.broadcast(centroids_r))
+        .select("q_id", "q_vec", "cell_id",
+                dot("q_vec", "cent_vec").alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    cell_ids = sorted({r["cell_id"] for r in
+                       probe_cells.select("cell_id").distinct().collect()})
+    schema = "c_id bigint, c_vec array<double>, cell_id int"
+    members = (
+        read_staged(spark, f"{path}/cells", schema)
+        .where(F.col("cell_id").isin(cell_ids))
+        .unionByName(
+            read_staged(spark, f"{path}/delta_cells", schema)
+            .where(F.col("cell_id").isin(cell_ids))))
+    scored = probe_cells.join(members, "cell_id").select(
+        "q_id", "c_id", dot_idx("q_vec", "c_vec").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
 
 
 # ---- Int8 embedding quantization (ANN memory compression) ----------------

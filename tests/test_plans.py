@@ -1157,3 +1157,18 @@ def test_calibration_broadcasts_weights(spark, sf_dir):
     p = plan(spark, sf_dir, "q_ml_calibration")
     assert "SortMergeJoin" not in p
     assert ("BroadcastNestedLoopJoin" in p) or ("BroadcastHashJoin" in p)
+
+def test_incremental_ivf_probe_prunes_both_relations(spark, sf_dir):
+    # The incremental probe must prune BOTH cell-partitioned relations
+    # (base + delta) to the probed cells, and its result must equal the
+    # full-corpus IVF search — the "maintenance loses nothing" claim.
+    from sigma_rx7_spark.plans.inspect import formatted_plan as fp
+
+    inc = ALL["q_sim_index_incremental"].fn(spark, sf_dir)
+    p = fp(inc)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    cells_pruned = [ln for ln in pf if "cell_id" in ln]
+    assert len(cells_pruned) >= 2, pf  # base scan AND delta scan
+    inline = ALL["q_sim_topk_ivf"].fn(spark, sf_dir)
+    assert (sorted(map(tuple, inc.collect()))
+            == sorted(map(tuple, inline.collect())))
