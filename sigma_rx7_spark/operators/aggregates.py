@@ -4076,3 +4076,457 @@ def q_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i").cast("double") / F.col("m") * FDR_Q)
         .cast("decimal(18,9)").cast("double").alias("bh_threshold"),
         (F.col("i") <= F.col("max_ok")).alias("reject"))
+
+
+# ---- Spearman rank correlation (A56) -----------------------------------------
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT g,
+             RANK() OVER (PARTITION BY g ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+             RANK() OVER (PARTITION BY g ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+      FROM base
+    ),
+    sums AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) <= 0
+                  OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE CAST(CAST(
+                  (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS spearman_rho
+    FROM sums
+    """,
+    tags=("A56", "stats", "rank"),
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION per return-flag group (quantity vs
+    extended price) — the monotonic-association complement of A15's
+    Pearson: invariant to any monotone transform and robust to the
+    outliers that dominate a raw-value covariance, which is why drift
+    and feature screens quote rho next to r. Ties get textbook AVERAGE
+    ranks: min-rank + (tie_count - 1)/2, built from RANK() plus a
+    per-(group, value) COUNT window — no mid-rank UDF.
+
+    Determinism: average ranks are exact halves (rank int + k/2), so
+    every rank, product, and 6-dp-quantized sum is bit-identical across
+    engines and partitionings; the final Pearson-over-ranks is one
+    deterministic IEEE expression over those exact sums. Degenerate
+    groups (all-tied x or y: zero rank variance) report NULL.
+
+    Scale: two rank windows keyed by (group, value) — the same
+    sort-once-per-ordering cost every exact rank statistic (A30, A44)
+    already pays — then ONE hash aggregate of five quantized sums;
+    nothing driver-side."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"))
+    rx = (F.rank().over(Window.partitionBy("g").orderBy("x"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("g", "x")) - 1)
+          / F.lit(2.0))
+    ry = (F.rank().over(Window.partitionBy("g").orderBy("y"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("g", "y")) - 1)
+          / F.lit(2.0))
+    ranked = base.select("g", rx.alias("rx"), ry.alias("ry"))
+    sums = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,6)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,6)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,6)"))
+        .cast("double").alias("syy"))
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+           / F.sqrt(vx * vy))
+    return sums.select(
+        F.col("g").alias("l_returnflag"),
+        n.cast("bigint").alias("n"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(rho.cast("decimal(18,6)").cast("double"))
+        .alias("spearman_rho"))
+
+
+# ---- Cramér's V association strength (A57) -----------------------------------
+
+
+@query(
+    "q_agg_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY o.r) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.c) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    ),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             COUNT(DISTINCT r) AS n_r,
+             COUNT(DISTINCT c) AS n_c,
+             CAST(SUM(CAST(
+               (CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+               * (CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+               / (CAST(row_tot * col_tot AS DOUBLE) / n)
+               AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM margins
+    )
+    SELECT n,
+           CAST(n_r AS BIGINT) AS n_rows,
+           CAST(n_c AS BIGINT) AS n_cols,
+           CAST(CAST(chi2 AS DECIMAL(18,6)) AS DOUBLE) AS chi_square,
+           CASE WHEN n_r < 2 OR n_c < 2 OR n = 0 THEN NULL
+                ELSE CAST(CAST(sqrt(chi2 / (n * CAST(
+                  CASE WHEN n_r - 1 < n_c - 1 THEN n_r - 1
+                       ELSE n_c - 1 END AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS cramers_v
+    FROM agg
+    """,
+    tags=("A57", "stats", "association"),
+)
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V between order status and priority — the [0, 1]
+    NORMALIZATION of A24's chi-square (V = sqrt(chi2 / (n·min(r−1,
+    c−1)))), the number a feature-selection pass can actually compare
+    across column pairs with different cardinalities (raw chi-square
+    grows with n and table size; V does not). Same contingency shape
+    as A24: one hash aggregate to cells, margin windows over the tiny
+    cells relation, per-cell (O−E)²/E 6-dp-quantized before the sum.
+    Degenerate tables (a single row or column category) report NULL
+    V — no divide-by-zero path on either engine."""
+    o = load(spark, sf_dir, "orders")
+    obs = (o.select(F.col("o_orderstatus").alias("r"),
+                    F.col("o_orderpriority").alias("c"))
+           .groupBy("r", "c").agg(F.count(F.lit(1)).alias("o")))
+    m = obs.select(
+        "r", "c", "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    term = ((F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e) / e).cast("decimal(18,6)")
+    agg = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("r").alias("n_r"),
+        F.countDistinct("c").alias("n_c"),
+        F.sum(term).cast("double").alias("chi2"))
+    mindim = F.when(F.col("n_r") - 1 < F.col("n_c") - 1,
+                    F.col("n_r") - 1).otherwise(F.col("n_c") - 1)
+    return agg.select(
+        "n",
+        F.col("n_r").cast("bigint").alias("n_rows"),
+        F.col("n_c").cast("bigint").alias("n_cols"),
+        F.col("chi2").cast("decimal(18,6)").cast("double")
+        .alias("chi_square"),
+        F.when((F.col("n_r") < 2) | (F.col("n_c") < 2) | (F.col("n") == 0),
+               F.lit(None).cast("double"))
+        .otherwise(F.sqrt(F.col("chi2")
+                          / (F.col("n") * mindim.cast("double")))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("cramers_v"))
+
+
+# ---- Mutual information between categoricals (A58) ---------------------------
+
+
+@query(
+    "q_agg_mutual_info",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY o.r) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.c) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    ),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             COUNT(*) AS n_cells,
+             CAST(SUM(CAST(
+               (CAST(o AS DOUBLE) / n)
+               * ln(CAST(o * n AS DOUBLE) / CAST(row_tot * col_tot
+                                                 AS DOUBLE))
+               AS DECIMAL(18,9))) AS DOUBLE) AS mi
+      FROM margins
+    )
+    SELECT n,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(CAST(mi AS DECIMAL(18,6)) AS DOUBLE) AS mi_nats,
+           CAST(CAST(mi / ln(CAST(2 AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) AS mi_bits
+    FROM agg
+    """,
+    tags=("A58", "stats", "information"),
+)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between order status and priority — the
+    information-theoretic dependence measure (Σ p_xy·ln(p_xy/(p_x·p_y)))
+    that catches NON-monotonic association chi-square only gestures at
+    and Spearman misses entirely; the standard relevance score for
+    categorical feature selection. Zero iff independent; reported in
+    nats and bits.
+
+    Same cells+margins shape as A24/A57: the per-cell term is one
+    deterministic IEEE expression over exact integer counts (o·n and
+    row_tot·col_tot stay in bigint before the ONE double division),
+    9-dp-quantized before summation so partial/final order never
+    perturbs the total. Empty-cell terms cannot occur (cells exist only
+    where o >= 1), so the log argument is always positive."""
+    o = load(spark, sf_dir, "orders")
+    obs = (o.select(F.col("o_orderstatus").alias("r"),
+                    F.col("o_orderpriority").alias("c"))
+           .groupBy("r", "c").agg(F.count(F.lit(1)).alias("o")))
+    m = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    term = ((F.col("o").cast("double") / F.col("n"))
+            * F.log((F.col("o") * F.col("n")).cast("double")
+                    / (F.col("row_tot") * F.col("col_tot")).cast("double"))
+            ).cast("decimal(18,9)")
+    agg = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(term).cast("double").alias("mi"))
+    return agg.select(
+        "n", "n_cells",
+        F.col("mi").cast("decimal(18,6)").cast("double").alias("mi_nats"),
+        (F.col("mi") / F.log(F.lit(2.0).cast("double")))
+        .cast("decimal(18,6)").cast("double").alias("mi_bits"))
+
+
+# ---- Lorenz concentration curve (A61) ----------------------------------------
+
+
+@query(
+    "q_agg_lorenz",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT spend,
+             NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             SUM(CAST(spend AS DECIMAL(27,6))) AS dec_spend
+      FROM tiled GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_customers, dec_spend,
+             SUM(dec_spend) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_spend,
+             SUM(dec_spend) OVER () AS total_spend
+      FROM per
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(CAST(dec_spend AS DECIMAL(18,6)) AS DOUBLE)
+             AS decile_spend,
+           CAST(CAST(CAST(cum_spend AS DOUBLE)
+                / CAST(total_spend AS DOUBLE) AS DECIMAL(18,6))
+                AS DOUBLE) AS cum_share
+    FROM cum
+    """,
+    tags=("A61", "concentration", "lorenz"),
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of customer spend by decile — the curve A25's Gini
+    coefficient integrates: customers sorted by lifetime spend, cut
+    into NTILE(10) deciles (custkey tiebreak = a total order, so tile
+    boundaries are deterministic), each reporting its spend mass and
+    the cumulative share — the "bottom 50% hold X%" reading
+    concentration reviews actually quote, where the scalar Gini can't
+    distinguish a barbell from a smooth gradient.
+
+    Shape: one keyed aggregate to per-customer spend, ONE global sort
+    for the tiling (unavoidable for exact deciles and bounded by the
+    CUSTOMER count, not order rows — the A30/A27 exact-quantile
+    posture), then windows over the 10-row decile relation. Decimal
+    sums end-to-end; the share division is one IEEE op quantized to
+    6 dp."""
+    o = load(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                  .cast("double").alias("spend")))
+    tiled = spend.select(
+        "spend",
+        F.ntile(10).over(Window.orderBy("spend", "o_custkey"))
+        .alias("decile"))
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(27,6)")).alias("dec_spend"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per.select(
+        "decile", "n_customers", "dec_spend",
+        F.sum("dec_spend").over(wcum).alias("cum_spend"),
+        F.sum("dec_spend").over(wall).alias("total_spend"))
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("dec_spend").cast("decimal(18,6)").cast("double")
+        .alias("decile_spend"),
+        (F.col("cum_spend").cast("double")
+         / F.col("total_spend").cast("double"))
+        .cast("decimal(18,6)").cast("double").alias("cum_share"))
+
+
+# ---- Theil inequality decomposition (A62) ------------------------------------
+
+
+@query(
+    "q_agg_theil",
+    oracle="""
+    WITH spend AS (
+      SELECT o.o_custkey, c.c_nationkey AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx
+      FROM spend
+    ),
+    terms AS (
+      SELECT CAST(
+               (x / (sx / n)) * ln(x / (sx / n)) AS DECIMAL(27,9)) AS t
+      FROM spend, tot WHERE x > 0
+    ),
+    grp AS (
+      SELECT nation, COUNT(*) AS n_g,
+             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx_g
+      FROM spend GROUP BY nation
+    ),
+    between_terms AS (
+      SELECT CAST(
+               (CAST(g.n_g AS DOUBLE) / t.n)
+               * ((g.sx_g / g.n_g) / (t.sx / t.n))
+               * ln((g.sx_g / g.n_g) / (t.sx / t.n))
+               AS DECIMAL(27,9)) AS t
+      FROM grp g, tot t WHERE g.sx_g > 0
+    ),
+    th AS (
+      SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_customers,
+             (SELECT COUNT(*) FROM grp) AS n_groups,
+             (SELECT CAST(COALESCE(SUM(t), 0) AS DOUBLE) / MAX(t.n)
+              FROM terms, tot t) AS theil_total,
+             (SELECT CAST(COALESCE(SUM(t), 0) AS DOUBLE)
+              FROM between_terms) AS theil_between
+    )
+    SELECT n_customers,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(CAST(theil_total AS DECIMAL(18,6)) AS DOUBLE)
+             AS theil_total,
+           CAST(CAST(theil_between AS DECIMAL(18,6)) AS DOUBLE)
+             AS theil_between,
+           CAST(CAST(theil_total AS DECIMAL(18,6))
+                - CAST(theil_between AS DECIMAL(18,6)) AS DOUBLE)
+             AS theil_within
+    FROM th
+    """,
+    tags=("A62", "stats", "inequality"),
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INDEX of customer-spend inequality, DECOMPOSED by nation
+    — the inequality measure A25's Gini cannot decompose: T = T_between
+    + T_within additively, so the report answers "is concentration
+    driven by rich nations or rich customers within nations" in one
+    row. T = (1/n)·Σ (x/μ)·ln(x/μ); between-term = Σ_g (n_g/n)·
+    (μ_g/μ)·ln(μ_g/μ); within reported as the exact difference of the
+    two 6-dp-quantized totals (the additive identity, enforced rather
+    than re-derived).
+
+    Determinism: per-term ratios are single IEEE expressions over
+    decimal-exact sums, 9-dp-quantized before summation; zero-spend
+    customers (x = 0, where x·ln x → 0 in the limit) are excluded on
+    both engines identically. Scale: one join + two keyed aggregates
+    (customer, nation) and a 1-row/25-row reduction — nothing sorts,
+    nothing driver-side."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+             .cast("double").alias("x")))
+    tot = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"))
+    mu = F.col("sx") / F.col("n")
+    t_term = ((F.col("x") / mu) * F.log(F.col("x") / mu)) \
+        .cast("decimal(27,9)")
+    terms = (spend.crossJoin(F.broadcast(tot)).where(F.col("x") > 0)
+             .select(t_term.alias("t"), "n"))
+    theil_total = terms.agg(
+        (F.coalesce(F.sum("t"), F.lit(0).cast("decimal(27,9)"))
+         .cast("double") / F.max("n")).alias("theil_total"))
+    grp = spend.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+        .alias("sx_g"))
+    mu_g = F.col("sx_g") / F.col("n_g")
+    b_term = ((F.col("n_g").cast("double") / F.col("n"))
+              * (mu_g / mu) * F.log(mu_g / mu)).cast("decimal(27,9)")
+    between = (grp.crossJoin(F.broadcast(tot)).where(F.col("sx_g") > 0)
+               .select(b_term.alias("t")))
+    theil_between = between.agg(
+        F.coalesce(F.sum("t"), F.lit(0).cast("decimal(27,9)"))
+        .cast("double").alias("theil_between"))
+    n_groups = grp.agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    n_customers = tot.select(F.col("n").cast("bigint").alias("n_customers"))
+    out = (n_customers.crossJoin(n_groups)
+           .crossJoin(theil_total).crossJoin(theil_between))
+    tt = F.col("theil_total").cast("decimal(18,6)")
+    tb = F.col("theil_between").cast("decimal(18,6)")
+    return out.select(
+        "n_customers", "n_groups",
+        tt.cast("double").alias("theil_total"),
+        tb.cast("double").alias("theil_between"),
+        (tt - tb).cast("double").alias("theil_within"))

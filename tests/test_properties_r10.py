@@ -1,0 +1,169 @@
+"""Round-10 property tests: every new statistical operator validated
+against a naive pure-Python model (engine parity alone cannot catch a
+formula that is wrong identically on both sides — the r8 discipline).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+
+def _fetch(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def _avg_ranks(xs):
+    """Textbook average ranks (1-based, ties share the mean rank)."""
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        r = (i + 1 + j + 1) / 2.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = r
+        i = j + 1
+    return ranks
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+
+def test_spearman_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT l_returnflag, l_quantity, "
+                          "l_extendedprice FROM lineitem")
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, ([], []))
+        by_g[g][0].append(float(x))
+        by_g[g][1].append(float(y))
+    got = {r["l_returnflag"]: (r["n"], r["spearman_rho"]) for r in
+           registry.get("q_agg_spearman").fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_g)
+    for g, (xs, ys) in by_g.items():
+        want = _pearson(_avg_ranks(xs), _avg_ranks(ys))
+        n, rho = got[g]
+        assert n == len(xs)
+        if want is None:
+            assert rho is None
+        else:
+            assert rho == pytest.approx(want, abs=1e-5)
+
+
+def _contingency(sf_dir):
+    rows = _fetch(sf_dir, "SELECT o_orderstatus, o_orderpriority "
+                          "FROM orders")
+    cells, rt, ct = {}, {}, {}
+    for r, c in rows:
+        cells[(r, c)] = cells.get((r, c), 0) + 1
+        rt[r] = rt.get(r, 0) + 1
+        ct[c] = ct.get(c, 0) + 1
+    return cells, rt, ct, len(rows)
+
+
+def test_cramers_v_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    cells, rt, ct, n = _contingency(sf_dir)
+    chi2 = sum((o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+               for (r, c), o in cells.items())
+    want_v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    got = registry.get("q_agg_cramers_v").fn(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert (got["n_rows"], got["n_cols"]) == (len(rt), len(ct))
+    assert got["chi_square"] == pytest.approx(chi2, abs=1e-4)
+    assert got["cramers_v"] == pytest.approx(want_v, abs=1e-5)
+    assert 0.0 <= got["cramers_v"] <= 1.0
+
+
+def test_mutual_info_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    cells, rt, ct, n = _contingency(sf_dir)
+    mi = sum((o / n) * math.log(o * n / (rt[r] * ct[c]))
+             for (r, c), o in cells.items())
+    got = registry.get("q_agg_mutual_info").fn(spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["n_cells"] == len(cells)
+    assert got["mi_nats"] == pytest.approx(mi, abs=1e-5)
+    assert got["mi_bits"] == pytest.approx(mi / math.log(2), abs=1e-5)
+    assert got["mi_nats"] >= -1e-9  # MI is non-negative
+
+
+def test_lorenz_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT o_custkey, "
+                          "SUM(CAST(o_totalprice AS DECIMAL(20,6))) "
+                          "FROM orders GROUP BY 1")
+    spend = sorted((float(s), k) for k, s in rows)
+    n = len(spend)
+    # ntile semantics: first (n % 10) tiles get ceil(n/10) members.
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    got = sorted(registry.get("q_agg_lorenz").fn(spark, sf_dir).collect(),
+                 key=lambda r: r["decile"])
+    assert [r["n_customers"] for r in got] == sizes
+    total = sum(s for s, _ in spend)
+    idx, cum = 0, 0.0
+    for i, r in enumerate(got):
+        tile = spend[idx:idx + sizes[i]]
+        idx += sizes[i]
+        cum += sum(s for s, _ in tile)
+        assert r["decile_spend"] == pytest.approx(
+            sum(s for s, _ in tile), rel=1e-9)
+        assert r["cum_share"] == pytest.approx(cum / total, abs=1e-5)
+    # Lorenz curve is increasing and ends at 1.
+    shares = [r["cum_share"] for r in got]
+    assert shares == sorted(shares) and shares[-1] == pytest.approx(1.0)
+
+
+def test_theil_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT c.c_nationkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey, c.c_nationkey""")
+    xs = [(g, float(x)) for g, x in rows]
+    n = len(xs)
+    mu = sum(x for _, x in xs) / n
+    t_total = sum((x / mu) * math.log(x / mu) for _, x in xs if x > 0) / n
+    grp = {}
+    for g, x in xs:
+        cnt, s = grp.get(g, (0, 0.0))
+        grp[g] = (cnt + 1, s + x)
+    t_between = sum(
+        (cnt / n) * ((s / cnt) / mu) * math.log((s / cnt) / mu)
+        for cnt, s in grp.values() if s > 0)
+    got = registry.get("q_agg_theil").fn(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n and got["n_groups"] == len(grp)
+    assert got["theil_total"] == pytest.approx(t_total, abs=1e-5)
+    assert got["theil_between"] == pytest.approx(t_between, abs=1e-5)
+    assert got["theil_within"] == pytest.approx(t_total - t_between,
+                                                abs=2e-6)
+    # decomposition components are non-negative (Theil property)
+    assert got["theil_between"] >= -1e-9
+    assert got["theil_within"] >= -1e-9
