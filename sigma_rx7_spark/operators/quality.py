@@ -1144,3 +1144,220 @@ def q_quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before_v").cast(QDEC).cast("double").alias("before_v"),
         F.col("after_v").cast(QDEC).cast("double").alias("after_v"),
         "drifted")
+
+
+# ---- Jensen-Shannon categorical drift (Q16) ----------------------------------
+
+_JS_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI/KS/W1 screens
+
+
+@query(
+    "q_drift_js",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type AS cat,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_JS_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_cat AS (
+      SELECT cat, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY cat
+    ),
+    tot AS (
+      SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM per_cat
+    ),
+    terms AS (
+      SELECT n_a, n_b,
+             CAST(CASE WHEN c_a > 0 THEN
+               0.5 * (CAST(c_a AS DOUBLE) / n_a)
+               * ln((CAST(c_a AS DOUBLE) / n_a)
+                    / (0.5 * (CAST(c_a AS DOUBLE) / n_a
+                              + CAST(c_b AS DOUBLE) / n_b)))
+               ELSE 0 END AS DECIMAL(27,9)) AS t_a,
+             CAST(CASE WHEN c_b > 0 THEN
+               0.5 * (CAST(c_b AS DOUBLE) / n_b)
+               * ln((CAST(c_b AS DOUBLE) / n_b)
+                    / (0.5 * (CAST(c_a AS DOUBLE) / n_a
+                              + CAST(c_b AS DOUBLE) / n_b)))
+               ELSE 0 END AS DECIMAL(27,9)) AS t_b
+      FROM per_cat, tot
+      WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CASE WHEN MAX(n_a) IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(COALESCE(SUM(t_a + t_b), 0)
+                     AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+                END AS js_nats,
+           CASE WHEN MAX(n_a) IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(COALESCE(SUM(t_a + t_b), 0)
+                       AS DOUBLE) / ln(CAST(2 AS DOUBLE))
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS js_bits
+    FROM terms
+    """,
+    tags=("Q16", "drift", "js"),
+)
+def q_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between the before/after event-TYPE
+    distributions — the CATEGORICAL member of the drift family: PSI
+    (Q3) needs bins and explodes on empty cells, KS/W1 (Q13/Q14) are
+    numeric-only; JS is symmetric, defined for every pair of category
+    distributions (zero-count categories contribute exactly their
+    one-sided term), and bounded by ln 2 — the property that makes it
+    a thresholdable alert metric. Reported in nats and bits.
+
+    Shape: one hash aggregate to per-category (c_a, c_b) counts, one
+    1-row total, per-category terms 9-dp-quantized before the final
+    sum — category-cardinality-bounded throughout; the events relation
+    is touched exactly once. One-sided streams (n_a or n_b = 0) report
+    NULL, the Q14 degenerate posture."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("event_type").alias("cat"),
+        F.when(F.col("ts") < F.lit(_JS_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_cat = tagged.groupBy("cat").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    tot = per_cat.agg(F.sum("c_a").alias("n_a"),
+                      F.sum("c_b").alias("n_b"))
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    mid = 0.5 * (p_a + p_b)
+    t_a = F.when(F.col("c_a") > 0, 0.5 * p_a * F.log(p_a / mid)) \
+        .otherwise(F.lit(0)).cast("decimal(27,9)")
+    t_b = F.when(F.col("c_b") > 0, 0.5 * p_b * F.log(p_b / mid)) \
+        .otherwise(F.lit(0)).cast("decimal(27,9)")
+    terms = (per_cat.crossJoin(F.broadcast(tot))
+             .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+             .select("n_a", "n_b", t_a.alias("t_a"), t_b.alias("t_b")))
+    js = F.coalesce(F.sum(F.col("t_a") + F.col("t_b")),
+                    F.lit(0).cast("decimal(27,9)"))
+    null_d = F.lit(None).cast("double")
+    # Rescale through DOUBLE: DuckDB TRUNCATES decimal->decimal
+    # downscales while Spark rounds; double->decimal rounds identically
+    # on both engines (r10 discovery, SCALE.md).
+    return terms.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.when(F.max("n_a").isNull(), null_d)
+        .otherwise(js.cast("double").cast("decimal(18,6)").cast("double"))
+        .alias("js_nats"),
+        F.when(F.max("n_a").isNull(), null_d)
+        .otherwise((js.cast("double") / F.log(F.lit(2.0).cast("double")))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("js_bits"))
+
+
+# ---- Categorical homogeneity drift: chi-square + TVD (Q17) -------------------
+
+_CAT_CUTOFF = _PSI_CUTOFF
+
+
+@query(
+    "q_drift_categorical",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type AS cat,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CAT_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_cat AS (
+      SELECT cat, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY cat
+    ),
+    tot AS (
+      SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS k
+      FROM per_cat
+    ),
+    terms AS (
+      SELECT k, n_a, n_b,
+             CAST(
+               (CAST(c_a AS DOUBLE)
+                - CAST((c_a + c_b) * n_a AS DOUBLE) / (n_a + n_b))
+               * (CAST(c_a AS DOUBLE)
+                  - CAST((c_a + c_b) * n_a AS DOUBLE) / (n_a + n_b))
+               / (CAST((c_a + c_b) * n_a AS DOUBLE) / (n_a + n_b))
+               + (CAST(c_b AS DOUBLE)
+                  - CAST((c_a + c_b) * n_b AS DOUBLE) / (n_a + n_b))
+               * (CAST(c_b AS DOUBLE)
+                  - CAST((c_a + c_b) * n_b AS DOUBLE) / (n_a + n_b))
+               / (CAST((c_a + c_b) * n_b AS DOUBLE) / (n_a + n_b))
+               AS DECIMAL(27,9)) AS chi_term,
+             CAST(0.5 * abs(CAST(c_a AS DOUBLE) / n_a
+                            - CAST(c_b AS DOUBLE) / n_b)
+               AS DECIMAL(27,9)) AS tvd_term
+      FROM per_cat, tot
+      WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(k) AS BIGINT) AS n_categories,
+           CASE WHEN MAX(n_a) IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(SUM(chi_term) AS DOUBLE)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS chi_square,
+           CAST(MAX(k) - 1 AS BIGINT) AS df,
+           CASE WHEN MAX(n_a) IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(SUM(tvd_term) AS DOUBLE)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS tvd
+    FROM terms
+    """,
+    tags=("Q17", "drift", "categorical"),
+)
+def q_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE CATEGORICAL HOMOGENEITY drift: the chi-square
+    homogeneity statistic over the before/after event-type contingency
+    (df = k−1) next to TOTAL VARIATION DISTANCE (½·Σ|p_a − p_b| — the
+    share of probability mass that MOVED, the effect size chi-square's
+    n-scaling hides). JS (Q16) answers "how different in information
+    terms"; this pair answers "is it significant, and how much mass
+    shifted" — the three categorical-drift numbers a monitor pages on.
+
+    Same bounded shape as Q16: one aggregate to per-category counts,
+    expected counts from exact integer products with ONE double
+    division each, terms 9-dp-quantized pre-sum. One-sided streams
+    report NULL statistics."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("event_type").alias("cat"),
+        F.when(F.col("ts") < F.lit(_CAT_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_cat = tagged.groupBy("cat").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    tot = per_cat.agg(F.sum("c_a").alias("n_a"),
+                      F.sum("c_b").alias("n_b"),
+                      F.count(F.lit(1)).alias("k"))
+    n_tot = F.col("n_a") + F.col("n_b")
+    e_a = ((F.col("c_a") + F.col("c_b")) * F.col("n_a")).cast("double") \
+        / n_tot
+    e_b = ((F.col("c_a") + F.col("c_b")) * F.col("n_b")).cast("double") \
+        / n_tot
+    chi_term = (((F.col("c_a").cast("double") - e_a)
+                 * (F.col("c_a").cast("double") - e_a) / e_a)
+                + ((F.col("c_b").cast("double") - e_b)
+                   * (F.col("c_b").cast("double") - e_b) / e_b)) \
+        .cast("decimal(27,9)")
+    tvd_term = (0.5 * F.abs(F.col("c_a").cast("double") / F.col("n_a")
+                            - F.col("c_b").cast("double") / F.col("n_b"))
+                ).cast("decimal(27,9)")
+    terms = (per_cat.crossJoin(F.broadcast(tot))
+             .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+             .select("k", "n_a", "n_b", chi_term.alias("chi_term"),
+                     tvd_term.alias("tvd_term")))
+    null_d = F.lit(None).cast("double")
+    return terms.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max("k").cast("bigint").alias("n_categories"),
+        F.when(F.max("n_a").isNull(), null_d)
+        .otherwise(F.sum("chi_term").cast("double")
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("chi_square"),
+        (F.max("k") - 1).cast("bigint").alias("df"),
+        F.when(F.max("n_a").isNull(), null_d)
+        .otherwise(F.sum("tvd_term").cast("double")
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("tvd"))

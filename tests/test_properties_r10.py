@@ -167,3 +167,59 @@ def test_theil_matches_naive_model(spark, sf_dir):
     # decomposition components are non-negative (Theil property)
     assert got["theil_between"] >= -1e-9
     assert got["theil_within"] >= -1e-9
+
+
+def _split_counts(sf_dir, cutoff):
+    rows = _fetch(sf_dir, f"""
+        SELECT event_type,
+               SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                        < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                        >= TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1""")
+    return {cat: (int(a), int(b)) for cat, a, b in rows}
+
+
+def test_drift_js_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import _JS_CUTOFF
+
+    counts = _split_counts(sf_dir, _JS_CUTOFF)
+    n_a = sum(a for a, _ in counts.values())
+    n_b = sum(b for _, b in counts.values())
+    js = 0.0
+    for a, b in counts.values():
+        pa, pb = a / n_a, b / n_b
+        m = 0.5 * (pa + pb)
+        if a:
+            js += 0.5 * pa * math.log(pa / m)
+        if b:
+            js += 0.5 * pb * math.log(pb / m)
+    got = registry.get("q_drift_js").fn(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert got["js_nats"] == pytest.approx(js, abs=1e-5)
+    assert got["js_bits"] == pytest.approx(js / math.log(2), abs=1e-5)
+    assert -1e-9 <= got["js_nats"] <= math.log(2) + 1e-9  # JS bound
+
+
+def test_drift_categorical_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import _CAT_CUTOFF
+
+    counts = _split_counts(sf_dir, _CAT_CUTOFF)
+    n_a = sum(a for a, _ in counts.values())
+    n_b = sum(b for _, b in counts.values())
+    n = n_a + n_b
+    chi2 = tvd = 0.0
+    for a, b in counts.values():
+        ea, eb = (a + b) * n_a / n, (a + b) * n_b / n
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+        tvd += 0.5 * abs(a / n_a - b / n_b)
+    got = registry.get("q_drift_categorical").fn(spark, sf_dir) \
+        .collect()[0]
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert got["n_categories"] == len(counts)
+    assert got["df"] == len(counts) - 1
+    assert got["chi_square"] == pytest.approx(chi2, abs=1e-4)
+    assert got["tvd"] == pytest.approx(tvd, abs=1e-6)
+    assert 0.0 <= got["tvd"] <= 1.0
