@@ -17,7 +17,7 @@ volume) and AQE picks the join strategy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -1577,3 +1577,315 @@ def q_window_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "week_start",
         F.col("n_events").cast("bigint").alias("n_events"),
         "revenue", "prev_revenue", growth.alias("wow_growth"))
+
+
+# ---- Kaplan-Meier survival estimate (W36) ------------------------------------
+
+KM_CENSOR_DAYS = 30  # customers active within this window are censored
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    span AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    durations AS (
+      SELECT CAST(last_d - first_d AS BIGINT) AS t,
+             CASE WHEN last_d < h - {KM_CENSOR_DAYS} THEN 1 ELSE 0 END
+               AS observed
+      FROM span, horizon
+    ),
+    per_t AS (
+      SELECT t, COUNT(*) AS c_all, SUM(observed) AS d
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c_all,
+             SUM(c_all) OVER () - SUM(c_all) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               + c_all AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, c_all, n_risk,
+             CAST(CASE WHEN d > 0
+               THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+               ELSE 0 END AS DECIMAL(18,9)) AS lt
+      FROM risk WHERE d < n_risk
+    ),
+    curve AS (
+      SELECT t, d, c_all, n_risk,
+             SUM(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_lt
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c_all - d AS BIGINT) AS n_censored,
+           CAST(CAST(exp(CAST(cum_lt AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) AS survival
+    FROM curve WHERE d > 0
+    """,
+    tags=("W36", "survival", "timeseries"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL CURVE over customer lifetimes (days from
+    first to last order; customers still ordering within
+    {KM_CENSOR_DAYS} days of the corpus horizon are CENSORED — their
+    lifetime is a lower bound, the observation the naive "average
+    lifetime" metric silently throws away, which is exactly why
+    survival analysis exists). Per distinct event time: the risk set,
+    events, censored count, and S(t) = Π(1 − d_i/n_i) — the estimator
+    behind every retention/churn curve; E14's era-survival view is its
+    fixed-grid special case.
+
+    Determinism: risk sets and event counts are exact integers from
+    ONE duration-keyed aggregate + prefix windows over the
+    distinct-duration relation (duration-cardinality-bounded, never
+    row-bounded); each hazard's ln(1 − d/n) is 9-dp-quantized before
+    the cumulative sum, and the final exp is one IEEE op quantized to
+    6 dp — the A55/F4 exp discipline. Saturated times (d = n_risk:
+    survival hits exactly 0, ln undefined) are excluded from the curve
+    on both engines."""
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    span = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"))
+    durations = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(F.col("last_d")
+               < F.date_sub(F.col("h"), KM_CENSOR_DAYS), 1)
+        .otherwise(0).alias("observed"))
+    per_t = durations.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("observed").alias("d"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    risk = per_t.select(
+        "t", "d", "c_all",
+        (F.sum("c_all").over(wall) - F.sum("c_all").over(wcum)
+         + F.col("c_all")).alias("n_risk"))
+    lt = F.when(F.col("d") > 0,
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))) \
+        .otherwise(F.lit(0)).cast("decimal(18,9)")
+    terms = risk.where(F.col("d") < F.col("n_risk")).select(
+        "t", "d", "c_all", "n_risk", lt.alias("lt"))
+    curve = terms.select(
+        "t", "d", "c_all", "n_risk",
+        F.sum("lt").over(wcum).alias("cum_lt"))
+    return curve.where(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        (F.col("c_all") - F.col("d")).cast("bigint").alias("n_censored"),
+        F.exp(F.col("cum_lt").cast("double"))
+        .cast("decimal(18,6)").cast("double").alias("survival"))
+
+
+# ---- Mann-Kendall trend test (W39) -------------------------------------------
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s
+      FROM daily a
+      JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    ),
+    nd AS (
+      SELECT event_type, COUNT(*) AS n FROM daily GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie_corr
+      FROM (
+        SELECT event_type, c, COUNT(*) AS tc
+        FROM daily GROUP BY event_type, c
+      ) AS g
+      GROUP BY event_type
+    ),
+    stat AS (
+      SELECT n.event_type, n.n, p.s,
+             (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+              - t.tie_corr) / 18.0 AS var_s
+      FROM nd n
+      JOIN pairs p ON p.event_type = n.event_type
+      JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(CAST(var_s AS DECIMAL(18,6)) AS DOUBLE) AS var_s,
+           CASE WHEN var_s <= 0 THEN NULL
+                WHEN s > 0 THEN CAST(CAST((s - 1) / sqrt(var_s)
+                  AS DECIMAL(18,6)) AS DOUBLE)
+                WHEN s < 0 THEN CAST(CAST((s + 1) / sqrt(var_s)
+                  AS DECIMAL(18,6)) AS DOUBLE)
+                ELSE 0.0 END AS z_mk,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM stat
+    """,
+    tags=("W39", "stats", "trend"),
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on each family's daily event-count
+    series — the NONPARAMETRIC "is there a monotonic trend" answer
+    (S = Σ_{{i<j}} sign(x_j − x_i), tie-corrected variance,
+    continuity-corrected z): no linearity or normality assumption, so
+    it holds where A22's OLS slope is distorted by spikes — the
+    standard environmental/KPI drift test, complementing W28/W29
+    (which decompose and locate change, but don't TEST it).
+
+    Shape: the pairwise sign sum runs as a per-key self-join over the
+    DAY-collapsed relation (the W24 autocorrelation posture: bounded
+    by days², never events²); S and the tie terms are exact integers,
+    variance and z are single IEEE expressions quantized to 6 dp.
+    Degenerate series (all-tied: Var S = 0) report NULL z."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("c")))
+    a = daily.select(F.col("event_type").alias("g"),
+                     F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("event_type").alias("g"),
+                     F.col("day").alias("db"), F.col("c").alias("cb"))
+    pairs = (a.join(b, "g").where(F.col("db") > F.col("da"))
+             .groupBy("g")
+             .agg(F.sum(F.when(F.col("cb") > F.col("ca"), 1)
+                        .when(F.col("cb") < F.col("ca"), -1)
+                        .otherwise(0)).alias("s")))
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (daily.groupBy("event_type", "c")
+            .agg(F.count(F.lit(1)).alias("tc"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("tc") * (F.col("tc") - 1)
+                       * (2 * F.col("tc") + 5)).alias("tie_corr")))
+    stat = (nd.join(pairs.withColumnRenamed("g", "event_type"),
+                    "event_type")
+            .join(ties, "event_type"))
+    n, s = F.col("n"), F.col("s")
+    var_s = ((n.cast("double") * (n - 1) * (2 * n + 5)
+              - F.col("tie_corr")) / 18.0)
+    z = (F.when(s > 0, (s - 1) / F.sqrt(var_s))
+         .when(s < 0, (s + 1) / F.sqrt(var_s)))
+    return stat.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        s.cast("bigint").alias("s_stat"),
+        var_s.cast("decimal(18,6)").cast("double").alias("var_s"),
+        F.when(var_s <= 0, F.lit(None).cast("double"))
+        .when(s == 0, F.lit(0.0))
+        .otherwise(z.cast("decimal(18,6)").cast("double")).alias("z_mk"),
+        F.when(s > 0, "increasing").when(s < 0, "decreasing")
+        .otherwise("none").alias("trend"))
+
+
+# ---- Cohort lifetime-value curve (W40) ---------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                 AS DATE)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_month, COUNT(*) AS cohort_size
+      FROM firsts GROUP BY cohort_month
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             (EXTRACT(YEAR FROM CAST(o.o_orderdate AS TIMESTAMP)) * 12
+              + EXTRACT(MONTH FROM CAST(o.o_orderdate AS TIMESTAMP)))
+             - (EXTRACT(YEAR FROM f.cohort_month) * 12
+                + EXTRACT(MONTH FROM f.cohort_month)) AS month_index,
+             SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS revenue
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT r.cohort_month, r.month_index, s.cohort_size, r.revenue,
+             SUM(r.revenue) OVER (PARTITION BY r.cohort_month
+               ORDER BY r.month_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_revenue
+      FROM rev r JOIN sizes s ON s.cohort_month = r.cohort_month
+    )
+    SELECT cohort_month,
+           CAST(month_index AS INT) AS month_index,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST(CAST(revenue AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(cum_revenue AS DOUBLE) / cohort_size
+                AS DECIMAL(18,6)) AS DOUBLE) AS ltv_per_customer
+    FROM cum
+    """,
+    tags=("W40", "cohort", "timeseries"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE CURVE: customers grouped by first-order
+    month, each cohort's revenue accumulated over month index and
+    normalized per member — the payback/LTV read W10's retention matrix
+    (who came BACK) doesn't answer (what they're WORTH, cumulatively).
+    The month-index axis makes cohorts of different ages comparable;
+    the last point of each row is that cohort's LTV-to-date.
+
+    Shape: one keyed aggregate to first-order months, one to (cohort,
+    month-index) revenue (month arithmetic stays in integer
+    year*12+month space — no date subtraction ambiguity), then ONE
+    cumulative window over the cohort×month grid (bounded by months²,
+    not orders). Decimal revenue end-to-end; the per-customer division
+    is one IEEE op quantized to 6 dp."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.to_date(F.date_trunc("month", "o_orderdate")))
+        .alias("cohort_month"))
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    mi = ((F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+          - (F.year("cohort_month") * 12 + F.month("cohort_month")))
+    rev = (o.join(firsts, "o_custkey")
+           .groupBy("cohort_month", mi.alias("month_index"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .alias("revenue")))
+    wcum = (Window.partitionBy("cohort_month").orderBy("month_index")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (rev.join(F.broadcast(sizes), "cohort_month")
+           .select("cohort_month", "month_index", "cohort_size",
+                   "revenue",
+                   F.sum("revenue").over(wcum).alias("cum_revenue")))
+    return cum.select(
+        "cohort_month",
+        F.col("month_index").cast("int").alias("month_index"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("revenue").cast("decimal(18,6)").cast("double")
+        .alias("revenue"),
+        (F.col("cum_revenue").cast("double") / F.col("cohort_size"))
+        .cast("decimal(18,6)").cast("double").alias("ltv_per_customer"))

@@ -751,3 +751,191 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "day", n.cast("bigint").alias("n_days"),
         corr.alias("rolling_corr"))
+
+
+# ---- Bollinger volatility bands (W37) ----------------------------------------
+
+BOLL_WIN = 7     # rolling window, rows (days)
+BOLL_K = 2       # band half-width in population sigmas
+
+
+@query(
+    "q_window_bollinger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT event_type, day, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             CAST(SUM(CAST(v AS DECIMAL(20,6))) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS s2
+      FROM daily
+    ),
+    bands AS (
+      SELECT event_type, day, v,
+             s1 / {BOLL_WIN} AS mid,
+             sqrt(CASE WHEN s2 / {BOLL_WIN}
+                         - (s1 / {BOLL_WIN}) * (s1 / {BOLL_WIN}) < 0
+                       THEN 0
+                       ELSE s2 / {BOLL_WIN}
+                         - (s1 / {BOLL_WIN}) * (s1 / {BOLL_WIN}) END)
+               AS sd
+      FROM rolled WHERE rn >= {BOLL_WIN}
+    )
+    SELECT event_type, day,
+           CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE) AS v,
+           CAST(CAST(mid AS DECIMAL(18,6)) AS DOUBLE) AS mid,
+           CAST(CAST(mid - {BOLL_K} * sd AS DECIMAL(18,6)) AS DOUBLE)
+             AS lower_band,
+           CAST(CAST(mid + {BOLL_K} * sd AS DECIMAL(18,6)) AS DOUBLE)
+             AS upper_band,
+           v > mid + {BOLL_K} * sd OR v < mid - {BOLL_K} * sd
+             AS breach
+    FROM bands
+    """,
+    tags=("W37", "window", "volatility"),
+)
+def q_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS on each family's daily value series: {BOLL_WIN}-
+    day rolling mean ± {BOLL_K} population sigmas, plus the breach
+    flag — the adaptive-threshold anomaly envelope that A14's GLOBAL
+    z-score can't give a nonstationary series (a level shift re-centers
+    the bands within a window instead of flagging everything after it).
+    W13's EWMA smooths the level; this reports the VOLATILITY corridor
+    around it. Only days with a full window emit (rn >= {BOLL_WIN}) —
+    no partial-window bands.
+
+    Determinism: day sums are decimal-exact; rolling Σv and Σv² ride
+    per-term-quantized ROWS windows over the daily relation (ONE sort
+    per family — day-cardinality-bounded); mean/sigma/bands are single
+    IEEE expressions over those exact sums, 6-dp-quantized. The
+    negative-variance clamp guards the s2/n − mean² rounding edge
+    identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                       F.col("value").cast("decimal(20,6)").alias("dv"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("dv").cast("double").alias("v")))
+    wroll = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(-(BOLL_WIN - 1), 0))
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    rolled = daily.select(
+        "event_type", "day", "v",
+        F.row_number().over(wrn).alias("rn"),
+        F.sum(F.col("v").cast("decimal(20,6)")).over(wroll)
+        .cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).over(wroll)
+        .cast("double").alias("s2"))
+    mid = F.col("s1") / BOLL_WIN
+    var = F.col("s2") / BOLL_WIN - mid * mid
+    sd = F.sqrt(F.when(var < 0, 0).otherwise(var))
+    bands = rolled.where(F.col("rn") >= BOLL_WIN).select(
+        "event_type", "day", "v", mid.alias("mid"), sd.alias("sd"))
+    lo = F.col("mid") - BOLL_K * F.col("sd")
+    hi = F.col("mid") + BOLL_K * F.col("sd")
+    return bands.select(
+        "event_type", "day",
+        F.col("v").cast("decimal(18,6)").cast("double").alias("v"),
+        F.col("mid").cast("decimal(18,6)").cast("double").alias("mid"),
+        lo.cast("decimal(18,6)").cast("double").alias("lower_band"),
+        hi.cast("decimal(18,6)").cast("double").alias("upper_band"),
+        ((F.col("v") > hi) | (F.col("v") < lo)).alias("breach"))
+
+
+# ---- RFM customer scoring (W38) ----------------------------------------------
+
+
+@query(
+    "q_window_rfm",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    base AS (
+      SELECT o_custkey,
+             CAST(h - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS monetary
+      FROM orders, horizon GROUP BY o_custkey, h
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+               AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT o_custkey,
+           recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(CAST(monetary AS DECIMAL(18,6)) AS DOUBLE) AS monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT)
+             AS rfm_cell
+    FROM scored
+    """,
+    tags=("W38", "window", "segmentation"),
+)
+def q_window_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION: every customer scored 1-5 on Recency (days
+    since last order, 5 = most recent), Frequency, and Monetary via
+    NTILE(5) quintiles, combined into the 111-555 cell — the classic
+    actionable customer segmentation (555 = champions, 1xx = churned)
+    that turns three skewed raw metrics into a comparable grid; the
+    per-customer companion to A61's population-level Lorenz read.
+
+    Determinism: every NTILE rides a TOTAL order (metric + custkey
+    tiebreak), so quintile boundaries are reproducible across engines
+    and partitionings — the A61 discipline. Three global sorts over
+    the CUSTOMER-grain relation (not orders — the heavy fact collapses
+    in the first aggregate); at 100 TB NTILE's single-partition sort
+    would swap to the two-pass exact-quantile cut (A30) with the same
+    tie rule."""
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    base = (o.crossJoin(F.broadcast(horizon))
+            .groupBy("o_custkey", "h")
+            .agg(F.max(F.to_date("o_orderdate")).alias("last_d"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                 .cast("double").alias("monetary"))
+            .select("o_custkey",
+                    F.datediff("h", "last_d").cast("bigint")
+                    .alias("recency_days"),
+                    "frequency", "monetary"))
+    r_sc = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+    f_sc = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m_sc = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = base.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        r_sc.alias("r_score"), f_sc.alias("f_score"),
+        m_sc.alias("m_score"))
+    return scored.select(
+        "o_custkey", "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("decimal(18,6)").cast("double")
+        .alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("int").alias("rfm_cell"))

@@ -223,3 +223,166 @@ def test_drift_categorical_matches_naive_model(spark, sf_dir):
     assert got["chi_square"] == pytest.approx(chi2, abs=1e-4)
     assert got["tvd"] == pytest.approx(tvd, abs=1e-6)
     assert 0.0 <= got["tvd"] <= 1.0
+
+
+def test_survival_km_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.timeseries import KM_CENSOR_DAYS
+
+    rows = _fetch(sf_dir, """
+        SELECT CAST(MAX(CAST(o_orderdate AS DATE))
+                    - MIN(CAST(o_orderdate AS DATE)) AS BIGINT),
+               MAX(CAST(o_orderdate AS DATE))
+        FROM orders GROUP BY o_custkey""")
+    horizon = max(last for _, last in rows)
+    durs = [(int(t), (horizon - last).days > KM_CENSOR_DAYS)
+            for t, last in rows]
+    # naive KM
+    times = sorted({t for t, _ in durs})
+    surv, want = 1.0, {}
+    for t in times:
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_t = sum(1 for d, ob in durs if d == t and ob)
+        if d_t > 0 and d_t < n_risk:
+            surv *= 1.0 - d_t / n_risk
+            want[t] = (n_risk, d_t, surv)
+    got = {r["t_days"]: r for r in
+           registry.get("q_survival_km").fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    prev = 1.0 + 1e-12
+    for t in sorted(want):
+        n_risk, d_t, s = want[t]
+        r = got[t]
+        assert r["n_risk"] == n_risk and r["n_events"] == d_t
+        assert r["survival"] == pytest.approx(s, abs=1e-4)
+        assert r["survival"] <= prev  # KM curve is non-increasing
+        prev = r["survival"]
+
+
+def test_mann_kendall_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               COUNT(*) FROM events GROUP BY 1, 2""")
+    by_g = {}
+    for g, day, c in rows:
+        by_g.setdefault(g, []).append((day, int(c)))
+    got = {r["event_type"]: r for r in
+           registry.get("q_ts_mann_kendall").fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_g)
+    for g, series in by_g.items():
+        xs = [c for _, c in sorted(series)]
+        n = len(xs)
+        s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(n) for j in range(i + 1, n))
+        ties = {}
+        for x in xs:
+            ties[x] = ties.get(x, 0) + 1
+        var_s = (n * (n - 1) * (2 * n + 5)
+                 - sum(t * (t - 1) * (2 * t + 5)
+                       for t in ties.values())) / 18.0
+        r = got[g]
+        assert r["n_days"] == n and r["s_stat"] == s
+        assert r["var_s"] == pytest.approx(var_s, abs=1e-6)
+        if var_s <= 0:
+            assert r["z_mk"] is None
+        elif s == 0:
+            assert r["z_mk"] == 0.0
+        else:
+            want_z = (s - (1 if s > 0 else -1) * 1) / math.sqrt(var_s) \
+                if abs(s) else 0.0
+            want_z = (s - 1) / math.sqrt(var_s) if s > 0 \
+                else (s + 1) / math.sqrt(var_s)
+            assert r["z_mk"] == pytest.approx(want_z, abs=1e-5)
+
+
+def test_rfm_quintiles_are_balanced_and_consistent(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    got = registry.get("q_window_rfm").fn(spark, sf_dir).collect()
+    n = len(got)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in got:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    # Monotone consistency: the max monetary in tile k is <= the min in
+    # tile k+1 ONLY up to the custkey tiebreak at exact ties; check the
+    # strict version on distinct values.
+    by_m = sorted(got, key=lambda r: (r["monetary"], r["o_custkey"]))
+    tiles = [r["m_score"] for r in by_m]
+    assert tiles == sorted(tiles)
+    for r in got:
+        assert r["rfm_cell"] == (r["r_score"] * 100 + r["f_score"] * 10
+                                 + r["m_score"])
+    assert n == len({r["o_custkey"] for r in got})
+
+
+def test_bollinger_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.windows import BOLL_K, BOLL_WIN
+
+    rows = _fetch(sf_dir, """
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+        FROM events GROUP BY 1, 2""")
+    by_g = {}
+    for g, day, v in rows:
+        by_g.setdefault(g, []).append((day, float(v)))
+    want = {}
+    for g, series in by_g.items():
+        series.sort()
+        for i in range(BOLL_WIN - 1, len(series)):
+            win = [v for _, v in series[i - BOLL_WIN + 1:i + 1]]
+            m = sum(win) / BOLL_WIN
+            var = sum(x * x for x in win) / BOLL_WIN - m * m
+            sd = math.sqrt(max(var, 0.0))
+            want[(g, series[i][0])] = (series[i][1], m, m - BOLL_K * sd,
+                                       m + BOLL_K * sd)
+    got = {(r["event_type"], r["day"]): r for r in
+           registry.get("q_window_bollinger").fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, (v, m, lo, hi) in want.items():
+        r = got[k]
+        assert r["v"] == pytest.approx(v, abs=1e-4)
+        assert r["mid"] == pytest.approx(m, abs=1e-4)
+        assert r["lower_band"] == pytest.approx(lo, abs=1e-3)
+        assert r["upper_band"] == pytest.approx(hi, abs=1e-3)
+        assert r["breach"] == (v > hi or v < lo) or \
+            abs(v - hi) < 1e-6 or abs(v - lo) < 1e-6
+
+
+def test_cohort_ltv_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), o_totalprice
+        FROM orders""")
+    first_m = {}
+    for k, d, p in rows:
+        m = (d.year, d.month)
+        if k not in first_m or m < first_m[k]:
+            first_m[k] = m
+    sizes, rev = {}, {}
+    for k, m in first_m.items():
+        sizes[m] = sizes.get(m, 0) + 1
+    for k, d, p in rows:
+        cm = first_m[k]
+        mi = (d.year * 12 + d.month) - (cm[0] * 12 + cm[1])
+        rev[(cm, mi)] = rev.get((cm, mi), 0.0) + round(p, 6)
+    got = registry.get("q_cohort_ltv").fn(spark, sf_dir).collect()
+    assert len(got) == len(rev)
+    by_key = {((r["cohort_month"].year, r["cohort_month"].month),
+               r["month_index"]): r for r in got}
+    for (cm, mi), revenue in rev.items():
+        r = by_key[(cm, mi)]
+        assert r["cohort_size"] == sizes[cm]
+        assert r["revenue"] == pytest.approx(revenue, abs=1e-3)
+        cum = sum(v for (c2, m2), v in rev.items()
+                  if c2 == cm and m2 <= mi)
+        assert r["ltv_per_customer"] == pytest.approx(
+            cum / sizes[cm], abs=1e-3)
