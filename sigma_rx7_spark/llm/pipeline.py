@@ -1244,3 +1244,210 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2.cast("bigint").alias("u2"),
         F.when((n1 == 0) | (n0 == 0), F.lit(None).cast("double"))
         .otherwise(auc.cast(QDEC).cast("double")).alias("auc"))
+
+
+# ---- Precision-recall curve (L6m) --------------------------------------------
+
+
+def _pr_curve_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    per_value AS (
+      SELECT p,
+             SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS c0
+      FROM sc GROUP BY p
+    ),
+    cum AS (
+      SELECT p,
+             SUM(c1) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(c0) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             SUM(c1) OVER () AS n_pos
+      FROM per_value
+    )
+    SELECT CAST(p AS DOUBLE) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(CAST(CAST(tp AS DOUBLE) / (tp + fp) AS DECIMAL(18,6))
+                AS DOUBLE) AS precision,
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE CAST(CAST(CAST(tp AS DOUBLE) / n_pos
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS recall,
+           CASE WHEN n_pos = 0 OR tp = 0 THEN NULL
+                ELSE CAST(CAST(
+                  2.0 * CAST(tp AS DOUBLE)
+                  / (CAST(tp + fp AS DOUBLE) + n_pos)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS f1
+    FROM cum
+    """
+
+
+@query("q_ml_pr_curve", oracle=_pr_curve_oracle(),
+       tags=("L6m", "ml-eval", "pr-curve"))
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL CURVE of the fitted quality gate: one point per
+    DISTINCT score (threshold = "predict positive at p >= t"), with
+    precision, recall, and F1 — the threshold-SWEEP view the eval
+    family needs between q_ml_eval (one operating point) and q_ml_auc
+    (the rank scalar): it is how the operating threshold gets CHOSEN,
+    and on imbalanced corpora it is more honest than ROC (precision
+    collapses where ROC still looks fine). F1 folds to
+    2·tp/((tp+fp)+n_pos) so the expression never divides by a
+    quantized intermediate.
+
+    Shape: the L6l discipline verbatim — shared _gd_ctes_and_p scoring
+    core (the curve cannot be drawn for a different model than the one
+    deployed), collapse to distinct scores with per-class counts, ONE
+    cumulative window over the value-cardinality-bounded relation. No
+    per-row ranking of the corpus."""
+    from pyspark.sql import Window
+
+    from ..compat import QDEC
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    per_value = scored.groupBy("p").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("c0"))
+    wc = Window.orderBy(F.desc("p")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_value.select(
+        "p",
+        F.sum("c1").over(wc).alias("tp"),
+        F.sum("c0").over(wc).alias("fp"),
+        F.sum("c1").over(wall).alias("n_pos"))
+    tp, fp, n_pos = F.col("tp"), F.col("fp"), F.col("n_pos")
+    null_d = F.lit(None).cast("double")
+    return cum.select(
+        F.col("p").cast("double").alias("threshold"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        (tp.cast("double") / (tp + fp)).cast(QDEC).cast("double")
+        .alias("precision"),
+        F.when(n_pos == 0, null_d)
+        .otherwise((tp.cast("double") / n_pos).cast(QDEC).cast("double"))
+        .alias("recall"),
+        F.when((n_pos == 0) | (tp == 0), null_d)
+        .otherwise((2.0 * tp.cast("double")
+                    / ((tp + fp).cast("double") + n_pos))
+                   .cast(QDEC).cast("double")).alias("f1"))
+
+
+# ---- Brier score + Murphy decomposition (L6n) --------------------------------
+
+
+def _brier_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS obar,
+             CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,9)))
+                  AS DOUBLE) AS sq_sum
+      FROM sc
+    ),
+    bins AS (
+      SELECT LEAST(CAST(floor(p * {CAL_BINS}) AS INTEGER),
+                   {CAL_BINS - 1}) AS bin,
+             COUNT(*) AS n_b,
+             CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS pbar,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS obar_b
+      FROM sc GROUP BY 1
+    ),
+    decomp AS (
+      SELECT
+        CAST(SUM(CAST(n_b * (pbar - obar_b) * (pbar - obar_b)
+             AS DECIMAL(18,9))) AS DOUBLE) AS rel_sum,
+        CAST(SUM(CAST(n_b * (obar_b - (SELECT obar FROM g))
+                      * (obar_b - (SELECT obar FROM g))
+             AS DECIMAL(18,9))) AS DOUBLE) AS res_sum
+      FROM bins
+    )
+    SELECT CAST(g.n AS BIGINT) AS n,
+           CAST(CAST(g.sq_sum / g.n AS DECIMAL(18,6)) AS DOUBLE)
+             AS brier,
+           CAST(CAST(d.rel_sum / g.n AS DECIMAL(18,6)) AS DOUBLE)
+             AS reliability,
+           CAST(CAST(d.res_sum / g.n AS DECIMAL(18,6)) AS DOUBLE)
+             AS resolution,
+           CAST(CAST(g.obar * (1.0 - g.obar) AS DECIMAL(18,6))
+                AS DOUBLE) AS uncertainty,
+           CAST(CAST(g.sq_sum / g.n
+                     - (d.rel_sum / g.n - d.res_sum / g.n
+                        + g.obar * (1.0 - g.obar))
+                AS DECIMAL(18,6)) AS DOUBLE) AS decomposition_gap
+    FROM g, decomp d
+    """
+
+
+@query("q_ml_brier", oracle=_brier_oracle(),
+       tags=("L6n", "ml-eval", "brier"))
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY DECOMPOSITION: mean squared error of
+    the fitted gate's probabilities, split over the {CAL_BINS}
+    calibration bins into reliability (miscalibration — lower better),
+    resolution (how far bin outcomes stray from the base rate — higher
+    better), and uncertainty (the base rate's own variance, the
+    no-skill floor). The decomposition answers what a bare ECE or AUC
+    cannot: whether a bad score comes from MISCALIBRATED probabilities
+    (recalibrate — cheap) or from NO resolution (retrain — expensive).
+    The textbook identity BS = REL − RES + UNC holds exactly only when
+    forecasts are constant within bins, so the residual is REPORTED as
+    decomposition_gap rather than silently absorbed.
+
+    Shape: one scoring pass (shared _gd_ctes_and_p core — same model
+    as the rest of the eval family), one global + one {CAL_BINS}-row
+    aggregate; every squared term 9-dp-quantized pre-sum, outputs 6-dp
+    after their single division."""
+    from ..compat import QDEC
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    g = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("obar"),
+        F.sum(((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+              .cast("decimal(18,9)")).cast("double").alias("sq_sum"))
+    bins = (scored.groupBy(
+        F.least(F.floor(F.col("p") * CAL_BINS).cast("int"),
+                F.lit(CAL_BINS - 1)).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_b"),
+             (F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+              / F.count(F.lit(1))).alias("pbar"),
+             (F.sum("y").cast("double") / F.count(F.lit(1)))
+             .alias("obar_b")))
+    decomp = (bins.crossJoin(F.broadcast(g.select("obar"))).agg(
+        F.sum((F.col("n_b") * (F.col("pbar") - F.col("obar_b"))
+               * (F.col("pbar") - F.col("obar_b")))
+              .cast("decimal(18,9)")).cast("double").alias("rel_sum"),
+        F.sum((F.col("n_b") * (F.col("obar_b") - F.col("obar"))
+               * (F.col("obar_b") - F.col("obar")))
+              .cast("decimal(18,9)")).cast("double").alias("res_sum")))
+    out = g.crossJoin(F.broadcast(decomp))
+    n = F.col("n")
+    brier = F.col("sq_sum") / n
+    rel = F.col("rel_sum") / n
+    res = F.col("res_sum") / n
+    unc = F.col("obar") * (1.0 - F.col("obar"))
+    return out.select(
+        n.cast("bigint").alias("n"),
+        brier.cast(QDEC).cast("double").alias("brier"),
+        rel.cast(QDEC).cast("double").alias("reliability"),
+        res.cast(QDEC).cast("double").alias("resolution"),
+        unc.cast(QDEC).cast("double").alias("uncertainty"),
+        (brier - (rel - res + unc)).cast(QDEC).cast("double")
+        .alias("decomposition_gap"))

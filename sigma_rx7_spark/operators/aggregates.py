@@ -4530,3 +4530,135 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         tt.cast("double").alias("theil_total"),
         tb.cast("double").alias("theil_between"),
         (tt - tb).cast("double").alias("theil_within"))
+
+
+# ---- Bayesian A/B read-out via normal approximation (A63) --------------------
+
+
+def _bayes_oracle() -> str:
+    b1, b2, b3, b4, b5 = _AS_B
+    # One-sided upper tail Q(x) via the same A&S 26.2.17 polynomial the
+    # FDR report uses (engine-exact primitives only).
+    def q_of(x):
+        return (f"(exp(-({x}) * ({x}) / 2.0) / sqrt(2.0 * pi())"
+                f" * ((1.0 / (1.0 + {_AS_T} * ({x})))"
+                f" * ({b1} + (1.0 / (1.0 + {_AS_T} * ({x})))"
+                f" * ({b2} + (1.0 / (1.0 + {_AS_T} * ({x})))"
+                f" * ({b3} + (1.0 / (1.0 + {_AS_T} * ({x})))"
+                f" * ({b4} + (1.0 / (1.0 + {_AS_T} * ({x})))"
+                f" * {b5}))))))")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = '{AB_CONVERT_EVENT}'
+                           THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = '{AB_BASELINE_EVENT}'
+                           THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
+      FROM per_user
+    ),
+    stat AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             CAST(conv_a AS DOUBLE) / n_a AS p_a,
+             CAST(conv_b AS DOUBLE) / n_b AS p_b,
+             sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                  * (1.0 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                  + (CAST(conv_b AS DOUBLE) / n_b)
+                  * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / n_b) AS se
+      FROM arms WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(CAST(p_a AS DECIMAL(18,6)) AS DOUBLE) AS p_a,
+           CAST(CAST(p_b AS DECIMAL(18,6)) AS DOUBLE) AS p_b,
+           CAST(CAST(p_b - p_a AS DECIMAL(18,6)) AS DOUBLE) AS lift_abs,
+           CASE WHEN se = 0 THEN NULL
+                ELSE CAST(CAST((p_b - p_a) / se AS DECIMAL(18,6))
+                     AS DOUBLE) END AS z_unpooled,
+           CASE WHEN se = 0 THEN NULL
+                WHEN (p_b - p_a) / se >= 0
+                  THEN CAST(CAST(1.0 - {q_of('(p_b - p_a) / se')}
+                       AS DECIMAL(18,9)) AS DOUBLE)
+                ELSE CAST(CAST({q_of('-((p_b - p_a) / se)')}
+                       AS DECIMAL(18,9)) AS DOUBLE) END
+             AS prob_b_beats_a
+    FROM stat
+    """
+
+
+@query("q_ab_bayes", oracle=_bayes_oracle(), tags=("A63", "ab", "bayes"))
+def q_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAYESIAN A/B READ-OUT: P(B beats A) under the large-sample
+    normal approximation of the posterior on the conversion-rate
+    difference (flat prior) — the "94% chance B is better" number
+    product teams actually act on, complementing the frequentist
+    family (A41's z answers "is the gap noise"; this answers "how
+    likely is B better, given the data"). Unpooled variance (the
+    posterior's, not the null's — the same split as A41 vs A43), Phi
+    via the A&S 26.2.17 tail polynomial the FDR report certified
+    engine-exact.
+
+    Same two-hash-aggregate shape as A41 (events -> per-user flag ->
+    one row); the probability passes the longest division chain in the
+    family, so it is 9-dp-quantized; a degenerate posterior (se = 0:
+    both arms at 0% or 100%) reports NULL rather than a fake
+    certainty."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.when(
+            F.sum(F.when(F.col("event_type") == AB_CONVERT_EVENT, 1)
+                  .otherwise(0))
+            > F.sum(F.when(F.col("event_type") == AB_BASELINE_EVENT, 1)
+                    .otherwise(0)), 1).otherwise(0).alias("converted"))
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                "converted"))
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))
+              .otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))
+              .otherwise(0)).alias("conv_b"))
+    stat = arms.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.col("conv_a").cast("double") / F.col("n_a")).alias("p_a"),
+        (F.col("conv_b").cast("double") / F.col("n_b")).alias("p_b"))
+    se = F.sqrt(F.col("p_a") * (1.0 - F.col("p_a")) / F.col("n_a")
+                + F.col("p_b") * (1.0 - F.col("p_b")) / F.col("n_b"))
+    stat = stat.withColumn("se", se)
+    z = (F.col("p_b") - F.col("p_a")) / F.col("se")
+
+    def q_tail(x):
+        t = 1.0 / (1.0 + _AS_T * x)
+        b1, b2, b3, b4, b5 = _AS_B
+        poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+        return F.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi) * poly
+
+    prob = F.when(z >= 0, 1.0 - q_tail(z)).otherwise(q_tail(-z))
+    null_d = F.lit(None).cast("double")
+    return stat.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.col("p_a").cast("decimal(18,6)").cast("double").alias("p_a"),
+        F.col("p_b").cast("decimal(18,6)").cast("double").alias("p_b"),
+        (F.col("p_b") - F.col("p_a")).cast("decimal(18,6)")
+        .cast("double").alias("lift_abs"),
+        F.when(F.col("se") == 0, null_d)
+        .otherwise(z.cast("decimal(18,6)").cast("double"))
+        .alias("z_unpooled"),
+        F.when(F.col("se") == 0, null_d)
+        .otherwise(prob.cast("decimal(18,9)").cast("double"))
+        .alias("prob_b_beats_a"))

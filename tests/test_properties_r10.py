@@ -386,3 +386,102 @@ def test_cohort_ltv_matches_naive_model(spark, sf_dir):
                   if c2 == cm and m2 <= mi)
         assert r["ltv_per_customer"] == pytest.approx(
             cum / sizes[cm], abs=1e-3)
+
+
+def _scored_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.llm.pipeline import (_sigmoid_q,
+                                              fit_quality_weights,
+                                              quality_features)
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    return [(r["y"], r["p"]) for r in
+            feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+            .collect()]
+
+
+def test_pr_curve_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    scored = _scored_rows(spark, sf_dir)
+    n_pos = sum(1 for y, _ in scored if y == 1.0)
+    got = sorted(registry.get("q_ml_pr_curve").fn(spark, sf_dir)
+                 .collect(), key=lambda r: -r["threshold"])
+    thresholds = sorted({p for _, p in scored}, reverse=True)
+    assert [r["threshold"] for r in got] == thresholds
+    prev_recall = -1.0
+    for r in got:
+        t = r["threshold"]
+        tp = sum(1 for y, p in scored if p >= t and y == 1.0)
+        fp = sum(1 for y, p in scored if p >= t and y == 0.0)
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert r["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+        assert r["recall"] == pytest.approx(tp / n_pos, abs=1e-6)
+        if tp:
+            prec, rec = tp / (tp + fp), tp / n_pos
+            assert r["f1"] == pytest.approx(
+                2 * prec * rec / (prec + rec), abs=1e-5)
+        assert r["recall"] >= prev_recall  # monotone as threshold falls
+        prev_recall = r["recall"]
+    assert got[-1]["recall"] == pytest.approx(1.0)
+
+
+def test_brier_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.pipeline import CAL_BINS
+
+    scored = _scored_rows(spark, sf_dir)
+    n = len(scored)
+    obar = sum(y for y, _ in scored) / n
+    brier = sum((p - y) ** 2 for y, p in scored) / n
+    bins = {}
+    for y, p in scored:
+        b = min(int(p * CAL_BINS), CAL_BINS - 1)
+        cnt, sp, sy = bins.get(b, (0, 0.0, 0.0))
+        bins[b] = (cnt + 1, sp + p, sy + y)
+    rel = sum(c * (sp / c - sy / c) ** 2 for c, sp, sy in bins.values()) / n
+    res = sum(c * (sy / c - obar) ** 2 for c, sp, sy in bins.values()) / n
+    unc = obar * (1 - obar)
+    got = registry.get("q_ml_brier").fn(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["brier"] == pytest.approx(brier, abs=1e-5)
+    assert got["reliability"] == pytest.approx(rel, abs=1e-5)
+    assert got["resolution"] == pytest.approx(res, abs=1e-5)
+    assert got["uncertainty"] == pytest.approx(unc, abs=1e-6)
+    assert got["decomposition_gap"] == pytest.approx(
+        brier - (rel - res + unc), abs=1e-5)
+
+
+def test_ab_bayes_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id""")
+    n_a = n_b = conv_a = conv_b = 0
+    for uid, npu, ncl in rows:
+        conv = 1 if npu > ncl else 0
+        if uid % 2 == 0:
+            n_a += 1
+            conv_a += conv
+        else:
+            n_b += 1
+            conv_b += conv
+    p_a, p_b = conv_a / n_a, conv_b / n_b
+    se = math.sqrt(p_a * (1 - p_a) / n_a + p_b * (1 - p_b) / n_b)
+    z = (p_b - p_a) / se
+    phi = 0.5 * (1.0 + math.erf(z / math.sqrt(2)))
+    got = registry.get("q_ab_bayes").fn(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["conv_a"]) == (n_a, conv_a)
+    assert (got["n_b"], got["conv_b"]) == (n_b, conv_b)
+    assert got["p_a"] == pytest.approx(p_a, abs=1e-6)
+    assert got["p_b"] == pytest.approx(p_b, abs=1e-6)
+    assert got["z_unpooled"] == pytest.approx(z, abs=1e-5)
+    # A&S 26.2.17 is accurate to 7.5e-8 against the true Phi.
+    assert got["prob_b_beats_a"] == pytest.approx(phi, abs=1e-6)
