@@ -4662,3 +4662,88 @@ def q_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("se") == 0, null_d)
         .otherwise(prob.cast("decimal(18,9)").cast("double"))
         .alias("prob_b_beats_a"))
+
+
+# ---- Association rules over co-purchase baskets (A60) ------------------------
+
+ASSOC_MIN_SUPPORT = 3  # minimum co-occurrence count for a rule to emit
+
+
+def _assoc_oracle() -> str:
+    from .graph import _capped_li_sql
+    return f"""
+    WITH li AS ({_capped_li_sql()}
+    ),
+    n_orders AS (
+      SELECT COUNT(DISTINCT o) AS n FROM li
+    ),
+    item AS (
+      SELECT p, COUNT(*) AS supp_i FROM li GROUP BY p
+    ),
+    pair AS (
+      SELECT a.p AS ante, b.p AS cons, COUNT(*) AS supp
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+      GROUP BY 1, 2
+    )
+    SELECT pair.ante, pair.cons,
+           CAST(pair.supp AS BIGINT) AS support,
+           CAST(ia.supp_i AS BIGINT) AS support_ante,
+           CAST(ic.supp_i AS BIGINT) AS support_cons,
+           CAST(CAST(CAST(pair.supp AS DOUBLE) / ia.supp_i
+                AS DECIMAL(18,6)) AS DOUBLE) AS confidence,
+           CAST(CAST(CAST(pair.supp AS DOUBLE) * n.n
+                / (CAST(ia.supp_i AS DOUBLE) * ic.supp_i)
+                AS DECIMAL(18,6)) AS DOUBLE) AS lift
+    FROM pair
+    JOIN item ia ON ia.p = pair.ante
+    JOIN item ic ON ic.p = pair.cons
+    CROSS JOIN n_orders n
+    WHERE pair.supp >= {ASSOC_MIN_SUPPORT}
+    """
+
+
+@query("q_agg_assoc_rules", oracle=_assoc_oracle(),
+       tags=("A60", "association", "basket"))
+def q_agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over order baskets: every DIRECTED part pair
+    co-bought in >= {ASSOC_MIN_SUPPORT} orders, with support,
+    confidence = supp(a,b)/supp(a) and lift = supp(a,b)·N/(supp(a)·
+    supp(b)) — the full rule read A19's symmetric co-occurrence stops
+    short of: confidence is directional (bread→butter and butter→bread
+    differ), which is what a recommender actually ranks by; lift > 1
+    separates real affinity from popularity coincidence.
+
+    Scale: pair generation runs over capped_order_lines (the r10
+    hot-basket guard — one 10⁴-item order is bounded at K² pairs);
+    item supports come from the SAME capped relation so
+    confidence <= 1 holds by construction. One self-join + three hash
+    aggregates; the support threshold prunes the tail before the
+    broadcast item-support joins."""
+    from .graph import capped_order_lines
+
+    li = capped_order_lines(load(spark, sf_dir, "lineitem"))
+    n_orders = li.agg(F.countDistinct("o").alias("n"))
+    item = li.groupBy("p").agg(F.count(F.lit(1)).alias("supp_i"))
+    a = li.select("o", F.col("p").alias("ante"))
+    b = li.select("o", F.col("p").alias("cons"))
+    pair = (a.join(b, "o").where(F.col("ante") != F.col("cons"))
+            .groupBy("ante", "cons").agg(F.count(F.lit(1)).alias("supp"))
+            .where(F.col("supp") >= ASSOC_MIN_SUPPORT))
+    ia = item.select(F.col("p").alias("ante"),
+                     F.col("supp_i").alias("support_ante"))
+    ic = item.select(F.col("p").alias("cons"),
+                     F.col("supp_i").alias("support_cons"))
+    out = (pair.join(F.broadcast(ia), "ante")
+           .join(F.broadcast(ic), "cons")
+           .crossJoin(F.broadcast(n_orders)))
+    return out.select(
+        "ante", "cons",
+        F.col("supp").cast("bigint").alias("support"),
+        F.col("support_ante").cast("bigint").alias("support_ante"),
+        F.col("support_cons").cast("bigint").alias("support_cons"),
+        (F.col("supp").cast("double") / F.col("support_ante"))
+        .cast("decimal(18,6)").cast("double").alias("confidence"),
+        (F.col("supp").cast("double") * F.col("n")
+         / (F.col("support_ante").cast("double")
+            * F.col("support_cons")))
+        .cast("decimal(18,6)").cast("double").alias("lift"))

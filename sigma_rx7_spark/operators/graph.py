@@ -609,3 +609,118 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
           int(min_deg) if min_deg is not None else None)],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean, "
         "min_core_degree bigint")
+
+
+# ---- Common-neighbor link prediction (L1m) -----------------------------------
+
+LINKPRED_TOP_N = 50
+# Candidate generation runs over a CAPPED adjacency (the K smallest
+# neighbors per node, deterministic): the wedge join's bound is then
+# nodes x K^2 instead of SUM deg^2, which measured 6+ minutes at sf0.1
+# on the uncapped adjacency (hub nodes dominate — the same pathology
+# the triangle count avoids by degree orientation). Jaccard is computed
+# consistently over the SAME capped neighborhoods (deg + intersection),
+# so the score is exact for the capped-graph semantics it reports.
+# Consistency: `common` enumerates shared sources c whose CAPPED
+# out-list contains both a and b, so |N(x)| must be the IN-degree
+# under that same capped relation — common <= min(deg) and the
+# Jaccard denominator is always positive for a candidate.
+LINKPRED_MAX_NEIGHBORS = 32
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH li AS ({_capped_li_sql()}
+    ), edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+    ), adj AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM edges
+      ) AS t WHERE rn <= {LINKPRED_MAX_NEIGHBORS}
+    ), deg AS (
+      SELECT dst AS node, COUNT(*) AS d FROM adj GROUP BY dst
+    ), cand AS (
+      SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+      FROM adj e1 JOIN adj e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2
+    ), nonadj AS (
+      SELECT c.a, c.b, c.common
+      FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b)
+    ), scored AS (
+      SELECT n.a, n.b, n.common, da.d AS deg_a, db.d AS deg_b,
+             CAST(CAST(CAST(n.common AS DOUBLE)
+                  / (da.d + db.d - n.common) AS DECIMAL(18,6))
+                  AS DOUBLE) AS jaccard
+      FROM nonadj n
+      JOIN deg da ON da.node = n.a
+      JOIN deg db ON db.node = n.b
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           CAST(deg_a AS BIGINT) AS deg_a,
+           CAST(deg_b AS BIGINT) AS deg_b,
+           jaccard, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT s.*, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rn
+      FROM scored s
+    ) AS r WHERE rn <= {LINKPRED_TOP_N}
+    """
+
+
+@query("q_graph_link_prediction", oracle=_linkpred_oracle(),
+       tags=("L1m", "graph", "linkpred"))
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMON-NEIGHBOR LINK PREDICTION on the co-purchase graph: the
+    top-{LINKPRED_TOP_N} NON-adjacent part pairs by neighbor-set
+    Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)|) — "these two parts are never
+    bought together but share a customer neighborhood", the classic
+    recommend-the-missing-edge primitive (and the graph-native sibling
+    of L2's embedding similarity). A60's rules rank EXISTING pairs;
+    this ranks ABSENT ones.
+
+    Scale shape: candidates are enumerated per shared neighbor (the
+    triangle-wedge join), so the blow-up bound is Σ deg² over the
+    CAPPED adjacency (capped_order_lines upstream — a hot node is
+    structurally bounded, the r10 guard); non-adjacency is one
+    anti-join against the edge relation; the final top-N is a
+    row_number over the candidate relation (bounded by wedge count,
+    never nodes²). Intersection counts and degrees are exact integers;
+    Jaccard is one 6-dp-quantized division; (jaccard DESC, a, b) is a
+    total order so the emitted N rows are deterministic."""
+    edges = _persist_tracked(
+        copurchase_edges(load(spark, sf_dir, "lineitem")))
+    wadj = Window.partitionBy("src").orderBy("dst")
+    adj = (edges.withColumn("rn", F.row_number().over(wadj))
+           .where(F.col("rn") <= LINKPRED_MAX_NEIGHBORS).drop("rn"))
+    adj = _persist_tracked(adj)
+    deg = adj.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    e1 = adj.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    e2 = adj.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    cand = (e1.join(e2, "c").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    nonadj = cand.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    da = deg.select(F.col("dst").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("dst").alias("b"), F.col("d").alias("deg_b"))
+    scored = (nonadj.join(da, "a").join(db, "b")
+              .select("a", "b", "common", "deg_a", "deg_b",
+                      (F.col("common").cast("double")
+                       / (F.col("deg_a") + F.col("deg_b")
+                          - F.col("common")))
+                      .cast("decimal(18,6)").cast("double")
+                      .alias("jaccard")))
+    w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LINKPRED_TOP_N)
+            .select("a", "b",
+                    F.col("common").cast("bigint").alias("common"),
+                    F.col("deg_a").cast("bigint").alias("deg_a"),
+                    F.col("deg_b").cast("bigint").alias("deg_b"),
+                    "jaccard",
+                    F.col("rank").cast("bigint").alias("rank")))

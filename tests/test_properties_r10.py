@@ -485,3 +485,91 @@ def test_ab_bayes_matches_naive_model(spark, sf_dir):
     assert got["z_unpooled"] == pytest.approx(z, abs=1e-5)
     # A&S 26.2.17 is accurate to 7.5e-8 against the true Phi.
     assert got["prob_b_beats_a"] == pytest.approx(phi, abs=1e-6)
+
+
+def test_assoc_rules_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.aggregates import ASSOC_MIN_SUPPORT
+    from sigma_rx7_spark.operators.graph import COPURCHASE_MAX_LINES
+
+    rows = _fetch(sf_dir, "SELECT DISTINCT l_orderkey, l_partkey "
+                          "FROM lineitem")
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    baskets = {o: sorted(ps)[:COPURCHASE_MAX_LINES]
+               for o, ps in baskets.items()}
+    n_orders = len(baskets)
+    item, pair = {}, {}
+    for ps in baskets.values():
+        for p in ps:
+            item[p] = item.get(p, 0) + 1
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    pair[(x, y)] = pair.get((x, y), 0) + 1
+    want = {k: v for k, v in pair.items() if v >= ASSOC_MIN_SUPPORT}
+    got = {(r["ante"], r["cons"]): r for r in
+           registry.get("q_agg_assoc_rules").fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for (a, c), supp in want.items():
+        r = got[(a, c)]
+        assert r["support"] == supp
+        assert r["support_ante"] == item[a]
+        assert r["support_cons"] == item[c]
+        assert r["confidence"] == pytest.approx(supp / item[a], abs=1e-6)
+        assert 0 < r["confidence"] <= 1.0
+        assert r["lift"] == pytest.approx(
+            supp * n_orders / (item[a] * item[c]), abs=1e-4)
+
+
+def test_link_prediction_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.graph import (COPURCHASE_MAX_LINES,
+                                                 LINKPRED_MAX_NEIGHBORS,
+                                                 LINKPRED_TOP_N)
+
+    rows = _fetch(sf_dir, "SELECT DISTINCT l_orderkey, l_partkey "
+                          "FROM lineitem")
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    edges = set()
+    for ps in baskets.values():
+        ps = sorted(ps)[:COPURCHASE_MAX_LINES]
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    edges.add((x, y))
+    adj = {}
+    for s, d in sorted(edges):
+        adj.setdefault(s, [])
+        if len(adj[s]) < LINKPRED_MAX_NEIGHBORS:
+            adj[s].append(d)
+    in_nb = {}
+    for s, ds in adj.items():
+        for d in ds:
+            in_nb.setdefault(d, set()).add(s)
+    cand = {}
+    for s, ds in adj.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                k = (a, b) if a < b else (b, a)
+                cand[k] = cand.get(k, 0) + 1
+    scored = []
+    for (a, b), common in cand.items():
+        if (a, b) in edges:
+            continue
+        union = len(in_nb[a]) + len(in_nb[b]) - common
+        scored.append((round(common / union, 6), a, b, common))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:LINKPRED_TOP_N]
+    got = sorted(registry.get("q_graph_link_prediction")
+                 .fn(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert len(got) == len(want)
+    for w, r in zip(want, got):
+        jac, a, b, common = w
+        assert (r["a"], r["b"], r["common"]) == (a, b, common)
+        assert r["jaccard"] == pytest.approx(jac, abs=1e-6)
+        assert (r["deg_a"], r["deg_b"]) == (len(in_nb[a]), len(in_nb[b]))
+        assert r["jaccard"] <= 1.0
