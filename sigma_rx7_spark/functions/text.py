@@ -1845,3 +1845,94 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(pairs).alias("kv"),
         F.col("n_docs").cast("long").alias("n_docs"),
     ).select("kv.rule", "kv.n_fail", "n_docs")
+
+
+# ---- Readability scoring: Automated Readability Index (L3g) ------------------
+
+ARI_COLLEGE = 14.0  # ARI grade level considered college+ difficulty
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             length(replace(text, ' ', '')) AS chars,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS words,
+             len(list_filter(string_split(text, '. '), x -> x <> ''))
+               AS sentences
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, chars, words, sentences,
+             CAST(CAST(4.71 AS DOUBLE) * (CAST(chars AS DOUBLE) / words)
+                  + CAST(0.5 AS DOUBLE)
+                    * (CAST(words AS DOUBLE) / sentences)
+                  - CAST(21.43 AS DOUBLE) AS DECIMAL(18,6)) AS ari
+      FROM per_doc WHERE words > 0 AND sentences > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(CAST(SUM(CAST(CAST(chars AS DOUBLE) / words
+                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS avg_chars_per_word,
+           CAST(CAST(CAST(SUM(CAST(CAST(words AS DOUBLE) / sentences
+                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS avg_words_per_sentence,
+           CAST(CAST(CAST(SUM(ari) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS avg_ari,
+           CAST(CAST(CAST(SUM(CASE WHEN CAST(ari AS DOUBLE)
+                                        > {ARI_COLLEGE}
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS college_share
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("L3g", "text", "readability"),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY AUDIT per source: the Automated Readability Index
+    (ARI = 4.71·chars/word + 0.5·words/sentence − 21.43) averaged per
+    source plus the share of college+ difficulty docs (ARI >
+    {ARI_COLLEGE}) — the curation signal between L3's length/quality
+    heuristics and the L6e model gate: a pretraining mix is usually
+    BALANCED on difficulty, and a source whose readability suddenly
+    shifts has changed its content pipeline. ARI is chosen over
+    Flesch/FK deliberately: it is defined on pure character/word/
+    sentence COUNTS (no syllable heuristic), so the whole score is
+    deterministic cross-engine string arithmetic — the same whitespace
+    tokens and '. ' sentence split every other L3 operator uses.
+
+    One projection + one keyed aggregate; per-doc ratios and ARI are
+    6-dp-quantized before their sums (partial/final-order safe).
+    Degenerate docs (no words or no sentences) are excluded on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.length(F.regexp_replace("text", " ", ""))
+    words = F.size(tokens(F.col("text")))
+    sentences = F.size(F.filter(F.split("text", "\\. "),
+                                lambda x: x != ""))
+    per_doc = d.select("source", chars.alias("chars"),
+                       words.alias("words"),
+                       sentences.alias("sentences"))
+    cw = F.col("chars").cast("double") / F.col("words")
+    ws = F.col("words").cast("double") / F.col("sentences")
+    ari = (4.71 * cw + 0.5 * ws - 21.43).cast("decimal(18,6)")
+    scored = (per_doc.where((F.col("words") > 0)
+                            & (F.col("sentences") > 0))
+              .select("source", cw.cast("decimal(18,6)").alias("cw"),
+                      ws.cast("decimal(18,6)").alias("ws"),
+                      ari.alias("ari")))
+    n = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        (F.sum("cw").cast("double") / n).cast("decimal(18,6)")
+        .cast("double").alias("avg_chars_per_word"),
+        (F.sum("ws").cast("double") / n).cast("decimal(18,6)")
+        .cast("double").alias("avg_words_per_sentence"),
+        (F.sum("ari").cast("double") / n).cast("decimal(18,6)")
+        .cast("double").alias("avg_ari"),
+        (F.sum(F.when(F.col("ari").cast("double") > ARI_COLLEGE, 1)
+               .otherwise(0)).cast("double") / n)
+        .cast("decimal(18,6)").cast("double").alias("college_share"))

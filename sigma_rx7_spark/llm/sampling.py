@@ -17,7 +17,7 @@ split's files.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -896,3 +896,81 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(picked, F.col("n_chars")).otherwise(0))
         .cast("bigint").alias("sampled_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"))
+
+
+# ---- Exact class-balance downsampling (L5j) ----------------------------------
+
+
+@query(
+    "q_sample_class_balance",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ),
+    target AS (
+      SELECT MIN(n_total) AS n_keep FROM sizes
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT r.lang, r.doc_id, r.n_chars
+      FROM ranked r, target t WHERE r.rn <= t.n_keep
+    )
+    SELECT s.lang,
+           CAST(s.n_total AS BIGINT) AS n_total,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(CAST(CAST(COUNT(k.doc_id) AS DOUBLE) / s.n_total
+                AS DECIMAL(18,6)) AS DOUBLE) AS keep_rate,
+           CAST(SUM(k.n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_checksum
+    FROM sizes s LEFT JOIN kept k ON k.lang = s.lang
+    GROUP BY s.lang, s.n_total
+    """,
+    tags=("L5j", "sampling", "balance"),
+)
+def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CLASS-BALANCE DOWNSAMPLING: every language class cut to
+    EXACTLY the minority class's count by deterministic digest rank
+    (md5(doc_id) order — the L5 split discipline, so membership is
+    row-order- and partitioning-independent and reproducible on a
+    1000-executor run). The report carries per-class kept counts, the
+    keep rate, and a kept-id CHECKSUM — the gate proves the exact
+    MEMBERSHIP, not just the sizes, which is what makes the sample a
+    versionable dataset artifact. L5's stratified sampler takes a RATE
+    per stratum; this takes the exact-count cut a balanced classifier
+    training set needs (every class equal, no fractional rounding
+    drift).
+
+    Shape: one per-class count, a 1-row global min, ONE rank window
+    per class (class-cardinality partitioning — each partition sorts
+    its own class only), and a keyed rollup. Nothing driver-side."""
+    d = load(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    target = sizes.agg(F.min("n_total").alias("n_keep"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("lang", "doc_id", "n_chars",
+                      F.row_number().over(w).alias("rn"))
+    kept = (ranked.crossJoin(F.broadcast(target))
+            .where(F.col("rn") <= F.col("n_keep"))
+            .select("lang", "doc_id", "n_chars"))
+    out = (sizes.join(kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.sum("doc_id").alias("kept_id_checksum")), "lang", "left"))
+    return out.select(
+        "lang",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+        .alias("n_kept"),
+        (F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+         / F.col("n_total")).cast("decimal(18,6)").cast("double")
+        .alias("keep_rate"),
+        F.col("kept_chars").cast("bigint").alias("kept_chars"),
+        F.col("kept_id_checksum").cast("bigint")
+        .alias("kept_id_checksum"))

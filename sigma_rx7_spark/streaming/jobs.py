@@ -1282,3 +1282,120 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day")
             .agg(F.max("n_day").cast("bigint").alias("n_events"),
                  F.sum("term").cast("double").alias("psi")))
+
+
+# ---- Streaming anomaly monitor vs offline baseline (T15) ---------------------
+
+ANOM_Z = 3.0  # |z| threshold against the offline baseline
+
+
+def _stream_anomaly_oracle() -> str:
+    from ..operators.incremental import MERGE_CUTOFF
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(20,6))
+                           * CAST(value AS DECIMAL(20,6))
+                  AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+        AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, s1 / n AS mean,
+             sqrt(CASE WHEN s2 / n - (s1 / n) * (s1 / n) < 0 THEN 0
+                       ELSE s2 / n - (s1 / n) * (s1 / n) END) AS sd
+      FROM base
+    ),
+    live AS (
+      SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             e.event_type,
+             CAST(abs((e.value - s.mean) / s.sd) AS DECIMAL(18,6))
+               AS az
+      FROM events e JOIN stats s ON s.event_type = e.event_type
+      WHERE CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
+        AND e.value IS NOT NULL AND s.sd > 0
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(az AS DOUBLE) > {ANOM_Z}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(CAST(CAST(SUM(CASE WHEN CAST(az AS DOUBLE) > {ANOM_Z}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS anomaly_rate,
+           CAST(MAX(az) AS DOUBLE) AS max_abs_z
+    FROM live
+    GROUP BY day, event_type
+    """
+
+
+@query(
+    "q_stream_anomaly",
+    oracle=_stream_anomaly_oracle(),
+    tags=("T15", "streaming", "anomaly"),
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANOMALY MONITOR: the live post-cutoff value stream
+    scored against an OFFLINE per-family baseline (pre-cutoff mean/σ),
+    flagging |z| > {ANOM_Z} and folding per-(day, family) anomaly
+    counts in a streaming aggregate — A14's batch z-screen deployed
+    the way a monitor actually runs: the baseline is a fitted artifact
+    (broadcast stream-static join, the T7 surface), the stream only
+    carries (day, family) counter state, and retraining the baseline
+    is an offline job swap. T14 watches the DISTRIBUTION drift; this
+    pages on individual outliers.
+
+    availableNow drains the file stream, so the streamed daily counts
+    equal the batch computation — the oracle runs that batch algebra.
+    Baseline moments use the A43 decimal two-sum discipline; the
+    per-row |z| is 6-dp-quantized BEFORE both the threshold compare
+    and the max, so flags and maxima are engine-exact. Zero-variance
+    families are excluded on both engines (no z is defined against a
+    constant baseline)."""
+    from ..io import load
+    from ..operators.incremental import MERGE_CUTOFF
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    qv = F.col("value").cast("decimal(20,6)")
+    base = (ev.where((F.col("ts") < cutoff)
+                     & F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(qv).cast("double").alias("s1"),
+                 F.sum((qv * qv).cast("decimal(38,12)")).cast("double")
+                 .alias("s2")))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = base.select(
+        "event_type", mean.alias("mean"),
+        F.sqrt(F.when(var < 0, 0).otherwise(var)).alias("sd"))
+    stream = (read_events_stream(spark, sf_dir)
+              .where((F.col("ts") >= cutoff)
+                     & F.col("value").isNotNull()))
+    az = F.abs((F.col("value") - F.col("mean")) / F.col("sd")) \
+        .cast("decimal(18,6)")
+    scored = (stream.join(F.broadcast(stats), "event_type")
+              .where(F.col("sd") > 0)
+              .select("ts", "event_type", az.alias("az")))
+    daily = (scored.groupBy(F.window("ts", "1 day").alias("w"),
+                            "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.when(F.col("az").cast("double") > ANOM_Z, 1)
+                        .otherwise(0)).alias("n_anomalies"),
+                  F.max("az").alias("max_az"))
+             .select(F.to_date(F.col("w.start")).alias("day"),
+                     "event_type", "n_events", "n_anomalies", "max_az"))
+    served = run_to_memory(daily, "stream_anomaly",
+                           output_mode="complete")
+    return served.select(
+        "day", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+        (F.col("n_anomalies").cast("double") / F.col("n_events"))
+        .cast("decimal(18,6)").cast("double").alias("anomaly_rate"),
+        F.col("max_az").cast("double").alias("max_abs_z"))

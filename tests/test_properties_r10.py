@@ -573,3 +573,108 @@ def test_link_prediction_matches_naive_model(spark, sf_dir):
         assert r["jaccard"] == pytest.approx(jac, abs=1e-6)
         assert (r["deg_a"], r["deg_b"]) == (len(in_nb[a]), len(in_nb[b]))
         assert r["jaccard"] <= 1.0
+
+
+def test_readability_matches_naive_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.functions.text import ARI_COLLEGE
+
+    rows = _fetch(sf_dir, "SELECT source, text FROM documents")
+    per_src = {}
+    for src, text in rows:
+        chars = len(text.replace(" ", ""))
+        words = len([t for t in text.split(" ") if t])
+        sents = len([s for s in text.split(". ") if s])
+        if words == 0 or sents == 0:
+            continue
+        ari = round(4.71 * (chars / words) + 0.5 * (words / sents)
+                    - 21.43, 6)
+        per_src.setdefault(src, []).append(
+            (chars / words, words / sents, ari))
+    got = {r["source"]: r for r in
+           registry.get("q_text_readability").fn(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, docs in per_src.items():
+        r = got[src]
+        n = len(docs)
+        assert r["n_docs"] == n
+        assert r["avg_chars_per_word"] == pytest.approx(
+            sum(d[0] for d in docs) / n, abs=1e-5)
+        assert r["avg_words_per_sentence"] == pytest.approx(
+            sum(d[1] for d in docs) / n, abs=1e-5)
+        assert r["avg_ari"] == pytest.approx(
+            sum(d[2] for d in docs) / n, abs=1e-5)
+        assert r["college_share"] == pytest.approx(
+            sum(1 for d in docs if d[2] > ARI_COLLEGE) / n, abs=1e-6)
+
+
+def test_class_balance_is_exact_and_deterministic(spark, sf_dir):
+    import hashlib
+
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT lang, doc_id, n_chars FROM documents")
+    by_lang = {}
+    for lang, did, nc in rows:
+        by_lang.setdefault(lang, []).append((did, nc))
+    n_keep = min(len(v) for v in by_lang.values())
+    got = {r["lang"]: r for r in
+           registry.get("q_sample_class_balance").fn(spark, sf_dir)
+           .collect()}
+    assert set(got) == set(by_lang)
+    for lang, docs in by_lang.items():
+        kept = sorted(
+            docs, key=lambda d: (hashlib.md5(str(d[0]).encode())
+                                 .hexdigest(), d[0]))[:n_keep]
+        r = got[lang]
+        assert r["n_total"] == len(docs)
+        assert r["n_kept"] == n_keep  # every class EXACTLY equal
+        assert r["kept_id_checksum"] == sum(d for d, _ in kept)
+        assert r["kept_chars"] == sum(c for _, c in kept)
+
+
+def test_stream_anomaly_double_run_and_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.incremental import MERGE_CUTOFF
+    from sigma_rx7_spark.streaming.jobs import ANOM_Z
+
+    fn = registry.get("q_stream_anomaly").fn
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    # memory-sink name reuse: a second run in the same session must
+    # serve identical rows, not fail or accumulate
+    second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first == second and first
+
+    rows = _fetch(sf_dir, "SELECT event_type, "
+                          "CAST(ts AS TIMESTAMP), value FROM events "
+                          "WHERE value IS NOT NULL")
+    cutoff = MERGE_CUTOFF
+    base = {}
+    for et, ts, v in rows:
+        if str(ts) < cutoff:
+            n, s1, s2 = base.get(et, (0, 0.0, 0.0))
+            base[et] = (n + 1, s1 + round(v, 6), s2 + round(v, 6) ** 2)
+    stats = {}
+    for et, (n, s1, s2) in base.items():
+        m = s1 / n
+        sd = math.sqrt(max(s2 / n - m * m, 0.0))
+        if sd > 0:
+            stats[et] = (m, sd)
+    want = {}
+    for et, ts, v in rows:
+        if str(ts) >= cutoff and et in stats:
+            m, sd = stats[et]
+            az = round(abs((v - m) / sd), 6)
+            day = ts.date().isoformat()
+            ne, na, mx = want.get((day, et), (0, 0, 0.0))
+            want[(day, et)] = (ne + 1, na + (az > ANOM_Z), max(mx, az))
+    got = {(r[0].isoformat() if hasattr(r[0], "isoformat") else r[0],
+            r[1]): r for r in
+           (fn(spark, sf_dir).collect())}
+    got = {(str(k[0]), k[1]): v for k, v in got.items()}
+    assert set(got) == {(d, e) for d, e in want}
+    for (day, et), (ne, na, mx) in want.items():
+        r = got[(day, et)]
+        assert r["n_events"] == ne and r["n_anomalies"] == na
+        assert r["max_abs_z"] == pytest.approx(mx, abs=1e-4)
+        assert r["anomaly_rate"] == pytest.approx(na / ne, abs=1e-6)
