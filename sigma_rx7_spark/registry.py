@@ -89,82 +89,69 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 9 window. The r8 window banked green for every name in it
-    # (CORRECTNESS_r08 50/50), closing the cumulative ledger at 284/284
-    # oracle-gated queries driver-proven — so this window's job is
-    # FRESHNESS (r8 verdict item 1): new operators enter on first
-    # exposure (the r5 practice), then every remaining slot re-banks
-    # the stalest greens in `rotation_candidates.py --age` order.
+    # Round 10 window. The r9 window banked green for every name in it
+    # (CORRECTNESS_r09 50/50), keeping the cumulative ledger closed —
+    # so this window's job is again FRESHNESS (r9 verdict item 1):
+    # the 21 round-10 additions enter on first exposure, then every
+    # remaining slot re-banks the stalest greens in
+    # `rotation_candidates.py --age` order (the displaced r2 tail, then
+    # the r3 cohort head). The rest of the r3 cohort returns next round.
     #
-    # 25 slots: the round-9 additions (sequential/SRM/MDE/delta A/B
-    # family, drawdown, rolling corr, Wasserstein drift, Gopher gate,
-    # systematic sampler, target encoding, Bloom audit, forecast
-    # backtest, WoW growth, profile drift, streaming SRM, media
-    # payload dedup, calibration, paired t, ANOVA, streaming PSI,
-    # moments, k-core, exact AUC, blocking audit, BH-FDR report).
-    # 25 slots: the r2 cohort in age order (includes most of the 19
-    # re-banks the r8 window displaced); the displaced r2 tail
-    # (q_stream_hourly_counts, q_stream_dedup, q_stream_sessions, q_stream_static_join,
-    # q_stream_stream_join, q_stream_merge,
-    # q_stream_stateful, q_udf_score, q_udaf_weighted,
-    # q_domain_recommendations) and the 4 oldest r3 greens return next
-    # round.
-    #
-    # Pre-freeze discipline (documented r4→r5): before committing this
-    # list, run the driver-scale mirror over it —
+    # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # added in round 9 — first-exposure proof
-    "q_ab_sequential",
-    "q_ab_srm",
-    "q_ab_power",
-    "q_ab_delta",
-    "q_window_drawdown",
-    "q_window_rolling_corr",
-    "q_drift_wasserstein",
-    "q_text_gopher_rules",
-    "q_sample_systematic",
-    "q_feature_target_encode",
-    "q_agg_bloom",
-    "q_ts_forecast_backtest",
-    "q_window_growth",
-    "q_quality_profile_drift",
-    "q_stream_srm",
-    "q_multimodal_dedup",
-    "q_ml_calibration",
-    "q_ab_paired",
-    "q_ab_anova",
-    "q_stream_psi",
-    "q_agg_moments",
-    "q_graph_kcore",
-    "q_ml_auc",
-    "q_link_blocking_audit",
-    "q_ab_fdr",
-    # stalest driver-greens, oldest first (the full r2 cohort)
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_tokens",
-    "q_text_repetition",
-    "q_text_ngrams",
-    "q_text_tfidf",
-    "q_text_entropy",
-    "q_split_train_test",
-    "q_sample_stratified",
-    "q_sample_mixture",
-    "q_sample_reservoir",
-    "q_cluster_centroids",
-    "q_cluster_assign",
-    "q_cluster_kmeans_step",
-    "q_sim_topk",
-    "q_embed_quantize",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_lsh_verified",
-    "q_dedup_substring",
-    "q_text_contamination",
-    "q_dedup_cosine",
-    "q_dedup_clusters",
-    "q_pipeline_corpus_curation",
-    "q_pipeline_near_dedup",
+    # round-10 additions — first-exposure proof
+    "q_sim_index_incremental",
+    "q_agg_spearman",
+    "q_agg_cramers_v",
+    "q_agg_mutual_info",
+    "q_agg_lorenz",
+    "q_agg_theil",
+    "q_drift_js",
+    "q_drift_categorical",
+    "q_survival_km",
+    "q_ts_mann_kendall",
+    "q_cohort_ltv",
+    "q_window_bollinger",
+    "q_window_rfm",
+    "q_ml_pr_curve",
+    "q_ml_brier",
+    "q_ab_bayes",
+    "q_agg_assoc_rules",
+    "q_graph_link_prediction",
+    "q_text_readability",
+    "q_sample_class_balance",
+    "q_stream_anomaly",
+    # stalest driver-greens, oldest first (displaced r2 tail, then the
+    # r3 cohort head per rotation_candidates.py --age)
+    "q_stream_hourly_counts",
+    "q_stream_dedup",
+    "q_stream_sessions",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_merge",
+    "q_stream_stateful",
+    "q_udf_score",
+    "q_udaf_weighted",
+    "q_domain_recommendations",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_derived_expr",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_lookup_filter",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_nullsafe",
+    "q_join_salted",
+    "q_join_self_interval",
+    "q_join_asof",
+    "q_agg_pricing_summary",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_stats",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
