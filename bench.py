@@ -110,6 +110,15 @@ HEADLINE = [
     "q_agg_bloom",
     "q_ts_forecast_backtest",
     "q_drift_wasserstein",
+    # Round 10: the new operators with real data terms at sf0.1 —
+    # staged-index incremental maintenance probe, capped-wedge link
+    # prediction, rank-window Spearman over the full lineitem, KM
+    # survival, and the distinct-score PR sweep.
+    "q_sim_index_incremental",
+    "q_graph_link_prediction",
+    "q_agg_spearman",
+    "q_survival_km",
+    "q_ml_pr_curve",
 ]
 
 # Queries whose recorded rep-to-rep spread exceeded 1 s in round 8

@@ -59,6 +59,10 @@ DEFAULT_NAMES = [
     # round-9 additions with real data terms at sf0.1
     "q_ab_sequential", "q_ab_delta", "q_agg_bloom",
     "q_drift_wasserstein", "q_text_gopher_rules", "q_sample_systematic",
+    # round-10 additions with real data terms at sf0.1
+    "q_sim_index_incremental", "q_graph_link_prediction",
+    "q_agg_spearman", "q_survival_km", "q_ml_pr_curve",
+    "q_agg_assoc_rules", "q_window_rfm",
 ]
 FLOOR_PROBE = "q_agg_having"  # cheapest stable headline query
 

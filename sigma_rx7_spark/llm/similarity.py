@@ -263,12 +263,10 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-# Trained centroids per corpus dir: k x dim rows == bounded index
-# metadata, the in-session analogue of the parquet centroids file that
-# build_ivf_index persists. Training is an index-BUILD cost, amortized
-# across every query against that corpus — exactly how an offline ANN
-# index works — so repeat queries skip the E/M rounds entirely.
-_TRAINED: dict[str, list] = {}
+# (r10) The trained-centroid memo is the ON-DISK staging itself now —
+# _ivf_parts skips training whenever a completed same-stamp staging
+# exists, so the index-build cost amortizes across PROCESSES, not just
+# within one session.
 _PQ_CB: dict[str, list] = {}  # PQ sub-codebooks, per (process, sf)
 _PQ_CODES: dict[str, str] = {}  # staged PQ-code parquet, per (process, sf)
 _PQ_ASSIGN: dict[str, str] = {}  # staged cell membership, per (process, sf)
@@ -290,50 +288,62 @@ def _ivf_parts(spark: SparkSession,
                sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(queries, corpus, trained centroids) shared by both IVF queries.
 
-    Seeding is a deterministic strided sample (every 32nd corpus vector);
-    the seeds are then refined with two spherical k-means rounds
+    Seeding is a deterministic strided corpus sample whose STRIDE
+    SCALES WITH THE CORPUS so the trained cell count stays ~sqrt(N) —
+    the r10 decade run caught the fixed-stride-32 original building
+    N/32 cells, which made index-build assignment cost O(N²/32)
+    (QUADRATIC — training the synthetic sf1 decade blew a 10-minute
+    budget); sqrt-N cells restore the N·sqrt(N) build and the
+    sqrt(N)-per-probe scan every IVF deployment balances around. The
+    seeds are then refined with two spherical k-means rounds
     (``train_ivf_centroids``) — the real index-build procedure, run
     inline here because the harness corpus is small. At 100 TB the
     training loop is the same plan executed as an offline job against a
     vector sample, with the trained centroids persisted next to the
-    index (``build_ivf_index``)."""
+    index (``build_ivf_index``).
+
+    Training is SKIPPED whenever a completed same-stamp staging exists
+    on disk (r10): the staged centroid parquet is the index artifact,
+    so a fresh process probing an already-built index pays a read, not
+    a retrain — cross-PROCESS amortization, the way a real offline
+    index behaves (previously only the in-process memo skipped it)."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), normalized("embedding").alias("q_vec"))
     corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("c_id"), normalized("embedding").alias("c_vec"))
-    seeds = (
-        corpus.where(F.col("c_id") % 32 == 5)
-        .select((F.col("c_id") / 32).cast("int").alias("cell_id"),
-                F.col("c_vec").alias("cent_vec"))
-    )
-    # Train on a deterministic 25% sample: index training only needs a
-    # representative sketch of the density (the universal IVF practice —
-    # FAISS trains on ~30-250 vectors/cell), while assignment and probing
-    # always cover the FULL corpus. Cuts the per-round E/M cost 4x here
-    # and is what makes training tractable at 100 TB at all.
-    if sf_dir not in _TRAINED:
-        train_sample = corpus.where(F.col("c_id") % 4 == 0)
-        _TRAINED[sf_dir] = train_ivf_centroids(train_sample,
-                                               seeds).collect()
-    centroids = spark.createDataFrame(
-        _TRAINED[sf_dir], "cell_id int, cent_vec array<double>")
     # Stage the trained relation for the oracle: k x dim rows, so the
     # mirror reads the exact bytes the Spark plan broadcasts. The staged
     # path is KEYED BY sf_dir and the oracle SQL is a template resolved
     # at retrieval time, so sessions at different scale factors stage
     # disjoint artifacts — no cross-sf clobber. The write is skipped
-    # when THIS process already staged this sf — centroids are
-    # deterministic + memoized, so the bytes could not have changed;
-    # repeat calls (bench reps) keep the index-build amortization an
-    # index is supposed to have. It is ALSO skipped when another
-    # process already completed an identical staging (stamp and
+    # when THIS process already verified this sf's staging, and when
+    # another process already completed an identical staging (stamp and
     # _SUCCESS on disk): overwriting a completed staging is the
     # cross-process FAILED_READ_FILE race.
     cent_path = _oracle_cent(sf_dir)
     if sf_dir not in _STAGED:
         stamp = _cent_stamp()
         if not staging_ok(cent_path, stamp):
+            # cells ~ sqrt(N): stride = N / sqrt(N), floored at the
+            # original 32 so tiny harness corpora keep their shape.
+            n = corpus.count()
+            stride = max(32, int(n // max(1, int(n ** 0.5))))
+            seeds = (
+                corpus.where(F.col("c_id") % stride == 5)
+                .select((F.col("c_id") / stride).cast("int")
+                        .alias("cell_id"),
+                        F.col("c_vec").alias("cent_vec"))
+            )
+            # Train on a deterministic 25% sample: index training only
+            # needs a representative sketch of the density (the
+            # universal IVF practice — FAISS trains on ~30-250
+            # vectors/cell), while assignment and probing always cover
+            # the FULL corpus.
+            train_sample = corpus.where(F.col("c_id") % 4 == 0)
+            centroids = spark.createDataFrame(
+                train_ivf_centroids(train_sample, seeds).collect(),
+                "cell_id int, cent_vec array<double>")
             begin_staging(cent_path)
             centroids.coalesce(1).write.mode("overwrite") \
                 .parquet(cent_path)
