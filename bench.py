@@ -128,6 +128,8 @@ HIGH_VARIANCE = {
     "q_dedup_cosine_lsh",
     "q_graph_pagerank",
     "q_stream_attribution",
+    # r10: raw spread 1.07 s on first exposure (BENCH_DETAIL r10)
+    "q_graph_link_prediction",
 }
 
 
