@@ -39,7 +39,11 @@ _STAGING_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def _sf_key(sf_dir: str) -> str:
-    return "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    # rstrip('/') first (same rule as formats._stage_dir): '/a/sf0.01'
+    # and '/a/sf0.01/' are one logical root and must share one staged
+    # index — without it they'd double-build (and possibly race on)
+    # what is logically a single artifact (r10 advice).
+    return "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/"))
 
 
 def _oracle_cent(sf_dir: str) -> str:
@@ -276,12 +280,38 @@ _PQ_ASSIGN: dict[str, str] = {}  # staged cell membership, per (process, sf)
 _STAGED: set[str] = set()
 
 
-def _cent_stamp() -> str:
+def _emb_fingerprint(sf_dir: str) -> str:
+    """Cheap os-level fingerprint of the embeddings parquet at
+    ``sf_dir`` (file count + total bytes + max mtime). The trained
+    centroid geometry depends on the CORPUS (sqrt-N cell count), not
+    just the builder code — if a parquet at the same path is
+    regenerated at a different size, a code-only stamp would happily
+    reuse stale cells with the wrong count for the new N and silently
+    lose the sqrt(N) build/probe balance (r10 advice). Stat-walk only;
+    never reads data."""
+    path = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    n_files = total = mtime = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                n_files += 1
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        n_files, total, mtime = 1, st.st_size, st.st_mtime_ns
+    return f"emb:{n_files}:{total}:{mtime}"
+
+
+def _cent_stamp(sf_dir: str) -> str:
     """Stamp of the trained-centroid artifact: hashes the training loop
-    and the corpus/seed derivation, so changing either invalidates
-    stagings trained by older code — no version integer to forget."""
+    and the corpus/seed derivation PLUS a data fingerprint of the
+    source embeddings, so changing either the builder code or the
+    corpus bytes invalidates stagings trained from the old input — no
+    version integer to forget, no stale cell geometry reused."""
     return src_stamp(train_ivf_centroids, _ivf_parts,
-                     extra=f"dim={EMB_DIM}")
+                     extra=f"dim={EMB_DIM}|{_emb_fingerprint(sf_dir)}")
 
 
 def _ivf_parts(spark: SparkSession,
@@ -323,7 +353,7 @@ def _ivf_parts(spark: SparkSession,
     # cross-process FAILED_READ_FILE race.
     cent_path = _oracle_cent(sf_dir)
     if sf_dir not in _STAGED:
-        stamp = _cent_stamp()
+        stamp = _cent_stamp(sf_dir)
         if not staging_ok(cent_path, stamp):
             # cells ~ sqrt(N): stride = N / sqrt(N), floored at the
             # original 32 so tiny harness corpora keep their shape.
@@ -521,7 +551,7 @@ def q_sim_topk_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still-matching marker over half-rewritten subdirs (r6 advice).
     # stamp chains the centroid stamp: a training change invalidates
     # the index built FROM those centroids, not just the oracle staging
-    stamp = src_stamp(build_ivf_index, ivf_assign, extra=_cent_stamp())
+    stamp = src_stamp(build_ivf_index, ivf_assign, extra=_cent_stamp(sf_dir))
     if not staging_ok(path, stamp, "cells", "centroids"):
         begin_staging(path)
         build_ivf_index(corpus, centroids, path)
@@ -561,7 +591,7 @@ def q_sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = corpus.where(F.col("c_id") % DELTA_MOD == DELTA_RES)
     path = os.path.join(_STAGING_ROOT, f"ivfinc_{_sf_key(sf_dir)}")
     stamp = src_stamp(build_ivf_index, ivf_assign, q_sim_index_incremental,
-                      extra=_cent_stamp() + f"|{DELTA_MOD}|{DELTA_RES}")
+                      extra=_cent_stamp(sf_dir) + f"|{DELTA_MOD}|{DELTA_RES}")
     if not staging_ok(path, stamp, "cells", "centroids", "delta_cells"):
         begin_staging(path)
         build_ivf_index(base, centroids, path)
@@ -929,7 +959,7 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fn (the code builder lives in this body) + the PQ geometry +
         # the centroid training it consumes.
         pq_stamp = src_stamp(q_sim_topk_ivfpq,
-                             extra=f"{_cent_stamp()}:subs={PQ_SUBS}")
+                             extra=f"{_cent_stamp(sf_dir)}:subs={PQ_SUBS}")
         if not staging_ok(path, pq_stamp):
             begin_staging(path)
             wcode = Window.partitionBy("c_id", "sub").orderBy(
@@ -957,7 +987,7 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a probe never re-scores corpus x centroids.
     if sf_dir not in _PQ_ASSIGN:
         apath = os.path.join(_STAGING_ROOT, "pq_assign", _sf_key(sf_dir))
-        a_stamp = src_stamp(ivf_assign, extra=_cent_stamp())
+        a_stamp = src_stamp(ivf_assign, extra=_cent_stamp(sf_dir))
         if not staging_ok(apath, a_stamp):
             begin_staging(apath)
             ivf_assign(corpus, centroids).select("c_id", "cell_id") \

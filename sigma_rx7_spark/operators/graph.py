@@ -124,15 +124,25 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
-                        iters: int = PR_ITERS) -> DataFrame:
+                        iters: int = PR_ITERS,
+                        symmetric: bool = True) -> DataFrame:
     """Fixed-iteration fixed-point PageRank over a directed edge list.
 
     r₀ = SCALE div N; rₖ₊₁ = (100-d)·SCALE div (100·N)
     + d·Σ_in(r div outdeg) div 100 — every op integer, so the result is
     engine- and partitioning-exact. Truncation (div) leaks ≤1 unit of
     10⁻¹² mass per edge per round — irrelevant to ranking, and the
-    price of zero rounding ambiguity. Dangling nodes cannot occur here
-    (the co-purchase graph is symmetric — documented precondition).
+    price of zero rounding ambiguity.
+
+    ``symmetric=True`` (the co-purchase caller's contract) asserts every
+    node appears as a dst, which lets each round skip the left join
+    against the node relation — the inner-join aggregate already emits
+    every node. A GENERAL directed edge list (dangling-IN nodes: nodes
+    with out-edges but no in-edges) MUST pass ``symmetric=False``, which
+    reinstates the per-round left join so those nodes keep their
+    teleport-only rank instead of silently vanishing from the output
+    (r10 advice: the fast path would otherwise diverge from any
+    textbook-PageRank oracle on such graphs).
 
     Scale: each round shuffles (node, bigint) — never the edge payload;
     the edge relation is round-invariant (cache/checkpoint once at
@@ -188,9 +198,16 @@ def pagerank_fixedpoint(edges: DataFrame, damping_pct: int = PR_DAMPING_PCT,
             .select(F.col("dst").alias("node"),
                     F.expr("rank_fp div deg").alias("c"))
         )
-        ranks = contrib.groupBy("node").agg(
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        if not symmetric:
+            # General graph: nodes with no in-edges receive no
+            # contributions — left-join them back for teleport-only
+            # rank (the textbook semantics the unrolled oracle keeps).
+            sums = nodes.join(sums, "node", "left")
+        ranks = sums.select(
+            "node",
             (F.lit(teleport).cast("bigint")
-             + F.expr(f"({damping_pct} * coalesce(sum(c), 0)) div 100"))
+             + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))
             .cast("bigint").alias("rank_fp"))
     return ranks.select(
         "node", "rank_fp",
