@@ -1211,3 +1211,21 @@ def test_linkpred_topn_is_takeordered_not_global_sort(spark, sf_dir):
     if "SinglePartition" in tree:
         assert tree.index("SinglePartition") < tree.index(
             "TakeOrderedAndProject")
+
+
+def test_rfm_never_globally_sorts_customers(spark, sf_dir):
+    """RFM (r10 verdict #5): the three quintile scores come from the
+    melted binned-rank pipeline — no NTILE, no rangepartitioning, and
+    no single-partition exchange ever carries the customer relation
+    (only 1-row stat states and the bin histogram reduce to one
+    partition)."""
+    import re
+
+    p = plan(spark, sf_dir, "q_window_rfm")
+    assert "ntile(" not in p
+    assert "rangepartitioning" not in p.lower()
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: SinglePartition", p)
+    for cols in blocks:
+        assert "o_custkey" not in cols, cols
