@@ -1889,3 +1889,109 @@ def prefix_jaccard_pairs(sh: DataFrame,
                 (F.col("it").cast("double") / F.col("un"))
                 .alias("jaccard"))
     )
+
+
+# ---- LSH band planner (L1q) ---------------------------------------------------
+
+# Band-planner constants: the harness's adversarial cosine threshold
+# (COSINE_DUP_THRESHOLD) and a standard 0.9 recall target. The planner
+# sweeps bits-per-band r over the range a 100 TB deployment would ever
+# consider (2..24: below 2 every pair collides, above ~log2(N)+8 the
+# bands stop pruning anything new).
+LSH_PLAN_R_MIN = 2
+LSH_PLAN_R_MAX = 24
+LSH_PLAN_LINEAR_FACTOR = 8  # "linear" = expected random candidates <= 8N
+
+
+def _lsh_plan_oracle() -> str:
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    pb AS (
+      SELECT CAST(CAST(1.0 - acos(CAST({COSINE_DUP_THRESHOLD} AS DOUBLE))
+                        / pi() AS DECIMAL(18,9)) AS DOUBLE) AS p
+    ),
+    geo AS (
+      SELECT r, n, p,
+             CAST(CAST(pow(p, r) AS DECIMAL(18,9)) AS DOUBLE) AS pband,
+             CAST(1 << r AS BIGINT) AS two_r
+      FROM range({LSH_PLAN_R_MIN}, {LSH_PLAN_R_MAX} + 1) t(r), nn, pb
+    ),
+    planned AS (
+      SELECT *,
+             CAST(ceil(CAST(ln(CAST(0.1 AS DOUBLE)) / ln(1.0 - pband)
+                            AS DECIMAL(18,6))) AS BIGINT) AS nbands
+      FROM geo
+    )
+    SELECT CAST(r AS BIGINT) AS bits_per_band,
+           nbands AS bands,
+           CAST(CAST(1.0 - pow(1.0 - pband, nbands) AS DECIMAL(18,6))
+                AS DOUBLE) AS exp_recall,
+           CAST(1.0 AS DOUBLE) / two_r AS rand_band_rate,
+           nbands * (CAST(n AS DOUBLE) * (n - 1) / 2.0) / two_r
+             AS exp_random_candidates,
+           (nbands * (CAST(n AS DOUBLE) * (n - 1) / 2.0) / two_r)
+             <= {LSH_PLAN_LINEAR_FACTOR}.0 * n AS candidates_linear,
+           (two_r >= n AND two_r < 2 * n) AS log2n_bits
+    FROM planned
+    """
+
+
+@query("q_dedup_lsh_plan", oracle=_lsh_plan_oracle(),
+       tags=("L1q", "dedup", "lsh", "planner"))
+def q_dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH BAND PLANNER — turns the round-10 decade finding
+    (candidates grow quadratically at FIXED band width; SCALE.md
+    decade finding #2) into a PLANNED trade: for the corpus size N and
+    the harness threshold, emit for every bits-per-band r the band
+    count that holds the recall target, the per-band random-collision
+    rate 2^-r, the expected decorrelated-corpus candidate volume
+    bands·(N choose 2)·2^-r, whether that volume stays linear
+    (≤ {LSH_PLAN_LINEAR_FACTOR}·N), and which r satisfies the
+    documented r ~ log2(N) sizing rule (2^r ≥ N > 2^(r-1), computed
+    integer-exact via bit shift — no float log at a ceil boundary).
+
+    Closed forms (Charikar SRP): a bit agrees on a pair at cosine s
+    with p = 1 − acos(s)/π; a band of r bits collides with p^r; L
+    bands reach recall 1 − (1−p^r)^L, so holding recall R needs
+    L = ceil(ln(1−R)/ln(1−p^r)).
+
+    Cross-engine determinism: every transcendental output is quantized
+    (9 dp for probabilities, 6 dp before the single ceil boundary and
+    for reported recall) so both engines proceed from identical
+    rationals; the candidate-volume arithmetic is pure IEEE ×/÷ of
+    exact integers — deterministic everywhere, and deliberately NOT
+    decimal-quantized (÷2^r yields exact binary fractions that land on
+    decimal ties, where Spark rounds HALF_UP and DuckDB half-to-even —
+    the r10 truncation gotcha's sibling); the rule test is
+    integer-only. Metadata-scale throughout: ~23 rows from one
+    corpus-count aggregate."""
+    n = load(spark, sf_dir, "embeddings").count()
+    rows = spark.range(LSH_PLAN_R_MIN, LSH_PLAN_R_MAX + 1) \
+        .select(F.col("id").alias("r"))
+    p = F.expr(
+        f"CAST(CAST(1.0 - acos(CAST({COSINE_DUP_THRESHOLD} AS DOUBLE))"
+        f" / pi() AS DECIMAL(18,9)) AS DOUBLE)")
+    geo = rows.select(
+        "r", F.lit(n).alias("n"),
+        F.pow(p, F.col("r")).cast("decimal(18,9)").cast("double")
+        .alias("pband"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
+        .alias("two_r"))
+    planned = geo.withColumn(
+        "nbands",
+        F.ceil((F.log(F.lit(0.1)) / F.log(1.0 - F.col("pband")))
+               .cast("decimal(18,6)")).cast("bigint"))
+    exp_cands = (F.col("nbands")
+                 * (F.col("n").cast("double") * (F.col("n") - 1) / 2.0)
+                 / F.col("two_r"))
+    return planned.select(
+        F.col("r").cast("bigint").alias("bits_per_band"),
+        F.col("nbands").alias("bands"),
+        (1.0 - F.pow(1.0 - F.col("pband"), F.col("nbands")))
+        .cast("decimal(18,6)").cast("double").alias("exp_recall"),
+        (F.lit(1.0) / F.col("two_r")).alias("rand_band_rate"),
+        exp_cands.alias("exp_random_candidates"),
+        (exp_cands <= F.lit(float(LSH_PLAN_LINEAR_FACTOR)) * F.col("n"))
+        .alias("candidates_linear"),
+        ((F.col("two_r") >= F.col("n"))
+         & (F.col("two_r") < 2 * F.col("n"))).alias("log2n_bits"))

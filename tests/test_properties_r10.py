@@ -678,3 +678,40 @@ def test_stream_anomaly_double_run_and_model(spark, sf_dir):
         assert r["n_events"] == ne and r["n_anomalies"] == na
         assert r["max_abs_z"] == pytest.approx(mx, abs=1e-4)
         assert r["anomaly_rate"] == pytest.approx(na / ne, abs=1e-6)
+
+
+def test_lsh_plan_matches_naive_model(spark, sf_dir):
+    """q_dedup_lsh_plan: every emitted row equals the closed-form
+    Charikar/banding math computed naively in Python (same quantization
+    points), and exactly one row satisfies the integer log2(N) rule."""
+    import math
+
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.llm.dedup import (COSINE_DUP_THRESHOLD,
+                                           LSH_PLAN_LINEAR_FACTOR,
+                                           LSH_PLAN_R_MAX, LSH_PLAN_R_MIN)
+
+    n = load(spark, sf_dir, "embeddings").count()
+    p = float(round(1.0 - math.acos(COSINE_DUP_THRESHOLD) / math.pi, 9))
+    got = {r["bits_per_band"]: r for r in
+           registry.get("q_dedup_lsh_plan").fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(LSH_PLAN_R_MIN, LSH_PLAN_R_MAX + 1))
+    rule_hits = 0
+    for r in range(LSH_PLAN_R_MIN, LSH_PLAN_R_MAX + 1):
+        pband = float(round(p ** r, 9))
+        bands = math.ceil(round(math.log(0.1) / math.log(1.0 - pband), 6))
+        row = got[r]
+        assert row["bands"] == bands, (r, row["bands"], bands)
+        assert row["exp_recall"] == float(
+            round(1.0 - (1.0 - pband) ** bands, 6))
+        assert row["rand_band_rate"] == 1.0 / (1 << r)
+        cands = bands * (n * (n - 1) / 2.0) / (1 << r)
+        assert row["exp_random_candidates"] == cands
+        assert row["candidates_linear"] == (
+            cands <= LSH_PLAN_LINEAR_FACTOR * n)
+        assert row["log2n_bits"] == ((1 << r) >= n > (1 << r) // 2)
+        rule_hits += int(row["log2n_bits"])
+        # planned recall actually clears the target
+        assert row["exp_recall"] >= 0.9
+    assert rule_hits == 1
