@@ -1451,3 +1451,88 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         unc.cast(QDEC).cast("double").alias("uncertainty"),
         (brier - (rel - res + unc)).cast(QDEC).cast("double")
         .alias("decomposition_gap"))
+
+
+# ---- Model score separation (KS) (L6o) -------------------------------------
+
+
+def _ml_ks_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    per_score AS (
+      SELECT p,
+             SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS c_neg
+      FROM sc GROUP BY p
+    ),
+    cum AS (
+      SELECT SUM(c_pos) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             SUM(c_neg) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_neg,
+             SUM(c_pos) OVER () AS n_pos,
+             SUM(c_neg) OVER () AS n_neg
+      FROM per_score
+    )
+    SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+           CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+           CAST(MAX(abs(n_neg * cum_pos - n_pos * cum_neg)) AS BIGINT)
+             AS d_num,
+           CASE WHEN MAX(n_pos) = 0 OR MAX(n_neg) = 0 THEN NULL
+                ELSE CAST(MAX(abs(n_neg * cum_pos - n_pos * cum_neg))
+                          AS DOUBLE) / (MAX(n_pos) * MAX(n_neg)) END
+             AS ks_separation
+    FROM cum
+    """
+
+
+@query("q_ml_ks", oracle=_ml_ks_oracle(), tags=("L6o", "ml-eval", "ks"))
+def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS SEPARATION of the fitted quality gate's scores: the maximum
+    gap between the positive-class and negative-class score CDFs — the
+    credit-scoring industry's standard single-number discrimination
+    metric (KS ≈ 0: the model can't tell classes apart at any cutoff;
+    the argmax score is the natural operating threshold). Completes
+    the model-eval family: AUC (rank quality), PR curve (imbalanced
+    view), Brier (calibration+sharpness), lift (business read), KS
+    (best-single-threshold separation). Same trained model as all of
+    them (shared GD builder — oracles can never train apart).
+
+    Q13's integer-ECDF discipline on the SCORE axis: the model's
+    quantized scores collapse to the distinct-score grain, one prefix
+    window over that bounded relation, and the gap numerator
+    |n_neg·cumP − n_pos·cumN| stays exact bigint; the statistic is one
+    IEEE division of exact integers."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    sc = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    per_score = sc.groupBy("p").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("y") == 1.0, 0).otherwise(1)).alias("c_neg"))
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_score.select(
+        F.sum("c_pos").over(wcum).alias("cum_pos"),
+        F.sum("c_neg").over(wcum).alias("cum_neg"),
+        F.sum("c_pos").over(wall).alias("n_pos"),
+        F.sum("c_neg").over(wall).alias("n_neg"))
+    d = F.abs(F.col("n_neg") * F.col("cum_pos")
+              - F.col("n_pos") * F.col("cum_neg"))
+    agg = cum.agg(F.max("n_pos").alias("n_pos"),
+                  F.max("n_neg").alias("n_neg"),
+                  F.max(d).alias("d_num"))
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+               F.lit(None).cast("double"))
+        .otherwise(F.col("d_num").cast("double")
+                   / (F.col("n_pos") * F.col("n_neg")))
+        .alias("ks_separation"))

@@ -4792,3 +4792,410 @@ def q_agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("support_ante").cast("double")
             * F.col("support_cons")))
         .cast("decimal(18,6)").cast("double").alias("lift"))
+
+
+# ---- Kendall tau-b rank correlation (A66) -------------------------------------
+
+
+@query(
+    "q_agg_kendall_tau",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.g,
+             SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y)
+                 THEN CAST(a.c AS DECIMAL(20,0)) * b.c ELSE 0 END) AS cc,
+             SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y)
+                 THEN CAST(a.c AS DECIMAL(20,0)) * b.c ELSE 0 END) AS dd
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      GROUP BY a.g
+    ),
+    ties AS (
+      SELECT g, SUM(c) AS n,
+             SUM(CAST(c AS DECIMAL(20,0)) * (c - 1)) AS t_xy2
+      FROM cells GROUP BY g
+    ),
+    tx AS (
+      SELECT g, SUM(CAST(cx AS DECIMAL(20,0)) * (cx - 1)) AS t_x2
+      FROM (SELECT g, x, SUM(c) AS cx FROM cells GROUP BY g, x) t
+      GROUP BY g
+    ),
+    ty AS (
+      SELECT g, SUM(CAST(cy AS DECIMAL(20,0)) * (cy - 1)) AS t_y2
+      FROM (SELECT g, y, SUM(c) AS cy FROM cells GROUP BY g, y) t
+      GROUP BY g
+    )
+    SELECT t.g AS l_returnflag,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(p.cc AS BIGINT) AS concordant,
+           CAST(p.dd AS BIGINT) AS discordant,
+           CASE WHEN (CAST(t.n AS DECIMAL(38,0)) * (t.n - 1) - tx.t_x2)
+                     * (CAST(t.n AS DECIMAL(38,0)) * (t.n - 1) - ty.t_y2)
+                     <= 0 THEN NULL
+                ELSE CAST(CAST(
+                  2.0 * (CAST(p.cc AS DOUBLE) - CAST(p.dd AS DOUBLE))
+                  / sqrt(CAST((CAST(t.n AS DECIMAL(38,0)) * (t.n - 1)
+                               - tx.t_x2) AS DOUBLE)
+                         * CAST((CAST(t.n AS DECIMAL(38,0)) * (t.n - 1)
+                                 - ty.t_y2) AS DOUBLE))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS kendall_tau_b
+    FROM ties t
+    JOIN pairs p ON p.g = t.g
+    JOIN tx ON tx.g = t.g
+    JOIN ty ON ty.g = t.g
+    """,
+    tags=("A66", "stats", "rank"),
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B per return-flag group (quantity vs discount) — the
+    pair-concordance member of the rank-correlation family: where A56's
+    Spearman measures monotonic association through average ranks,
+    tau-b counts CONCORDANT vs DISCORDANT pairs directly and carries a
+    cleaner interpretation (P(concord) − P(discord)) plus the textbook
+    tie correction: τ_b = (C−D)/√((n0−n1)(n0−n2)) with n0 = n(n−1)/2,
+    n1/n2 = Σ t(t−1)/2 over x/y tie blocks (carried doubled — the
+    factor 2 re-enters the numerator, validated vs the naive model).
+
+    Both metrics are LOW-CARDINALITY (50 quantities × 11 discounts), so
+    the whole computation collapses to the joint distinct-cell grain:
+    ONE hash aggregate of the fact table to ≤550 cells per group, then
+    a cell-pair self-join bounded by cardinality² — never rows² — with
+    every pair contributing c_a·c_b to C or D as an exact 128-bit
+    integer. Doubling both tie terms (t·(t−1), n·(n−1)) keeps every
+    intermediate integral — no /2 ever happens; the halves cancel in
+    the ratio. The scale contract: pair enumeration cost is a function
+    of value cardinality only, the fact table is touched once.
+
+    Determinism: C, D, and all tie sums are exact integers; τ_b is one
+    quantized IEEE expression; degenerate groups (all-tied x or y)
+    report NULL."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = (li.groupBy(F.col("l_returnflag").alias("g"),
+                        F.col("l_quantity").alias("x"),
+                        F.col("l_discount").alias("y"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    cells = cells.persist()
+    a, b = cells.alias("a"), cells.alias("b")
+    ax, ay, bx, by = (F.col("a.x"), F.col("a.y"),
+                      F.col("b.x"), F.col("b.y"))
+    prod = F.col("a.c").cast("decimal(20,0)") * F.col("b.c")
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & ((ax < bx) | ((ax == bx) & (ay < by))))
+             .groupBy(F.col("a.g").alias("g"))
+             .agg(F.sum(F.when(((ax < bx) & (ay < by))
+                               | ((ax > bx) & (ay > by)), prod)
+                        .otherwise(F.lit(0))).alias("cc"),
+                  F.sum(F.when(((ax < bx) & (ay > by))
+                               | ((ax > bx) & (ay < by)), prod)
+                        .otherwise(F.lit(0))).alias("dd")))
+    cd = F.col("c").cast("decimal(20,0)")
+    ties = cells.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(cd * (F.col("c") - 1)).alias("t_xy2"))
+    tx = (cells.groupBy("g", "x").agg(F.sum("c").alias("cx"))
+          .groupBy("g").agg(F.sum(F.col("cx").cast("decimal(20,0)")
+                                  * (F.col("cx") - 1)).alias("t_x2")))
+    ty = (cells.groupBy("g", "y").agg(F.sum("c").alias("cy"))
+          .groupBy("g").agg(F.sum(F.col("cy").cast("decimal(20,0)")
+                                  * (F.col("cy") - 1)).alias("t_y2")))
+    j = (ties.join(pairs, "g").join(tx, "g").join(ty, "g"))
+    n0x = (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+           - F.col("t_x2"))
+    n0y = (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+           - F.col("t_y2"))
+    # n0x/n0y are the DOUBLED (n0-n1)/(n0-n2): their product carries a
+    # factor 4, so the numerator needs the compensating factor 2
+    # (caught by the naive-model property test, invisible to the
+    # mirror - the oracle shared the derivation).
+    tau = (2.0 * (F.col("cc").cast("double") - F.col("dd").cast("double"))
+           / F.sqrt(n0x.cast("double") * n0y.cast("double")))
+    return j.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cc").cast("bigint").alias("concordant"),
+        F.col("dd").cast("bigint").alias("discordant"),
+        F.when((n0x * n0y) <= 0, F.lit(None).cast("double"))
+        .otherwise(tau.cast("decimal(18,6)").cast("double"))
+        .alias("kendall_tau_b"))
+
+
+# ---- Benford first-digit audit (A67) ------------------------------------------
+
+
+@query(
+    "q_agg_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n_obs,
+             SUM(COUNT(*)) OVER () AS n
+      FROM digits GROUP BY digit
+    ),
+    scored AS (
+      SELECT digit, n_obs, n,
+             CAST(CAST(CAST(n_obs AS DOUBLE) / n AS DECIMAL(18,9))
+                  AS DOUBLE) AS obs_share,
+             CAST(CAST(ln(1.0 + CAST(1.0 AS DOUBLE) / digit) / ln(10.0)
+                  AS DECIMAL(18,9)) AS DOUBLE) AS benford_share
+      FROM obs
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           obs_share, benford_share,
+           CAST(CAST(
+             (CAST(n_obs AS DOUBLE) - benford_share * n)
+             * (CAST(n_obs AS DOUBLE) - benford_share * n)
+             / (benford_share * n) AS DECIMAL(18,6)) AS DOUBLE)
+             AS chi2_term
+    FROM scored
+    """,
+    tags=("A67", "quality", "fraud"),
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT on order totals — the classic
+    fabricated-numbers screen: naturally-occurring multiplicative
+    amounts put digit d first with probability log10(1 + 1/d) (30.1%
+    of totals start with 1, 4.6% with 9); a synthetic or tampered feed
+    flattens that curve. Emits per digit the observed count/share, the
+    Benford share, and the χ² term — Σ terms is the audit statistic.
+
+    Digit extraction is STRING-EXACT, not float-log: the total casts to
+    DECIMAL(18,2) (exact rounding, identical HALF_UP both engines) and
+    the first character of its canonical decimal rendering is the
+    digit — no log10/pow boundary where 999.9999… and 1000.0 could
+    split engines. The only transcendental is the Benford constant
+    itself (ln, quantized at 9 dp).
+
+    Scale: one hash aggregate to ≤9 rows; the share window runs on the
+    digit relation. The fact table is scanned once."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        1, 1).cast("bigint")
+    obs = (o.select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+           .withColumn("n", F.sum("n_obs").over(
+               Window.partitionBy(F.lit(1)))))
+    obs_share = (F.col("n_obs").cast("double") / F.col("n")) \
+        .cast("decimal(18,9)").cast("double")
+    benford = (F.log(1.0 + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))) \
+        .cast("decimal(18,9)").cast("double")
+    scored = obs.select("digit", "n_obs", "n",
+                        obs_share.alias("obs_share"),
+                        benford.alias("benford_share"))
+    dev = F.col("n_obs").cast("double") - F.col("benford_share") * F.col("n")
+    return scored.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "obs_share", "benford_share",
+        (dev * dev / (F.col("benford_share") * F.col("n")))
+        .cast("decimal(18,6)").cast("double").alias("chi2_term"))
+
+
+# ---- Cochran-Armitage trend test (A68) ----------------------------------------
+
+# Outcome: a HIGH-VALUE purchase. Plain purchase penetration is 100% in
+# the harness corpus (every arm converts -> zero trend variance, NULL z
+# at every sf); the value floor puts conversion ~45% so the statistic
+# is live at all scales.
+TREND_VALUE_FLOOR = 150
+
+
+@query(
+    "q_ab_trend",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 3 AS arm,
+             MAX(CASE WHEN event_type = '{MWU_EVENT}'
+                       AND value > {TREND_VALUE_FLOOR}
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n_g, SUM(conv) AS r_g
+      FROM per_user GROUP BY arm
+    ),
+    tot AS (
+      SELECT SUM(n_g) AS n, SUM(r_g) AS r,
+             SUM(arm * r_g) AS wr, SUM(arm * n_g) AS wn,
+             SUM(arm * arm * n_g) AS wwn
+      FROM arms
+    ),
+    z AS (
+      SELECT n, r,
+             CAST(wr AS DOUBLE)
+               - CAST(r AS DOUBLE) / n * wn AS t_stat,
+             CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+               * (CAST(wwn AS DOUBLE)
+                  - CAST(wn AS DOUBLE) * wn / n) AS var_t
+      FROM tot
+    )
+    SELECT CAST(a.arm AS BIGINT) AS arm,
+           CAST(a.n_g AS BIGINT) AS n_users,
+           CAST(a.r_g AS BIGINT) AS responders,
+           CAST(CAST(CAST(a.r_g AS DOUBLE) / a.n_g AS DECIMAL(18,6))
+                AS DOUBLE) AS resp_rate,
+           CASE WHEN z.var_t <= 0 THEN NULL
+                ELSE CAST(CAST(z.t_stat / sqrt(z.var_t)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS z_trend
+    FROM arms a, z
+    """,
+    tags=("A68", "abtest", "trend"),
+)
+def q_ab_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND TEST across the three id-residue arms
+    (dose scores w = 0, 1, 2): does the HIGH-VALUE-purchase conversion
+    rate (value > {TREND_VALUE_FLOOR}) rise MONOTONICALLY
+    with the dose? The A/B family's ordered-groups member — A41's
+    two-proportion z can't see a trend across 3+ arms and A46's ANOVA
+    ignores their ordering; this weights each arm by its dose:
+    T = Σw·r_g − p̄·Σw·n_g,  Var = p̄(1−p̄)(Σw²n_g − (Σw·n_g)²/N),
+    z = T/√Var. Emits per-arm rates plus the shared trend z.
+
+    Scale: ONE user-grain aggregate (conversion = MAX over the user's
+    events, partial-aggregatable) then a 3-row arm relation; every
+    moment is an exact integer until the final quantized IEEE
+    expression. Degenerate variance (all-converted, single arm)
+    reports NULL."""
+    e = load(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == MWU_EVENT)
+                                  & (F.col("value") > TREND_VALUE_FLOOR),
+                                  1)
+                           .otherwise(0)).alias("conv"))
+                .select(F.pmod(F.col("user_id"), F.lit(3)).alias("arm"),
+                        "conv"))
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("conv").alias("r_g"))
+    arms = arms.persist()
+    tot = arms.agg(
+        F.sum("n_g").alias("n"), F.sum("r_g").alias("r"),
+        F.sum(F.col("arm") * F.col("r_g")).alias("wr"),
+        F.sum(F.col("arm") * F.col("n_g")).alias("wn"),
+        F.sum(F.col("arm") * F.col("arm") * F.col("n_g")).alias("wwn"))
+    p = F.col("r").cast("double") / F.col("n")
+    z = tot.select(
+        (F.col("wr").cast("double") - p * F.col("wn")).alias("t_stat"),
+        (p * (1.0 - p)
+         * (F.col("wwn").cast("double")
+            - F.col("wn").cast("double") * F.col("wn") / F.col("n")))
+        .alias("var_t"))
+    out = arms.crossJoin(F.broadcast(z))
+    return out.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n_g").cast("bigint").alias("n_users"),
+        F.col("r_g").cast("bigint").alias("responders"),
+        (F.col("r_g").cast("double") / F.col("n_g"))
+        .cast("decimal(18,6)").cast("double").alias("resp_rate"),
+        F.when(F.col("var_t") <= 0, F.lit(None).cast("double"))
+        .otherwise((F.col("t_stat") / F.sqrt(F.col("var_t")))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("z_trend"))
+
+
+# ---- Exact trimmed mean (A69) --------------------------------------------------
+
+TRIM_DEN = 10   # trim floor(n/10) rows from each tail (10%)
+TRIM_BINS = 256
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    kept AS (
+      SELECT g, x, n, n // {TRIM_DEN} AS k
+      FROM ranked
+      WHERE rk > n // {TRIM_DEN} AND rk <= n - n // {TRIM_DEN}
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)
+                     / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+             AS trimmed_mean
+    FROM kept GROUP BY g
+    """,
+    tags=("A69", "A30", "robust"),
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10%-TRIMMED MEAN per return-flag group — the robust-center
+    statistic between A36's median and the raw mean (drop the
+    floor(n/10) smallest and largest values, average the rest), and
+    the A27/A30 binning recipe EXTENDED from rank lookup to a trimmed
+    AGGREGATE: interior bins (entirely inside the kept rank range)
+    contribute their pre-aggregated (count, Σx) WITHOUT any per-row
+    ranking; only the two boundary-straddling bins rank their own rows
+    (window per (group, bin) partition — parallel, bounded by ~n/bins
+    rows). Nothing ever globally sorts: the 100 TB trimmed mean costs
+    two scans plus two bin-local sorts.
+
+    Ties at a trim boundary are harmless: any rank permutation among
+    equal values keeps the same multiset, so the sum is identical.
+    Sums ride exact decimal(20,6); the final mean is one quantized
+    IEEE division. Oracle = textbook global-sort rank filter."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("x"))
+    stats = li.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("lo"), F.max("x").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("x") - F.col("lo")) * TRIM_BINS / span),
+        F.lit(TRIM_BINS - 1))).cast("int")
+    binned = li.join(F.broadcast(stats), "g").select(
+        "g", "x", "n", bin_of.alias("bin"))
+    hist = binned.groupBy("g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("x").cast("decimal(20,6)")).alias("s"),
+        F.max("n").alias("n"))
+    wcum = (Window.partitionBy("g").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    spans = hist.select(
+        "g", "bin", "cnt", "s", "n",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("off"),
+        F.expr(f"n div {TRIM_DEN}").alias("k"))
+    lo_keep, hi_keep = F.col("k") + 1, F.col("n") - F.col("k")
+    start, end = F.col("off") + 1, F.col("off") + F.col("cnt")
+    interior = spans.where((start >= lo_keep) & (end <= hi_keep)) \
+        .select("g", "s", F.col("cnt").alias("m"))
+    boundary_bins = spans.where(
+        ~((start >= lo_keep) & (end <= hi_keep))
+        & (end >= lo_keep) & (start <= hi_keep)) \
+        .select("g", "bin", "off", "k", F.col("n").alias("nb"))
+    wbin = Window.partitionBy("g", "bin").orderBy("x")
+    brows = (binned.join(F.broadcast(boundary_bins), ["g", "bin"])
+             .withColumn("rk", F.col("off") + F.row_number().over(wbin))
+             .where((F.col("rk") > F.col("k"))
+                    & (F.col("rk") <= F.col("nb") - F.col("k")))
+             .groupBy("g").agg(
+                 F.sum(F.col("x").cast("decimal(20,6)")).alias("s"),
+                 F.count(F.lit(1)).alias("m")))
+    parts = interior.unionByName(brows)
+    agg = parts.groupBy("g").agg(
+        F.sum("s").alias("total"), F.sum("m").alias("kept"))
+    out = agg.join(F.broadcast(stats.select("g", "n")), "g")
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("kept").cast("bigint").alias("n_kept"),
+        (F.col("total").cast("double") / F.col("kept"))
+        .cast("decimal(18,6)").cast("double").alias("trimmed_mean"))

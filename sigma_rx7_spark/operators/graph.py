@@ -745,3 +745,171 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("deg_b").cast("bigint").alias("deg_b"),
                     "jaccard",
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+# ---- Local clustering coefficient (L1r) ----------------------------------------
+
+CC_MAX_NEIGHBORS = 32  # same K-cap discipline as link prediction
+
+
+def _clustering_oracle() -> str:
+    return f"""
+    WITH li AS ({_capped_li_sql()}
+    ), edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+    ), adj AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM edges
+      ) AS t WHERE rn <= {CC_MAX_NEIGHBORS}
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM adj GROUP BY src
+    ), wedge AS (
+      SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+      FROM adj e1 JOIN adj e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ), tri AS (
+      SELECT w.v, COUNT(*) AS t
+      FROM wedge w
+      WHERE EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = w.a AND e.dst = w.b)
+      GROUP BY w.v
+    )
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS closed_wedges,
+           CASE WHEN d.d < 2 THEN NULL
+                ELSE CAST(CAST(2.0 * COALESCE(t.t, 0)
+                               / (CAST(d.d AS DOUBLE) * (d.d - 1))
+                          AS DECIMAL(18,6)) AS DOUBLE) END
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tri t ON t.v = d.node
+    """
+
+
+@query("q_graph_clustering", oracle=_clustering_oracle(),
+       tags=("L1r", "graph"))
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE LOCAL CLUSTERING COEFFICIENT over the co-purchase
+    graph: cc(v) = closed wedges at v / (deg(v) choose 2) — "how
+    cliquish is this part's neighborhood", the node-local refinement
+    of L1e's global triangle census and the structural feature
+    link-prediction models consume next to L1m's Jaccard.
+
+    Same K-capped adjacency discipline as L1m (deterministic
+    {CC_MAX_NEIGHBORS} smallest neighbors per node): wedge enumeration
+    is bounded by nodes·K² structurally, never Σdeg² on a hub; wedge
+    closure is ONE left-semi join against the edge relation (no
+    payload materialized); the coefficient is exact-integer wedge
+    counts into one quantized division. Nodes with deg < 2 (no wedge
+    possible) report NULL."""
+    edges = _persist_tracked(
+        copurchase_edges(load(spark, sf_dir, "lineitem")))
+    wadj = Window.partitionBy("src").orderBy("dst")
+    adj = _persist_tracked(
+        edges.withColumn("rn", F.row_number().over(wadj))
+        .where(F.col("rn") <= CC_MAX_NEIGHBORS).drop("rn"))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = adj.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+    e2 = adj.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "v").where(F.col("a") < F.col("b"))
+    tri = (wedges.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_semi")
+        .groupBy("v").agg(F.count(F.lit(1)).alias("t")))
+    out = (deg.withColumnRenamed("src", "node")
+           .join(tri.withColumnRenamed("v", "node"), "node", "left"))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    cc = (2.0 * t / (F.col("d").cast("double") * (F.col("d") - 1)))
+    return out.select(
+        "node", F.col("d").cast("bigint").alias("degree"),
+        t.cast("bigint").alias("closed_wedges"),
+        F.when(F.col("d") < 2, F.lit(None).cast("double"))
+        .otherwise(cc.cast("decimal(18,6)").cast("double"))
+        .alias("clustering_coeff"))
+
+
+# ---- Degree assortativity (L1s) -------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+    WITH li AS ({_capped_li_sql()}
+    ), edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), ed AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ), mom AS (
+      SELECT COUNT(*) AS m,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
+      FROM ed
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CASE WHEN (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                  OR (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                THEN NULL
+                ELSE CAST(CAST(
+                  (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS assortativity
+    FROM mom
+    """
+
+
+@query("q_graph_assortativity", oracle=_assortativity_oracle(),
+       tags=("L1s", "graph"))
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph — Pearson
+    correlation of endpoint degrees over the directed edge list
+    (Newman's r): positive = hubs buy with hubs (assortative mixing,
+    social-network-like), negative = hubs connect to leaves
+    (disassortative, catalog-like). The one-scalar structural summary
+    that tells you whether hub-aware strategies (orientation, salting,
+    K-caps) will pay off on THIS graph before you run them.
+
+    Scale: degrees from one edge aggregate; two degree lookups joined
+    back onto edges (the degree relation is node-sized — broadcast at
+    any realistic node count); five exact integer moments through
+    decimal(19,0) products (int128, no overflow at any Σdeg² a capped
+    graph can produce); one quantized IEEE expression. The fact table
+    is touched once by the shared capped edge build."""
+    edges = _persist_tracked(
+        copurchase_edges(load(spark, sf_dir, "lineitem")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = (edges
+          .join(F.broadcast(deg.select(F.col("src"),
+                                       F.col("d").alias("x"))), "src")
+          .join(F.broadcast(deg.select(F.col("src").alias("dst"),
+                                       F.col("d").alias("y"))), "dst"))
+    mom = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"))
+    m = F.col("m")
+    vx = m * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = m * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    r = ((m * F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy").cast("double"))
+         / F.sqrt(vx * vy))
+    return mom.select(
+        m.cast("bigint").alias("n_edges"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(r.cast("decimal(18,6)").cast("double"))
+        .alias("assortativity"))

@@ -612,3 +612,79 @@ def q_mv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").cast("bigint").alias("n_events"),
              F.sum("sum_value_dec").cast("double").alias("sum_value"))
     )
+
+
+# ---- Incremental join-view maintenance (M7) -------------------------------------
+
+JV_CUTOFF = "1999-01-01"   # orders on/after this date are the fact delta
+JV_CUST_MOD = 20           # customers with custkey % 20 == 0 are the dim delta
+
+
+@query(
+    "q_mv_join_maintenance",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+                              >= DATE '{JV_CUTOFF}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("M7", "materialized-view", "delta-join"),
+)
+def q_mv_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN-VIEW MAINTENANCE under inserts on BOTH sides —
+    the delta algebra every materialized join view runs on:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+          = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    Here A = pre-{JV_CUTOFF} orders, ΔA = the new day's orders, B =
+    established customers, ΔB = newly-registered ones (custkey %
+    {JV_CUST_MOD} == 0). The maintained view is the UNION of the four
+    terms — the first is the stored snapshot a real system never
+    recomputes; the three delta terms are the maintenance work, each
+    bounded by a delta's size times join selectivity. The ORACLE is
+    the monolithic join: a green hash proves the delta algebra loses
+    and invents nothing (M5's agg-maintenance proof, lifted to joins).
+
+    Scale: the three maintenance joins broadcast whichever side is a
+    delta (ΔA⋈B broadcasts nothing extra here because B's slice also
+    broadcasts at dim scale — at 100 TB it becomes shuffle-on-key with
+    the SNAPSHOT term untouched on disk); the per-nation aggregate is
+    partial+final. n_from_delta exposes the fact-delta volume so a
+    driver check can see the split was non-trivial."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cut = F.lit(JV_CUTOFF).cast("date")
+    is_new_o = F.to_date("o_orderdate") >= cut
+    is_new_c = F.pmod(F.col("c_custkey"), F.lit(JV_CUST_MOD)) == 0
+    base_o, delta_o = o.where(~is_new_o), o.where(is_new_o)
+    base_c, delta_c = c.where(~is_new_c), c.where(is_new_c)
+    cols = [F.col("o_custkey"), F.col("o_totalprice"),
+            F.to_date("o_orderdate").alias("od"), F.col("c_nationkey")]
+
+    def term(fact, dim):
+        return fact.join(F.broadcast(dim),
+                         fact.o_custkey == dim.c_custkey).select(*cols)
+
+    view = (term(base_o, base_c)            # the stored snapshot
+            .unionByName(term(delta_o, base_c))
+            .unionByName(term(base_o, delta_c))
+            .unionByName(term(delta_o, delta_c)))
+    return (view.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.when(F.col("od") >= cut, 1).otherwise(0))
+                 .alias("n_from_delta"),
+                 F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                 .alias("rev"))
+            .select("c_nationkey",
+                    F.col("n_orders").cast("bigint").alias("n_orders"),
+                    F.col("n_from_delta").cast("bigint")
+                    .alias("n_from_delta"),
+                    F.col("rev").cast("decimal(18,2)").cast("double")
+                    .alias("revenue")))

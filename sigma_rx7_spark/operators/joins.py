@@ -494,3 +494,76 @@ def q_join_supplier_league(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_name").alias("nation"), "revenue",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---- Bloom-pruned join (semi-join reduction, J13) -------------------------------
+
+BJ_NATIONS = 5  # build side: suppliers of nations 0..4 (selective dim)
+
+
+@query(
+    "q_join_bloom_filtered",
+    oracle=f"""
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey < {BJ_NATIONS}
+    GROUP BY s.s_nationkey
+    """,
+    tags=("J13", "join", "bloom", "runtime-filter"),
+)
+def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED JOIN (explicit semi-join reduction): revenue per
+    supplier nation for a SELECTIVE dimension slice, with the fact
+    table pre-filtered by a Bloom filter of the build-side keys BEFORE
+    it ever reaches the join — the runtime-filter technique every
+    warehouse engine applies implicitly (and Spark itself via
+    spark.sql.optimizer.runtime.bloomFilter), here materialized as an
+    explicit, engine-portable operator: md5-sliced hash positions
+    (A51's convention) into an m-bit set carried as ONE array literal
+    broadcast with the plan; a row survives iff ALL k positions are
+    set (`forall` over the position array — JVM codegen, no UDF).
+
+    The ORACLE is the PLAIN join with no bloom anywhere: a green hash
+    proves the reduction is semantics-free (no false negatives — the
+    Bloom guarantee; false positives die in the real join that
+    follows). At 100 TB the payoff is shuffle avoidance: the filter
+    runs map-side on the scan, so only passing rows (true matches +
+    the measured ~0.1% false positives) pay the join's exchange.
+
+    Scale: the filter is ≤ {BLOOM_BITS} positions regardless of build
+    cardinality; the dim side broadcasts; the fact is scanned once."""
+    from .aggregates import BLOOM_BITS, BLOOM_HASHES
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < BJ_NATIONS)
+
+    def bloom_pos(key) -> list:
+        h = F.md5(key.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+            % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    bitset = (s.select(F.explode(F.array(*bloom_pos(F.col("s_suppkey"))))
+                       .alias("pos"))
+              .agg(F.array_sort(F.collect_set("pos")).alias("bits")))
+    probe = li.crossJoin(F.broadcast(bitset)).where(
+        F.forall(F.array(*bloom_pos(F.col("l_suppkey"))),
+                 lambda p: F.array_contains(F.col("bits"), p)))
+    joined = probe.join(F.broadcast(s), probe.l_suppkey == s.s_suppkey)
+    # per-row product in DOUBLE, quantized once to decimal(20,6) (the
+    # repo's revenue discipline): decimal x decimal would pick up
+    # engine-specific scale caps mid-product.
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(20,6)"))
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("r"))
+            .select("s_nationkey",
+                    F.col("n_lines").cast("bigint").alias("n_lines"),
+                    F.col("r").cast("double").alias("revenue")))

@@ -1361,3 +1361,103 @@ def q_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("tvd_term").cast("double")
                    .cast("decimal(18,6)").cast("double"))
         .alias("tvd"))
+
+
+# ---- Cramér-von Mises two-sample drift test (Q18) -------------------------------
+
+_CVM_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI/KS screens
+
+
+@query(
+    "q_drift_cvm",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CVM_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT v, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT c_a + c_b AS w,
+             SUM(c_a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_b,
+             SUM(c_a) OVER () AS n_a,
+             SUM(c_b) OVER () AS n_b
+      FROM per_value
+    ),
+    agg AS (
+      SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             SUM(CAST(w AS DECIMAL(38,0))
+                 * (CAST(n_b AS DECIMAL(19,0)) * cum_a
+                    - CAST(n_a AS DECIMAL(19,0)) * cum_b)
+                 * (CAST(n_b AS DECIMAL(19,0)) * cum_a
+                    - CAST(n_a AS DECIMAL(19,0)) * cum_b)) AS num
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE CAST(CAST(
+                  CAST(num AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * n_b
+                     * (CAST(n_a AS DOUBLE) + n_b)
+                     * (CAST(n_a AS DOUBLE) + n_b))
+                  AS DECIMAL(18,9)) AS DOUBLE) END AS cvm_t
+    FROM agg
+    """,
+    tags=("Q18", "drift", "cvm-test"),
+)
+def q_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR-VON MISES TWO-SAMPLE TEST between the before/after halves
+    of the event-value stream (same cutoff as PSI/KS): T = n·m/N² ·
+    Σ_pooled (F_a − F_b)² — where Q13's KS reads only the single WORST
+    ECDF gap, CvM integrates the squared gap over the whole pooled
+    sample, so a broad mild shift that never produces one extreme gap
+    (KS-blind by construction) still scores. Completes the drift
+    trio: PSI (binned magnitude), KS (max gap), CvM (integrated gap).
+
+    Same integer-ECDF discipline as Q13 taken one power higher: each
+    distinct value contributes w·(m·cumA − n·cumB)² with every factor
+    an exact int128 decimal (no fraction ever summed), and the final
+    statistic is ONE quantized IEEE division by n·m·N². The shuffle
+    carries the distinct-value relation; the window is the family's
+    shared prefix sum over values."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < F.lit(_CVM_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_value = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_value.select(
+        (F.col("c_a") + F.col("c_b")).alias("w"),
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"))
+    gap = (F.col("n_b").cast("decimal(19,0)") * F.col("cum_a")
+           - F.col("n_a").cast("decimal(19,0)") * F.col("cum_b"))
+    agg = cum.agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.sum(F.col("w").cast("decimal(38,0)") * gap * gap).alias("num"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    nn = n_a.cast("double") + n_b
+    t = (F.col("num").cast("double")
+         / (n_a.cast("double") * n_b * nn * nn))
+    return agg.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
+        .otherwise(t.cast("decimal(18,9)").cast("double"))
+        .alias("cvm_t"))

@@ -1889,3 +1889,176 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         (F.col("cum_revenue").cast("double") / F.col("cohort_size"))
         .cast("decimal(18,6)").cast("double").alias("ltv_per_customer"))
+
+
+# ---- Autocorrelation function (W41) --------------------------------------------
+
+ACF_MAX_LAG = 7
+ACF_EVENT = "purchase"
+
+
+@query(
+    "q_ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM daily
+    ),
+    lagged AS (
+      SELECT l.lag, COUNT(*) AS m,
+             CAST(SUM(CAST(a.v AS DECIMAL(19,6))
+                      * CAST(b.v AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.v AS DECIMAL(20,6))) AS DOUBLE) AS sh,
+             CAST(SUM(CAST(b.v AS DECIMAL(20,6))) AS DOUBLE) AS st
+      FROM range(1, {ACF_MAX_LAG} + 1) l(lag)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+      GROUP BY l.lag
+    )
+    SELECT CAST(g.lag AS BIGINT) AS lag,
+           CAST(g.m AS BIGINT) AS n_pairs,
+           CASE WHEN b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n) <= 0
+                     OR g.m = 0 THEN NULL
+                ELSE CAST(CAST(
+                  (g.sxy - (b.s1 / b.n) * (g.sh + g.st)
+                   + g.m * (b.s1 / b.n) * (b.s1 / b.n))
+                  / (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS acf
+    FROM lagged g, base b
+    """,
+    tags=("W41", "timeseries", "acf"),
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of daily purchase revenue at lags
+    1..{ACF_MAX_LAG} — the first diagnostic every forecasting effort
+    runs (a lag-7 spike says "weekly seasonality: use W28's
+    decomposition / the seasonal-naive backtest"; fast decay says the
+    series is noise). acf(ℓ) = Σ(v_t−v̄)(v_{{t+ℓ}}−v̄) / Σ(v_t−v̄)²,
+    expanded to raw moments so every SUM is an exact decimal: the
+    centered products are algebra over (Σv_t·v_{{t+ℓ}}, head/tail sums,
+    global Σv, Σv²) — no per-term double summation whose order could
+    differ across engines, no NULL-padding windows.
+
+    Scale: the fact table collapses to the DAY grain once; lag pairs
+    are an equi self-join of that bounded relation against a
+    {ACF_MAX_LAG}-row lag table (broadcast both ways at any horizon —
+    a window would serialize the whole series in one partition);
+    decimal(19,6) squares land exactly on the int128 38-cap."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v"))
+             .select("day", F.col("v").cast("decimal(19,6)").alias("v")))
+    daily = daily.persist()
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)) \
+        .select("lag", F.col("day"), F.col("v").alias("va"),
+                F.date_add(F.col("day"), F.col("lag")).alias("day_b"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("v").alias("vb"))
+    lagged = (a.join(b, "day_b")
+              .groupBy("lag")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum(F.col("va") * F.col("vb")).cast("double")
+                   .alias("sxy"),
+                   F.sum(F.col("va").cast("decimal(20,6)"))
+                   .cast("double").alias("sh"),
+                   F.sum(F.col("vb").cast("decimal(20,6)"))
+                   .cast("double").alias("st")))
+    out = lagged.crossJoin(F.broadcast(base))
+    mean = F.col("s1") / F.col("n")
+    den = F.col("s2") - F.col("n") * mean * mean
+    num = (F.col("sxy") - mean * (F.col("sh") + F.col("st"))
+           + F.col("m") * mean * mean)
+    return out.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.when((den <= 0) | (F.col("m") == 0),
+               F.lit(None).cast("double"))
+        .otherwise((num / den).cast("decimal(18,6)").cast("double"))
+        .alias("acf"))
+
+
+# ---- Day-of-week seasonality index (W42) ---------------------------------------
+
+
+@query(
+    "q_ts_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_all,
+             SUM(CAST(v AS DECIMAL(20,6))) AS s_all
+      FROM daily
+    )
+    SELECT CAST(date_part('dow', day) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE)
+                     / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+             AS avg_revenue,
+           CAST(CAST(
+             (CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*))
+             / (CAST(MAX(t.s_all) AS DOUBLE) / MAX(t.n_all))
+             AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_index
+    FROM daily, tot t
+    GROUP BY 1
+    """,
+    tags=("W42", "timeseries", "seasonality"),
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL INDEX of purchase revenue: mean daily
+    revenue per weekday divided by the overall mean daily revenue —
+    index 1.3 on Friday means Fridays run 30% hot, the multiplicative
+    seasonality factor W28's decomposition estimates and the
+    seasonal-naive backtest implicitly assumes stable. The
+    classical-decomposition companion read at the weekday grain.
+
+    Determinism: dow is calendar arithmetic (Spark dayofweek−1 aligned
+    to DuckDB's 0=Sunday date_part), both means are exact-decimal sums
+    into one quantized IEEE division each.
+
+    Scale: fact table → day grain (one agg), day grain → 7 rows (one
+    agg) with the 1-row global total broadcast back; nothing bigger
+    than the day relation ever shuffles."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v")))
+    daily = daily.persist()
+    tot = daily.agg(F.count(F.lit(1)).alias("n_all"),
+                    F.sum(F.col("v").cast("decimal(20,6)"))
+                    .alias("s_all"))
+    bydow = (daily.groupBy((F.dayofweek("day") - 1).alias("dow"))
+             .agg(F.count(F.lit(1)).alias("n_days"),
+                  F.sum(F.col("v").cast("decimal(20,6)")).alias("s")))
+    out = bydow.crossJoin(F.broadcast(tot))
+    avg_rev = F.col("s").cast("double") / F.col("n_days")
+    overall = F.col("s_all").cast("double") / F.col("n_all")
+    return out.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        avg_rev.cast("decimal(18,6)").cast("double").alias("avg_revenue"),
+        (avg_rev / overall).cast("decimal(18,6)").cast("double")
+        .alias("seasonal_index"))

@@ -1,0 +1,331 @@
+"""Round-11 property tests: every new statistical operator validated
+against a naive pure-Python/numpy model (engine parity alone cannot
+catch a formula that is wrong identically on both sides — the r8
+discipline, continued).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+
+def _fetch(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "supplier", "lineitem", "events",
+              "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_kendall_matches_naive_pair_count(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT l_returnflag, l_quantity, l_discount "
+                          "FROM lineitem")
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((float(x), float(y)))
+    got = {r["l_returnflag"]: r for r in
+           registry.get("q_agg_kendall_tau").fn(spark, sf_dir).collect()}
+    for g, pts in by_g.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        prod = dx * dy
+        iu = np.triu_indices(len(pts), k=1)
+        conc = int((prod[iu] > 0).sum())
+        disc = int((prod[iu] < 0).sum())
+        n = len(pts)
+        n0 = n * (n - 1) // 2
+        n1 = sum(c * (c - 1) // 2
+                 for c in np.unique(x, return_counts=True)[1])
+        n2 = sum(c * (c - 1) // 2
+                 for c in np.unique(y, return_counts=True)[1])
+        row = got[g]
+        assert row["concordant"] == conc
+        assert row["discordant"] == disc
+        tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(row["kendall_tau_b"] - tau) < 2e-6
+
+
+def test_trimmed_mean_matches_naive_sort(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT l_returnflag, l_extendedprice "
+                          "FROM lineitem")
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(float(x))
+    got = {r["l_returnflag"]: r for r in
+           registry.get("q_agg_trimmed_mean").fn(spark, sf_dir).collect()}
+    for g, xs in by_g.items():
+        xs.sort()
+        k = len(xs) // 10
+        kept = xs[k:len(xs) - k]
+        row = got[g]
+        assert row["n_rows"] == len(xs)
+        assert row["n_kept"] == len(kept)
+        assert abs(row["trimmed_mean"] - sum(kept) / len(kept)) < 1e-4
+
+
+def test_trend_matches_naive_formula(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT user_id % 3,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id""")
+    n = [0, 0, 0]
+    r = [0, 0, 0]
+    for arm, conv in rows:
+        n[arm] += 1
+        r[arm] += conv
+    nn, rr = sum(n), sum(r)
+    p = rr / nn
+    t_stat = sum(w * r[w] for w in range(3)) \
+        - p * sum(w * n[w] for w in range(3))
+    var = p * (1 - p) * (sum(w * w * n[w] for w in range(3))
+                         - sum(w * n[w] for w in range(3)) ** 2 / nn)
+    got = {row["arm"]: row for row in
+           registry.get("q_ab_trend").fn(spark, sf_dir).collect()}
+    for arm in range(3):
+        assert got[arm]["n_users"] == n[arm]
+        assert got[arm]["responders"] == r[arm]
+        if var > 0:
+            assert abs(got[arm]["z_trend"] - t_stat / math.sqrt(var)) \
+                < 2e-6
+
+
+def test_acf_matches_naive_series(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    daily = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day, CAST(SUM(CAST(value AS DECIMAL(20,6)))
+                              AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    series = {d: v for d, v in daily}
+    vals = np.array([v for _, v in daily])
+    mean = vals.sum() / len(vals)
+    den = (vals * vals).sum() - len(vals) * mean * mean
+    got = {r["lag"]: r for r in
+           registry.get("q_ts_acf").fn(spark, sf_dir).collect()}
+    import datetime
+    for lag in range(1, 8):
+        pairs = [(v, series[d + datetime.timedelta(days=lag)])
+                 for d, v in daily
+                 if d + datetime.timedelta(days=lag) in series]
+        assert got[lag]["n_pairs"] == len(pairs)
+        num = sum(a * b for a, b in pairs) \
+            - mean * (sum(a for a, _ in pairs)
+                      + sum(b for _, b in pairs)) \
+            + len(pairs) * mean * mean
+        assert abs(got[lag]["acf"] - num / den) < 1e-4
+
+
+def test_seasonality_matches_naive(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    daily = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS day, CAST(SUM(CAST(value AS DECIMAL(20,6)))
+                              AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1""")
+    overall = sum(v for _, v in daily) / len(daily)
+    by_dow = {}
+    for d, v in daily:
+        by_dow.setdefault((d.weekday() + 1) % 7, []).append(v)
+    got = {r["dow"]: r for r in
+           registry.get("q_ts_seasonality").fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_dow)
+    for dow, vs in by_dow.items():
+        assert got[dow]["n_days"] == len(vs)
+        assert abs(got[dow]["seasonal_index"]
+                   - (sum(vs) / len(vs)) / overall) < 1e-5
+
+
+def test_clustering_matches_naive_sets(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.graph import CC_MAX_NEIGHBORS
+
+    edges = _fetch(sf_dir, """
+        WITH li AS (
+          SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p)
+                     AS rn
+            FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem) d) s
+          WHERE rn <= 32)
+        SELECT DISTINCT a.p, b.p FROM li a
+        JOIN li b ON a.o = b.o AND a.p <> b.p""")
+    full = {}
+    for s, d in edges:
+        full.setdefault(s, set()).add(d)
+    capped = {v: set(sorted(ns)[:CC_MAX_NEIGHBORS])
+              for v, ns in full.items()}
+    got = {r["node"]: r for r in
+           registry.get("q_graph_clustering").fn(spark, sf_dir).collect()}
+    assert set(got) == set(capped)
+    for v, ns in capped.items():
+        deg = len(ns)
+        closed = sum(1 for a in ns for b in ns
+                     if a < b and b in full.get(a, ()))
+        row = got[v]
+        assert row["degree"] == deg
+        assert row["closed_wedges"] == closed
+        if deg < 2:
+            assert row["clustering_coeff"] is None
+        else:
+            assert abs(row["clustering_coeff"]
+                       - 2.0 * closed / (deg * (deg - 1))) < 2e-6
+            assert 0.0 <= row["clustering_coeff"] <= 1.0
+
+
+def test_assortativity_matches_naive(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    edges = _fetch(sf_dir, """
+        WITH li AS (
+          SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p)
+                     AS rn
+            FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem) d) s
+          WHERE rn <= 32)
+        SELECT DISTINCT a.p, b.p FROM li a
+        JOIN li b ON a.o = b.o AND a.p <> b.p""")
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = np.array([deg[s] for s, _ in edges], dtype=float)
+    ys = np.array([deg[d] for _, d in edges], dtype=float)
+    m = len(edges)
+    num = m * (xs * ys).sum() - xs.sum() * ys.sum()
+    den = math.sqrt((m * (xs * xs).sum() - xs.sum() ** 2)
+                    * (m * (ys * ys).sum() - ys.sum() ** 2))
+    [row] = registry.get("q_graph_assortativity").fn(
+        spark, sf_dir).collect()
+    assert row["n_edges"] == m
+    assert abs(row["assortativity"] - num / den) < 2e-6
+
+
+def test_cvm_matches_naive_pooled_ecdf(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END
+        FROM events""")
+    a = sorted(float(v) for v, i in rows if i == 1)
+    b = sorted(float(v) for v, i in rows if i == 0)
+    na, nb = len(a), len(b)
+    pooled = sorted(a + b)
+    aa, bb = np.array(a), np.array(b)
+    t = 0.0
+    for x in pooled:
+        fa = np.searchsorted(aa, x, side="right") / na
+        fb = np.searchsorted(bb, x, side="right") / nb
+        t += (fa - fb) ** 2
+    t *= na * nb / (na + nb) ** 2
+    [row] = registry.get("q_drift_cvm").fn(spark, sf_dir).collect()
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["cvm_t"] - t) < 1e-6
+
+
+def test_ml_ks_matches_naive_cdf_gap(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.llm.pipeline import (_sigmoid_q,
+                                              fit_quality_weights,
+                                              quality_features)
+    from pyspark.sql import functions as F
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = [(r["y"], r["p"]) for r in
+              feats.crossJoin(F.broadcast(w))
+              .select("y", p.alias("p")).collect()]
+    pos = sorted(pp for y, pp in scored if y == 1.0)
+    neg = sorted(pp for y, pp in scored if y != 1.0)
+    ks = max(abs(np.searchsorted(pos, x, side="right") / len(pos)
+                 - np.searchsorted(neg, x, side="right") / len(neg))
+             for x in sorted(set(pos + neg)))
+    [row] = registry.get("q_ml_ks").fn(spark, sf_dir).collect()
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["ks_separation"] - ks) < 1e-9
+    assert 0.0 <= row["ks_separation"] <= 1.0
+
+
+def test_benford_matches_naive_digits(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir,
+                  "SELECT o_totalprice FROM orders WHERE o_totalprice > 0")
+    digits = {}
+    for (v,) in rows:
+        d = int(str(Decimal(str(v)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP))[0])
+        digits[d] = digits.get(d, 0) + 1
+    n = sum(digits.values())
+    got = {r["digit"]: r for r in
+           registry.get("q_agg_benford").fn(spark, sf_dir).collect()}
+    assert set(got) == set(digits)
+    chi2 = 0.0
+    for d, cnt in digits.items():
+        exp_share = math.log10(1 + 1 / d)
+        row = got[d]
+        assert row["n_obs"] == cnt
+        assert abs(row["obs_share"] - cnt / n) < 1e-8
+        assert abs(row["benford_share"] - exp_share) < 1e-8
+        chi2 += (cnt - exp_share * n) ** 2 / (exp_share * n)
+        assert abs(row["chi2_term"]
+                   - (cnt - row["benford_share"] * n) ** 2
+                   / (row["benford_share"] * n)) < 1e-4
+    assert chi2 >= 0
+
+
+def test_mv_join_maintenance_split_is_nontrivial(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.operators.incremental import (JV_CUST_MOD,
+                                                       JV_CUTOFF)
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n_delta_o = o.where(
+        F.to_date("o_orderdate") >= F.lit(JV_CUTOFF).cast("date")).count()
+    n_delta_c = c.where(
+        F.pmod(F.col("c_custkey"), F.lit(JV_CUST_MOD)) == 0).count()
+    assert n_delta_o > 0 and n_delta_c > 0  # both deltas exercise
+    rows = registry.get("q_mv_join_maintenance").fn(
+        spark, sf_dir).collect()
+    assert sum(r["n_from_delta"] for r in rows) == n_delta_o
+    assert sum(r["n_orders"] for r in rows) == o.count()
+
+
+def test_bloom_filtered_join_plan_prunes_before_join(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.plans.inspect import formatted_plan
+
+    df = registry.get("q_join_bloom_filtered").fn(spark, sf_dir)
+    p = formatted_plan(df)
+    # the forall membership filter runs below the join in the tree
+    assert "forall" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
