@@ -89,69 +89,73 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 10 window. The r9 window banked green for every name in it
-    # (CORRECTNESS_r09 50/50), keeping the cumulative ledger closed —
-    # so this window's job is again FRESHNESS (r9 verdict item 1):
-    # the 21 round-10 additions enter on first exposure, then every
-    # remaining slot re-banks the stalest greens in
-    # `rotation_candidates.py --age` order (the displaced r2 tail, then
-    # the r3 cohort head). The rest of the r3 cohort returns next round.
+    # Round 11 window. The r10 window banked green for every name in it
+    # (CORRECTNESS_r10 50/50). This window's composition (r10 verdict
+    # item 3): (a) the 13 round-11 additions on first exposure; (b) the
+    # five queries whose implementation or staging stamp changed this
+    # round (spearman's distinct-value collapse, link-pred's
+    # TakeOrdered top-N, RFM's melted binned-rank pipeline, pagerank's
+    # symmetric-flag restructure, the IVF family's corpus-fingerprint
+    # stamp via q_sim_index_incremental — its staged twins are in (c));
+    # (c) the full 31-query r3 cohort, the stalest greens per
+    # rotation_candidates.py --age; (d) one r4-head spare.
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # round-10 additions — first-exposure proof
-    "q_sim_index_incremental",
+    # round-11 additions — first-exposure proof
+    "q_dedup_lsh_plan",
+    "q_agg_kendall_tau",
+    "q_agg_benford",
+    "q_ab_trend",
+    "q_agg_trimmed_mean",
+    "q_graph_clustering",
+    "q_graph_assortativity",
+    "q_ts_acf",
+    "q_ts_seasonality",
+    "q_join_bloom_filtered",
+    "q_drift_cvm",
+    "q_ml_ks",
+    "q_mv_join_maintenance",
+    # changed this round — re-proof
     "q_agg_spearman",
-    "q_agg_cramers_v",
-    "q_agg_mutual_info",
-    "q_agg_lorenz",
-    "q_agg_theil",
-    "q_drift_js",
-    "q_drift_categorical",
-    "q_survival_km",
-    "q_ts_mann_kendall",
-    "q_cohort_ltv",
-    "q_window_bollinger",
-    "q_window_rfm",
-    "q_ml_pr_curve",
-    "q_ml_brier",
-    "q_ab_bayes",
-    "q_agg_assoc_rules",
     "q_graph_link_prediction",
-    "q_text_readability",
-    "q_sample_class_balance",
-    "q_stream_anomaly",
-    # stalest driver-greens, oldest first (displaced r2 tail, then the
-    # r3 cohort head per rotation_candidates.py --age)
-    "q_stream_hourly_counts",
-    "q_stream_dedup",
-    "q_stream_sessions",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_merge",
-    "q_stream_stateful",
-    "q_udf_score",
-    "q_udaf_weighted",
-    "q_domain_recommendations",
-    "q_scan_project",
-    "q_filter_pred",
-    "q_derived_expr",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_lookup_filter",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_nullsafe",
-    "q_join_salted",
-    "q_join_self_interval",
-    "q_join_asof",
-    "q_agg_pricing_summary",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_stats",
+    "q_window_rfm",
+    "q_graph_pagerank",
+    "q_sim_index_incremental",
+    # the r3 cohort (stalest greens, oldest first)
+    "q_agg_argmax",
+    "q_agg_pivot",
+    "q_agg_unpivot",
+    "q_agg_collect",
+    "q_agg_histogram",
+    "q_agg_anomaly",
+    "q_window_rank",
+    "q_window_latest",
+    "q_window_lag",
+    "q_window_frame",
+    "q_sort_topk",
+    "q_window_distribution",
+    "q_window_range_frame",
+    "q_resample_gapfill",
+    "q_fill_forward",
+    "q_sessionize_batch",
+    "q_rollup_timegrain",
+    "q_cohort_retention",
+    "q_funnel_steps",
+    "q_merge_upsert",
+    "q_set_union",
+    "q_set_except",
+    "q_set_intersect",
+    "q_nested_export",
+    "q_sim_topk_ivf",
+    "q_sim_topk_ivf_staged",
+    "q_dedup_simhash_md5",
+    "q_dedup_simhash_pairs",
+    "q_dedup_clusters_lsh",
+    "q_udtf_sentences",
+    "q_domain_fhir_export",
+    # r4-head spare
+    "q_agg_corr",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
