@@ -63,6 +63,10 @@ DEFAULT_NAMES = [
     "q_sim_index_incremental", "q_graph_link_prediction",
     "q_agg_spearman", "q_survival_km", "q_ml_pr_curve",
     "q_agg_assoc_rules", "q_window_rfm",
+    # round-11 additions with real data terms at sf0.1
+    "q_agg_kendall_tau", "q_agg_trimmed_mean", "q_graph_clustering",
+    "q_graph_assortativity", "q_drift_cvm", "q_ml_ks",
+    "q_mv_join_maintenance", "q_join_bloom_filtered", "q_ts_acf",
 ]
 FLOOR_PROBE = "q_agg_having"  # cheapest stable headline query
 

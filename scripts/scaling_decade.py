@@ -56,6 +56,10 @@ NAMES = [
     "q_graph_pagerank", "q_dedup_cosine_lsh", "q_dedup_clusters_lsh",
     "q_sim_topk_ivf", "q_sim_topk_ivf_staged", "q_sim_topk_ivfpq",
     "q_text_bpe_merges", "q_stream_attribution",
+    # r11: the reworked/new heavy operators over the synthesized tables
+    # (lineitem/events/documents only — orders/customer aren't synthed)
+    "q_agg_spearman", "q_agg_kendall_tau", "q_agg_trimmed_mean",
+    "q_graph_clustering", "q_graph_link_prediction", "q_drift_cvm",
 ]
 
 VOWELS = "aeiou"

@@ -1936,3 +1936,66 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("ari").cast("double") > ARI_COLLEGE, 1)
                .otherwise(0)).cast("double") / n)
         .cast("decimal(18,6)").cast("double").alias("college_share"))
+
+
+# ---- Language-ID quality audit (L3h) ---------------------------------------------
+
+
+@query(
+    "q_text_langid_audit",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               > 0.12 AS pred_en
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_en,
+           CAST(CAST(CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+                AS DOUBLE) AS pred_en_rate,
+           CAST(CASE WHEN lang = 'en'
+                THEN SUM(CASE WHEN pred_en THEN 1 ELSE 0 END)
+                ELSE SUM(CASE WHEN pred_en THEN 0 ELSE 1 END) END
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY lang
+    """,
+    tags=("L3h", "langid", "audit"),
+)
+def q_text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID QUALITY AUDIT: the stopword-ratio classifier
+    (q_text_langid) scored against the corpus's labeled ``lang``
+    column, per true language — prediction rate and correct count per
+    class, i.e. the confusion matrix's row view (recall for 'en',
+    specificity for everything else). The measurement that belongs
+    next to any heuristic classifier before a 100 TB corpus filters
+    on it: a cheap rule's error concentrates in specific languages,
+    and this shows WHICH.
+
+    Scale: one scan with the classifier as a column expression, one
+    hash aggregate to |languages| rows; exact integer counts, one
+    quantized rate division."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda x: x.isin(*EN_STOPWORDS)))
+    pred_en = (stop_hits.cast("double") / F.size(toks)) > 0.12
+    pred = d.select("lang", pred_en.alias("pred_en"))
+    agg = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pred_en"), 1).otherwise(0)).alias("n_pred_en"))
+    correct = F.when(F.col("lang") == "en", F.col("n_pred_en")) \
+        .otherwise(F.col("n_docs") - F.col("n_pred_en"))
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_pred_en").cast("bigint").alias("n_pred_en"),
+        (F.col("n_pred_en").cast("double") / F.col("n_docs"))
+        .cast("decimal(18,6)").cast("double").alias("pred_en_rate"),
+        correct.cast("bigint").alias("n_correct"))

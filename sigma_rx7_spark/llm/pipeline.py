@@ -1536,3 +1536,87 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("d_num").cast("double")
                    / (F.col("n_pos") * F.col("n_neg")))
         .alias("ks_separation"))
+
+
+# ---- Model-score drift (PSI) (L6p) --------------------------------------------
+
+SCORE_PSI_BINS = 10
+SCORE_PSI_EPS = "0.0005"  # Laplace-style smoothing share per empty bin
+
+
+def _score_drift_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT doc_id, {p} AS p FROM f),
+    binned AS (
+      SELECT doc_id % 2 AS half,
+             LEAST(CAST(floor(p * {SCORE_PSI_BINS}) AS INTEGER),
+                   {SCORE_PSI_BINS - 1}) AS bin
+      FROM sc
+    ),
+    cells AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM cells
+    ),
+    shares AS (
+      SELECT CAST(c_a AS DOUBLE) / n_a + {SCORE_PSI_EPS} AS pa,
+             CAST(c_b AS DOUBLE) / n_b + {SCORE_PSI_EPS} AS pb
+      FROM cells, tot
+    )
+    SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+           CAST(CAST(SUM(CAST((pa - pb) * ln(pa / pb)
+                               AS DECIMAL(18,9))) AS DECIMAL(18,9))
+                AS DOUBLE) AS psi
+    FROM shares
+    """
+
+
+@query("q_ml_score_drift", oracle=_score_drift_oracle(),
+       tags=("L6p", "ml-eval", "monitoring"))
+def q_ml_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-SCORE PSI between two population halves (doc_id parity —
+    the stand-in for "training week vs serving week"): the score
+    distribution of the SAME fitted quality gate, binned into
+    {SCORE_PSI_BINS} fixed probability buckets, compared by population
+    stability index Σ(p_a−p_b)·ln(p_a/p_b). This is the model-eval
+    family's MONITORING member: AUC/KS/Brier say how good the model
+    was at fit time, score PSI says whether the population it scores
+    has moved out from under it (PSI > 0.2 = retrain signal). Same
+    smoothing posture as the feature-PSI screen (additive
+    {SCORE_PSI_EPS} per bin so an empty bucket never divides by zero).
+
+    Scale: the scoring pass is one map over docs; everything after is
+    a ≤{SCORE_PSI_BINS}-row relation. Each PSI term is quantized at
+    9 dp before the final sum, so engine summation order is moot."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    sc = feats.crossJoin(F.broadcast(w)).select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("half"), p.alias("p"))
+    binned = sc.select(
+        "half",
+        F.least(F.floor(F.col("p") * SCORE_PSI_BINS).cast("int"),
+                F.lit(SCORE_PSI_BINS - 1)).alias("bin"))
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_b"))
+    tot = cells.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    eps = F.lit(float(SCORE_PSI_EPS))
+    shares = cells.crossJoin(F.broadcast(tot)).select(
+        "n_a", "n_b",
+        (F.col("c_a").cast("double") / F.col("n_a") + eps).alias("pa"),
+        (F.col("c_b").cast("double") / F.col("n_b") + eps).alias("pb"))
+    term = ((F.col("pa") - F.col("pb"))
+            * F.log(F.col("pa") / F.col("pb"))).cast("decimal(18,9)")
+    return shares.groupBy("n_a", "n_b").agg(
+        F.sum(term).cast("decimal(18,9)").cast("double").alias("psi")
+    ).select(F.col("n_a").cast("bigint").alias("n_a"),
+             F.col("n_b").cast("bigint").alias("n_b"), "psi")

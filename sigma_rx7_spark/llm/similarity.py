@@ -1095,3 +1095,80 @@ def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("nq").cast("double") / F.count(F.lit(1)))
              .alias("norm_mean"))
     )
+
+
+# ---- kNN label classification (L2k) --------------------------------------------
+
+
+@query(
+    "q_sim_knn_classify",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS c_id, label, nv AS c_nv
+      FROM n WHERE vec_id >= {N_QUERIES}
+    ), topk AS (
+      SELECT q_id, c_id, label FROM (
+        SELECT q_id, c_id, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_id
+                 ORDER BY list_inner_product(q_nv, c_nv) DESC, c_id)
+                 AS rank
+        FROM q CROSS JOIN c
+      ) WHERE rank <= {TOP_K}
+    ), votes AS (
+      SELECT q_id, label, COUNT(*) AS v FROM topk GROUP BY q_id, label
+    )
+    SELECT q_id,
+           CAST(label AS INT) AS pred_label,
+           CAST(v AS BIGINT) AS votes,
+           CAST(CAST(v AS DOUBLE) / {TOP_K} AS DOUBLE) AS vote_share
+    FROM (
+      SELECT q_id, label, v,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY v DESC, label) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+    tags=("L2k", "similarity", "knn"),
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL CLASSIFICATION: each probe vector takes the MAJORITY
+    label of its {TOP_K} exact cosine neighbors (tie → smaller label,
+    a total order) — the zero-training classifier every embedding
+    space gets evaluated with first, and the serving pattern behind
+    "label this new document by its nearest labeled neighbors". The
+    whole L2 family becomes actionable here: swap the brute-force
+    neighbor relation for the staged IVF probe and the vote is the
+    production path.
+
+    Scale: the corpus never shuffles (broadcast probes — the
+    topk_bruteforce posture); the vote is a {TOP_K}·n_probes-row
+    aggregate. Exact integer votes; one IEEE share division."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    topk = topk_bruteforce(queries, corpus)
+    labels = e.select(F.col("vec_id").alias("c_id"), "label")
+    votes = (topk.join(labels, "c_id")
+             .groupBy("q_id", "label")
+             .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("v"), F.asc("label"))
+    return (votes.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("q_id",
+                    F.col("label").cast("int").alias("pred_label"),
+                    F.col("v").cast("bigint").alias("votes"),
+                    (F.col("v").cast("double") / TOP_K)
+                    .alias("vote_share")))

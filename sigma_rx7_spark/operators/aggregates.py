@@ -5199,3 +5199,85 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").cast("bigint").alias("n_kept"),
         (F.col("total").cast("double") / F.col("kept"))
         .cast("decimal(18,6)").cast("double").alias("trimmed_mean"))
+
+
+# ---- Wilson score interval (A70) ------------------------------------------------
+
+WILSON_Z = "1.959963985"  # 97.5th normal quantile (95% two-sided CI)
+
+
+@query(
+    "q_ab_wilson",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = '{MWU_EVENT}'
+                       AND value > {TREND_VALUE_FLOOR}
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(conv) AS x
+      FROM per_user GROUP BY arm
+    ),
+    w AS (
+      SELECT arm, n, x,
+             CAST(x AS DOUBLE) / n AS ph,
+             CAST({WILSON_Z} AS DOUBLE) AS z
+      FROM arms
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(x AS BIGINT) AS responders,
+           CAST(CAST(ph AS DECIMAL(18,6)) AS DOUBLE) AS rate,
+           CAST(CAST(
+             ((ph + z * z / (2 * n))
+              - z * sqrt(ph * (1 - ph) / n + z * z / (4.0 * n * n)))
+             / (1 + z * z / n) AS DECIMAL(18,6)) AS DOUBLE) AS wilson_lo,
+           CAST(CAST(
+             ((ph + z * z / (2 * n))
+              + z * sqrt(ph * (1 - ph) / n + z * z / (4.0 * n * n)))
+             / (1 + z * z / n) AS DECIMAL(18,6)) AS DOUBLE) AS wilson_hi
+    FROM w
+    """,
+    tags=("A70", "abtest", "interval"),
+)
+def q_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE INTERVAL (95%) for each arm's high-value-purchase
+    conversion rate — the interval every proportions dashboard should
+    use instead of the Wald ±z√(p̂q̂/n) it usually ships: Wilson stays
+    inside [0,1], behaves at p̂ near 0/1, and never collapses to a
+    zero-width interval on x = 0 — exactly the regimes funnel-step and
+    rare-conversion rates live in. Complements A41 (the test) with the
+    estimate-quality read.
+
+    Scale: one user-grain aggregate → 2-row arm relation → closed-form
+    IEEE expression from exact integer (n, x) per arm, quantized at
+    6 dp. z is the 97.5th normal quantile as a double literal (cast
+    explicitly — a bare decimal literal arithmetic chain is the
+    classic DuckDB drift)."""
+    e = load(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == MWU_EVENT)
+                                  & (F.col("value") > TREND_VALUE_FLOOR),
+                                  1)
+                           .otherwise(0)).alias("conv"))
+                .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                        "conv"))
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x"))
+    n, x = F.col("n"), F.col("x")
+    ph = x.cast("double") / n
+    z = F.lit(float(WILSON_Z))
+    center = ph + z * z / (2 * n)
+    half = z * F.sqrt(ph * (1 - ph) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return arms.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        n.cast("bigint").alias("n_users"),
+        x.cast("bigint").alias("responders"),
+        ph.cast("decimal(18,6)").cast("double").alias("rate"),
+        ((center - half) / denom).cast("decimal(18,6)").cast("double")
+        .alias("wilson_lo"),
+        ((center + half) / denom).cast("decimal(18,6)").cast("double")
+        .alias("wilson_hi"))

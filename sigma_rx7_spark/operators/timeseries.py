@@ -2062,3 +2062,96 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_rev.cast("decimal(18,6)").cast("double").alias("avg_revenue"),
         (avg_rev / overall).cast("decimal(18,6)").cast("double")
         .alias("seasonal_index"))
+
+
+# ---- Seasonal/trend strength (W43) ----------------------------------------------
+
+
+def _strength_oracle(sf_dir: str) -> str:
+    # Composes the W28 decomposition oracle VERBATIM (same contract as
+    # the audit queries that wrap audited oracles): the strength read
+    # can never drift from the decomposition it summarizes.
+    from ..registry import get
+
+    base = get("q_ts_decompose").oracle_for(sf_dir)
+    return f"""
+    WITH comp AS ({base}),
+    terms AS (
+      SELECT CAST(revenue - trend AS DOUBLE) AS detr,
+             CAST(revenue - seasonal AS DOUBLE) AS deseas,
+             CAST(residual AS DOUBLE) AS resid
+      FROM comp
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(detr AS DECIMAL(20,6))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(detr * detr AS DECIMAL(38,6))) AS DOUBLE)
+               AS ss_d,
+             CAST(SUM(CAST(deseas AS DECIMAL(20,6))) AS DOUBLE) AS s_e,
+             CAST(SUM(CAST(deseas * deseas AS DECIMAL(38,6))) AS DOUBLE)
+               AS ss_e,
+             CAST(SUM(CAST(resid AS DECIMAL(20,6))) AS DOUBLE) AS s_r,
+             CAST(SUM(CAST(resid * resid AS DECIMAL(38,6))) AS DOUBLE)
+               AS ss_r
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CASE WHEN ss_d - s_d * s_d / n <= 0 THEN NULL
+                ELSE CAST(CAST(GREATEST(0.0,
+                  1.0 - (ss_r - s_r * s_r / n) / (ss_d - s_d * s_d / n))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS seasonal_strength,
+           CASE WHEN ss_e - s_e * s_e / n <= 0 THEN NULL
+                ELSE CAST(CAST(GREATEST(0.0,
+                  1.0 - (ss_r - s_r * s_r / n) / (ss_e - s_e * s_e / n))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS trend_strength
+    FROM mom
+    """
+
+
+@query("q_ts_seasonal_strength", oracle=_strength_oracle,
+       tags=("W43", "timeseries", "decomposition"))
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL / TREND STRENGTH of the daily-revenue series — the
+    standard one-number summaries of a decomposition (Hyndman's FS/FT):
+    F_seasonal = max(0, 1 − var(residual)/var(revenue − trend)) and
+    F_trend = max(0, 1 − var(residual)/var(revenue − seasonal)).
+    Together with W41's ACF they answer "is modeling seasonality worth
+    it on THIS series" before any model is fit; computed OVER the W28
+    decomposition output, so the three components and their strength
+    read can never disagree.
+
+    Scale: the decomposition is day-grain; the strengths are one
+    aggregate of per-term-quantized decimal moments over it (every
+    input double is the same deterministic IEEE expression on both
+    engines, so quantized sums are order-free). Degenerate variance
+    reports NULL."""
+    from ..registry import get as get_query
+
+    comp = get_query("q_ts_decompose").fn(spark, sf_dir)
+    terms = comp.select(
+        (F.col("revenue") - F.col("trend")).alias("detr"),
+        (F.col("revenue") - F.col("seasonal")).alias("deseas"),
+        F.col("residual").alias("resid"))
+
+    def mom(col):
+        return [F.sum(F.col(col).cast("decimal(20,6)")).cast("double")
+                .alias(f"s_{col}"),
+                F.sum((F.col(col) * F.col(col)).cast("decimal(38,6)"))
+                .cast("double").alias(f"ss_{col}")]
+
+    m = terms.agg(F.count(F.lit(1)).alias("n"),
+                  *mom("detr"), *mom("deseas"), *mom("resid"))
+    n = F.col("n")
+
+    def var_of(tag):
+        return F.col(f"ss_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}") / n
+
+    def strength(tag):
+        return F.when(var_of(tag) <= 0, F.lit(None).cast("double")) \
+            .otherwise(F.greatest(F.lit(0.0),
+                                  1.0 - var_of("resid") / var_of(tag))
+                       .cast("decimal(18,6)").cast("double"))
+
+    return m.select(n.cast("bigint").alias("n_days"),
+                    strength("detr").alias("seasonal_strength"),
+                    strength("deseas").alias("trend_strength"))

@@ -103,6 +103,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
     # round-11 additions — first-exposure proof
+    "q_sim_knn_classify",
+    "q_ml_score_drift",
+    "q_ts_seasonal_strength",
+    "q_ab_wilson",
+    "q_text_langid_audit",
     "q_dedup_lsh_plan",
     "q_agg_kendall_tau",
     "q_agg_benford",
@@ -150,12 +155,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_sim_topk_ivf",
     "q_sim_topk_ivf_staged",
     "q_dedup_simhash_md5",
-    "q_dedup_simhash_pairs",
-    "q_dedup_clusters_lsh",
-    "q_udtf_sentences",
-    "q_domain_fhir_export",
-    # r4-head spare
-    "q_agg_corr",
+    # NOTE: the remaining four r3-cohort names (q_dedup_simhash_pairs,
+    # q_dedup_clusters_lsh, q_udtf_sentences, q_domain_fhir_export)
+    # were displaced by the five late r11 additions above and head the
+    # r12 re-bank queue.
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -329,3 +329,105 @@ def test_bloom_filtered_join_plan_prunes_before_join(spark, sf_dir):
     assert "forall" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_knn_classify_matches_naive_vote(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir.replace("documents", "documents"), """
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+        FROM read_parquet('{}/embeddings.parquet')""".format(sf_dir))
+    import numpy as np
+    vecs = {vid: np.array(v) / np.linalg.norm(v) for vid, _, v in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+    got = {r["q_id"]: r for r in
+           registry.get("q_sim_knn_classify").fn(spark, sf_dir).collect()}
+    for q in range(5):
+        sims = sorted(((float(vecs[q] @ vecs[c]), -c) for c in vecs
+                       if c >= 5), reverse=True)
+        top = [-c for _, c in sims[:10]]
+        votes = {}
+        for c in top:
+            votes[labels[c]] = votes.get(labels[c], 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q]["pred_label"] == best[0]
+        assert got[q]["votes"] == best[1]
+        assert abs(got[q]["vote_share"] - best[1] / 10) < 1e-12
+
+
+def test_score_drift_psi_properties(spark, sf_dir):
+    """PSI is symmetric-positive: >= 0 always, ~0 for an id-parity
+    split of the same population (both halves drawn from one
+    distribution)."""
+    from sigma_rx7_spark import registry
+
+    [row] = registry.get("q_ml_score_drift").fn(spark, sf_dir).collect()
+    assert row["psi"] is not None and row["psi"] >= 0.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_seasonal_strength_bounds_and_consistency(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    comp = registry.get("q_ts_decompose").fn(spark, sf_dir).collect()
+    [row] = registry.get("q_ts_seasonal_strength").fn(
+        spark, sf_dir).collect()
+    assert row["n_days"] == len(comp)
+    import numpy as np
+    rev = np.array([r["revenue"] for r in comp])
+    tr = np.array([r["trend"] for r in comp])
+    se = np.array([r["seasonal"] for r in comp])
+    resid = np.array([r["residual"] for r in comp])
+    fs = max(0.0, 1 - resid.var() / (rev - tr).var())
+    ft = max(0.0, 1 - resid.var() / (rev - se).var())
+    assert abs(row["seasonal_strength"] - fs) < 1e-4
+    assert abs(row["trend_strength"] - ft) < 1e-4
+    assert 0.0 <= row["seasonal_strength"] <= 1.0
+    assert 0.0 <= row["trend_strength"] <= 1.0
+
+
+def test_wilson_matches_naive_and_brackets_rate(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT user_id % 2,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id""")
+    n = [0, 0]
+    x = [0, 0]
+    for arm, conv in rows:
+        n[arm] += 1
+        x[arm] += conv
+    got = {r["arm"]: r for r in
+           registry.get("q_ab_wilson").fn(spark, sf_dir).collect()}
+    z = 1.959963985
+    for arm in (0, 1):
+        ph = x[arm] / n[arm]
+        denom = 1 + z * z / n[arm]
+        center = ph + z * z / (2 * n[arm])
+        half = z * math.sqrt(ph * (1 - ph) / n[arm]
+                             + z * z / (4 * n[arm] * n[arm]))
+        row = got[arm]
+        assert row["n_users"] == n[arm] and row["responders"] == x[arm]
+        assert abs(row["wilson_lo"] - (center - half) / denom) < 2e-6
+        assert abs(row["wilson_hi"] - (center + half) / denom) < 2e-6
+        assert 0.0 <= row["wilson_lo"] <= row["rate"] \
+            <= row["wilson_hi"] <= 1.0
+
+
+def test_langid_audit_counts(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = registry.get("q_text_langid_audit").fn(spark, sf_dir).collect()
+    langid = registry.get("q_text_langid").fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in langid:
+        d = by_lang.setdefault(r["lang"], [0, 0])
+        d[0] += 1
+        d[1] += int(r["pred_en"])
+    for r in rows:
+        n, npred = by_lang[r["lang"]]
+        assert r["n_docs"] == n and r["n_pred_en"] == npred
+        expect = npred if r["lang"] == "en" else n - npred
+        assert r["n_correct"] == expect
