@@ -229,8 +229,10 @@ def test_src_stamp_tracks_builder_source(tmp_path):
     # modules hash too (the domain fixtures stamp hashes fixtures.py)
     assert src_stamp(similarity) == src_stamp(similarity)
     # and the production per-artifact stamps are distinct from each
-    # other (split per artifact, not one shared constant)
-    cent = similarity._cent_stamp()
+    # other (split per artifact, not one shared constant); since r11
+    # _cent_stamp also keys on the corpus fingerprint of its sf_dir
+    cent = similarity._cent_stamp("/root/testdata/sf0.001")
     ivf = src_stamp(similarity.build_ivf_index, similarity.ivf_assign,
                     extra=cent)
     assert cent != ivf
+    assert cent != similarity._cent_stamp("/root/testdata/sf0.01")

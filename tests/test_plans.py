@@ -1199,10 +1199,19 @@ def test_linkpred_topn_is_takeordered_not_global_sort(spark, sf_dir):
     merge), never a single-partition global sort of the candidates;
     the only SinglePartition stage is the row_number window over the
     ≤N survivors, which sits ABOVE the TakeOrdered in the tree."""
+    import re
+
     p = plan(spark, sf_dir, "q_graph_link_prediction")
     assert "TakeOrderedAndProject" in p
-    # no full Sort of the candidate relation anywhere
-    assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+    # No Sort node may order by jaccard — the only jaccard ordering is
+    # inside TakeOrderedAndProject's heap. (A blanket no-Sort check is
+    # wrong here: when the persisted adjacency is already materialized
+    # by an earlier test, the cached subtree re-prints its own
+    # per-partition window sorts — src/dst sorts, not a candidate
+    # sort.)
+    for blk in p.split("\n\n"):
+        if re.match(r"\(\d+\) Sort\b", blk):
+            assert "jaccard" not in blk, blk
     # at most the one tiny post-limit window runs single-partition,
     # and it consumes the TakeOrdered output (appears above it in the
     # top-down tree print)
