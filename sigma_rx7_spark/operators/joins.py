@@ -523,9 +523,9 @@ def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse engine applies implicitly (and Spark itself via
     spark.sql.optimizer.runtime.bloomFilter), here materialized as an
     explicit, engine-portable operator: md5-sliced hash positions
-    (A51's convention) into an m-bit set carried as ONE array literal
-    broadcast with the plan; a row survives iff ALL k positions are
-    set (`forall` over the position array — JVM codegen, no UDF).
+    (A51's convention) into an m-slot BOOLEAN BITMAP carried as ONE
+    broadcast array; a row survives iff ALL k positions are set
+    (`forall` + element_at — O(1) per hash, JVM codegen, no UDF).
 
     The ORACLE is the PLAIN join with no bloom anywhere: a green hash
     proves the reduction is semantics-free (no false negatives — the
@@ -550,12 +550,22 @@ def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(BLOOM_HASHES)
         ]
 
+    # The filter broadcasts as a FIXED-LENGTH boolean bitmap (m slots)
+    # probed by element_at — O(1) per hash. A position-LIST probed with
+    # array_contains was measured SUPERLINEAR by the scaling gate
+    # (g10 21.6: the list grows with the build side while probe rows
+    # grow with the fact, a structural m x n term).
     bitset = (s.select(F.explode(F.array(*bloom_pos(F.col("s_suppkey"))))
                        .alias("pos"))
-              .agg(F.array_sort(F.collect_set("pos")).alias("bits")))
+              .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+              .select(F.transform(
+                  F.sequence(F.lit(0), F.lit(BLOOM_BITS - 1)),
+                  lambda j: F.array_contains(F.col("bits"), j))
+                  .alias("bitvec")))
     probe = li.crossJoin(F.broadcast(bitset)).where(
         F.forall(F.array(*bloom_pos(F.col("l_suppkey"))),
-                 lambda p: F.array_contains(F.col("bits"), p)))
+                 lambda p: F.element_at(F.col("bitvec"),
+                                        (p + 1).cast("int"))))
     joined = probe.join(F.broadcast(s), probe.l_suppkey == s.s_suppkey)
     # per-row product in DOUBLE, quantized once to decimal(20,6) (the
     # repo's revenue discipline): decimal x decimal would pick up
