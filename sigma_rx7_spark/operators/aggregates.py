@@ -4926,81 +4926,106 @@ def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kendall_tau_b"))
 
 
-# ---- Benford first-digit audit (A67) ------------------------------------------
+# ---- Per-segment Benford chi-square screen (A67) -------------------------------
+
+# chi-square 95th percentile, 8 degrees of freedom (9 digits - 1): the
+# textbook reject threshold for a first-digit goodness-of-fit test.
+BENFORD_CHI2_CRIT = "15.507313"
 
 
 @query(
     "q_agg_benford",
-    oracle="""
+    oracle=f"""
     WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      SELECT o_orderpriority AS segment,
+             CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                               AS VARCHAR), 1, 1) AS BIGINT) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
     obs AS (
-      SELECT digit, COUNT(*) AS n_obs,
-             SUM(COUNT(*)) OVER () AS n
-      FROM digits GROUP BY digit
+      SELECT segment, digit, COUNT(*) AS n_obs
+      FROM digits GROUP BY segment, digit
     ),
-    scored AS (
-      SELECT digit, n_obs, n,
-             CAST(CAST(CAST(n_obs AS DOUBLE) / n AS DECIMAL(18,9))
-                  AS DOUBLE) AS obs_share,
-             CAST(CAST(ln(1.0 + CAST(1.0 AS DOUBLE) / digit) / ln(10.0)
-                  AS DECIMAL(18,9)) AS DOUBLE) AS benford_share
-      FROM obs
+    tot AS (
+      SELECT segment, SUM(n_obs) AS n FROM obs GROUP BY segment
+    ),
+    terms AS (
+      SELECT o.segment, t.n,
+             CAST(CAST(
+               (CAST(o.n_obs AS DOUBLE)
+                - CAST(CAST(ln(1.0 + CAST(1.0 AS DOUBLE) / o.digit)
+                            / ln(10.0) AS DECIMAL(18,9)) AS DOUBLE)
+                  * t.n)
+               * (CAST(o.n_obs AS DOUBLE)
+                  - CAST(CAST(ln(1.0 + CAST(1.0 AS DOUBLE) / o.digit)
+                              / ln(10.0) AS DECIMAL(18,9)) AS DOUBLE)
+                    * t.n)
+               / (CAST(CAST(ln(1.0 + CAST(1.0 AS DOUBLE) / o.digit)
+                            / ln(10.0) AS DECIMAL(18,9)) AS DOUBLE)
+                  * t.n)
+               AS DECIMAL(18,6)) AS DOUBLE) AS term
+      FROM obs o JOIN tot t ON t.segment = o.segment
     )
-    SELECT digit,
-           CAST(n_obs AS BIGINT) AS n_obs,
-           obs_share, benford_share,
-           CAST(CAST(
-             (CAST(n_obs AS DOUBLE) - benford_share * n)
-             * (CAST(n_obs AS DOUBLE) - benford_share * n)
-             / (benford_share * n) AS DECIMAL(18,6)) AS DOUBLE)
-             AS chi2_term
-    FROM scored
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_digits_seen,
+           CAST(CAST(SUM(CAST(term AS DECIMAL(18,6)))
+                     AS DECIMAL(18,6)) AS DOUBLE) AS chi2,
+           SUM(CAST(term AS DECIMAL(18,6)))
+             > CAST({BENFORD_CHI2_CRIT} AS DOUBLE) AS flagged
+    FROM terms GROUP BY segment
     """,
     tags=("A67", "quality", "fraud"),
 )
 def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENFORD FIRST-DIGIT AUDIT on order totals — the classic
-    fabricated-numbers screen: naturally-occurring multiplicative
-    amounts put digit d first with probability log10(1 + 1/d) (30.1%
-    of totals start with 1, 4.6% with 9); a synthetic or tampered feed
-    flattens that curve. Emits per digit the observed count/share, the
-    Benford share, and the χ² term — Σ terms is the audit statistic.
+    """PER-SEGMENT BENFORD χ² SCREEN: the first-digit
+    goodness-of-fit statistic computed PER ORDER-PRIORITY SEGMENT with
+    the df=8 95% reject decision — where q_quality_benford (the
+    corpus-level sibling) prints observed-vs-expected shares for a
+    human to eyeball, this is the automatable form fraud pipelines
+    run: fabricated numbers rarely contaminate a whole feed, they
+    contaminate a SEGMENT (one clerk, one channel, one priority
+    class), and the per-segment χ² localizes which one to audit.
+    χ² = Σ_d (O_d − e_d·n)²/(e_d·n) with e_d = log10(1+1/d).
 
-    Digit extraction is STRING-EXACT, not float-log: the total casts to
-    DECIMAL(18,2) (exact rounding, identical HALF_UP both engines) and
-    the first character of its canonical decimal rendering is the
-    digit — no log10/pow boundary where 999.9999… and 1000.0 could
-    split engines. The only transcendental is the Benford constant
-    itself (ln, quantized at 9 dp).
+    Determinism: digit extraction is string-exact off the
+    DECIMAL(18,2) rendering (no float-log boundary, the
+    q_quality_benford discipline); the Benford constant is the only
+    transcendental (9-dp quantized); each χ² term is quantized at 6 dp
+    before the decimal sum, so engine aggregation order is moot; the
+    flag compares that exact decimal to the critical literal.
 
-    Scale: one hash aggregate to ≤9 rows; the share window runs on the
-    digit relation. The fact table is scanned once."""
+    Scale: one hash aggregate to ≤ 9·|segments| cells, then
+    segment-grain algebra; the fact table is scanned once."""
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     digit = F.substring(
         F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
         1, 1).cast("bigint")
-    obs = (o.select(digit.alias("digit"))
-           .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-           .withColumn("n", F.sum("n_obs").over(
-               Window.partitionBy(F.lit(1)))))
-    obs_share = (F.col("n_obs").cast("double") / F.col("n")) \
-        .cast("decimal(18,9)").cast("double")
-    benford = (F.log(1.0 + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))) \
-        .cast("decimal(18,9)").cast("double")
-    scored = obs.select("digit", "n_obs", "n",
-                        obs_share.alias("obs_share"),
-                        benford.alias("benford_share"))
-    dev = F.col("n_obs").cast("double") - F.col("benford_share") * F.col("n")
-    return scored.select(
-        "digit",
-        F.col("n_obs").cast("bigint").alias("n_obs"),
-        "obs_share", "benford_share",
-        (dev * dev / (F.col("benford_share") * F.col("n")))
-        .cast("decimal(18,6)").cast("double").alias("chi2_term"))
+    obs = (o.select(F.col("o_orderpriority").alias("segment"),
+                    digit.alias("digit"))
+           .groupBy("segment", "digit")
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = obs.groupBy("segment").agg(F.sum("n_obs").alias("n"))
+    benford = (F.log(1.0 + F.lit(1.0) / F.col("digit"))
+               / F.log(F.lit(10.0))).cast("decimal(18,9)").cast("double")
+    exp_n = benford * F.col("n")
+    dev = F.col("n_obs").cast("double") - exp_n
+    terms = (obs.join(tot, "segment")
+             .select("segment", "n",
+                     (dev * dev / exp_n).cast("decimal(18,6)")
+                     .alias("term")))
+    agg = terms.groupBy("segment").agg(
+        F.max("n").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_digits_seen"),
+        F.sum("term").alias("chi2_dec"))
+    return agg.select(
+        "segment",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_digits_seen").cast("bigint").alias("n_digits_seen"),
+        F.col("chi2_dec").cast("decimal(18,6)").cast("double")
+        .alias("chi2"),
+        (F.col("chi2_dec") > F.lit(float(BENFORD_CHI2_CRIT)))
+        .alias("flagged"))
 
 
 # ---- Cochran-Armitage trend test (A68) ----------------------------------------

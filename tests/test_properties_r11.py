@@ -274,29 +274,29 @@ def test_benford_matches_naive_digits(spark, sf_dir):
 
     from sigma_rx7_spark import registry
 
-    rows = _fetch(sf_dir,
-                  "SELECT o_totalprice FROM orders WHERE o_totalprice > 0")
-    digits = {}
-    for (v,) in rows:
+    rows = _fetch(sf_dir, """
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_totalprice > 0""")
+    segs = {}
+    for seg, v in rows:
         d = int(str(Decimal(str(v)).quantize(
             Decimal("0.01"), rounding=ROUND_HALF_UP))[0])
-        digits[d] = digits.get(d, 0) + 1
-    n = sum(digits.values())
-    got = {r["digit"]: r for r in
+        segs.setdefault(seg, {}).setdefault(d, 0)
+        segs[seg][d] += 1
+    got = {r["segment"]: r for r in
            registry.get("q_agg_benford").fn(spark, sf_dir).collect()}
-    assert set(got) == set(digits)
-    chi2 = 0.0
-    for d, cnt in digits.items():
-        exp_share = math.log10(1 + 1 / d)
-        row = got[d]
-        assert row["n_obs"] == cnt
-        assert abs(row["obs_share"] - cnt / n) < 1e-8
-        assert abs(row["benford_share"] - exp_share) < 1e-8
-        chi2 += (cnt - exp_share * n) ** 2 / (exp_share * n)
-        assert abs(row["chi2_term"]
-                   - (cnt - row["benford_share"] * n) ** 2
-                   / (row["benford_share"] * n)) < 1e-4
-    assert chi2 >= 0
+    assert set(got) == set(segs)
+    for seg, digits in segs.items():
+        n = sum(digits.values())
+        chi2 = 0.0
+        for d, cnt in digits.items():
+            e = float(round(math.log10(1 + 1 / d), 9)) * n
+            chi2 += float(round((cnt - e) ** 2 / e, 6))
+        row = got[seg]
+        assert row["n_orders"] == n
+        assert row["n_digits_seen"] == len(digits)
+        assert abs(row["chi2"] - chi2) < 1e-4
+        assert row["flagged"] == (round(chi2, 6) > 15.507313)
 
 
 def test_mv_join_maintenance_split_is_nontrivial(spark, sf_dir):
