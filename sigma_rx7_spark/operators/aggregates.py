@@ -5306,3 +5306,228 @@ def q_ab_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wilson_lo"),
         ((center + half) / denom).cast("decimal(18,6)").cast("double")
         .alias("wilson_hi"))
+
+
+# ---- Cochran-Mantel-Haenszel stratified 2x2 test (A71) --------------------
+
+CMH_HI_VALUE = 250000  # high-value order cutoff (~median o_totalprice)
+
+
+@query(
+    "q_ab_cmh",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS stratum,
+             CAST(o.o_custkey % 2 AS BIGINT) AS arm,
+             SUM(CASE WHEN o.o_totalprice > {CMH_HI_VALUE}
+                 THEN 1 ELSE 0 END) AS hi,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey % 2
+    ),
+    strata AS (
+      SELECT stratum,
+             SUM(CASE WHEN arm = 1 THEN hi ELSE 0 END) AS a,
+             SUM(CASE WHEN arm = 1 THEN n - hi ELSE 0 END) AS b,
+             SUM(CASE WHEN arm = 0 THEN hi ELSE 0 END) AS c,
+             SUM(CASE WHEN arm = 0 THEN n - hi ELSE 0 END) AS d,
+             SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n2,
+             SUM(hi) AS m1, SUM(n) AS nn
+      FROM cells GROUP BY stratum
+    ),
+    terms AS (
+      SELECT
+        CAST(a - CAST(n1 AS DOUBLE) * m1 / nn AS DECIMAL(27,9)) AS dev,
+        CAST(CAST(n1 AS DOUBLE) * n2 * m1 * (nn - m1)
+             / (CAST(nn AS DOUBLE) * nn * (nn - 1))
+             AS DECIMAL(27,9)) AS v,
+        CAST(CAST(a AS DOUBLE) * d / nn AS DECIMAL(27,9)) AS ad,
+        CAST(CAST(b AS DOUBLE) * c / nn AS DECIMAL(27,9)) AS bc
+      FROM strata WHERE nn > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
+                / CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS cmh_chi2,
+           CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
+                / CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6))
+             > 3.841459 AS reject_5pct,
+           CASE WHEN SUM(bc) = 0 THEN NULL
+                ELSE CAST(CAST(CAST(SUM(ad) AS DOUBLE)
+                     / CAST(SUM(bc) AS DOUBLE) AS DECIMAL(18,6))
+                     AS DOUBLE) END AS or_mh
+    FROM terms
+    """,
+    tags=("A71", "abtest", "stratified"),
+)
+def q_ab_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL stratified 2x2 test + Mantel-Haenszel
+    common odds ratio: does the arm (custkey parity, the house
+    randomization) shift the high-value-order rate AFTER controlling
+    for market segment? The confounder-aware member the A/B family
+    lacked: A41's pooled z answers the marginal question and is
+    Simpson's-paradox-prone when strata differ in both mix and base
+    rate; CMH tests the common conditional effect (df=1 regardless of
+    stratum count) and OR_MH estimates it.
+
+    Uncorrected (no Yates 0.5) — the large-sample form both engines can
+    hold bit-identical; reject flag at the 95% chi2(1) critical value.
+
+    Scale shape: the fact table is touched by ONE hash agg keyed
+    (segment, arm) after a broadcast dimension join; everything after is
+    a 10-row cell relation folded to 5 stratum rows and one final
+    reduction. Per-stratum deviation/variance/OR terms are ratios of
+    exact integers computed in DOUBLE and 9-dp-quantized BEFORE the
+    order-insensitive decimal sum (compat rule 1); the three final
+    divisions happen once, quantized at 6 dp."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("stratum"),
+                 F.pmod(F.col("o_custkey"), F.lit(2)).alias("arm"))
+        .agg(F.sum(F.when(F.col("o_totalprice") > CMH_HI_VALUE, 1)
+                   .otherwise(0)).alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("hi")).otherwise(0))
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n") - F.col("hi"))
+              .otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("hi")).otherwise(0))
+        .alias("c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n") - F.col("hi"))
+              .otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .alias("n2"),
+        F.sum("hi").alias("m1"), F.sum("n").alias("nn"))
+    nn = F.col("nn").cast("double")
+    terms = strata.where(F.col("nn") > 1).select(
+        (F.col("a") - F.col("n1").cast("double") * F.col("m1")
+         / F.col("nn")).cast("decimal(27,9)").alias("dev"),
+        (F.col("n1").cast("double") * F.col("n2") * F.col("m1")
+         * (F.col("nn") - F.col("m1")) / (nn * nn * (F.col("nn") - 1)))
+        .cast("decimal(27,9)").alias("v"),
+        (F.col("a").cast("double") * F.col("d") / F.col("nn"))
+        .cast("decimal(27,9)").alias("ad"),
+        (F.col("b").cast("double") * F.col("c") / F.col("nn"))
+        .cast("decimal(27,9)").alias("bc"))
+    sdev = F.sum("dev").cast("double")
+    sv = F.sum("v").cast("double")
+    chi2 = (sdev * sdev / sv).cast("decimal(18,6)")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        chi2.cast("double").alias("cmh_chi2"),
+        (chi2 > 3.841459).alias("reject_5pct"),
+        F.when(F.sum("bc") == 0, F.lit(None).cast("double"))
+        .otherwise((F.sum("ad").cast("double")
+                    / F.sum("bc").cast("double"))
+                   .cast("decimal(18,6)").cast("double")).alias("or_mh"))
+
+
+# ---- Kruskal-Wallis H test (A72) -------------------------------------------
+
+
+@query(
+    "q_ab_kruskal",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    vals AS (
+      SELECT v, SUM(cnt) AS cv FROM cells GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, cv,
+             2 * COALESCE(SUM(cv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cv + 1 AS r2
+      FROM vals
+    ),
+    groups AS (
+      SELECT g, SUM(c.cnt) AS ng, SUM(c.cnt * r.r2) AS r2g
+      FROM cells c JOIN ranked r ON c.v = r.v
+      GROUP BY g
+    ),
+    tot AS (
+      SELECT SUM(ng) AS n,
+             SUM(CAST(CAST(r2g AS DOUBLE) * r2g / (4.0 * ng)
+                 AS DECIMAL(27,9))) AS srsq,
+             COUNT(*) AS k
+      FROM groups
+    ),
+    ties AS (
+      SELECT SUM(cv * cv * cv - cv) AS t3 FROM vals
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(CAST(12.0 * CAST(srsq AS DOUBLE) / (CAST(n AS DOUBLE)
+                * (n + 1)) - 3.0 * (n + 1) AS DECIMAL(18,6)) AS DOUBLE)
+             AS h_stat,
+           CAST(CAST((12.0 * CAST(srsq AS DOUBLE) / (CAST(n AS DOUBLE)
+                * (n + 1)) - 3.0 * (n + 1))
+                / (1.0 - CAST(t3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n))
+                AS DECIMAL(18,6)) AS DOUBLE) AS h_tie_corrected
+    FROM tot, ties
+    """,
+    tags=("A72", "abtest", "rank"),
+)
+def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H: the k-group rank test of quantity across the
+    three return-flag populations — the nonparametric sibling of A53's
+    ANOVA (which assumes normal-ish tails) and the k-group
+    generalization of A44's Mann-Whitney. Reported raw AND with the
+    standard tie correction 1 - sum(t^3 - t)/(N^3 - N) — l_quantity has
+    50 distinct values over ~N rows, so ties dominate and the
+    uncorrected H understates significance.
+
+    Scale shape (the A44/A56 distinct-value discipline): the fact table
+    is touched by ONE hash agg to (group, value) cells — bounded by
+    3 x 50 regardless of row count; pooled AVERAGE ranks fall out of a
+    prefix window over the 50-row value relation as exact DOUBLED
+    integers (2*prefix + count + 1 — no halves, no floats); per-group
+    rank sums are exact integer dot products over the cell relation.
+    H is assembled from those exact integers with per-group terms
+    9-dp-quantized before the 3-row fold; no row-grain sort or window
+    anywhere (the oracle mirrors the same collapse — the naive-model
+    property test, not the mirror, proves the rank arithmetic)."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(F.col("l_returnflag").alias("g"),
+                       F.col("l_quantity").alias("v")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    vals = cells.groupBy("v").agg(F.sum("cnt").alias("cv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v", "cv",
+        (2 * F.coalesce(F.sum("cv").over(wv), F.lit(0))
+         + F.col("cv") + 1).alias("r2"))
+    groups = (cells.join(F.broadcast(ranked), "v")
+              .groupBy("g")
+              .agg(F.sum("cnt").alias("ng"),
+                   F.sum(F.col("cnt") * F.col("r2")).alias("r2g")))
+    tot = groups.agg(
+        F.sum("ng").alias("n"),
+        F.sum((F.col("r2g").cast("double") * F.col("r2g")
+               / (4.0 * F.col("ng"))).cast("decimal(27,9)"))
+        .alias("srsq"),
+        F.count(F.lit(1)).alias("k"))
+    ties = vals.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .alias("t3"))
+    nd = F.col("n").cast("double")
+    h = (12.0 * F.col("srsq").cast("double") / (nd * (F.col("n") + 1))
+         - 3.0 * (F.col("n") + 1))
+    tie_den = 1.0 - F.col("t3").cast("double") / (nd * F.col("n")
+                                                  * F.col("n") - F.col("n"))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        h.cast("decimal(18,6)").cast("double").alias("h_stat"),
+        (h / tie_den).cast("decimal(18,6)").cast("double")
+        .alias("h_tie_corrected"))

@@ -1461,3 +1461,266 @@ def q_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
         .otherwise(t.cast("decimal(18,9)").cast("double"))
         .alias("cvm_t"))
+
+
+# ---- Anderson-Darling two-sample drift (Q19) -------------------------------
+
+_AD_CUTOFF = _PSI_CUTOFF  # same before/after split as the PSI/KS/CvM screens
+
+
+@query(
+    "q_drift_ad",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_AD_CUTOFF}'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT v, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT c_a + c_b AS l,
+             SUM(c_a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(c_a + c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bj,
+             SUM(c_a) OVER () AS n_a,
+             SUM(c_b) OVER () AS n_b
+      FROM per_value
+    ),
+    terms AS (
+      SELECT n_a, n_b,
+             CAST(CAST(l AS DOUBLE)
+                  * ((n_a + n_b) * cum_a - CAST(n_a AS DECIMAL(19,0)) * bj)
+                  * ((n_a + n_b) * cum_a - CAST(n_a AS DECIMAL(19,0)) * bj)
+                  / (CAST(bj AS DOUBLE) * ((n_a + n_b) - bj))
+                  AS DECIMAL(27,9)) AS t
+      FROM cum WHERE bj < n_a + n_b
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL
+                ELSE CAST(CAST(
+                  (1.0 / MAX(n_a) + 1.0 / MAX(n_b))
+                  / (MAX(n_a) + MAX(n_b)) * CAST(SUM(t) AS DOUBLE)
+                  AS DECIMAL(18,9)) AS DOUBLE) END AS ad_stat
+    FROM terms
+    """,
+    tags=("Q19", "drift", "ad-test"),
+)
+def q_drift_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANDERSON-DARLING TWO-SAMPLE TEST (Scholz-Stephens tie-adjusted
+    form, no continuity correction) between the before/after halves of
+    the event-value stream — the drift member that WEIGHTS the ECDF gap
+    by 1/(F(1-F)), so tail divergence that CvM's uniform weighting
+    averages away still scores: A² = Σ_j (l_j/N)·(N·M_j − n_a·B_j)²
+    /(B_j(N−B_j)) · (1/n_a + 1/n_b), summed over pooled distinct values
+    below the maximum. Null mean is 1.0 regardless of sample sizes,
+    so the number reads directly as an excess-divergence factor.
+    Completes the weighted end of the family: PSI (binned magnitude),
+    KS (max gap), CvM (integrated gap), AD (tail-weighted gap).
+
+    Same integer-ECDF discipline as Q13/Q18: ONE hash agg to the
+    distinct-value relation, the family's shared prefix window over
+    values, per-value numerators exact int128 decimals, ONE division
+    per distinct value 9-dp-quantized before the order-insensitive
+    sum, and the final closed form assembled from exact (n_a, n_b)."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < F.lit(_AD_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0).alias("in_a"))
+    per_value = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(1 - F.col("in_a")).alias("c_b"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_value.select(
+        (F.col("c_a") + F.col("c_b")).alias("l"),
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum(F.col("c_a") + F.col("c_b")).over(wcum).alias("bj"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"))
+    nn = F.col("n_a") + F.col("n_b")
+    d = (nn * F.col("cum_a")
+         - F.col("n_a").cast("decimal(19,0)") * F.col("bj"))
+    term = (F.col("l").cast("double") * d * d
+            / (F.col("bj").cast("double") * (nn - F.col("bj"))))
+    terms = cum.where(F.col("bj") < nn).select(
+        "n_a", "n_b", term.cast("decimal(27,9)").alias("t"))
+    agg = terms.agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.sum("t").alias("st"))
+    ad = ((1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+          / (F.col("n_a") + F.col("n_b")) * F.col("st").cast("double"))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0),
+               F.lit(None).cast("double"))
+        .otherwise(ad.cast("decimal(18,9)").cast("double"))
+        .alias("ad_stat"))
+
+
+# ---- Functional-dependency audit (Q20) -------------------------------------
+
+# Candidate dependencies a warehouse modeler would assert before
+# normalizing: (table, determinant, dependent). Mixed on purpose — some
+# hold by construction, some are plausible-but-false; the audit is only
+# useful if it can say "no" with the violating-key count.
+FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(n_rhs) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+      SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+      FROM {tbl} GROUP BY {lhs}
+    )""")
+        parts.append("    UNION ALL")
+    return "\n".join(parts[:-1]) + "\n    ORDER BY fd"
+
+
+@query("q_quality_fd", oracle=_fd_oracle(),
+       tags=("Q20", "quality", "profiling"))
+def q_quality_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY AUDIT: for each candidate determinant →
+    dependent pair, does every determinant value map to exactly one
+    dependent value? The schema-design primitive behind normalization
+    decisions, surrogate-key validation, and 'can I safely dimension
+    this column' questions — Q1 checks values row-by-row, this checks
+    the RELATIONSHIP between columns. Reports the violating-key count
+    (not just a boolean), because 'holds except for 3 keys' is a data
+    bug while 'violated by half the keys' is a modeling error.
+
+    Scale shape: each candidate is one (lhs → count distinct rhs) hash
+    aggregate — the shuffle carries the two audited columns only — then
+    a 1-row fold; candidates union into an O(#candidates)-row report.
+    All counts exact integers; no floats anywhere, so cross-engine
+    parity is structural."""
+    out = None
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        t = load(spark, sf_dir, tbl)
+        per_key = t.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs"))
+        row = per_key.agg(
+            F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum("n_rhs").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_violating_lhs"),
+            (F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)) == 0)
+            .alias("holds"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")
+
+
+# ---- String-mask pattern profile (Q21) --------------------------------------
+
+# (table, column) pairs to profile. Masks: digit runs -> '9', upper runs
+# -> 'A', lower runs -> 'a'; punctuation/whitespace kept literal.
+PATTERN_COLUMNS = (
+    ("customer", "c_name"),
+    ("part", "p_name"),
+    ("part", "p_brand"),
+    ("orders", "o_orderpriority"),
+    ("events", "props"),
+)
+
+
+def _mask_sql(col: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"CAST({col} AS VARCHAR), '[0-9]+', '9', 'g'), "
+        "'[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g')")
+
+
+def _patterns_oracle() -> str:
+    parts = []
+    for tbl, col in PATTERN_COLUMNS:
+        parts.append(f"""
+    SELECT '{tbl}.{col}' AS column_name,
+           {_mask_sql(col)} AS mask,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(CAST({col} AS VARCHAR)) AS example
+    FROM {tbl} GROUP BY 2""")
+        parts.append("    UNION ALL")
+    body = "\n".join(parts[:-1])
+    return f"""
+    WITH masks AS ({body}),
+    tot AS (
+      SELECT column_name, SUM(n_rows) AS col_rows
+      FROM masks GROUP BY column_name
+    )
+    SELECT m.column_name, m.mask, m.n_rows,
+           CAST(CAST(CAST(m.n_rows AS DOUBLE) / t.col_rows
+                AS DECIMAL(18,6)) AS DOUBLE) AS share,
+           m.example
+    FROM masks m JOIN tot t ON m.column_name = t.column_name
+    ORDER BY m.column_name, m.mask
+    """
+
+
+def _mask_col(col) -> Column:
+    c = F.regexp_replace(col.cast("string"), "[0-9]+", "9")
+    c = F.regexp_replace(c, "[A-Z]+", "A")
+    return F.regexp_replace(c, "[a-z]+", "a")
+
+
+@query("q_quality_patterns", oracle=_patterns_oracle(),
+       tags=("Q21", "quality", "profiling"))
+def q_quality_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-MASK PATTERN PROFILE: collapse every profiled column to
+    its shape mask (digit runs → 9, upper runs → A, lower runs → a,
+    punctuation literal — 'Customer#000000042' → 'A#9') and report each
+    mask's row count, share, and lexicographically-least example. The
+    format-health screen that catches the drifted ingest ('5% of
+    phone-shaped strings grew a country prefix', 'a second JSON shape
+    appeared in props') before any value-level statistic moves —
+    masks, unlike values, have tiny cardinality, so a NEW mask is
+    always report-visible.
+
+    Scale shape: per column ONE scan → mask expression (three
+    JVM-side regexp_replace passes, no UDF) → hash agg keyed by the
+    low-cardinality mask; shares derive from a per-column total joined
+    back on the O(#masks) relation — the fact tables never shuffle
+    anything wider than the mask string. MIN(example) makes the
+    representative engine-independent; share is one 6-dp-quantized
+    division of exact counts."""
+    out = None
+    for tbl, col in PATTERN_COLUMNS:
+        t = load(spark, sf_dir, tbl)
+        m = t.select(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            _mask_col(F.col(col)).alias("mask"),
+            F.col(col).cast("string").alias("raw"))
+        g = m.groupBy("column_name", "mask").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("raw").alias("example"))
+        out = g if out is None else out.unionByName(g)
+    tot = out.groupBy("column_name").agg(
+        F.sum("n_rows").alias("col_rows"))
+    return (out.join(F.broadcast(tot), "column_name")
+            .select("column_name", "mask", "n_rows",
+                    (F.col("n_rows").cast("double") / F.col("col_rows"))
+                    .cast("decimal(18,6)").cast("double").alias("share"),
+                    "example")
+            .orderBy("column_name", "mask"))

@@ -2155,3 +2155,207 @@ def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(n.cast("bigint").alias("n_days"),
                     strength("detr").alias("seasonal_strength"),
                     strength("deseas").alias("trend_strength"))
+
+
+# ---- Ljung-Box portmanteau test (W44) --------------------------------------
+
+LB_MAX_LAG = 7
+LB_CRIT_5PCT_DF7 = 14.067140  # chi-square 95th percentile, df = 7
+
+
+@query(
+    "q_ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM daily
+    ),
+    lagged AS (
+      SELECT l.lag, COUNT(*) AS m,
+             CAST(SUM(CAST(a.v AS DECIMAL(19,6))
+                      * CAST(b.v AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.v AS DECIMAL(20,6))) AS DOUBLE) AS sh,
+             CAST(SUM(CAST(b.v AS DECIMAL(20,6))) AS DOUBLE) AS st
+      FROM range(1, {LB_MAX_LAG} + 1) l(lag)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+      GROUP BY l.lag
+    ),
+    rho AS (
+      SELECT g.lag, b.n,
+             CAST(CAST(
+               (g.sxy - (b.s1 / b.n) * (g.sh + g.st)
+                + g.m * (b.s1 / b.n) * (b.s1 / b.n))
+               / (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n))
+               AS DECIMAL(18,6)) AS DOUBLE) AS r
+      FROM lagged g, base b
+      WHERE b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n) > 0 AND g.m > 0
+    ),
+    q AS (
+      SELECT MAX(n) AS n, COUNT(*) AS h,
+             CAST(SUM(CAST(r * r / (n - lag) AS DECIMAL(27,9)))
+                  AS DOUBLE) AS srho
+      FROM rho
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(h AS BIGINT) AS n_lags,
+           CAST(CAST(n * (n + 2.0) * srho AS DECIMAL(18,6)) AS DOUBLE)
+             AS lb_q,
+           CAST(n * (n + 2.0) * srho AS DECIMAL(18,6))
+             > {LB_CRIT_5PCT_DF7} AS reject_5pct
+    FROM q
+    """,
+    tags=("W44", "timeseries", "ljung-box"),
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST over the daily-revenue ACF at lags
+    1..{LB_MAX_LAG}: Q = n(n+2)·Σ ρ_k²/(n−k), against chi-square(h) —
+    the ONE-NUMBER answer to "is this series white noise?" that reading
+    W41's seven per-lag bars can't give (seven uncorrected 5% looks
+    inflate the family false-alarm rate exactly the way A55 corrects
+    elsewhere). The standard residual-diagnostic gate run after any
+    forecast fit (W34's backtest residuals should pass it; raw revenue
+    with weekly seasonality should fail it).
+
+    Composition discipline: the ρ_k are W41's EXACT published values —
+    same raw-moment expansion over the same day-grain self-join, each
+    6-dp-quantized BEFORE squaring so both engines square identical
+    rationals; the Q fold is {LB_MAX_LAG} terms, 9-dp-quantized per
+    term. Scale: everything after the one fact-table collapse operates
+    on the calendar-bounded day relation (30 rows/month regardless of
+    sf) — the statistic's cost is frozen by the calendar, not data."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v"))
+             .select("day", F.col("v").cast("decimal(19,6)").alias("v")))
+    daily = daily.persist()
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"))
+    lags = spark.range(1, LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)) \
+        .select("lag", F.col("v").alias("va"),
+                F.date_add(F.col("day"), F.col("lag")).alias("day_b"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("v").alias("vb"))
+    lagged = (a.join(b, "day_b")
+              .groupBy("lag")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum(F.col("va") * F.col("vb")).cast("double")
+                   .alias("sxy"),
+                   F.sum(F.col("va").cast("decimal(20,6)"))
+                   .cast("double").alias("sh"),
+                   F.sum(F.col("vb").cast("decimal(20,6)"))
+                   .cast("double").alias("st")))
+    mean = F.col("s1") / F.col("n")
+    den = F.col("s2") - F.col("n") * mean * mean
+    num = (F.col("sxy") - mean * (F.col("sh") + F.col("st"))
+           + F.col("m") * mean * mean)
+    rho = (lagged.crossJoin(F.broadcast(base))
+           .where((den > 0) & (F.col("m") > 0))
+           .select("lag", "n",
+                   (num / den).cast("decimal(18,6)").cast("double")
+                   .alias("r")))
+    qrel = rho.agg(
+        F.max("n").alias("n"), F.count(F.lit(1)).alias("h"),
+        F.sum((F.col("r") * F.col("r") / (F.col("n") - F.col("lag")))
+              .cast("decimal(27,9)")).cast("double").alias("srho"))
+    lbq = (F.col("n") * (F.col("n") + 2.0) * F.col("srho")) \
+        .cast("decimal(18,6)")
+    return qrel.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("h").cast("bigint").alias("n_lags"),
+        lbq.cast("double").alias("lb_q"),
+        (lbq > LB_CRIT_5PCT_DF7).alias("reject_5pct"))
+
+
+# ---- Theil-Sen robust trend slope (W45) -------------------------------------
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(CAST((b.v - a.v) AS DOUBLE)
+                  / (b.day - a.day) AS DECIMAL(18,6)) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rk,
+             COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rk = (m + 1) // 2 THEN s END) AS DOUBLE)
+             AS theil_sen_slope,
+           CAST(MAX(CASE WHEN rk = m // 2 + 1 THEN s END) AS DOUBLE)
+             AS theil_sen_slope_hi
+    FROM ranked
+    """,
+    tags=("W45", "timeseries", "robust-trend"),
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST SLOPE of daily purchase revenue: the median of
+    all pairwise day-to-day slopes — the trend ESTIMATE to W39's
+    Mann-Kendall trend TEST (the canonical pairing: MK says "is there a
+    monotone trend", Theil-Sen says "how steep"), with a 29.3%
+    breakdown point where the OLS slope (A22) is dragged arbitrarily
+    far by one bad day. Both lower-median and upper-median order
+    statistics ship, so the even-pair-count ambiguity is explicit
+    rather than engine-dependent.
+
+    Scale shape: the fact table collapses to the day grain ONCE; the
+    pairwise self-join and the rank window run on the calendar-bounded
+    day relation (30 days → 435 slopes at EVERY sf — the relation's
+    size is frozen by the calendar, same posture as W39/W41), so the
+    single-partition rank window orders hundreds of rows, never data.
+    Each slope is ONE division of exact decimals quantized at 6 dp
+    (both engines pick identical medians because they rank identical
+    rationals; date subtraction is exact integer days)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v")))
+    a = daily.select(F.col("day").alias("day_a"), F.col("v").alias("va"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("v").alias("vb"))
+    slopes = (a.join(b, F.col("day_b") > F.col("day_a"))
+              .select(((F.col("vb") - F.col("va")).cast("double")
+                       / F.datediff("day_b", "day_a"))
+                      .cast("decimal(18,6)").alias("s")))
+    wrk = Window.orderBy("s")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = slopes.select(
+        "s", F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"))
+    n_days = daily.count()
+    return ranked.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.max(F.when(F.col("rk") == F.floor((F.col("m") + 1) / 2),
+                     F.col("s"))).cast("double")
+        .alias("theil_sen_slope"),
+        F.max(F.when(F.col("rk") == F.floor(F.col("m") / 2) + 1,
+                     F.col("s"))).cast("double")
+        .alias("theil_sen_slope_hi"))
