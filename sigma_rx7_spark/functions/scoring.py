@@ -422,3 +422,73 @@ def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(QDEC).cast("double").alias("encoded"),
             F.col("gmean").cast(QDEC).cast("double").alias("global_mean"))
     )
+
+
+# ---- Feature hashing (the hashing trick) (X10) -----------------------------
+
+FH_BUCKETS = 64  # 2^6 buckets — small enough to read, large enough to collide
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT p_partkey, u.tok
+      FROM (
+        SELECT p_partkey, p_type || ' ' || p_brand AS s FROM part
+      ), UNNEST(string_split(s, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    hashed AS (
+      SELECT tok,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                  % {FH_BUCKETS} AS BIGINT) AS bucket,
+             CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(sgn) AS BIGINT) AS signed_sum
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("X10", "feature", "hashing"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick): every part's type/brand
+    token maps to md5-bucket uint32(md5[:8]) mod {FH_BUCKETS} with a
+    ±1 sign from the next hex nibble — the fixed-width, vocabulary-free
+    featurization that makes streaming/online models possible at 100 TB
+    (no vocabulary build, no OOV problem, no second pass; Weinberger et
+    al.'s signed variant keeps collision noise zero-mean). The output
+    is the BUCKET HEALTH TABLE a feature platform audits before
+    trusting hashed features: occupancy, collision degree
+    (distinct tokens per bucket), and the signed occurrence sum.
+
+    Scale shape: one catalog scan → token explode → hash expressions
+    (JVM-side md5 + substring + conv, no UDF) → ONE hash agg keyed by
+    the {FH_BUCKETS}-value bucket id. The md5-hex convention makes
+    bucket and sign bit-identical across engines (same idiom as A51's
+    Bloom positions); all outputs exact integers — no floats, parity
+    is structural."""
+    p = load(spark, sf_dir, "part")
+    toks = (p.select(F.concat_ws(" ", F.col("p_type"), F.col("p_brand"))
+                     .alias("s"))
+            .select(F.explode(F.split(F.col("s"), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    h = F.md5(F.col("tok"))
+    hashed = toks.select(
+        "tok",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+         % FH_BUCKETS).alias("bucket"),
+        F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint")
+               % 2 == 0, 1).otherwise(-1).alias("sgn"))
+    return (hashed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.countDistinct("tok").cast("bigint")
+                 .alias("n_distinct_tokens"),
+                 F.sum("sgn").cast("bigint").alias("signed_sum"))
+            .orderBy("bucket"))

@@ -1999,3 +1999,157 @@ def q_text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pred_en").cast("double") / F.col("n_docs"))
         .cast("decimal(18,6)").cast("double").alias("pred_en_rate"),
         correct.cast("bigint").alias("n_correct"))
+
+
+# ---- NDCG ranked-retrieval evaluation (L3w) ---------------------------------
+
+NDCG_K = 10
+NDCG_REL_CAP = 3  # graded relevance = min(raw tf, cap)
+NDCG_TERMS = (SEARCH_TERM_A, SEARCH_TERM_B, "data")
+
+
+def _ndcg_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in NDCG_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.word AS term
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.term, tf.doc_id,
+             LEAST(tf.tf, {NDCG_REL_CAP}) AS rel,
+             CAST(CAST(ln(1.0 + (corpus.n_docs - df.df + 0.5)
+                                / (df.df + 0.5)) AS DECIMAL(18,6))
+                  AS DOUBLE)
+             * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * dl.dl / corpus.avgdl)) AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.term = df.term
+      CROSS JOIN corpus
+    ), ranked AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY CAST(s AS DECIMAL(20,6)) DESC, doc_id) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY rel DESC, doc_id) AS ideal_pos,
+             COUNT(*) OVER (PARTITION BY term) AS n_candidates
+      FROM scored
+    ), gains AS (
+      SELECT term, MAX(n_candidates) AS n_candidates,
+             SUM(CASE WHEN pos <= {NDCG_K} THEN
+               CAST((pow(2.0, rel) - 1.0)
+                    / (ln(pos + 1.0) / ln(2.0)) AS DECIMAL(27,9))
+               ELSE 0 END) AS dcg,
+             SUM(CASE WHEN ideal_pos <= {NDCG_K} THEN
+               CAST((pow(2.0, rel) - 1.0)
+                    / (ln(ideal_pos + 1.0) / ln(2.0)) AS DECIMAL(27,9))
+               ELSE 0 END) AS idcg
+      FROM ranked GROUP BY term
+    )
+    SELECT term,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(CAST(CAST(dcg AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS dcg,
+           CAST(CAST(CAST(idcg AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS idcg,
+           CASE WHEN idcg = 0 THEN NULL
+                ELSE CAST(CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS ndcg
+    FROM gains
+    ORDER BY term
+    """
+
+
+@query("q_text_ndcg", oracle=_ndcg_oracle(),
+       tags=("L3w", "search", "ndcg"))
+def q_text_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} OF THE BM25 RANKER, per query term — the ranking-
+    QUALITY member of the retrieval family: L3r produces the ranking,
+    this scores it against graded relevance (rel = min(raw tf,
+    {NDCG_REL_CAP}) — raw term frequency as weak graded labels, the
+    standard zero-judgment proxy) with the exponential-gain /
+    log-position-discount that makes swapping ranks 1 and 2 matter far
+    more than 9 and 10. BM25's saturating-tf + length normalization
+    deliberately DISAGREES with raw tf, so NDCG < 1 here measures
+    exactly how much the ranker's length prior reorders the label
+    order — per term, the one number a retrieval regression suite
+    tracks.
+
+    Scale shape: same posting/corpus relations as L3r (tokenize once,
+    query-term filter pushed below the tf agg, 1-3-row df/corpus
+    broadcasts); BOTH orderings (ranked and ideal) come from windows
+    partitioned by term over term-filtered candidates, with doc_id
+    tie-breaks making each a total order; scores rank on the 6-dp
+    decimal grid so both engines agree on ties. Per-position gain
+    terms pass through ln twice → 9-dp-quantized before the per-term
+    fold; NDCG itself is one 6-dp division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    tf = (toks.where(F.col("term").isin(*NDCG_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5)).cast(QDEC).cast("double"))
+    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+             + BM25_B * F.col("dl") / F.col("avgdl")))
+    s = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    scored = (tf.join(dl, "doc_id")
+              .join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(corpus))
+              .select("term", "doc_id",
+                      F.least(F.col("tf"), F.lit(NDCG_REL_CAP))
+                      .alias("rel"),
+                      s.alias("s")))
+    wrank = Window.partitionBy("term").orderBy(
+        F.col("s").cast("decimal(20,6)").desc(), "doc_id")
+    wideal = Window.partitionBy("term").orderBy(
+        F.col("rel").desc(), "doc_id")
+    wterm = Window.partitionBy("term")
+    ranked = scored.select(
+        "term", "rel",
+        F.row_number().over(wrank).alias("pos"),
+        F.row_number().over(wideal).alias("ideal_pos"),
+        F.count(F.lit(1)).over(wterm).alias("n_candidates"))
+    log2 = F.log(F.lit(2.0))
+    gain_at = lambda pos_col: (  # noqa: E731
+        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+        / (F.log(pos_col + 1.0) / log2)).cast("decimal(27,9)")
+    gains = ranked.groupBy("term").agg(
+        F.max("n_candidates").alias("n_candidates"),
+        F.sum(F.when(F.col("pos") <= NDCG_K, gain_at(F.col("pos")))
+              .otherwise(F.lit(0).cast("decimal(27,9)"))).alias("dcg"),
+        F.sum(F.when(F.col("ideal_pos") <= NDCG_K,
+                     gain_at(F.col("ideal_pos")))
+              .otherwise(F.lit(0).cast("decimal(27,9)"))).alias("idcg"))
+    return gains.select(
+        "term",
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("dcg").cast("double").cast("decimal(18,6)").cast("double")
+        .alias("dcg"),
+        F.col("idcg").cast("double").cast("decimal(18,6)").cast("double")
+        .alias("idcg"),
+        F.when(F.col("idcg") == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("dcg").cast("double")
+                    / F.col("idcg").cast("double"))
+                   .cast("decimal(18,6)").cast("double")).alias("ndcg")
+    ).orderBy("term")

@@ -1620,3 +1620,214 @@ def q_ml_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("decimal(18,9)").cast("double").alias("psi")
     ).select(F.col("n_a").cast("bigint").alias("n_a"),
              F.col("n_b").cast("bigint").alias("n_b"), "psi")
+
+
+# ---- Matthews correlation / Cohen's kappa / balanced accuracy (L6q) --------
+
+
+def _mcc_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    thr AS (
+      SELECT CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        AS thr
+      FROM sc
+    ),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr) AND y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN p >= (SELECT thr FROM thr) AND y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN p < (SELECT thr FROM thr) AND y = 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN p < (SELECT thr FROM thr) AND y = 0.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) = 0
+                  OR (tn + fp) * (tn + fn) = 0 THEN NULL
+                ELSE CAST(CAST(
+                  (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                  / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE)
+                    + fn) * (CAST(tn AS DOUBLE) + fp)
+                    * (CAST(tn AS DOUBLE) + fn))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS mcc,
+           CAST(CAST(
+             (CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+              - ((CAST(tp AS DOUBLE) + fp) * (tp + fn)
+                 + (CAST(fn AS DOUBLE) + tn) * (fp + tn))
+                / (CAST(tp + fp + fn + tn AS DOUBLE)
+                   * (tp + fp + fn + tn)))
+             / (1.0 - ((CAST(tp AS DOUBLE) + fp) * (tp + fn)
+                       + (CAST(fn AS DOUBLE) + tn) * (fp + tn))
+                  / (CAST(tp + fp + fn + tn AS DOUBLE)
+                     * (tp + fp + fn + tn)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS kappa,
+           CAST(CAST(
+             0.5 * (CAST(tp AS DOUBLE) / (tp + fn)
+                    + CAST(tn AS DOUBLE) / (tn + fp))
+             AS DECIMAL(18,6)) AS DOUBLE) AS balanced_accuracy
+    FROM cm
+    """
+
+
+@query("q_ml_mcc", oracle=_mcc_oracle(), tags=("L6q", "ml-eval", "mcc"))
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION + COHEN'S KAPPA + BALANCED ACCURACY of the
+    fitted quality gate at its shipped threshold — the three
+    chance-corrected summaries that stay honest under class imbalance,
+    where q_ml_eval's raw accuracy can be beaten by the constant
+    classifier (predict the majority class and accuracy equals the
+    prior). MCC is the ±1-bounded correlation of the prediction/label
+    contingency (high only when ALL four cells are right), kappa is
+    agreement above the chance the marginals alone produce, balanced
+    accuracy is the mean of the two per-class recalls. Reading the
+    three together routes the failure: low MCC + high accuracy =
+    imbalance artifact; low kappa + high MCC = marginal mismatch.
+
+    Same fitted weights, scored relation, and mean-score threshold as
+    q_ml_eval (one builder, models can never drift apart); everything
+    downstream of the four integer confusion counts is closed-form —
+    products computed in DOUBLE (exact-int inputs, correctly-rounded
+    mul; never bigint-overflowing at 100 TB counts), one quantized
+    division each; MCC NULL on a degenerate margin instead of a
+    divide-by-zero."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)) \
+        .select("y", p.alias("p")).persist()
+    thr = scored.agg(
+        (F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("thr"))
+    pos = F.col("p") >= F.col("thr")
+    y1 = F.col("y") == 1.0
+    cm = scored.crossJoin(F.broadcast(thr)).agg(
+        F.sum(F.when(pos & y1, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pos & ~y1, 1).otherwise(0)).cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pos & y1, 1).otherwise(0)).cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pos & ~y1, 1).otherwise(0)).cast("bigint")
+        .alias("tn"))
+    tp, fp, fn, tn = (F.col(c).cast("double")
+                      for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    po = (tp + tn) / n
+    mcc = ((tp * tn - fp * fn)
+           / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.when(((F.col("tp") + F.col("fp"))
+                * (F.col("tp") + F.col("fn")) == 0)
+               | ((F.col("tn") + F.col("fp"))
+                  * (F.col("tn") + F.col("fn")) == 0),
+               F.lit(None).cast("double"))
+        .otherwise(mcc.cast("decimal(18,6)").cast("double")).alias("mcc"),
+        ((po - pe) / (1.0 - pe)).cast("decimal(18,6)").cast("double")
+        .alias("kappa"),
+        (0.5 * (tp / (tp + fn) + tn / (tn + fp)))
+        .cast("decimal(18,6)").cast("double").alias("balanced_accuracy"))
+
+
+# ---- Log-loss (cross-entropy) evaluation (L6r) ------------------------------
+
+LOGLOSS_EPS = "0.000001"  # clip bound, exactly representable on the 6-dp grid
+
+
+def _logloss_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (
+      SELECT y,
+             least(greatest({p}, {LOGLOSS_EPS}),
+                   1.0 - {LOGLOSS_EPS}) AS p
+      FROM f
+    ),
+    terms AS (
+      SELECT y,
+             CAST(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))
+                  AS DECIMAL(27,9)) AS t
+      FROM sc
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(y) AS npos,
+             CAST(SUM(t) AS DOUBLE) AS sll
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(npos AS BIGINT) AS n_pos,
+           CAST(CAST(sll / n AS DECIMAL(18,6)) AS DOUBLE) AS logloss,
+           CAST(CAST(
+             -(CAST(npos AS DOUBLE) / n)
+               * CAST(CAST(ln(CAST(npos AS DOUBLE) / n)
+                 AS DECIMAL(18,9)) AS DOUBLE)
+             - (1.0 - CAST(npos AS DOUBLE) / n)
+               * CAST(CAST(ln(1.0 - CAST(npos AS DOUBLE) / n)
+                 AS DECIMAL(18,9)) AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) AS logloss_prior,
+           CAST(CAST(1.0 - (sll / n)
+             / (-(CAST(npos AS DOUBLE) / n)
+                  * CAST(CAST(ln(CAST(npos AS DOUBLE) / n)
+                    AS DECIMAL(18,9)) AS DOUBLE)
+                - (1.0 - CAST(npos AS DOUBLE) / n)
+                  * CAST(CAST(ln(1.0 - CAST(npos AS DOUBLE) / n)
+                    AS DECIMAL(18,9)) AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS skill
+    FROM agg
+    """
+
+
+@query("q_ml_logloss", oracle=_logloss_oracle(),
+       tags=("L6r", "ml-eval", "logloss"))
+def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-LOSS (cross-entropy) of the fitted quality gate's
+    probabilities against the weak labels, with the PRIOR log-loss (the
+    best constant predictor) and the skill score 1 − LL/LL_prior — the
+    proper scoring rule that punishes CONFIDENT wrongness
+    exponentially, where Brier (L6n) punishes it quadratically; the
+    metric that actually orders probabilistic models for downstream
+    mixing weights. Probabilities clipped to [{LOGLOSS_EPS},
+    1−{LOGLOSS_EPS}] (on the 6-dp score grid, so the clip is
+    engine-identical) — one mislabeled p=1.0 otherwise scores −ln(0)
+    and poisons the mean.
+
+    Same fitted weights as the L6 eval family (one builder). Per-row
+    −[y·ln p + (1−y)·ln(1−p)] terms pass through libm, so each is
+    9-dp-quantized BEFORE the order-insensitive decimal sum (compat
+    rule 2); the prior term's two ln calls are quantized at 9 dp then
+    assembled in exact IEEE; three final divisions, 6 dp."""
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    eps = float(LOGLOSS_EPS)
+    p_raw = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                       + F.col("w2") * F.col("x2"))
+    p = F.least(F.greatest(p_raw, F.lit(eps)), F.lit(1.0 - eps))
+    t = (-(F.col("y") * F.log(F.col("p"))
+           + (1.0 - F.col("y")) * F.log(1.0 - F.col("p")))) \
+        .cast("decimal(27,9)")
+    sc = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    agg = sc.select("y", t.alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("npos"),
+        F.sum("t").cast("double").alias("sll"))
+    n = F.col("n")
+    rate = F.col("npos").cast("double") / n
+    lnr = F.log(rate).cast("decimal(18,9)").cast("double")
+    lnr1 = F.log(1.0 - rate).cast("decimal(18,9)").cast("double")
+    prior = -rate * lnr - (1.0 - rate) * lnr1
+    ll = F.col("sll") / n
+    return agg.select(
+        n.cast("bigint").alias("n_docs"),
+        F.col("npos").cast("bigint").alias("n_pos"),
+        ll.cast("decimal(18,6)").cast("double").alias("logloss"),
+        prior.cast("decimal(18,6)").cast("double").alias("logloss_prior"),
+        (1.0 - ll / prior).cast("decimal(18,6)").cast("double")
+        .alias("skill"))

@@ -913,3 +913,103 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
         .otherwise(r.cast("decimal(18,6)").cast("double"))
         .alias("assortativity"))
+
+
+# ---- Partition modularity (L1u) --------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    return f"""
+    WITH li AS ({_capped_li_sql()}
+    ), und AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), labeled AS (
+      SELECT ps.p_brand AS ba, pd.p_brand AS bb
+      FROM und e
+      JOIN part ps ON ps.p_partkey = e.src
+      JOIN part pd ON pd.p_partkey = e.dst
+    ), m AS (
+      SELECT COUNT(*) AS m FROM labeled
+    ), intra AS (
+      SELECT ba AS brand, COUNT(*) AS ec
+      FROM labeled WHERE ba = bb GROUP BY ba
+    ), ends AS (
+      SELECT ba AS brand FROM labeled
+      UNION ALL
+      SELECT bb AS brand FROM labeled
+    ), degsum AS (
+      SELECT brand, COUNT(*) AS dc FROM ends GROUP BY brand
+    ), terms AS (
+      SELECT d.brand,
+             CAST(CAST(COALESCE(i.ec, 0) AS DOUBLE) / m.m
+                  - (CAST(d.dc AS DOUBLE) / (2.0 * m.m))
+                    * (CAST(d.dc AS DOUBLE) / (2.0 * m.m))
+                  AS DECIMAL(27,9)) AS t
+      FROM degsum d LEFT JOIN intra i ON i.brand = d.brand
+      CROSS JOIN m
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM terms) AS BIGINT) AS n_communities,
+           CAST(CAST(CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS modularity
+    FROM m
+    """
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle(),
+       tags=("L1u", "graph"))
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION MODULARITY of the brand partition on the co-purchase
+    graph: Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected edge list —
+    the community-quality score every clustering pipeline optimizes
+    (Louvain/Leiden maximize exactly this objective; this op is its
+    EVALUATION half, scoring a GIVEN labeling). Q ≈ 0 means brands
+    co-purchase like a random graph with these degrees — the
+    do-brand-communities-exist read a category manager asks for before
+    anyone ships brand-level recommendation pools.
+
+    Scale shape: the one capped edge build every graph op shares,
+    undirected by src<dst; brand labels arrive by two broadcast
+    dimension joins (part is catalog-sized); e_c and d_c are two hash
+    aggs over the edge relation keyed by the 25-value brand; the fold
+    is a 25-row relation with per-community terms 9-dp-quantized
+    before the order-insensitive sum. Exact integer counts
+    everywhere; two final quantized expressions."""
+    edges = _persist_tracked(
+        copurchase_edges(load(spark, sf_dir, "lineitem")))
+    und = edges.where(F.col("src") < F.col("dst"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = (und
+               .join(F.broadcast(p.select(
+                   F.col("p_partkey").alias("src"),
+                   F.col("p_brand").alias("ba"))), "src")
+               .join(F.broadcast(p.select(
+                   F.col("p_partkey").alias("dst"),
+                   F.col("p_brand").alias("bb"))), "dst")
+               .select("ba", "bb"))
+    labeled = _persist_tracked(labeled)
+    m = labeled.agg(F.count(F.lit(1)).alias("m"))
+    intra = (labeled.where(F.col("ba") == F.col("bb"))
+             .groupBy(F.col("ba").alias("brand"))
+             .agg(F.count(F.lit(1)).alias("ec")))
+    ends = labeled.select(F.col("ba").alias("brand")).unionAll(
+        labeled.select(F.col("bb").alias("brand")))
+    degsum = ends.groupBy("brand").agg(F.count(F.lit(1)).alias("dc"))
+    terms = (degsum.join(intra, "brand", "left")
+             .crossJoin(F.broadcast(m))
+             .select(
+                 (F.coalesce(F.col("ec"), F.lit(0)).cast("double")
+                  / F.col("m")
+                  - (F.col("dc").cast("double") / (2.0 * F.col("m")))
+                  * (F.col("dc").cast("double") / (2.0 * F.col("m"))))
+                 .cast("decimal(27,9)").alias("t")))
+    folded = terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("t").cast("double").alias("q"))
+    return (m.crossJoin(F.broadcast(folded))
+            .select(F.col("m").cast("bigint").alias("n_edges"),
+                    F.col("n_communities").cast("bigint")
+                    .alias("n_communities"),
+                    F.col("q").cast("decimal(18,6)").cast("double")
+                    .alias("modularity")))
