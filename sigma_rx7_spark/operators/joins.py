@@ -577,3 +577,83 @@ def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_nationkey",
                     F.col("n_lines").cast("bigint").alias("n_lines"),
                     F.col("r").cast("double").alias("revenue")))
+
+
+# ---- Epsilon-band numeric join (J16) ----------------------------------------
+
+BAND_EPS_DECI = 1  # band width in 0.1-currency grid units (= |Δprice| ≤ 0.1)
+
+
+@query(
+    "q_join_band",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_partkey, p_type,
+             CAST(round(p_retailprice * 10) AS BIGINT) AS pi
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_type, a.pi AS pa, b.pi AS pb
+      FROM g a JOIN g b
+        ON a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+       AND abs(a.pi - b.pi) <= {BAND_EPS_DECI}
+    )
+    SELECT p.p_type,
+           CAST(MAX(np.n_parts) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_band_pairs,
+           CAST(CAST(CAST(SUM(abs(p.pa - p.pb)) AS DOUBLE)
+                / (10.0 * COUNT(*)) AS DECIMAL(18,6)) AS DOUBLE)
+             AS avg_abs_diff
+    FROM pairs p
+    JOIN (SELECT p_type, COUNT(*) AS n_parts FROM g GROUP BY p_type) np
+      ON np.p_type = p.p_type
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    """,
+    tags=("J16", "join", "band"),
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSILON-BAND NUMERIC JOIN: parts of the same type whose retail
+    prices differ by at most one 0.1-currency grid unit — the
+    |x − y| ≤ ε join shape behind price-matching, sensor alignment,
+    and tolerance-based reconciliation. The naive plan is a per-type
+    CROSS join with an abs() filter (the oracle states exactly that,
+    and at 10⁹ parts it is 10¹⁸ comparisons); the engine plan buckets
+    each row into ε-width cells and EQUI-joins each probe row's three
+    adjacent cells — candidate volume is OUTPUT-bound (density per
+    cell), not n² — then dedups structurally: the build side emits ONE
+    cell, the probe side explodes {{pi−1, pi, pi+1}}, so a qualifying
+    pair meets on exactly one (cell) key and no distinct is needed.
+
+    Determinism discipline: prices are quantized onto their native
+    0.1 grid as exact BIGINTs FIRST (round(x·10) — the banding and the
+    ε-filter are integer arithmetic in both engines; no float floor at
+    a cell boundary can ever disagree). Output is the per-type band
+    report (pair count, mean |Δ|), one quantized division."""
+    p = load(spark, sf_dir, "part")
+    g = p.select(
+        "p_partkey", "p_type",
+        F.round(F.col("p_retailprice") * 10).cast("bigint").alias("pi"))
+    a = g.select(F.col("p_type"), F.col("p_partkey").alias("ka"),
+                 F.col("pi").alias("pa"), F.col("pi").alias("cell"))
+    b = g.select(F.col("p_type"), F.col("p_partkey").alias("kb"),
+                 F.col("pi").alias("pb"),
+                 F.explode(F.array(
+                     F.col("pi") - BAND_EPS_DECI, F.col("pi"),
+                     F.col("pi") + BAND_EPS_DECI)).alias("cell"))
+    pairs = (a.join(b, ["p_type", "cell"])
+             .where((F.col("ka") < F.col("kb"))
+                    & (F.abs(F.col("pa") - F.col("pb"))
+                       <= BAND_EPS_DECI))
+             .select("p_type", "pa", "pb"))
+    np_ = g.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (pairs.join(F.broadcast(np_), "p_type")
+            .groupBy("p_type")
+            .agg(F.max("n_parts").cast("bigint").alias("n_parts"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_band_pairs"),
+                 (F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("double")
+                  / (10.0 * F.count(F.lit(1))))
+                 .cast("decimal(18,6)").cast("double")
+                 .alias("avg_abs_diff"))
+            .orderBy("p_type"))

@@ -481,3 +481,112 @@ def q_stream_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, "stream_sequence", output_mode="update")
+
+
+# ---- Streaming ordered conversion funnel (T6 × W11) -----------------------
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h step window, microseconds
+
+FUNNEL_STATE_SCHEMA = "t1 LONG, t2 LONG, t3 LONG"
+FUNNEL_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("stage", T.IntegerType()),
+])
+
+
+def _funnel_update(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine: three timestamps, each set at
+    most once — first view, first qualifying click (inside 24 h after
+    the view), first qualifying purchase (inside 24 h after that
+    click). Events are replayed in (ts, id) order inside each batch;
+    cross-batch order rides on the source's append order (the same
+    watermark-order assumption q_stream_transitions carries)."""
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if etype == "view":
+                if t1 is None:
+                    t1 = ts_us
+            elif etype == "click":
+                if t1 is not None and t2 is None \
+                        and t1 < ts_us <= t1 + FUNNEL_WINDOW_US:
+                    t2 = ts_us
+            elif etype == "purchase":
+                if t2 is not None and t3 is None \
+                        and t2 < ts_us <= t2 + FUNNEL_WINDOW_US:
+                    t3 = ts_us
+    state.update((t1, t2, t3))
+    if t1 is not None:
+        stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+        yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+
+@query(
+    "q_stream_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND CAST(e.ts AS TIMESTAMP) > v.t1
+        AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND CAST(e.ts AS TIMESTAMP) > c.t2
+        AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage_reached,
+           COUNT(*) AS n_users
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY stage_reached
+    """,
+    tags=("T16", "streaming", "funnel"),
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ordered conversion funnel — the stateful twin of
+    q_funnel_steps, oracle-gated against the SAME batch SQL (the
+    lambda-architecture equivalence the streaming family keeps making
+    checkable): per-user state is THREE microsecond timestamps (first
+    view, first 24-h-qualifying click, first 24-h-qualifying
+    purchase), each written at most once, so the per-key state is O(1)
+    forever — the funnel never buffers history the way the
+    attribution op must. Each batch emits the user's current deepest
+    stage; stage is monotone non-decreasing by construction, so the
+    sink folds with MAX(stage) per user and the stage census follows.
+
+    Semantics carried in code: strict '>' lower bounds exclude
+    same-microsecond step pairs exactly like the batch SQL; a click
+    before any view is ignored because replay order is (ts, id) — the
+    first view seen IS the min-ts view under the source's append-order
+    assumption (same caveat as q_stream_transitions)."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    upd = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(upd, "stream_funnel", output_mode="append")
+    per_user = out.groupBy("user_id").agg(
+        F.max("stage").alias("stage_reached"))
+    return (per_user.groupBy("stage_reached")
+            .agg(F.count(F.lit(1)).alias("n_users")))
