@@ -1,0 +1,346 @@
+"""Round-11 session-2 property tests: the new statistical operators
+validated against naive pure-Python/numpy models (the r8 discipline —
+engine parity alone cannot catch a formula wrong identically on both
+sides)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+
+def _fetch(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "supplier", "lineitem", "events",
+              "documents", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_cmh_matches_naive_stratified_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.aggregates import CMH_HI_VALUE
+
+    rows = _fetch(sf_dir, """
+        SELECT c.c_mktsegment, o.o_custkey % 2, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
+    strata = {}
+    for seg, arm, price in rows:
+        a, b, c, d = strata.setdefault(seg, [0, 0, 0, 0])
+        hi = price > CMH_HI_VALUE
+        if arm == 1:
+            strata[seg][0 if hi else 1] += 1
+        else:
+            strata[seg][2 if hi else 3] += 1
+    sdev = sv = sad = sbc = 0.0
+    for a, b, c, d in strata.values():
+        n1, n2, m1 = a + b, c + d, a + c
+        nn = a + b + c + d
+        if nn <= 1:
+            continue
+        sdev += a - n1 * m1 / nn
+        sv += n1 * n2 * m1 * (nn - m1) / (nn * nn * (nn - 1))
+        sad += a * d / nn
+        sbc += b * c / nn
+    got = registry.get("q_ab_cmh").fn(spark, sf_dir).collect()[0]
+    assert got["n_strata"] == len(strata)
+    assert abs(got["cmh_chi2"] - sdev * sdev / sv) < 1e-4
+    assert abs(got["or_mh"] - sad / sbc) < 1e-4
+    assert got["reject_5pct"] == (round(sdev * sdev / sv, 6) > 3.841459)
+
+
+def test_kruskal_matches_naive_rank_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT l_returnflag, l_quantity FROM lineitem")
+    xs = np.array([float(v) for _, v in rows])
+    gs = np.array([g for g, _ in rows])
+    # naive average ranks over the pooled sample
+    order = np.argsort(xs, kind="stable")
+    ranks = np.empty(len(xs))
+    sorted_x = xs[order]
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and sorted_x[j] == sorted_x[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    n = len(xs)
+    h = 0.0
+    for g in np.unique(gs):
+        rg = ranks[gs == g]
+        h += rg.sum() ** 2 / len(rg)
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    _, counts = np.unique(xs, return_counts=True)
+    tie = 1.0 - (counts.astype(float) ** 3 - counts).sum() / (n**3 - n)
+    got = registry.get("q_ab_kruskal").fn(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n
+    assert got["n_groups"] == len(np.unique(gs))
+    assert abs(got["h_stat"] - h) < 1e-4
+    assert abs(got["h_tie_corrected"] - h / tie) < 1e-4
+
+
+def test_ad_matches_naive_pooled_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import _AD_CUTOFF
+
+    rows = _fetch(sf_dir, f"""
+        SELECT value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                    < TIMESTAMP '{_AD_CUTOFF}' THEN 1 ELSE 0 END
+        FROM events""")
+    xa = sorted(v for v, t in rows if t == 1)
+    xb = sorted(v for v, t in rows if t == 0)
+    na, nb = len(xa), len(xb)
+    nn = na + nb
+    vals = sorted(set(v for v, _ in rows))
+    cum_a = cum_b = 0.0
+    s = 0.0
+    from collections import Counter
+    ca, cb = Counter(xa), Counter(xb)
+    for v in vals:
+        lj = ca.get(v, 0) + cb.get(v, 0)
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        bj = cum_a + cum_b
+        if bj >= nn:
+            continue
+        d = nn * cum_a - na * bj
+        s += lj * d * d / (bj * (nn - bj))
+    ad = (1.0 / na + 1.0 / nb) / nn * s
+    got = registry.get("q_drift_ad").fn(spark, sf_dir).collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["ad_stat"] - ad) < 1e-6
+
+
+def test_ljung_box_matches_naive_acf(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.timeseries import LB_MAX_LAG
+
+    rows = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               SUM(value)
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    days = [r[0] for r in rows]
+    v = np.array([float(r[1]) for r in rows])
+    n = len(v)
+    mean = v.mean()
+    den = ((v - mean) ** 2).sum()
+    by_day = dict(zip(days, v))
+    q = 0.0
+    h = 0
+    import datetime as dt
+    for lag in range(1, LB_MAX_LAG + 1):
+        num = m = 0.0
+        for d, x in by_day.items():
+            d2 = d + dt.timedelta(days=lag)
+            if d2 in by_day:
+                num += (x - mean) * (by_day[d2] - mean)
+                m += 1
+        if m == 0 or den <= 0:
+            continue
+        h += 1
+        rho = round(num / den, 6)  # the op's 6-dp rho grid
+        q += rho * rho / (n - lag)
+    lb = n * (n + 2.0) * q
+    got = registry.get("q_ts_ljung_box").fn(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n and got["n_lags"] == h
+    assert abs(got["lb_q"] - lb) < 1e-3
+
+
+def test_theil_sen_matches_naive_all_pairs(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               SUM(CAST(value AS DECIMAL(20,6)))
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    days = [(r[0], float(r[1])) for r in rows]
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            dd = (days[j][0] - days[i][0]).days
+            slopes.append(round((days[j][1] - days[i][1]) / dd, 6))
+    slopes.sort()
+    m = len(slopes)
+    got = registry.get("q_ts_theil_sen").fn(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(days)
+    assert got["n_pairs"] == m
+    assert abs(got["theil_sen_slope"] - slopes[(m + 1) // 2 - 1]) < 1e-9
+    assert abs(got["theil_sen_slope_hi"] - slopes[m // 2]) < 1e-9
+
+
+def test_mcc_kappa_consistent_with_own_confusion(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    got = registry.get("q_ml_mcc").fn(spark, sf_dir).collect()[0]
+    tp, fp, fn, tn = (float(got[c]) for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    mcc = ((tp * tn - fp * fn)
+           / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    bacc = 0.5 * (tp / (tp + fn) + tn / (tn + fp))
+    assert abs(got["mcc"] - mcc) < 1e-6
+    assert abs(got["kappa"] - kappa) < 1e-6
+    assert abs(got["balanced_accuracy"] - bacc) < 1e-6
+    assert -1.0 <= got["mcc"] <= 1.0 and -1.0 <= got["kappa"] <= 1.0
+    # Confusion counts must agree with the already-validated L6g eval
+    # (same weights, same threshold) — the counts are not re-derived
+    # here, they are cross-checked against the sibling operator.
+    eva = registry.get("q_ml_eval").fn(spark, sf_dir).collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == \
+        (eva["tp"], eva["fp"], eva["fn"], eva["tn"])
+
+
+def test_logloss_properties_and_prior_formula(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    got = registry.get("q_ml_logloss").fn(spark, sf_dir).collect()[0]
+    n, npos = got["n_docs"], got["n_pos"]
+    rate = npos / n
+    prior = -(rate * round(math.log(rate), 9)
+              + (1 - rate) * round(math.log(1 - rate), 9))
+    assert abs(got["logloss_prior"] - prior) < 1e-6
+    assert got["logloss"] > 0
+    # a fitted model must not be worse than the constant predictor by
+    # more than noise, and skill must equal 1 - ll/prior exactly
+    assert abs(got["skill"] - (1 - got["logloss"] / prior)) < 2e-6
+
+
+def test_ndcg_matches_naive_ranker(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.functions.text import (
+        BM25_B,
+        BM25_K1,
+        NDCG_K,
+        NDCG_REL_CAP,
+        NDCG_TERMS,
+    )
+
+    docs = _fetch(sf_dir, "SELECT doc_id, text FROM documents")
+    toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    got = {r["term"]: r for r in
+           registry.get("q_text_ndcg").fn(spark, sf_dir).collect()}
+    for term in NDCG_TERMS:
+        tf = {d: ws.count(term) for d, ws in toks.items()
+              if term in ws}
+        df = len(tf)
+        idf = round(math.log(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        scored = {
+            d: idf * (t * (BM25_K1 + 1))
+            / (t + BM25_K1 * (1 - BM25_B + BM25_B * dl[d] / avgdl))
+            for d, t in tf.items()}
+        rel = {d: min(t, NDCG_REL_CAP) for d, t in tf.items()}
+        ranking = sorted(scored, key=lambda d: (-round(scored[d], 6), d))
+        ideal = sorted(rel, key=lambda d: (-rel[d], d))
+        dcg = sum((2 ** rel[d] - 1) / math.log2(p + 2)
+                  for p, d in enumerate(ranking[:NDCG_K]))
+        idcg = sum((2 ** rel[d] - 1) / math.log2(p + 2)
+                   for p, d in enumerate(ideal[:NDCG_K]))
+        row = got[term]
+        assert row["n_candidates"] == df
+        assert abs(row["dcg"] - dcg) < 1e-4
+        assert abs(row["idcg"] - idcg) < 1e-4
+        assert abs(row["ndcg"] - dcg / idcg) < 1e-4
+        assert row["ndcg"] <= 1.0 + 1e-9
+
+
+def test_modularity_matches_naive_graph(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.graph import COPURCHASE_MAX_LINES
+
+    lines = _fetch(sf_dir, "SELECT DISTINCT l_orderkey, l_partkey "
+                           "FROM lineitem ORDER BY 1, 2")
+    brand = dict(_fetch(sf_dir, "SELECT p_partkey, p_brand FROM part"))
+    orders = {}
+    for o, p in lines:
+        orders.setdefault(o, []).append(p)
+    edges = set()
+    for ps in orders.values():
+        capped = sorted(ps)[:COPURCHASE_MAX_LINES]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1:]:
+                edges.add((a, b))
+    m = len(edges)
+    intra, degsum = {}, {}
+    for a, b in edges:
+        ba, bb = brand[a], brand[b]
+        if ba == bb:
+            intra[ba] = intra.get(ba, 0) + 1
+        degsum[ba] = degsum.get(ba, 0) + 1
+        degsum[bb] = degsum.get(bb, 0) + 1
+    q = sum(intra.get(c, 0) / m - (d / (2 * m)) ** 2
+            for c, d in degsum.items())
+    got = registry.get("q_graph_modularity").fn(spark, sf_dir).collect()[0]
+    assert got["n_edges"] == m
+    assert got["n_communities"] == len(degsum)
+    assert abs(got["modularity"] - q) < 1e-5
+
+
+def test_band_join_matches_naive_all_pairs(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.joins import BAND_EPS_DECI
+
+    parts = _fetch(sf_dir, "SELECT p_partkey, p_type, p_retailprice "
+                           "FROM part")
+    by_type = {}
+    for k, t, pr in parts:
+        by_type.setdefault(t, []).append((k, round(pr * 10)))
+    got = {r["p_type"]: r for r in
+           registry.get("q_join_band").fn(spark, sf_dir).collect()}
+    for t, rows in by_type.items():
+        pairs = [(abs(pa - pb))
+                 for i, (ka, pa) in enumerate(rows)
+                 for kb, pb in rows[i + 1:]
+                 if abs(pa - pb) <= BAND_EPS_DECI]
+        if not pairs:
+            assert t not in got
+            continue
+        row = got[t]
+        assert row["n_parts"] == len(rows)
+        assert row["n_band_pairs"] == len(pairs)
+        assert abs(row["avg_abs_diff"]
+                   - sum(pairs) / (10.0 * len(pairs))) < 1e-6
+
+
+def test_fd_audit_known_dependency_holds(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    got = {r["fd"]: r for r in
+           registry.get("q_quality_fd").fn(spark, sf_dir).collect()}
+    # nationkey -> regionkey is an FD by construction in every TPC-H
+    # derivative; a violated candidate must report violating keys.
+    assert got["nation.n_nationkey->n_regionkey"]["holds"] is True
+    for row in got.values():
+        assert row["n_pairs"] >= row["n_lhs"]
+        assert (row["n_violating_lhs"] == 0) == row["holds"]
+
+
+def test_pattern_masks_cover_every_row_and_are_canonical(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = registry.get("q_quality_patterns").fn(spark, sf_dir).collect()
+    import re
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["column_name"], []).append(r)
+        # masks contain no raw letter/digit runs the collapse missed
+        assert not re.search(r"[0-8]|[b-z]|[B-Z]", r["mask"]), r["mask"]
+    for col, rs in by_col.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-4
+    # the uniform customer-name format must collapse to ONE mask
+    assert len(by_col["customer.c_name"]) == 1
+    assert by_col["customer.c_name"][0]["mask"] == "Aa#9"
