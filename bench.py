@@ -128,6 +128,16 @@ HEADLINE = [
     "q_graph_clustering",
     "q_drift_cvm",
     "q_mv_join_maintenance",
+    # Round 11 session 2: the new operators with real data terms at
+    # sf0.1 — the cell-exploded ε-band join (~700k qualifying pairs),
+    # the pooled-rank Kruskal-Wallis collapse, the stateful streaming
+    # funnel, NDCG's double-window ranking over the tokenized corpus,
+    # and the brand-modularity fold over the capped co-purchase graph.
+    "q_join_band",
+    "q_ab_kruskal",
+    "q_stream_funnel",
+    "q_text_ndcg",
+    "q_graph_modularity",
 ]
 
 # Timed and recorded in BENCH_DETAIL.json like every headline query,

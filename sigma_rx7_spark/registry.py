@@ -89,20 +89,23 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 11 window. The r10 window banked green for every name in it
-    # (CORRECTNESS_r10 50/50). This window's composition (r10 verdict
-    # item 3): (a) the 13 round-11 additions on first exposure; (b) the
-    # five queries whose implementation or staging stamp changed this
-    # round (spearman's distinct-value collapse, link-pred's
-    # TakeOrdered top-N, RFM's melted binned-rank pipeline, pagerank's
-    # symmetric-flag restructure, the IVF family's corpus-fingerprint
-    # stamp via q_sim_index_incremental — its staged twins are in (c));
-    # (c) the full 31-query r3 cohort, the stalest greens per
-    # rotation_candidates.py --age; (d) one r4-head spare.
+    # Round 11 window, recomposed after the session-2 additions. The
+    # r10 window banked green for every name in it (CORRECTNESS_r10
+    # 50/50). Composition: (a) the 18 round-11 batch-1 additions and
+    # (b) the 14 session-2 additions, all on first exposure; (c) the
+    # five queries whose implementation changed this round (spearman,
+    # link-pred, RFM, pagerank, the IVF staging stamp); (d) the 13
+    # stalest r3-cohort greens. First exposure outranks re-banking:
+    # a never-checked oracle-gated query is a hole in the correctness
+    # ledger, a stale green is not — the 18 displaced r3-cohort names
+    # (q_resample_gapfill .. q_domain_fhir_export, listed by
+    # rotation_candidates.py --age) were instead re-proven by the
+    # in-repo sf0.01 mirror this session (SCALE.md round-11 notes) and
+    # head the r12 re-bank queue.
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # round-11 additions — first-exposure proof
+    # round-11 batch-1 additions — first-exposure proof
     "q_sim_knn_classify",
     "q_ml_score_drift",
     "q_ts_seasonal_strength",
@@ -121,13 +124,28 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_drift_cvm",
     "q_ml_ks",
     "q_mv_join_maintenance",
+    # round-11 session-2 additions — first-exposure proof
+    "q_ab_cmh",
+    "q_ab_kruskal",
+    "q_drift_ad",
+    "q_quality_fd",
+    "q_quality_patterns",
+    "q_ts_ljung_box",
+    "q_ts_theil_sen",
+    "q_ml_mcc",
+    "q_ml_logloss",
+    "q_text_ndcg",
+    "q_graph_modularity",
+    "q_feature_hashing",
+    "q_join_band",
+    "q_stream_funnel",
     # changed this round — re-proof
     "q_agg_spearman",
     "q_graph_link_prediction",
     "q_window_rfm",
     "q_graph_pagerank",
     "q_sim_index_incremental",
-    # the r3 cohort (stalest greens, oldest first)
+    # the r3 cohort head (stalest greens, oldest first)
     "q_agg_argmax",
     "q_agg_pivot",
     "q_agg_unpivot",
@@ -141,24 +159,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_sort_topk",
     "q_window_distribution",
     "q_window_range_frame",
-    "q_resample_gapfill",
-    "q_fill_forward",
-    "q_sessionize_batch",
-    "q_rollup_timegrain",
-    "q_cohort_retention",
-    "q_funnel_steps",
-    "q_merge_upsert",
-    "q_set_union",
-    "q_set_except",
-    "q_set_intersect",
-    "q_nested_export",
-    "q_sim_topk_ivf",
-    "q_sim_topk_ivf_staged",
-    "q_dedup_simhash_md5",
-    # NOTE: the remaining four r3-cohort names (q_dedup_simhash_pairs,
-    # q_dedup_clusters_lsh, q_udtf_sentences, q_domain_fhir_export)
-    # were displaced by the five late r11 additions above and head the
-    # r12 re-bank queue.
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
