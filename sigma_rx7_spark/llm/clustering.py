@@ -857,3 +857,95 @@ def q_sim_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n_hits.cast("bigint").alias("n_hits"),
              (n_hits.cast("double") / RP_TOP_K).alias("recall_at_k"))
     )
+
+
+# ---- Simplified silhouette (cluster-quality audit) (L2l) -------------------
+
+
+@query(
+    "q_cluster_silhouette",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    {_ORACLE_CENTROIDS},
+    d AS (
+      SELECT ex.vec_id, ex.label, cent.c_label,
+             CAST(SUM(CAST((ex.x - cent.centroid) * (ex.x - cent.centroid)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label, cent.c_label
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(sqrt(MAX(CASE WHEN c_label = label THEN dist2 END))
+                  AS DECIMAL(18,9)) AS a,
+             CAST(sqrt(MIN(CASE WHEN c_label <> label THEN dist2 END))
+                  AS DECIMAL(18,9)) AS b
+      FROM d GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS DECIMAL(18,6))
+                  ELSE CAST(CAST((b - a) AS DOUBLE)
+                       / CAST(greatest(a, b) AS DOUBLE)
+                       AS DECIMAL(18,6)) END AS sil
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(CAST(SUM(sil) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_silhouette,
+           CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM s GROUP BY label ORDER BY label
+    """,
+    tags=("L2l", "clustering", "silhouette"),
+)
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE per cluster: s = (b − a)/max(a, b) with
+    a = distance to the OWN centroid and b = distance to the nearest
+    OTHER centroid — the cluster-quality audit that says whether the
+    label structure the IVF index, the diversity sampler, and the
+    semantic-dedup threshold all lean on actually separates
+    (mean s → 1), overlaps (→ 0), or mis-assigns (s < 0 counted
+    explicitly — those are exactly the vectors q_cluster_assign moves).
+    The centroid-based 'simplified' form is THE scalable silhouette:
+    the classical pairwise version needs O(n²) distances; this one
+    needs n·k and is the standard large-n substitute.
+
+    Scale shape: the exploded-component join against the broadcast
+    k×dim centroid relation (the L2 assignment discipline) folds to
+    one (vec, centroid) distance row per pair via hash agg; a/b fall
+    out of ONE conditional aggregate per vector; per-vector silhouettes
+    are 6-dp-quantized after sqrt (IEEE-exact but libm-adjacent — the
+    compat rule applied conservatively) and fold per label through the
+    exact decimal sum. a = b = 0 (vector equal to both centroids)
+    reports 0 by convention instead of 0/0."""
+    ex = _exploded(spark, sf_dir)
+    cent = _centroids(ex)
+    term = (F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid"))
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(q(term)).cast("double").alias("dist2"))
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.sqrt(F.max(F.when(F.col("c_label") == F.col("label"),
+                            F.col("dist2"))))
+        .cast("decimal(18,9)").alias("a"),
+        F.sqrt(F.min(F.when(F.col("c_label") != F.col("label"),
+                            F.col("dist2"))))
+        .cast("decimal(18,9)").alias("b"))
+    sil = F.when(F.greatest("a", "b") == 0,
+                 F.lit(0).cast("decimal(18,6)")) \
+        .otherwise(((F.col("b") - F.col("a")).cast("double")
+                    / F.greatest("a", "b").cast("double"))
+                   .cast("decimal(18,6)"))
+    s = ab.select("label", sil.alias("sil"))
+    return (s.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 (F.sum("sil").cast("double") / F.count(F.lit(1)))
+                 .cast("decimal(18,6)").cast("double")
+                 .alias("mean_silhouette"),
+                 F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_negative"))
+            .orderBy("label"))

@@ -5531,3 +5531,248 @@ def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.cast("decimal(18,6)").cast("double").alias("h_stat"),
         (h / tie_den).cast("decimal(18,6)").cast("double")
         .alias("h_tie_corrected"))
+
+
+# ---- Herfindahl-Hirschman concentration index (A73) ------------------------
+
+
+@query(
+    "q_agg_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             {o_dsum('l_extendedprice * (1 - l_discount)', 'r')}
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey, SUM(CAST(r AS DECIMAL(20,6))) AS t,
+             COUNT(*) AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    ),
+    terms AS (
+      SELECT r.s_nationkey,
+             CAST(10000.0 * (r.r / CAST(t.t AS DOUBLE))
+                  * (r.r / CAST(t.t AS DOUBLE))
+                  AS DECIMAL(27,9)) AS h
+      FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+    )
+    SELECT t.s_nationkey,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(CAST(CAST(SUM(h) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS hhi,
+           CASE WHEN CAST(CAST(SUM(h) AS DOUBLE) AS DECIMAL(18,6))
+                     > 2500 THEN 'high'
+                WHEN CAST(CAST(SUM(h) AS DOUBLE) AS DECIMAL(18,6))
+                     > 1500 THEN 'moderate'
+                ELSE 'unconcentrated' END AS concentration
+    FROM terms h JOIN tot t ON h.s_nationkey = t.s_nationkey
+    GROUP BY t.s_nationkey, t.n_suppliers
+    ORDER BY t.s_nationkey
+    """,
+    tags=("A73", "concentration", "hhi"),
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
+    nation — Σ (100·share)² on the antitrust scale (10000 = monopoly),
+    with the DOJ's 1500/2500 'moderate/high' bands as a read-to-act
+    column. The market-structure member of the concentration family:
+    A25's Gini reads inequality, A34's Pareto reads the top tail, A62's
+    Theil decomposes BETWEEN vs WITHIN — HHI is the one regulators and
+    procurement-risk dashboards actually threshold ('if our top
+    supplier fails, is the market concentrated enough to price-gouge
+    the re-sourcing?').
+
+    Scale shape: one fact-table hash agg keyed (nation, supplier)
+    through the exact-decimal revenue sum; per-nation totals are a
+    second agg over the supplier-grain relation; each supplier's
+    squared-share term is 9-dp-quantized before the order-insensitive
+    per-nation fold (25-row output). The share division happens once
+    per supplier — never per fact row."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (li.join(F.broadcast(s),
+                   li.l_suppkey == s.s_suppkey)
+           .groupBy("s_nationkey", "l_suppkey")
+           .agg(dsum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")), "r")))
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum(F.col("r").cast("decimal(20,6)")).alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"))
+    share = F.col("r") / F.col("t").cast("double")
+    terms = (rev.join(F.broadcast(tot), "s_nationkey")
+             .select("s_nationkey", "n_suppliers",
+                     (10000.0 * share * share).cast("decimal(27,9)")
+                     .alias("h")))
+    hhi = F.sum("h").cast("double").cast("decimal(18,6)")
+    return (terms.groupBy("s_nationkey", "n_suppliers")
+            .agg(hhi.cast("double").alias("hhi"),
+                 F.when(hhi > 2500, "high")
+                 .when(hhi > 1500, "moderate")
+                 .otherwise("unconcentrated").alias("concentration"))
+            .select(F.col("s_nationkey"),
+                    F.col("n_suppliers").cast("bigint")
+                    .alias("n_suppliers"),
+                    "hhi", "concentration")
+            .orderBy("s_nationkey"))
+
+
+# ---- Fisher's exact test (A74) ---------------------------------------------
+
+FISHER_REGION = 1  # the region whose nations form the 'treatment' row
+
+
+@query(
+    "q_ab_fisher",
+    oracle=f"""
+    WITH percust AS (
+      SELECT n.n_nationkey, n.n_regionkey, COUNT(c.c_custkey) AS nc
+      FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey, n.n_regionkey
+    ),
+    med AS (
+      SELECT nc AS m FROM percust ORDER BY nc, n_nationkey
+      LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM percust)
+    ),
+    flags AS (
+      SELECT CASE WHEN n_regionkey = {FISHER_REGION} THEN 1 ELSE 0 END
+               AS in_region,
+             CASE WHEN nc > (SELECT m FROM med) THEN 1 ELSE 0 END
+               AS above
+      FROM percust
+    ),
+    cells AS (
+      SELECT SUM(in_region * above) AS a,
+             SUM(in_region) AS n1,
+             SUM(above) AS m1,
+             COUNT(*) AS nn
+      FROM flags
+    ),
+    lf AS (
+      SELECT i, SUM(CAST(CASE WHEN i = 0 THEN 0
+                    ELSE CAST(ln(CAST(i AS DOUBLE)) AS DECIMAL(18,9))
+                    END AS DECIMAL(27,9)))
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lnf
+      FROM (SELECT UNNEST(range(0, 2001)) AS i)
+      WHERE i <= (SELECT nn FROM cells)
+    ),
+    terms AS (
+      SELECT c.a, c.n1, c.m1, c.nn, k.k,
+             CAST(CAST(exp(CAST(
+               (SELECT lnf FROM lf WHERE i = c.m1)
+               - (SELECT lnf FROM lf WHERE i = k.k)
+               - (SELECT lnf FROM lf WHERE i = c.m1 - k.k)
+               + (SELECT lnf FROM lf WHERE i = c.nn - c.m1)
+               - (SELECT lnf FROM lf WHERE i = c.n1 - k.k)
+               - (SELECT lnf FROM lf WHERE i = c.nn - c.m1 - c.n1 + k.k)
+               - (SELECT lnf FROM lf WHERE i = c.nn)
+               + (SELECT lnf FROM lf WHERE i = c.n1)
+               + (SELECT lnf FROM lf WHERE i = c.nn - c.n1)
+               AS DOUBLE)) AS DECIMAL(18,12)) AS DECIMAL(18,12)) AS t
+      FROM cells c,
+           (SELECT UNNEST(range(0, 2001)) AS k) k
+      WHERE k.k <= c.nn AND k.k >= c.a AND k.k <= least(c.n1, c.m1)
+        AND c.n1 - k.k >= 0 AND c.nn - c.m1 - c.n1 + k.k >= 0
+    )
+    SELECT CAST(MAX(a) AS BIGINT) AS a,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(m1) AS BIGINT) AS m1,
+           CAST(MAX(nn) AS BIGINT) AS n_total,
+           CAST(CAST(CAST(SUM(t) AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+             AS p_one_sided
+    FROM terms
+    """,
+    tags=("A74", "abtest", "exact-test"),
+)
+def q_ab_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER'S EXACT TEST (one-sided, over-representation): are
+    region-{FISHER_REGION} nations over-represented among
+    above-median-customer-count nations? The SMALL-TABLE member of the
+    test family, stated honestly: exact hypergeometric enumeration is
+    THE right tool when cells are single digits (A24's chi-square
+    needs expected counts ≥5; A41's z needs CLT) and the WRONG tool at
+    scale — its cost grows with the margin, so the engine routes big
+    tables to chi-square and keeps Fisher for bounded relations like
+    the 25-nation dimension used here.
+
+    Engine-grade numeric discipline (no lgamma builtin exists in
+    either engine): an IN-ENGINE log-factorial table — cumulative
+    exact-decimal sums of 9-dp-quantized ln(i) over range(0, N) — makes
+    every log-hypergeometric term an EXACT decimal expression, so both
+    engines exponentiate identical rationals (exp is the A55/A63
+    engine-exact precedent), each term is 12-dp-quantized, and the
+    tail sum is exact. The median split uses the lower-median order
+    statistic with a nationkey tiebreak (total order, engine-free)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    percust = (n.join(c, c.c_nationkey == n.n_nationkey, "left")
+               .groupBy("n_nationkey", "n_regionkey")
+               .agg(F.count("c_custkey").alias("nc")))
+    percust = percust.persist()
+    wmed = Window.orderBy("nc", "n_nationkey")
+    wall = Window.partitionBy(F.lit(1))
+    med = (percust
+           .select("nc", F.row_number().over(wmed).alias("rk"),
+                   F.count(F.lit(1)).over(wall).alias("cnt"))
+           .where(F.col("rk") == F.floor((F.col("cnt") + 1) / 2))
+           .select(F.col("nc").alias("m")))
+    flags = percust.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_regionkey") == FISHER_REGION, 1).otherwise(0)
+        .alias("in_region"),
+        F.when(F.col("nc") > F.col("m"), 1).otherwise(0).alias("above"))
+    cells = flags.agg(
+        F.sum(F.col("in_region") * F.col("above")).alias("a"),
+        F.sum("in_region").alias("n1"),
+        F.sum("above").alias("m1"),
+        F.count(F.lit(1)).alias("nn"))
+    nn = cells.collect()[0]["nn"]  # dimension-bounded (25 nations)
+    wlf = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    lf = (spark.range(0, nn + 1).select(F.col("id").alias("i"))
+          .select("i", F.sum(
+              F.when(F.col("i") == 0, F.lit(0).cast("decimal(18,9)"))
+              .otherwise(F.log(F.col("i").cast("double"))
+                         .cast("decimal(18,9)")).cast("decimal(27,9)"))
+              .over(wlf).alias("lnf")))
+    ks = spark.range(0, nn + 1).select(F.col("id").alias("k"))
+    g = (cells.crossJoin(F.broadcast(ks))
+         .where((F.col("k") <= F.col("nn"))
+                & (F.col("k") >= F.col("a"))
+                & (F.col("k") <= F.least("n1", "m1"))
+                & (F.col("n1") - F.col("k") >= 0)
+                & (F.col("nn") - F.col("m1") - F.col("n1")
+                   + F.col("k") >= 0)))
+
+    # nine lookups into the 26-row lnf relation via broadcast joins
+    g = (g.join(F.broadcast(lf.withColumnRenamed("lnf", "l_m1")),
+                F.col("i") == F.col("m1")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_k")),
+               F.col("i") == F.col("k")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_m1k")),
+               F.col("i") == F.col("m1") - F.col("k")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_nm1")),
+               F.col("i") == F.col("nn") - F.col("m1")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_n1k")),
+               F.col("i") == F.col("n1") - F.col("k")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_rest")),
+               F.col("i") == F.col("nn") - F.col("m1") - F.col("n1")
+               + F.col("k")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_nn")),
+               F.col("i") == F.col("nn")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_n1")),
+               F.col("i") == F.col("n1")).drop("i")
+         .join(F.broadcast(lf.withColumnRenamed("lnf", "l_nn1")),
+               F.col("i") == F.col("nn") - F.col("n1")).drop("i"))
+    lt = (F.col("l_m1") - F.col("l_k") - F.col("l_m1k")
+          + F.col("l_nm1") - F.col("l_n1k") - F.col("l_rest")
+          - F.col("l_nn") + F.col("l_n1") + F.col("l_nn1"))
+    terms = g.select(
+        "a", "n1", "m1", "nn",
+        F.exp(lt.cast("double")).cast("decimal(18,12)").alias("t"))
+    return terms.agg(
+        F.max("a").cast("bigint").alias("a"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("m1").cast("bigint").alias("m1"),
+        F.max("nn").cast("bigint").alias("n_total"),
+        F.sum("t").cast("double").cast("decimal(18,9)").cast("double")
+        .alias("p_one_sided"))

@@ -1724,3 +1724,78 @@ def q_quality_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("decimal(18,6)").cast("double").alias("share"),
                     "example")
             .orderBy("column_name", "mask"))
+
+
+# ---- Cross-engine column fingerprint / reconciliation (Q22) -----------------
+
+# (table, column) pairs fingerprinted. STRING and INTEGER columns only,
+# deliberately: float/date→text rendering is engine-specific, but int
+# and string render identically everywhere, so the md5 fold is a
+# portable reconciliation key.
+CHECKSUM_COLUMNS = (
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_returnflag"),
+    ("part", "p_brand"),
+    ("nation", "n_name"),
+)
+CHECKSUM_MOD = 1_000_000_007  # prime fold keeps the sum in int64 forever
+
+
+def _checksum_oracle() -> str:
+    parts = []
+    for tbl, col in CHECKSUM_COLUMNS:
+        parts.append(f"""
+    SELECT '{tbl}.{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(CAST('0x' || substr(
+                  md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT)
+                AS DECIMAL(38,0))) % {CHECKSUM_MOD} AS BIGINT)
+             AS checksum
+    FROM {tbl}""")
+        parts.append("    UNION ALL")
+    return "\n".join(parts[:-1]) + "\n    ORDER BY column_name"
+
+
+@query("q_quality_checksum", oracle=_checksum_oracle(),
+       tags=("Q22", "quality", "reconciliation"))
+def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE COLUMN FINGERPRINT: per audited column, the row
+    count, null count, exact distinct count, and an order-insensitive
+    md5 content checksum (Σ uint32(md5(value)) mod p) — the
+    reconciliation primitive for 'did the migration/replica/backfill
+    produce THE SAME data', strictly stronger than the row-count diff
+    every warehouse uses: a swapped pair of updates keeps counts equal
+    but moves the checksum. Int and string columns only, deliberately —
+    their text rendering is engine-identical, so the fingerprint
+    travels across engines (this query's own oracle IS a cross-engine
+    reconciliation run: DuckDB recomputes the fingerprint from the
+    same files and must match bit-for-bit).
+
+    Scale shape: per column ONE scan → md5 + substring + conv (all
+    JVM-side) → one hash-aggregate fold; the sum runs as exact
+    decimal(38,0) then folds mod a prime back into int64, so the
+    checksum never overflows at any row count; distinct counts are
+    exact (the expensive honest member — swap for A4's HLL when
+    approximate suffices). Output is O(#columns)."""
+    out = None
+    for tbl, col in CHECKSUM_COLUMNS:
+        t = load(spark, sf_dir, tbl)
+        h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8),
+                   16, 10).cast("bigint")
+        row = t.agg(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.pmod(F.sum(h.cast("decimal(38,0)")), F.lit(CHECKSUM_MOD))
+            .cast("bigint").alias("checksum"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")

@@ -2359,3 +2359,166 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == F.floor(F.col("m") / 2) + 1,
                      F.col("s"))).cast("double")
         .alias("theil_sen_slope_hi"))
+
+
+# ---- Hurst exponent via rescaled-range analysis (W46) ------------------------
+
+HURST_SCALES = (5, 10, 15, 30)
+
+
+def _hurst_oracle() -> str:
+    scales = ", ".join(str(s) for s in HURST_SCALES)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(v AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+      FROM daily
+    ),
+    blocked AS (
+      SELECT s.n, i.i // s.n AS blk, i.i, i.v
+      FROM idx i, (SELECT UNNEST([{scales}]) AS n) s
+    ),
+    complete AS (
+      SELECT n, blk FROM blocked GROUP BY n, blk HAVING COUNT(*) = n
+    ),
+    stats AS (
+      SELECT b.n, b.blk, b.i, b.v,
+             CAST(SUM(CAST(b.v AS DECIMAL(27,9))) OVER (
+               PARTITION BY b.n, b.blk) AS DOUBLE) / b.n AS m
+      FROM blocked b JOIN complete c ON b.n = c.n AND b.blk = c.blk
+    ),
+    cums AS (
+      SELECT n, blk, v, m,
+             SUM(CAST(v - m AS DECIMAL(27,9))) OVER (
+               PARTITION BY n, blk ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM stats
+    ),
+    per_block AS (
+      SELECT n, blk,
+             CAST(MAX(cum) - MIN(cum) AS DOUBLE) AS r,
+             sqrt(CAST(SUM(CAST((v - m) * (v - m) AS DECIMAL(27,9)))
+                  AS DOUBLE) / COUNT(*)) AS s
+      FROM cums GROUP BY n, blk
+    ),
+    per_scale AS (
+      SELECT n,
+             CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+               AS x,
+             CAST(CAST(ln(
+               CAST(SUM(CASE WHEN s > 0
+                        THEN CAST(r / s AS DECIMAL(18,6)) END)
+                    AS DOUBLE)
+               / COUNT(CASE WHEN s > 0 THEN 1 END))
+               AS DECIMAL(18,9)) AS DOUBLE) AS y
+      FROM per_block GROUP BY n
+      HAVING COUNT(CASE WHEN s > 0 THEN 1 END) > 0
+    ),
+    fit AS (
+      SELECT COUNT(*) AS k, SUM(CAST(x AS DECIMAL(27,9))) AS sx,
+             SUM(CAST(y AS DECIMAL(27,9))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(27,9))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(27,9))) AS sxx
+      FROM per_scale
+    )
+    SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS n_scales,
+           CAST(CAST(
+             (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE))
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS hurst
+    FROM fit
+    """
+
+
+@query("q_ts_hurst", oracle=_hurst_oracle(),
+       tags=("W46", "timeseries", "hurst"))
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of daily purchase revenue by rescaled-range (R/S)
+    analysis: split the series into blocks of n ∈ {HURST_SCALES} days,
+    per block take R = range of the cumulative mean-deviation walk and
+    S = its population std, and fit ln(mean R/S) against ln(n) — the
+    slope is H. The long-memory diagnostic the ACF family can't give:
+    H ≈ 0.5 says the series is a random walk (forecast = seasonal
+    naive, W34 is the right tool), H > 0.5 says shocks PERSIST (trend
+    following works, W29's CUSUM will fire late), H < 0.5 says
+    mean-reversion (bands like W37 are meaningful).
+
+    Scale shape: everything after the one fact-table day-grain
+    collapse runs on the calendar-bounded day relation crossed with a
+    4-row scale table; cumulative-walk windows partition by (scale,
+    block) — a handful of ≤30-row partitions at every sf. Numeric
+    discipline: the walk accumulates 9-dp-quantized deviations
+    exactly; R/S is quantized at 6 dp per block; the two ln legs at
+    9 dp; the OLS fold is A22's exact-moment recipe."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v")))
+    widx = Window.orderBy("day")
+    idx = daily.select(F.col("v").cast("double").alias("v"),
+                       (F.row_number().over(widx) - 1).alias("i"))
+    idx = idx.persist()
+    n_days = idx.count()
+    scales = spark.createDataFrame(
+        [(s,) for s in HURST_SCALES], "n int")
+    blocked = idx.crossJoin(F.broadcast(scales)).select(
+        "n", F.floor(F.col("i") / F.col("n")).alias("blk"), "i", "v")
+    complete = (blocked.groupBy("n", "blk")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .where(F.col("cnt") == F.col("n"))
+                .select("n", "blk"))
+    wblk = Window.partitionBy("n", "blk")
+    stats = (blocked.join(F.broadcast(complete), ["n", "blk"])
+             .withColumn("m", F.sum(F.col("v").cast("decimal(27,9)"))
+                         .over(wblk).cast("double") / F.col("n")))
+    wcum = (Window.partitionBy("n", "blk").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cums = stats.withColumn(
+        "cum", F.sum((F.col("v") - F.col("m")).cast("decimal(27,9)"))
+        .over(wcum))
+    per_block = cums.groupBy("n", "blk").agg(
+        (F.max("cum") - F.min("cum")).cast("double").alias("r"),
+        F.sqrt(F.sum(((F.col("v") - F.col("m"))
+                      * (F.col("v") - F.col("m")))
+                     .cast("decimal(27,9)")).cast("double")
+               / F.count(F.lit(1))).alias("s"))
+    rs = F.when(F.col("s") > 0,
+                (F.col("r") / F.col("s")).cast("decimal(18,6)"))
+    per_scale = (per_block.groupBy("n")
+                 .agg(F.sum(rs).alias("srs"),
+                      F.count(rs).alias("nb"))
+                 .where(F.col("nb") > 0)
+                 .select(
+                     F.log(F.col("n").cast("double"))
+                     .cast("decimal(18,9)").cast("double").alias("x"),
+                     F.log(F.col("srs").cast("double") / F.col("nb"))
+                     .cast("decimal(18,9)").cast("double").alias("y")))
+    fit = per_scale.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast("decimal(27,9)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,9)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(27,9)"))
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(27,9)"))
+        .alias("sxx"))
+    k = F.col("k")
+    slope = ((k * F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double"))
+             / (k * F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double")))
+    return fit.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        k.cast("bigint").alias("n_scales"),
+        slope.cast("decimal(18,6)").cast("double").alias("hurst"))

@@ -1399,3 +1399,71 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_anomalies").cast("double") / F.col("n_events"))
         .cast("decimal(18,6)").cast("double").alias("anomaly_rate"),
         F.col("max_az").cast("double").alias("max_abs_z"))
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH p AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             event_id, CAST(ts AS TIMESTAMP) AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT hour_start, value,
+             ROW_NUMBER() OVER (PARTITION BY hour_start
+                                ORDER BY pts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY hour_start
+                                ORDER BY pts DESC, event_id DESC) AS rl
+      FROM p
+    )
+    SELECT hour_start,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
+    FROM r GROUP BY hour_start
+    """,
+    tags=("T17", "streaming", "ohlc"),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC CANDLESTICKS: hourly open/high/low/close/volume
+    bars over the purchase-value stream — the market-data primitive
+    every monitoring/trading surface draws, and the harness's exercise
+    of ORDER-SENSITIVE streaming aggregation: high/low/volume are
+    plain commutative aggregates, but open/close depend on event ORDER
+    inside the window, which a distributed streaming agg cannot see —
+    so they ride as MIN/MAX over (ts, event_id, value) STRUCTS, making
+    'first' and 'last' total-order selections that commute across
+    batches and partitions (the same tuple-tiebreak discipline as the
+    attribution op, expressed declaratively instead of in state).
+
+    availableNow ⇒ equals the batch plan; the oracle states it with
+    rank windows. Watermarked tumbling window keeps state bounded to
+    open hours; every aggregate is incremental — no event buffer, no
+    per-key history, O(1) state per (hour) key."""
+    ev = (read_events_stream(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .withWatermark("ts", "1 hour"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("fst"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("lst"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            F.col("fst.value").alias("open"),
+            "high", "low",
+            F.col("lst.value").alias("close"),
+            "n_trades", "volume",
+        )
+    )
+    return run_to_memory(agg, "stream_ohlc")
