@@ -1172,3 +1172,58 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").cast("bigint").alias("votes"),
                     (F.col("v").cast("double") / TOP_K)
                     .alias("vote_share")))
+
+
+# ---- Maximum-inner-product top-k (L2m) --------------------------------------
+
+
+@query(
+    "q_sim_mips",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_v
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_v
+      FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), scored AS (
+      SELECT q_id, c_id, list_inner_product(q_v, c_v) AS score
+      FROM q CROSS JOIN c
+    )
+    SELECT q_id, c_id, score, rank FROM (
+      SELECT q_id, c_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("L2m", "similarity", "mips"),
+)
+def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM-INNER-PRODUCT top-{TOP_K} for the probe set — the
+    RECOMMENDER retrieval primitive (user·item affinity scores are raw
+    dot products; a popular long item SHOULD outrank a similar short
+    one), deliberately distinct from q_sim_topk's cosine: cosine
+    normalizes magnitude away, MIPS keeps it, and conflating the two
+    is the classic vector-serving bug. The engine keeps this exact
+    brute-force member as the MIPS exactness anchor; at index scale
+    MIPS reduces to cosine by the standard asymmetric augmentation
+    (append sqrt(M²−|x|²) to items, 0 to queries — then the L2
+    IVF/PQ machinery serves it unchanged), which is how a 100 TB
+    deployment would route it.
+
+    Same plan shape as q_sim_topk: broadcast probes, the corpus never
+    shuffles, per-probe rank windows over probe-partitioned scores,
+    (score DESC, c_id) total order; the left-fold dot product is
+    bit-equal to list_inner_product (the L2 family's proven
+    construction) with NO normalization pass."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_v"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id", "c_id", dot("q_v", "c_v").alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K))

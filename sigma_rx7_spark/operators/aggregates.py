@@ -5763,9 +5763,17 @@ def q_ab_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("i") == F.col("n1")).drop("i")
          .join(F.broadcast(lf.withColumnRenamed("lnf", "l_nn1")),
                F.col("i") == F.col("nn") - F.col("n1")).drop("i"))
-    lt = (F.col("l_m1") - F.col("l_k") - F.col("l_m1k")
-          + F.col("l_nm1") - F.col("l_n1k") - F.col("l_rest")
-          - F.col("l_nn") + F.col("l_n1") + F.col("l_nn1"))
+    # downcast each lookup to decimal(18,9) BEFORE the 9-term fold: the
+    # window SUM makes lnf decimal(37,9), and chaining nine (37,9) adds
+    # overflows Spark's 38-digit cap, which silently clamps the scale
+    # toward 6 (measured: lt lost its last three digits). (18,9) holds
+    # ln(10^9!) with room and keeps the chain exact.
+    def l9(name):
+        return F.col(name).cast("decimal(18,9)")
+
+    lt = (l9("l_m1") - l9("l_k") - l9("l_m1k")
+          + l9("l_nm1") - l9("l_n1k") - l9("l_rest")
+          - l9("l_nn") + l9("l_n1") + l9("l_nn1"))
     terms = g.select(
         "a", "n1", "m1", "nn",
         F.exp(lt.cast("double")).cast("decimal(18,12)").alias("t"))

@@ -1799,3 +1799,83 @@ def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("checksum"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("column_name")
+
+
+# ---- Purchase-velocity screen (Q23) ------------------------------------------
+
+DUP_TXN_WINDOW_MIN = 240  # same user, repeat purchase within 4 hours
+DUP_TXN_BUCKET = 10       # amounts within the same 10-unit bucket flag
+
+
+@query(
+    "q_quality_dup_txn",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, value,
+             CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             a.event_id AS first_id, b.event_id AS next_id,
+             a.value AS first_value, b.value AS next_value,
+             CAST((epoch_us(b.pts) - epoch_us(a.pts)) // 1000000
+               AS BIGINT) AS gap_seconds,
+             floor(a.value / {DUP_TXN_BUCKET})
+               = floor(b.value / {DUP_TXN_BUCKET}) AS same_amount_band
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id
+       AND b.pts >= a.pts
+       AND b.pts <= a.pts + INTERVAL {DUP_TXN_WINDOW_MIN} MINUTE
+       AND a.event_id < b.event_id
+    )
+    SELECT user_id, first_id, next_id, first_value, next_value,
+           gap_seconds, same_amount_band
+    FROM pairs
+    ORDER BY user_id, first_id, next_id
+    """,
+    tags=("Q23", "quality", "velocity"),
+)
+def q_quality_dup_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURCHASE-VELOCITY SCREEN: purchase pairs from the same user
+    inside a {DUP_TXN_WINDOW_MIN}-minute window, flagged when both
+    amounts land in the same {DUP_TXN_BUCKET}-unit band — the
+    double-charge / rapid-repeat detector every payments pipeline runs
+    before revenue rollups (L1's document dedup finds equal CONTENT;
+    this finds suspicious REPETITION, where both rows are individually
+    valid). Pair grain with the gap, so downstream policy separates
+    instant machine retries (gap ≈ 0) from slow human re-orders.
+
+    Scale shape: the time-band self-join EQUI-keys on user_id FIRST —
+    the shuffle carries only purchase rows keyed by user, and the pair
+    space is bounded per user by purchase velocity itself (the thing
+    being screened: honest users produce few in-window pairs, and the
+    screen's OUTPUT is the blow-up alarm). The interval predicate then
+    bounds pairs in time; (a.id < b.id) orients each unordered pair
+    once; the amount-band flag is exact integer floor arithmetic on
+    both engines; timestamp math is µs-exact (compat rule 3)."""
+    e = load(spark, sf_dir, "events")
+    p = (e.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "value", F.col("ts").alias("pts")))
+    a = p.select(F.col("user_id"),
+                 F.col("event_id").alias("first_id"),
+                 F.col("value").alias("first_value"),
+                 F.col("pts").alias("ts_a"))
+    b = p.select(F.col("user_id"),
+                 F.col("event_id").alias("next_id"),
+                 F.col("value").alias("next_value"),
+                 F.col("pts").alias("ts_b"))
+    pairs = (a.join(b, "user_id")
+             .where((F.col("ts_b") >= F.col("ts_a"))
+                    & (F.col("ts_b") <= F.col("ts_a")
+                       + F.expr(f"interval {DUP_TXN_WINDOW_MIN} minutes"))
+                    & (F.col("first_id") < F.col("next_id"))))
+    return (pairs.select(
+        "user_id", "first_id", "next_id", "first_value", "next_value",
+        ((F.unix_micros(F.col("ts_b"))
+          - F.unix_micros(F.col("ts_a"))) / 1_000_000)
+        .cast("bigint").alias("gap_seconds"),
+        (F.floor(F.col("first_value") / DUP_TXN_BUCKET)
+         == F.floor(F.col("next_value") / DUP_TXN_BUCKET))
+        .alias("same_amount_band"))
+        .orderBy("user_id", "first_id", "next_id"))
