@@ -92,14 +92,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # Round 11 window, recomposed after the session-2 additions. The
     # r10 window banked green for every name in it (CORRECTNESS_r10
     # 50/50). Composition: (a) the 18 round-11 batch-1 additions and
-    # (b) the 14 session-2 additions, all on first exposure; (c) the
+    # (b) the 22 session-2 additions, all on first exposure; (c) the
     # five queries whose implementation changed this round (spearman,
-    # link-pred, RFM, pagerank, the IVF staging stamp); (d) the 13
+    # link-pred, RFM, pagerank, the IVF staging stamp); (d) the 5
     # stalest r3-cohort greens. First exposure outranks re-banking:
     # a never-checked oracle-gated query is a hole in the correctness
-    # ledger, a stale green is not — the 18 displaced r3-cohort names
-    # (q_resample_gapfill .. q_domain_fhir_export, listed by
-    # rotation_candidates.py --age) were instead re-proven by the
+    # ledger, a stale green is not — the 26 displaced r3-cohort names
+    # (q_agg_anomaly .. q_domain_fhir_export, listed by
+    # rotation_candidates.py --age) were instead ALL re-proven by the
     # in-repo sf0.01 mirror this session (SCALE.md round-11 notes) and
     # head the r12 re-bank queue.
     #
@@ -139,6 +139,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_feature_hashing",
     "q_join_band",
     "q_stream_funnel",
+    "q_cluster_silhouette",
+    "q_agg_hhi",
+    "q_ts_hurst",
+    "q_quality_checksum",
+    "q_ab_fisher",
+    "q_stream_ohlc",
+    "q_sim_mips",
+    "q_quality_dup_txn",
     # changed this round — re-proof
     "q_agg_spearman",
     "q_graph_link_prediction",
@@ -151,14 +159,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_unpivot",
     "q_agg_collect",
     "q_agg_histogram",
-    "q_agg_anomaly",
-    "q_window_rank",
-    "q_window_latest",
-    "q_window_lag",
-    "q_window_frame",
-    "q_sort_topk",
-    "q_window_distribution",
-    "q_window_range_frame",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -14,7 +14,7 @@ import numpy as np
 def _fetch(sf_dir, sql):
     con = duckdb.connect()
     for t in ("orders", "customer", "supplier", "lineitem", "events",
-              "documents", "part"):
+              "documents", "part", "embeddings", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     rows = con.execute(sql).fetchall()
@@ -344,3 +344,216 @@ def test_pattern_masks_cover_every_row_and_are_canonical(spark, sf_dir):
     # the uniform customer-name format must collapse to ONE mask
     assert len(by_col["customer.c_name"]) == 1
     assert by_col["customer.c_name"][0]["mask"] == "Aa#9"
+
+
+def test_fisher_matches_exact_comb_model(spark, sf_dir):
+    from math import comb
+
+    from sigma_rx7_spark import registry
+
+    got = registry.get("q_ab_fisher").fn(spark, sf_dir).collect()[0]
+    a, n1, m1, nn = got["a"], got["n1"], got["m1"], got["n_total"]
+    p = sum(comb(m1, k) * comb(nn - m1, n1 - k)
+            for k in range(a, min(n1, m1) + 1)
+            if n1 - k <= nn - m1) / comb(nn, n1)
+    assert 0.0 <= got["p_one_sided"] <= 1.0 + 1e-9
+    # the in-engine log-factorial route must agree with exact integer
+    # combinatorics to the quantization budget (9-dp ln table x ~50
+    # summed terms => ~1e-6 relative is the design tolerance)
+    assert abs(got["p_one_sided"] - p) < 5e-6
+
+
+def test_hhi_matches_naive_share_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(20,6)))
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2""")
+    by_nation = {}
+    for nk, sk, r in rows:
+        by_nation.setdefault(nk, []).append(float(r))
+    got = {r["s_nationkey"]: r for r in
+           registry.get("q_agg_hhi").fn(spark, sf_dir).collect()}
+    for nk, revs in by_nation.items():
+        t = sum(revs)
+        hhi = sum(10000.0 * (r / t) ** 2 for r in revs)
+        row = got[nk]
+        assert row["n_suppliers"] == len(revs)
+        assert abs(row["hhi"] - hhi) < 1e-3
+        band = ("high" if round(hhi, 4) > 2500
+                else "moderate" if round(hhi, 4) > 1500
+                else "unconcentrated")
+        assert row["concentration"] == band
+
+
+def test_hurst_matches_naive_rs_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.timeseries import HURST_SCALES
+
+    rows = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               SUM(CAST(value AS DECIMAL(20,6)))
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    v = np.array([float(r[1]) for r in rows])
+    xs, ys = [], []
+    for n in HURST_SCALES:
+        rss = []
+        for b in range(len(v) // n):
+            blk = v[b * n:(b + 1) * n]
+            dev = blk - blk.mean()
+            cum = dev.cumsum()
+            s = np.sqrt((dev ** 2).mean())
+            if s > 0:
+                rss.append(round((cum.max() - cum.min()) / s, 6))
+        if rss:
+            xs.append(round(math.log(n), 9))
+            ys.append(round(math.log(sum(rss) / len(rss)), 9))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    got = registry.get("q_ts_hurst").fn(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(v)
+    assert got["n_scales"] == k
+    assert abs(got["hurst"] - slope) < 1e-3
+    assert 0.0 < got["hurst"] < 1.0  # a valid Hurst exponent
+
+
+def test_silhouette_matches_naive_centroid_model(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir,
+                  "SELECT vec_id, label, embedding FROM embeddings")
+    import collections
+    by_label = collections.defaultdict(list)
+    for _, lab, emb in rows:
+        by_label[lab].append(np.array(emb, dtype=float))
+    cents = {lab: np.mean(np.stack(vs), axis=0)
+             for lab, vs in by_label.items()}
+    agg = collections.defaultdict(lambda: [0, 0.0, 0])
+    for _, lab, emb in rows:
+        x = np.array(emb, dtype=float)
+        a = np.linalg.norm(x - cents[lab])
+        b = min(np.linalg.norm(x - c)
+                for l2, c in cents.items() if l2 != lab)
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        e = agg[lab]
+        e[0] += 1
+        e[1] += s
+        e[2] += 1 if s < 0 else 0
+    got = {r["label"]: r for r in
+           registry.get("q_cluster_silhouette").fn(spark, sf_dir)
+           .collect()}
+    for lab, (n, ssum, neg) in agg.items():
+        row = got[lab]
+        assert row["n_vecs"] == n
+        assert row["n_negative"] == neg
+        assert abs(row["mean_silhouette"] - ssum / n) < 1e-3
+
+
+def test_checksum_matches_hashlib_model(spark, sf_dir):
+    import hashlib
+
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import (
+        CHECKSUM_COLUMNS,
+        CHECKSUM_MOD,
+    )
+
+    got = {r["column_name"]: r for r in
+           registry.get("q_quality_checksum").fn(spark, sf_dir)
+           .collect()}
+    for tbl, col in CHECKSUM_COLUMNS[:4]:  # four suffice; model is slow
+        vals = [r[0] for r in _fetch(sf_dir, f"SELECT {col} FROM {tbl}")]
+        cks = sum(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in vals if v is not None) % CHECKSUM_MOD
+        row = got[f"{tbl}.{col}"]
+        assert row["n_rows"] == len(vals)
+        assert row["n_nulls"] == sum(1 for v in vals if v is None)
+        assert row["n_distinct"] == len({v for v in vals
+                                         if v is not None})
+        assert row["checksum"] == cks
+
+
+def test_mips_matches_naive_dot_ranking(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.llm.similarity import N_QUERIES, TOP_K
+
+    rows = _fetch(sf_dir, "SELECT vec_id, embedding FROM embeddings")
+    vecs = {vid: np.array(e, dtype=float) for vid, e in rows}
+    got = {}
+    for r in registry.get("q_sim_mips").fn(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["rank"], r["c_id"], r["score"]))
+    for qid in range(N_QUERIES):
+        scores = sorted(
+            ((float(np.dot(vecs[qid], v)), cid)
+             for cid, v in vecs.items() if cid >= N_QUERIES),
+            key=lambda t: (-t[0], t[1]))[:TOP_K]
+        mine = sorted(got[qid])
+        assert len(mine) == len(scores)
+        for (rank, cid, sc), (ns, ncid) in zip(mine, scores):
+            assert cid == ncid
+            assert abs(sc - ns) < 1e-9
+
+
+def test_dup_txn_matches_naive_pair_scan(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.quality import (
+        DUP_TXN_BUCKET,
+        DUP_TXN_WINDOW_MIN,
+    )
+
+    rows = _fetch(sf_dir, """
+        SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP)
+        FROM events WHERE event_type = 'purchase'""")
+    import collections
+    by_user = collections.defaultdict(list)
+    for eid, uid, val, ts in rows:
+        by_user[uid].append((eid, val, ts))
+    expect = set()
+    for uid, evs in by_user.items():
+        for i, (ea, va, ta) in enumerate(evs):
+            for eb, vb, tb in evs:
+                if eb <= ea:
+                    continue
+                d = (tb - ta).total_seconds()
+                if 0 <= d <= DUP_TXN_WINDOW_MIN * 60:
+                    expect.add((uid, ea, eb,
+                                math.floor(va / DUP_TXN_BUCKET)
+                                == math.floor(vb / DUP_TXN_BUCKET)))
+    got = {(r["user_id"], r["first_id"], r["next_id"],
+            r["same_amount_band"])
+           for r in registry.get("q_quality_dup_txn")
+           .fn(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_ohlc_matches_naive_bars(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, """
+        SELECT event_id, CAST(ts AS TIMESTAMP), value
+        FROM events WHERE event_type = 'purchase'""")
+    import collections
+    bars = collections.defaultdict(list)
+    for eid, ts, v in rows:
+        bars[ts.replace(minute=0, second=0, microsecond=0)].append(
+            (ts, eid, v))
+    got = {r["hour_start"]: r for r in
+           registry.get("q_stream_ohlc").fn(spark, sf_dir).collect()}
+    assert len(got) == len(bars)
+    for h, evs in bars.items():
+        evs.sort()
+        row = got[h]
+        assert row["open"] == evs[0][2]
+        assert row["close"] == evs[-1][2]
+        assert row["high"] == max(v for _, _, v in evs)
+        assert row["low"] == min(v for _, _, v in evs)
+        assert row["n_trades"] == len(evs)
