@@ -88,7 +88,7 @@ def _write_single_file(df, name: str) -> None:
 
 def synthesize(spark) -> None:
     # v2: single-file layout + sign-flip embedding decorrelation.
-    done = os.path.join(SYNTH, "_SYNTH_DONE_v3")
+    done = os.path.join(SYNTH, "_SYNTH_DONE_v4")
     if os.path.exists(done):
         return
     os.makedirs(SYNTH, exist_ok=True)
@@ -163,6 +163,40 @@ def synthesize(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     _write_single_file(out, "events")
+
+    # v4: the relational side of the decade. orders/customer grow with
+    # the same key-shift discipline (lineitem's shifted l_orderkey must
+    # resolve; o_custkey/c_custkey shift together so the customer base
+    # grows 10x). part/supplier/nation/region copy verbatim — the
+    # catalog-saturation shape every prior decade measurement
+    # documented (more orders over the same catalog).
+    o = spark.read.parquet(f"{SF01}/orders.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(o.select(
+            (F.col("o_orderkey") + i * STRIDE).alias("o_orderkey"),
+            (F.col("o_custkey") + i * STRIDE).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _write_single_file(out, "orders")
+
+    c = spark.read.parquet(f"{SF01}/customer.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(c.select(
+            (F.col("c_custkey") + i * STRIDE).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _write_single_file(out, "customer")
+
+    for tbl in ("part", "supplier", "nation", "region"):
+        _write_single_file(
+            spark.read.parquet(f"{SF01}/{tbl}.parquet"), tbl)
 
     with open(done, "w") as fh:
         fh.write("ok\n")

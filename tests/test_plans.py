@@ -1238,3 +1238,60 @@ def test_rfm_never_globally_sorts_customers(spark, sf_dir):
         r"Arguments: SinglePartition", p)
     for cols in blocks:
         assert "o_custkey" not in cols, cols
+
+
+def test_kruskal_windows_run_on_value_grain_only(spark, sf_dir):
+    """A72's scale claim: the fact table is touched by ONE hash agg to
+    (group, value) cells; the only window is the prefix sum over the
+    ~50-row distinct-value relation (its input carries the post-agg cv
+    count), never raw lineitem rows."""
+    import re
+
+    p = plan(spark, sf_dir, "q_ab_kruskal")
+    blocks = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert blocks, p
+    for cols in blocks:
+        assert "cv#" in cols, cols
+        assert "l_" not in cols, cols
+
+
+def test_band_join_is_equi_not_cross(spark, sf_dir):
+    """J16's scale claim: the ε-band join plans as a hash/sort-merge
+    EQUI join on (type, cell) — never BroadcastNestedLoop/cartesian,
+    which is what the naive |Δprice| ≤ ε theta form degenerates to."""
+    p = plan(spark, sf_dir, "q_join_band")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hhi_broadcasts_supplier_and_totals(spark, sf_dir):
+    """A73: the fact join against supplier and the share join against
+    the per-nation totals are both broadcasts — lineitem never shuffles
+    for either dimension."""
+    p = plan(spark, sf_dir, "q_agg_hhi")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    """L2l: the k×dim centroid relation broadcasts into the exploded
+    component join; the embedding relation never shuffles for it."""
+    p = plan(spark, sf_dir, "q_cluster_silhouette")
+    assert "BroadcastHashJoin" in p
+
+
+def test_dup_txn_equi_keys_on_user(spark, sf_dir):
+    """Q23: the velocity self-join is an equi join keyed on user_id
+    (time band as post-join filter), never a nested-loop pair scan."""
+    p = plan(spark, sf_dir, "q_quality_dup_txn")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_checksum_scans_read_only_audited_columns(spark, sf_dir):
+    """Q22: each per-column scan prunes to the single audited column —
+    a fingerprint pass must not read table width."""
+    p = plan(spark, sf_dir, "q_quality_checksum")
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    for ln in read_schema:
+        assert ln.count(":") <= 2, ln
