@@ -5454,23 +5454,27 @@ def q_ab_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells c JOIN ranked r ON c.v = r.v
       GROUP BY g
     ),
+    nrel AS (
+      SELECT SUM(ng) AS n, COUNT(*) AS k FROM groups
+    ),
     tot AS (
-      SELECT SUM(ng) AS n,
-             SUM(CAST(CAST(r2g AS DOUBLE) * r2g / (4.0 * ng)
-                 AS DECIMAL(27,9))) AS srsq,
-             COUNT(*) AS k
-      FROM groups
+      SELECT n, k,
+             SUM(CAST((CAST(r2g AS DOUBLE) / (2.0 * n))
+                 * (CAST(r2g AS DOUBLE) / (2.0 * n)) / ng
+                 AS DECIMAL(27,9))) AS svs
+      FROM groups, nrel
+      GROUP BY n, k
     ),
     ties AS (
       SELECT SUM(cv * cv * cv - cv) AS t3 FROM vals
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(k AS BIGINT) AS n_groups,
-           CAST(CAST(12.0 * CAST(srsq AS DOUBLE) / (CAST(n AS DOUBLE)
-                * (n + 1)) - 3.0 * (n + 1) AS DECIMAL(18,6)) AS DOUBLE)
+           CAST(CAST(12.0 * CAST(n AS DOUBLE) * CAST(svs AS DOUBLE)
+                / (n + 1) - 3.0 * (n + 1) AS DECIMAL(18,6)) AS DOUBLE)
              AS h_stat,
-           CAST(CAST((12.0 * CAST(srsq AS DOUBLE) / (CAST(n AS DOUBLE)
-                * (n + 1)) - 3.0 * (n + 1))
+           CAST(CAST((12.0 * CAST(n AS DOUBLE) * CAST(svs AS DOUBLE)
+                / (n + 1) - 3.0 * (n + 1))
                 / (1.0 - CAST(t3 AS DOUBLE)
                    / (CAST(n AS DOUBLE) * n * n - n))
                 AS DECIMAL(18,6)) AS DOUBLE) AS h_tie_corrected
@@ -5511,17 +5515,26 @@ def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("g")
               .agg(F.sum("cnt").alias("ng"),
                    F.sum(F.col("cnt") * F.col("r2")).alias("r2g")))
-    tot = groups.agg(
-        F.sum("ng").alias("n"),
-        F.sum((F.col("r2g").cast("double") * F.col("r2g")
-               / (4.0 * F.col("ng"))).cast("decimal(27,9)"))
-        .alias("srsq"),
-        F.count(F.lit(1)).alias("k"))
+    nrel = groups.agg(F.sum("ng").alias("n"),
+                      F.count(F.lit(1)).alias("k"))
+    # Per-group term in AVERAGE-RANK space: v = (r2g/2n)^2 / ng =
+    # R_g^2/(n^2 ng), bounded by ng <= n — the raw R_g^2/ng form
+    # overflowed decimal(27,9) at the ~sf1 decade rung (R_g ~ n^2/k
+    # makes the term ~n^3; measured 1.8e19 at 6M rows). Identity:
+    # H = 12 n Σv/(n+1) − 3(n+1).
+    v = ((F.col("r2g").cast("double") / (2.0 * F.col("n")))
+         * (F.col("r2g").cast("double") / (2.0 * F.col("n")))
+         / F.col("ng")).cast("decimal(27,9)")
+    tot = (groups.crossJoin(F.broadcast(nrel))
+           .select("n", "k", v.alias("v"))
+           .groupBy("n", "k")
+           .agg(F.sum("v").alias("svs")))
     ties = vals.agg(
-        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        F.sum(F.col("cv").cast("decimal(19,0)") * F.col("cv")
+              * F.col("cv") - F.col("cv"))
         .alias("t3"))
     nd = F.col("n").cast("double")
-    h = (12.0 * F.col("srsq").cast("double") / (nd * (F.col("n") + 1))
+    h = (12.0 * nd * F.col("svs").cast("double") / (F.col("n") + 1)
          - 3.0 * (F.col("n") + 1))
     tie_den = 1.0 - F.col("t3").cast("double") / (nd * F.col("n")
                                                   * F.col("n") - F.col("n"))
