@@ -5797,3 +5797,115 @@ def q_ab_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nn").cast("bigint").alias("n_total"),
         F.sum("t").cast("double").cast("decimal(18,9)").cast("double")
         .alias("p_one_sided"))
+
+
+# ---- Jarque-Bera normality test (A75) ----------------------------------------
+
+JB_CRIT_5PCT = 5.991465  # chi-square 95th percentile, df = 2
+
+
+@query(
+    "q_ab_jarque_bera",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS s1,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(19,6))) AS s2,
+             SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                      * l_extendedprice * l_extendedprice
+                      AS DECIMAL(38,6))) AS s3,
+             SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                      * l_extendedprice * l_extendedprice
+                      * l_extendedprice AS DECIMAL(38,2))) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mom AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s
+    ),
+    ctr AS (
+      SELECT g, n,
+             r2 - m1 * m1 AS c2,
+             r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS c3,
+             r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+               - 3 * m1 * m1 * m1 * m1 AS c4
+      FROM mom
+    ),
+    sk AS (
+      SELECT g, n,
+             CAST(CAST(c3 / (c2 * sqrt(c2)) AS DECIMAL(18,9)) AS DOUBLE)
+               AS skew,
+             CAST(CAST(c4 / (c2 * c2) - 3.0 AS DECIMAL(18,9)) AS DOUBLE)
+               AS exkurt
+      FROM ctr WHERE c2 > 0
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(skew AS DECIMAL(18,6)) AS DOUBLE) AS skewness,
+           CAST(CAST(exkurt AS DECIMAL(18,6)) AS DOUBLE) AS excess_kurtosis,
+           CAST(CAST(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)
+                AS DECIMAL(18,6)) AS DOUBLE) AS jb_stat,
+           CAST(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)
+                AS DECIMAL(18,6)) > {JB_CRIT_5PCT} AS reject_normal_5pct
+    FROM sk
+    ORDER BY g
+    """,
+    tags=("A75", "abtest", "normality"),
+)
+def q_ab_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA NORMALITY TEST per return-flag group: JB =
+    n/6·(S² + K²/4) against chi²(2) — the gate that DECIDES between the
+    parametric family (A43/A52/A53 assume roughly normal tails) and
+    the rank family (A44/A72): A54 ships the skewness/kurtosis
+    READINGS, this turns them into the accept/reject the router needs.
+    Heavily skewed revenue should reject loudly; that is the point —
+    'your t-test p-value on this metric is fiction, use ranks'.
+
+    Same mergeable raw-power-sum discipline as A54 (ONE hash agg,
+    n/Σx/Σx²/Σx³/Σx⁴; the decimal types hold exact sums for the cube
+    and quartic magnitudes at fact-table counts), central moments by
+    binomial expansion in IEEE from exact sums, S and K 9-dp-quantized
+    before squaring so both engines square identical rationals, final
+    JB quantized at 6 dp with the df=2 critical flag."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(20,6)")).alias("s1"),
+        F.sum(x.cast("decimal(19,6)") * x.cast("decimal(19,6)"))
+        .alias("s2"),
+        F.sum((x.cast("double") * x * x).cast("decimal(38,6)"))
+        .alias("s3"),
+        F.sum((x.cast("double") * x * x * x).cast("decimal(38,2)"))
+        .alias("s4"))
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    c2 = r2 - m1 * m1
+    c3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    c4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    skew = (c3 / (c2 * F.sqrt(c2))).cast("decimal(18,9)").cast("double")
+    exk = (c4 / (c2 * c2) - 3.0).cast("decimal(18,9)").cast("double")
+    mom = s.where(c2 > 0).select(
+        F.col("g"), n, skew.alias("skew"), exk.alias("exkurt"))
+    jb = (F.col("n") / 6.0 * (F.col("skew") * F.col("skew")
+                              + F.col("exkurt") * F.col("exkurt") / 4.0)) \
+        .cast("decimal(18,6)")
+    return mom.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("skew").cast("decimal(18,6)").cast("double")
+        .alias("skewness"),
+        F.col("exkurt").cast("decimal(18,6)").cast("double")
+        .alias("excess_kurtosis"),
+        jb.cast("double").alias("jb_stat"),
+        (jb > JB_CRIT_5PCT).alias("reject_normal_5pct")
+    ).orderBy("l_returnflag")

@@ -688,3 +688,140 @@ def q_mv_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_from_delta"),
                     F.col("rev").cast("decimal(18,2)").cast("double")
                     .alias("revenue")))
+
+
+# ---- Incremental distinct-count maintenance via KMV merge (M8) ---------------
+
+
+def _kmv_mm_oracle() -> str:
+    from .aggregates import KMV_K
+    hv = ("CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)"
+          " AS BIGINT) AS DOUBLE) / 4294967296.0")
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT event_type, user_id, {hv} AS hv
+      FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}'
+    ),
+    delta AS (
+      SELECT DISTINCT event_type, user_id, {hv} AS hv
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}'
+    ),
+    sk_base AS (
+      SELECT event_type, user_id, hv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY hv, user_id) AS rn FROM base) WHERE rn <= {KMV_K}
+    ),
+    sk_delta AS (
+      SELECT event_type, user_id, hv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY hv, user_id) AS rn FROM delta) WHERE rn <= {KMV_K}
+    ),
+    merged AS (
+      SELECT DISTINCT event_type, user_id, hv FROM (
+        SELECT * FROM sk_base UNION ALL SELECT * FROM sk_delta)
+    ),
+    sk_merged AS (
+      SELECT event_type, MAX(hv) AS hk, COUNT(*) AS kk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY hv, user_id) AS rn FROM merged) t
+      WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    full_rel AS (
+      SELECT DISTINCT event_type, user_id, {hv} AS hv FROM events
+    ),
+    sk_full AS (
+      SELECT event_type, MAX(hv) AS hk, COUNT(*) AS kk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY hv, user_id) AS rn FROM full_rel) t
+      WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM full_rel GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_exact,
+           CASE WHEN m.kk < {KMV_K} THEN CAST(m.kk AS DOUBLE)
+                ELSE ({KMV_K} - 1) / m.hk END AS est_merged,
+           CASE WHEN f.kk < {KMV_K} THEN CAST(f.kk AS DOUBLE)
+                ELSE ({KMV_K} - 1) / f.hk END AS est_monolithic,
+           (CASE WHEN m.kk < {KMV_K} THEN CAST(m.kk AS DOUBLE)
+                 ELSE ({KMV_K} - 1) / m.hk END)
+             = (CASE WHEN f.kk < {KMV_K} THEN CAST(f.kk AS DOUBLE)
+                     ELSE ({KMV_K} - 1) / f.hk END) AS merge_lossless
+    FROM ex
+    JOIN sk_merged m ON m.event_type = ex.event_type
+    JOIN sk_full f ON f.event_type = ex.event_type
+    ORDER BY ex.event_type
+    """
+
+
+@query("q_mv_distinct_maintenance", oracle=_kmv_mm_oracle(),
+       tags=("M8", "incremental", "sketch"))
+def q_mv_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DISTINCT-COUNT MAINTENANCE: the per-type distinct-user
+    estimate kept fresh across a base/delta batch boundary WITHOUT
+    re-scanning the base — merge the base batch's KMV sketch (A21's
+    k-smallest portable hashes) with the delta batch's and re-take the
+    k smallest. The mergeability identity (k-min of (k-min(A) ∪
+    k-min(B)) = k-min(A ∪ B)) makes the maintained estimate EQUAL to
+    the monolithic one — not approximately equal — and this query ships
+    both plus the equality flag, so the driver hash-proves the lemma on
+    real data every round. This is the M-family answer for COUNT
+    DISTINCT, the one aggregate M2's additive-state maintenance cannot
+    touch (distinct doesn't decompose additively; its mergeable form is
+    exactly a sketch).
+
+    Scale shape: each batch contributes a k-row-per-group sketch
+    relation (the heavy distinct+rank work is per-batch and never
+    revisits history); the merge re-ranks 2k rows per group. Hash
+    arithmetic is the A21 exact uint32/2³² form; estimates are one IEEE
+    division; groups with fewer than k keys report the exact kept
+    count. Sets, not bags: the union dedups (event_type, user_id) so a
+    user active in BOTH batches occupies one sketch slot."""
+    from .aggregates import KMV_K
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def hashed(rel: DataFrame) -> DataFrame:
+        return (rel.select("event_type", "user_id").distinct()
+                .withColumn(
+                    "hv",
+                    F.conv(F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8),
+                        16, 10).cast("bigint").cast("double")
+                    / F.lit(2.0 ** 32)))
+
+    w = Window.partitionBy("event_type").orderBy("hv", "user_id")
+
+    def ksmall(rel: DataFrame) -> DataFrame:
+        return (rel.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= KMV_K).drop("rn"))
+
+    def estimate(sk: DataFrame, est_name: str) -> DataFrame:
+        agg = (sk.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= KMV_K)
+               .groupBy("event_type")
+               .agg(F.max("hv").alias("hk"),
+                    F.count(F.lit(1)).alias("kk")))
+        return agg.select(
+            "event_type",
+            F.when(F.col("kk") < KMV_K, F.col("kk").cast("double"))
+            .otherwise(F.lit(float(KMV_K - 1)) / F.col("hk"))
+            .alias(est_name))
+
+    base = ksmall(hashed(ev.where(F.col("ts") < cutoff)))
+    delta = ksmall(hashed(ev.where(F.col("ts") >= cutoff)))
+    merged = base.unionByName(delta).distinct()
+    full_rel = hashed(ev).persist()
+    est_m = estimate(merged, "est_merged")
+    est_f = estimate(full_rel, "est_monolithic")
+    ex = full_rel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (ex.join(est_m, "event_type").join(est_f, "event_type")
+            .select("event_type", "n_exact", "est_merged",
+                    "est_monolithic",
+                    (F.col("est_merged") == F.col("est_monolithic"))
+                    .alias("merge_lossless"))
+            .orderBy("event_type"))

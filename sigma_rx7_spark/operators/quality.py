@@ -1879,3 +1879,83 @@ def q_quality_dup_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
          == F.floor(F.col("next_value") / DUP_TXN_BUCKET))
         .alias("same_amount_band"))
         .orderBy("user_id", "first_id", "next_id"))
+
+
+# ---- Sentinel-value screen (Q24) -----------------------------------------------
+
+# (table, column, sentinel predicate SQL, sentinel predicate builder,
+#  alert threshold on the share). Sentinels are the DEFAULT-ish values
+# a broken producer emits: zeros, empties, epoch-adjacent dates.
+SENTINEL_ALERT_SHARE = 0.05
+
+
+def _sentinel_catalog():
+    return (
+        ("lineitem", "l_discount", "l_discount = 0",
+         lambda: F.col("l_discount") == 0),
+        ("lineitem", "l_tax", "l_tax = 0",
+         lambda: F.col("l_tax") == 0),
+        ("customer", "c_acctbal", "c_acctbal <= 0",
+         lambda: F.col("c_acctbal") <= 0),
+        ("events", "value", "value = 0",
+         lambda: F.col("value") == 0),
+        ("documents", "text", "text = ''",
+         lambda: F.col("text") == ""),
+        ("part", "p_size", "p_size = 1",
+         lambda: F.col("p_size") == 1),
+    )
+
+
+def _sentinel_oracle() -> str:
+    parts = []
+    for tbl, col, pred, _ in _sentinel_catalog():
+        label = pred.replace("'", "''")
+        parts.append(f"""
+    SELECT '{tbl}.{col}' AS column_name,
+           '{label}' AS sentinel,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sentinel,
+           CAST(CAST(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+             AS share,
+           CAST(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(18,6)) > {SENTINEL_ALERT_SHARE}
+             AS alert
+    FROM {tbl}""")
+        parts.append("    UNION ALL")
+    return "\n".join(parts[:-1]) + "\n    ORDER BY column_name, sentinel"
+
+
+@query("q_quality_sentinels", oracle=_sentinel_oracle(),
+       tags=("Q24", "quality", "profiling"))
+def q_quality_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTINEL-VALUE SCREEN: the share of default-ish values (zeros,
+    non-positive balances, empty strings, unit sizes) per audited
+    column, with an alert at {SENTINEL_ALERT_SHARE:.0%} — the
+    broken-producer detector the null-rate audits (Q1/Q15) are blind
+    to: a failing upstream rarely ships NULLs, it ships DEFAULTS, and
+    the column stays 100% non-null while going 100% meaningless. The
+    mask profile (Q21) sees format drift; this sees VALUE-DEFAULT
+    drift; together they bracket the silent-producer failure mode.
+
+    Scale shape: per table ONE conditional-aggregation scan shared by
+    that table's sentinel predicates (the Q1 discipline — adding a
+    sentinel is free); output is O(#catalog) rows; the share is one
+    6-dp-quantized division of exact counts and the alert compares on
+    the quantized grid identically in both engines."""
+    out = None
+    for tbl, col, pred_sql, pred in _sentinel_catalog():
+        t = load(spark, sf_dir, tbl)
+        share = (F.sum(F.when(pred(), 1).otherwise(0)).cast("double")
+                 / F.count(F.lit(1))).cast("decimal(18,6)")
+        row = t.agg(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            F.lit(pred_sql).alias("sentinel"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(pred(), 1).otherwise(0)).cast("bigint")
+            .alias("n_sentinel"),
+            share.cast("double").alias("share"),
+            (share > SENTINEL_ALERT_SHARE).alias("alert"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name", "sentinel")

@@ -2522,3 +2522,144 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_days).cast("bigint").alias("n_days"),
         k.cast("bigint").alias("n_scales"),
         slope.cast("decimal(18,6)").cast("double").alias("hurst"))
+
+
+# ---- EWMA control chart (W47) ------------------------------------------------
+
+EWMA_CHART_LAMBDA_PCT = 20  # λ = 0.20, the standard SPC smoothing
+EWMA_CHART_WIDTH = 3.0      # ±3σ control limits
+
+
+def _ewma_chart_oracle() -> str:
+    lam = EWMA_CHART_LAMBDA_PCT / 100.0
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ),
+    mu AS (
+      SELECT CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*)
+               AS m,
+             sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE)
+                  / COUNT(*)
+                  - (CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE)
+                     / COUNT(*))
+                  * (CAST(SUM(CAST(v AS DECIMAL(27,9))) AS DOUBLE)
+                     / COUNT(*))) AS s
+      FROM idx
+    ),
+    terms AS (
+      SELECT b.t, b.day, b.v,
+             CAST(CAST(pow({1 - lam}, b.t - a.t) AS DECIMAL(18,12))
+                  * CAST(a.v AS DECIMAL(20,6)) AS DECIMAL(38,12)) AS w
+      FROM idx b JOIN idx a ON a.t <= b.t
+    ),
+    sm AS (
+      SELECT t, day, v, CAST(SUM(w) AS DOUBLE) AS s_t
+      FROM terms GROUP BY t, day, v
+    )
+    SELECT sm.day, sm.v AS revenue,
+           CAST(CAST({lam} * sm.s_t
+                + CAST(pow({1 - lam}, sm.t) AS DECIMAL(18,12)) * mu.m
+                AS DECIMAL(18,6)) AS DOUBLE) AS ewma,
+           CAST(CAST(mu.m + {EWMA_CHART_WIDTH} * mu.s
+                * CAST(sqrt({lam} / (2 - {lam})
+                  * (1 - CAST(pow({1 - lam}, 2 * sm.t)
+                       AS DECIMAL(18,12)))) AS DECIMAL(18,9))
+                AS DECIMAL(18,6)) AS DOUBLE) AS ucl,
+           CAST(CAST(mu.m - {EWMA_CHART_WIDTH} * mu.s
+                * CAST(sqrt({lam} / (2 - {lam})
+                  * (1 - CAST(pow({1 - lam}, 2 * sm.t)
+                       AS DECIMAL(18,12)))) AS DECIMAL(18,9))
+                AS DECIMAL(18,6)) AS DOUBLE) AS lcl,
+           CAST({lam} * sm.s_t
+                + CAST(pow({1 - lam}, sm.t) AS DECIMAL(18,12)) * mu.m
+                AS DECIMAL(18,6))
+             > CAST(mu.m + {EWMA_CHART_WIDTH} * mu.s
+                * CAST(sqrt({lam} / (2 - {lam})
+                  * (1 - CAST(pow({1 - lam}, 2 * sm.t)
+                       AS DECIMAL(18,12)))) AS DECIMAL(18,9))
+                AS DECIMAL(18,6))
+           OR CAST({lam} * sm.s_t
+                + CAST(pow({1 - lam}, sm.t) AS DECIMAL(18,12)) * mu.m
+                AS DECIMAL(18,6))
+             < CAST(mu.m - {EWMA_CHART_WIDTH} * mu.s
+                * CAST(sqrt({lam} / (2 - {lam})
+                  * (1 - CAST(pow({1 - lam}, 2 * sm.t)
+                       AS DECIMAL(18,12)))) AS DECIMAL(18,9))
+                AS DECIMAL(18,6)) AS out_of_control
+    FROM sm, mu
+    ORDER BY sm.day
+    """
+
+
+@query("q_ts_ewma_chart", oracle=_ewma_chart_oracle(),
+       tags=("W47", "timeseries", "spc"))
+def q_ts_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART (λ=0.2, ±3σ) over daily purchase revenue —
+    the SPC monitor that detects SMALL persistent shifts W29's CUSUM
+    and A14's z-screen are tuned past: each day's EWMA carries
+    exponentially-forgotten history, and the time-varying limits
+    ±3σ√(λ/(2−λ)(1−(1−λ)^{{2t}})) widen from the start-up transient to
+    the asymptote, so early points are judged by honestly tighter
+    bounds. Chart initialized at the in-control estimate μ̂ (series
+    mean), the textbook choice.
+
+    Determinism discipline: the recurrence is unrolled into its closed
+    form EWMA_t = λ·Σ(1−λ)^(t−i)·x_i + (1−λ)^t·μ̂ over the
+    calendar-bounded day relation (30-day pair join at every sf —
+    never a sequential scan dependency); pow() is libm, so every
+    weight is 12-dp-quantized BEFORE multiplication, products fold as
+    exact decimals, and σ-legs quantize at 9 dp — both engines compare
+    identical 6-dp grid values for the flag."""
+    lam = EWMA_CHART_LAMBDA_PCT / 100.0
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)"))
+                  .cast("double").alias("v")))
+    widx = Window.orderBy("day")
+    idx = daily.select("day", "v",
+                       F.row_number().over(widx).alias("t")).persist()
+    mu = idx.agg(
+        (F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
+         / F.count(F.lit(1))).alias("m"),
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast("decimal(38,9)"))
+               .cast("double") / F.count(F.lit(1))
+               - (F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
+                  / F.count(F.lit(1)))
+               * (F.sum(F.col("v").cast("decimal(27,9)")).cast("double")
+                  / F.count(F.lit(1)))).alias("s"))
+    a = idx.select(F.col("t").alias("ta"), F.col("v").alias("va"))
+    b = idx.select("t", "day", "v")
+    w = (F.pow(F.lit(1 - lam), F.col("t") - F.col("ta"))
+         .cast("decimal(18,12)")
+         * F.col("va").cast("decimal(20,6)")).cast("decimal(38,12)")
+    sm = (b.join(a, F.col("ta") <= F.col("t"))
+          .groupBy("t", "day", "v")
+          .agg(F.sum(w).cast("double").alias("s_t")))
+    out = sm.crossJoin(F.broadcast(mu))
+    ewma6 = (lam * F.col("s_t")
+             + F.pow(F.lit(1 - lam), F.col("t")).cast("decimal(18,12)")
+             * F.col("m")).cast("decimal(18,6)")
+    half = (EWMA_CHART_WIDTH * F.col("s")
+            * F.sqrt(lam / (2 - lam)
+                     * (1 - F.pow(F.lit(1 - lam), 2 * F.col("t"))
+                        .cast("decimal(18,12)")))
+            .cast("decimal(18,9)"))
+    ucl6 = (F.col("m") + half).cast("decimal(18,6)")
+    lcl6 = (F.col("m") - half).cast("decimal(18,6)")
+    return out.select(
+        "day", F.col("v").alias("revenue"),
+        ewma6.cast("double").alias("ewma"),
+        ucl6.cast("double").alias("ucl"),
+        lcl6.cast("double").alias("lcl"),
+        ((ewma6 > ucl6) | (ewma6 < lcl6)).alias("out_of_control")
+    ).orderBy("day")

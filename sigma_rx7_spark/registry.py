@@ -92,14 +92,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # Round 11 window, recomposed after the session-2 additions. The
     # r10 window banked green for every name in it (CORRECTNESS_r10
     # 50/50). Composition: (a) the 18 round-11 batch-1 additions and
-    # (b) the 22 session-2 additions, all on first exposure; (c) the
+    # (b) the 27 session-2 additions, all on first exposure; (c) the
     # five queries whose implementation changed this round (spearman,
-    # link-pred, RFM, pagerank, the IVF staging stamp); (d) the 5
-    # stalest r3-cohort greens. First exposure outranks re-banking:
-    # a never-checked oracle-gated query is a hole in the correctness
-    # ledger, a stale green is not — the 26 displaced r3-cohort names
-    # (q_agg_anomaly .. q_domain_fhir_export, listed by
-    # rotation_candidates.py --age) were instead ALL re-proven by the
+    # link-pred, RFM, pagerank, the IVF staging stamp). First exposure
+    # outranks re-banking: a never-checked oracle-gated query is a hole
+    # in the correctness ledger, a stale green is not — ALL 31 displaced
+    # r3-cohort names (q_agg_argmax .. q_domain_fhir_export, listed by
+    # rotation_candidates.py --age) were instead re-proven by the
     # in-repo sf0.01 mirror this session (SCALE.md round-11 notes) and
     # head the r12 re-bank queue.
     #
@@ -147,18 +146,17 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_stream_ohlc",
     "q_sim_mips",
     "q_quality_dup_txn",
+    "q_mv_distinct_maintenance",
+    "q_ts_ewma_chart",
+    "q_ab_jarque_bera",
+    "q_quality_sentinels",
+    "q_stream_hourly_distinct",
     # changed this round — re-proof
     "q_agg_spearman",
     "q_graph_link_prediction",
     "q_window_rfm",
     "q_graph_pagerank",
     "q_sim_index_incremental",
-    # the r3 cohort head (stalest greens, oldest first)
-    "q_agg_argmax",
-    "q_agg_pivot",
-    "q_agg_unpivot",
-    "q_agg_collect",
-    "q_agg_histogram",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

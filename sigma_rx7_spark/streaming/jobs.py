@@ -1467,3 +1467,41 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "stream_ohlc")
+
+
+@query(
+    "q_stream_hourly_distinct",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("T18", "streaming", "distinct"),
+)
+def q_stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HOURLY DISTINCT PURCHASERS — exact COUNT(DISTINCT) in
+    a stream, the aggregate Structured Streaming does NOT support
+    directly (distinct inside a streaming agg throws): the standard
+    decomposition is watermarked per-(window, user) DEDUP first (state
+    = one row per distinct key per open hour, dropped at the
+    watermark), then a plain incremental COUNT over the survivors —
+    two state stores, each O(distinct keys in open windows), instead
+    of an unbounded value buffer. The hourly-unique-actors number
+    every ops dashboard draws, computed exactly; A4/A21 are the sketch
+    relaxations when per-key state is too dear.
+
+    availableNow ⇒ equals batch COUNT(DISTINCT), which is the oracle;
+    the dedup keys on the event-time hour (derived BEFORE the dedup,
+    so late events join their own hour, not arrival's)."""
+    ev = (read_events_stream(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .withWatermark("ts", "1 hour"))
+    deduped = (ev.withColumn("hour_start",
+                             F.date_trunc("hour", F.col("ts")))
+               .dropDuplicates(["hour_start", "user_id"]))
+    agg = (deduped.groupBy(F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+           .select(F.col("window.start").alias("hour_start"),
+                   "n_users"))
+    return run_to_memory(agg, "stream_hourly_distinct")

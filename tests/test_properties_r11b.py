@@ -557,3 +557,94 @@ def test_ohlc_matches_naive_bars(spark, sf_dir):
         assert row["high"] == max(v for _, _, v in evs)
         assert row["low"] == min(v for _, _, v in evs)
         assert row["n_trades"] == len(evs)
+
+
+def test_kmv_merge_is_lossless_and_estimates_track_exact(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = registry.get("q_mv_distinct_maintenance") \
+        .fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the mergeability lemma must hold exactly on real data
+        assert r["merge_lossless"] is True
+        assert r["est_merged"] == r["est_monolithic"]
+        # KMV(k=64) relative error should be well inside 3/sqrt(k)
+        if r["n_exact"] >= 64:
+            rel = abs(r["est_merged"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 3.0 / math.sqrt(64)
+        else:
+            assert r["est_merged"] == float(r["n_exact"])
+
+
+def test_ewma_chart_matches_naive_recurrence(spark, sf_dir):
+    from sigma_rx7_spark import registry
+    from sigma_rx7_spark.operators.timeseries import (
+        EWMA_CHART_LAMBDA_PCT,
+        EWMA_CHART_WIDTH,
+    )
+
+    lam = EWMA_CHART_LAMBDA_PCT / 100.0
+    rows = _fetch(sf_dir, """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+               SUM(CAST(value AS DECIMAL(20,6)))
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")
+    v = [float(r[1]) for r in rows]
+    n = len(v)
+    mu = sum(v) / n
+    sd = math.sqrt(sum(x * x for x in v) / n - mu * mu)
+    got = {r["day"]: r for r in
+           registry.get("q_ts_ewma_chart").fn(spark, sf_dir).collect()}
+    assert len(got) == n
+    z = mu
+    for t, (day, _) in enumerate(rows, start=1):
+        z = lam * v[t - 1] + (1 - lam) * z
+        half = (EWMA_CHART_WIDTH * sd
+                * math.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * t))))
+        row = got[day]
+        assert abs(row["ewma"] - z) < 1e-3
+        assert abs(row["ucl"] - (mu + half)) < 1e-3
+        assert abs(row["lcl"] - (mu - half)) < 1e-3
+        assert row["out_of_control"] == (
+            round(row["ewma"], 6) > round(row["ucl"], 6)
+            or round(row["ewma"], 6) < round(row["lcl"], 6))
+
+
+def test_jarque_bera_matches_naive_moments(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    rows = _fetch(sf_dir, "SELECT l_returnflag, l_extendedprice "
+                          "FROM lineitem")
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(float(x))
+    got = {r["l_returnflag"]: r for r in
+           registry.get("q_ab_jarque_bera").fn(spark, sf_dir).collect()}
+    for g, xs in by_g.items():
+        a = np.array(xs)
+        m = a.mean()
+        c2 = ((a - m) ** 2).mean()
+        s = ((a - m) ** 3).mean() / c2 ** 1.5
+        k = ((a - m) ** 4).mean() / c2 ** 2 - 3.0
+        jb = len(a) / 6.0 * (s * s + k * k / 4.0)
+        row = got[g]
+        assert row["n_rows"] == len(a)
+        assert abs(row["skewness"] - s) < 1e-5
+        assert abs(row["excess_kurtosis"] - k) < 1e-4
+        assert abs(row["jb_stat"] - jb) < jb * 1e-4 + 1e-3
+
+
+def test_sentinel_screen_counts_match_naive(spark, sf_dir):
+    from sigma_rx7_spark import registry
+
+    got = {(r["column_name"], r["sentinel"]): r for r in
+           registry.get("q_quality_sentinels").fn(spark, sf_dir)
+           .collect()}
+    disc = _fetch(sf_dir, "SELECT COUNT(*), SUM(CASE WHEN l_discount = 0 "
+                          "THEN 1 ELSE 0 END) FROM lineitem")[0]
+    row = got[("lineitem.l_discount", "l_discount = 0")]
+    assert row["n_rows"] == disc[0] and row["n_sentinel"] == disc[1]
+    for r in got.values():
+        assert r["alert"] == (round(r["n_sentinel"] / r["n_rows"], 6)
+                              > 0.05)
