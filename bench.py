@@ -138,6 +138,12 @@ HEADLINE = [
     "q_stream_funnel",
     "q_text_ndcg",
     "q_graph_modularity",
+    # ...and the batch-3 data-heavy pair: the merged-sketch distinct
+    # maintenance (replacing its static A21 twin on the line — the twin
+    # stays timed in BENCH_DETAIL) and the dedup-state streaming
+    # exact-distinct.
+    "q_mv_distinct_maintenance",
+    "q_stream_hourly_distinct",
 ]
 
 # Timed and recorded in BENCH_DETAIL.json like every headline query,
@@ -147,6 +153,11 @@ HEADLINE = [
 # sub-0.12 s robust spreads for two consecutive rounds). The heavy
 # families stay on the parsed line.
 HEADLINE_COMPACT_EXCLUDE = {
+    # r11 session 2: two more cheap-stable entries move to detail-only
+    # to hold the line under the ~1900-byte tail cap (q_agg_kmv_distinct
+    # is superseded on the line by its maintained M8 twin).
+    "q_math_score",
+    "q_agg_kmv_distinct",
     "q_scan_zorder",
     "q_split_train_test",
     "q_pipeline_chunk",
