@@ -1883,48 +1883,69 @@ def q_quality_dup_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- Sentinel-value screen (Q24) -----------------------------------------------
 
-# (table, column, sentinel predicate SQL, sentinel predicate builder,
-#  alert threshold on the share). Sentinels are the DEFAULT-ish values
-# a broken producer emits: zeros, empties, epoch-adjacent dates.
+# table -> [(column, sentinel predicate SQL, predicate builder)].
+# Sentinels are the DEFAULT-ish values a broken producer emits: zeros,
+# empties, unit sizes. Grouped by table so each table costs ONE scan.
 SENTINEL_ALERT_SHARE = 0.05
 
 
 def _sentinel_catalog():
     return (
-        ("lineitem", "l_discount", "l_discount = 0",
-         lambda: F.col("l_discount") == 0),
-        ("lineitem", "l_tax", "l_tax = 0",
-         lambda: F.col("l_tax") == 0),
-        ("customer", "c_acctbal", "c_acctbal <= 0",
-         lambda: F.col("c_acctbal") <= 0),
-        ("events", "value", "value = 0",
-         lambda: F.col("value") == 0),
-        ("documents", "text", "text = ''",
-         lambda: F.col("text") == ""),
-        ("part", "p_size", "p_size = 1",
-         lambda: F.col("p_size") == 1),
+        ("lineitem", (
+            ("l_discount", "l_discount = 0",
+             lambda: F.col("l_discount") == 0),
+            ("l_tax", "l_tax = 0",
+             lambda: F.col("l_tax") == 0),
+        )),
+        ("customer", (
+            ("c_acctbal", "c_acctbal <= 0",
+             lambda: F.col("c_acctbal") <= 0),
+        )),
+        ("events", (
+            ("value", "value = 0",
+             lambda: F.col("value") == 0),
+        )),
+        ("documents", (
+            ("text", "text = ''",
+             lambda: F.col("text") == ""),
+        )),
+        ("part", (
+            ("p_size", "p_size = 1",
+             lambda: F.col("p_size") == 1),
+        )),
     )
 
 
 def _sentinel_oracle() -> str:
-    parts = []
-    for tbl, col, pred, _ in _sentinel_catalog():
-        label = pred.replace("'", "''")
-        parts.append(f"""
-    SELECT '{tbl}.{col}' AS column_name,
-           '{label}' AS sentinel,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_sentinel,
-           CAST(CAST(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)
-                AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
-             AS share,
-           CAST(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
-                / COUNT(*) AS DECIMAL(18,6)) > {SENTINEL_ALERT_SHARE}
-             AS alert
-    FROM {tbl}""")
-        parts.append("    UNION ALL")
-    return "\n".join(parts[:-1]) + "\n    ORDER BY column_name, sentinel"
+    tables = []
+    for tbl, preds in _sentinel_catalog():
+        sums = ", ".join(
+            f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS s{i}"
+            for i, (_, pred, _) in enumerate(preds))
+        rows = []
+        for i, (col, pred, _) in enumerate(preds):
+            label = pred.replace("'", "''")
+            rows.append(f"""
+    SELECT '{tbl}.{col}' AS column_name, '{label}' AS sentinel,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(s{i} AS BIGINT) AS n_sentinel,
+           CAST(CAST(CAST(s{i} AS DOUBLE) / n_rows AS DECIMAL(18,6))
+                AS DOUBLE) AS share,
+           CAST(CAST(s{i} AS DOUBLE) / n_rows AS DECIMAL(18,6))
+             > {SENTINEL_ALERT_SHARE} AS alert
+    FROM agg_{tbl}""")
+        tables.append(
+            f"agg_{tbl} AS (SELECT COUNT(*) AS n_rows, {sums} "
+            f"FROM {tbl})")
+        tables.append("ROWS:" + "\n    UNION ALL".join(rows))
+    ctes = ",\n    ".join(t for t in tables if not t.startswith("ROWS:"))
+    body = "\n    UNION ALL".join(
+        t[5:] for t in tables if t.startswith("ROWS:"))
+    return (f"""
+    WITH {ctes}
+    {body}
+    ORDER BY column_name, sentinel
+    """)
 
 
 @query("q_quality_sentinels", oracle=_sentinel_oracle(),
@@ -1939,23 +1960,38 @@ def q_quality_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask profile (Q21) sees format drift; this sees VALUE-DEFAULT
     drift; together they bracket the silent-producer failure mode.
 
-    Scale shape: per table ONE conditional-aggregation scan shared by
-    that table's sentinel predicates (the Q1 discipline — adding a
-    sentinel is free); output is O(#catalog) rows; the share is one
-    6-dp-quantized division of exact counts and the alert compares on
-    the quantized grid identically in both engines."""
+    Scale shape: exactly ONE conditional-aggregation scan per audited
+    TABLE — all of a table's sentinel counters fold into the same
+    partial/final hash aggregate (the Q1 discipline, plan-asserted in
+    tests/test_plans.py), and the per-sentinel report rows explode
+    from that one-row aggregate as an array of structs. Output is
+    O(#catalog) rows; the share is one 6-dp-quantized division of
+    exact counts and the alert compares on the quantized grid
+    identically in both engines."""
     out = None
-    for tbl, col, pred_sql, pred in _sentinel_catalog():
+    for tbl, preds in _sentinel_catalog():
         t = load(spark, sf_dir, tbl)
-        share = (F.sum(F.when(pred(), 1).otherwise(0)).cast("double")
-                 / F.count(F.lit(1))).cast("decimal(18,6)")
-        row = t.agg(
-            F.lit(f"{tbl}.{col}").alias("column_name"),
-            F.lit(pred_sql).alias("sentinel"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.when(pred(), 1).otherwise(0)).cast("bigint")
-            .alias("n_sentinel"),
-            share.cast("double").alias("share"),
-            (share > SENTINEL_ALERT_SHARE).alias("alert"))
-        out = row if out is None else out.unionByName(row)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(pred(), 1).otherwise(0)).alias(f"s{i}")
+            for i, (_, _, pred) in enumerate(preds)]
+        one = t.agg(*aggs)
+        rows = F.array(*[
+            F.struct(
+                F.lit(f"{tbl}.{col}").alias("column_name"),
+                F.lit(pred_sql).alias("sentinel"),
+                F.col(f"s{i}").alias("n_sentinel"))
+            for i, (col, pred_sql, _) in enumerate(preds)])
+        share = (F.col("n_sentinel").cast("double")
+                 / F.col("n_rows")).cast("decimal(18,6)")
+        stacked = (one.select("n_rows", F.explode(rows).alias("r"))
+                   .select(F.col("r.column_name").alias("column_name"),
+                           F.col("r.sentinel").alias("sentinel"),
+                           F.col("n_rows").cast("bigint").alias("n_rows"),
+                           F.col("r.n_sentinel").cast("bigint")
+                           .alias("n_sentinel"))
+                   .select("column_name", "sentinel", "n_rows",
+                           "n_sentinel",
+                           share.cast("double").alias("share"),
+                           (share > SENTINEL_ALERT_SHARE).alias("alert")))
+        out = stacked if out is None else out.unionByName(stacked)
     return out.orderBy("column_name", "sentinel")

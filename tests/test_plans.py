@@ -1295,3 +1295,30 @@ def test_checksum_scans_read_only_audited_columns(spark, sf_dir):
     assert read_schema, p
     for ln in read_schema:
         assert ln.count(":") <= 2, ln
+
+
+def test_kmv_maintenance_windows_on_distinct_key_relations(spark, sf_dir):
+    """M8: every rank window input is a hashed DISTINCT (type, user)
+    relation (carries the hv hash column that only exists post-hash),
+    never raw event rows."""
+    import re
+
+    p = plan(spark, sf_dir, "q_mv_distinct_maintenance")
+    blocks = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert blocks, p
+    for cols in blocks:
+        assert "hv#" in cols, cols
+        assert "value#" not in cols and "props#" not in cols, cols
+
+
+def test_sentinel_screen_one_scan_per_table(spark, sf_dir):
+    """Q24: the six-sentinel screen costs at most one scan per audited
+    table — conditional aggregation folds every predicate into the
+    same pass (the Q1 discipline)."""
+    import re
+
+    p = plan(spark, sf_dir, "q_quality_sentinels")
+    n_tables = len({"lineitem", "customer", "events", "documents",
+                    "part"})
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+    assert len(scans) <= n_tables, scans
