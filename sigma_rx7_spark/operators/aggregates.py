@@ -5347,12 +5347,14 @@ CMH_HI_VALUE = 250000  # high-value order cutoff (~median o_totalprice)
       FROM strata WHERE nn > 1
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
-           CAST(CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
+           CASE WHEN CAST(SUM(v) AS DOUBLE) = 0 THEN NULL
+           ELSE CAST(CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
                 / CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
-             AS cmh_chi2,
-           CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
+             END AS cmh_chi2,
+           CASE WHEN CAST(SUM(v) AS DOUBLE) = 0 THEN NULL
+           ELSE CAST(CAST(SUM(dev) AS DOUBLE) * CAST(SUM(dev) AS DOUBLE)
                 / CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6))
-             > 3.841459 AS reject_5pct,
+             > 3.841459 END AS reject_5pct,
            CASE WHEN SUM(bc) = 0 THEN NULL
                 ELSE CAST(CAST(CAST(SUM(ad) AS DOUBLE)
                      / CAST(SUM(bc) AS DOUBLE) AS DECIMAL(18,6))
@@ -5419,10 +5421,14 @@ def q_ab_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdev = F.sum("dev").cast("double")
     sv = F.sum("v").cast("double")
     chi2 = (sdev * sdev / sv).cast("decimal(18,6)")
+    # Zero pooled variance (every stratum all-success or all-failure):
+    # the statistic is undefined — NULL, not an ANSI 0/0 crash.
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
-        chi2.cast("double").alias("cmh_chi2"),
-        (chi2 > 3.841459).alias("reject_5pct"),
+        F.when(sv == 0, F.lit(None).cast("double"))
+        .otherwise(chi2.cast("double")).alias("cmh_chi2"),
+        F.when(sv == 0, F.lit(None).cast("boolean"))
+        .otherwise(chi2 > 3.841459).alias("reject_5pct"),
         F.when(F.sum("bc") == 0, F.lit(None).cast("double"))
         .otherwise((F.sum("ad").cast("double")
                     / F.sum("bc").cast("double"))
@@ -5473,11 +5479,13 @@ def q_ab_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(12.0 * CAST(n AS DOUBLE) * CAST(svs AS DOUBLE)
                 / (n + 1) - 3.0 * (n + 1) AS DECIMAL(18,6)) AS DOUBLE)
              AS h_stat,
-           CAST(CAST((12.0 * CAST(n AS DOUBLE) * CAST(svs AS DOUBLE)
+           CASE WHEN CAST(t3 AS DOUBLE)
+                     >= CAST(n AS DOUBLE) * n * n - n THEN NULL
+           ELSE CAST(CAST((12.0 * CAST(n AS DOUBLE) * CAST(svs AS DOUBLE)
                 / (n + 1) - 3.0 * (n + 1))
                 / (1.0 - CAST(t3 AS DOUBLE)
                    / (CAST(n AS DOUBLE) * n * n - n))
-                AS DECIMAL(18,6)) AS DOUBLE) AS h_tie_corrected
+                AS DECIMAL(18,6)) AS DOUBLE) END AS h_tie_corrected
     FROM tot, ties
     """,
     tags=("A72", "abtest", "rank"),
@@ -5536,13 +5544,20 @@ def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     h = (12.0 * nd * F.col("svs").cast("double") / (F.col("n") + 1)
          - 3.0 * (F.col("n") + 1))
+    # All-tied sample (t3 = n^3 - n, which subsumes n = 1): the tie
+    # denominator is 0 and the corrected statistic is undefined —
+    # report NULL instead of dividing (ANSI mode turns 0/0 into a
+    # crash; found by the degenerate-input suite, not the harness).
+    all_tied = (F.col("t3").cast("double")
+                >= nd * F.col("n") * F.col("n") - F.col("n"))
     tie_den = 1.0 - F.col("t3").cast("double") / (nd * F.col("n")
                                                   * F.col("n") - F.col("n"))
     return tot.crossJoin(F.broadcast(ties)).select(
         F.col("n").cast("bigint").alias("n_rows"),
         F.col("k").cast("bigint").alias("n_groups"),
         h.cast("decimal(18,6)").cast("double").alias("h_stat"),
-        (h / tie_den).cast("decimal(18,6)").cast("double")
+        F.when(all_tied, F.lit(None).cast("double"))
+        .otherwise((h / tie_den).cast("decimal(18,6)").cast("double"))
         .alias("h_tie_corrected"))
 
 
