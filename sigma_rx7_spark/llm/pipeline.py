@@ -1656,7 +1656,9 @@ def _mcc_oracle() -> str:
                     + fn) * (CAST(tn AS DOUBLE) + fp)
                     * (CAST(tn AS DOUBLE) + fn))
                   AS DECIMAL(18,6)) AS DOUBLE) END AS mcc,
-           CAST(CAST(
+           CASE WHEN (tp + fp) * (tp + fn) = 0
+                  OR (tn + fp) * (tn + fn) = 0 THEN NULL
+           ELSE CAST(CAST(
              (CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
               - ((CAST(tp AS DOUBLE) + fp) * (tp + fn)
                  + (CAST(fn AS DOUBLE) + tn) * (fp + tn))
@@ -1666,11 +1668,12 @@ def _mcc_oracle() -> str:
                        + (CAST(fn AS DOUBLE) + tn) * (fp + tn))
                   / (CAST(tp + fp + fn + tn AS DOUBLE)
                      * (tp + fp + fn + tn)))
-             AS DECIMAL(18,6)) AS DOUBLE) AS kappa,
-           CAST(CAST(
+             AS DECIMAL(18,6)) AS DOUBLE) END AS kappa,
+           CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN NULL
+           ELSE CAST(CAST(
              0.5 * (CAST(tp AS DOUBLE) / (tp + fn)
                     + CAST(tn AS DOUBLE) / (tn + fp))
-             AS DECIMAL(18,6)) AS DOUBLE) AS balanced_accuracy
+             AS DECIMAL(18,6)) AS DOUBLE) END AS balanced_accuracy
     FROM cm
     """
 
@@ -1722,18 +1725,27 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     po = (tp + tn) / n
     mcc = ((tp * tn - fp * fn)
            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+    degenerate = (((F.col("tp") + F.col("fp"))
+                   * (F.col("tp") + F.col("fn")) == 0)
+                  | ((F.col("tn") + F.col("fp"))
+                     * (F.col("tn") + F.col("fn")) == 0))
+    # pe = 1 exactly when prediction AND label are both constant — the
+    # chance-agreement denominator vanishes and kappa is undefined
+    # (NULL, not an ANSI 0/0); same row is degenerate for MCC and for
+    # one of the per-class recalls.
     return cm.select(
         "tp", "fp", "fn", "tn",
-        F.when(((F.col("tp") + F.col("fp"))
-                * (F.col("tp") + F.col("fn")) == 0)
-               | ((F.col("tn") + F.col("fp"))
-                  * (F.col("tn") + F.col("fn")) == 0),
-               F.lit(None).cast("double"))
+        F.when(degenerate, F.lit(None).cast("double"))
         .otherwise(mcc.cast("decimal(18,6)").cast("double")).alias("mcc"),
-        ((po - pe) / (1.0 - pe)).cast("decimal(18,6)").cast("double")
-        .alias("kappa"),
-        (0.5 * (tp / (tp + fn) + tn / (tn + fp)))
-        .cast("decimal(18,6)").cast("double").alias("balanced_accuracy"))
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(((po - pe) / (1.0 - pe))
+                   .cast("decimal(18,6)").cast("double")).alias("kappa"),
+        F.when((F.col("tp") + F.col("fn") == 0)
+               | (F.col("tn") + F.col("fp") == 0),
+               F.lit(None).cast("double"))
+        .otherwise((0.5 * (tp / (tp + fn) + tn / (tn + fp)))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("balanced_accuracy"))
 
 
 # ---- Log-loss (cross-entropy) evaluation (L6r) ------------------------------
@@ -1765,22 +1777,24 @@ def _logloss_oracle() -> str:
     SELECT CAST(n AS BIGINT) AS n_docs,
            CAST(npos AS BIGINT) AS n_pos,
            CAST(CAST(sll / n AS DECIMAL(18,6)) AS DOUBLE) AS logloss,
-           CAST(CAST(
+           CASE WHEN npos = 0 OR npos = n THEN NULL
+           ELSE CAST(CAST(
              -(CAST(npos AS DOUBLE) / n)
                * CAST(CAST(ln(CAST(npos AS DOUBLE) / n)
                  AS DECIMAL(18,9)) AS DOUBLE)
              - (1.0 - CAST(npos AS DOUBLE) / n)
                * CAST(CAST(ln(1.0 - CAST(npos AS DOUBLE) / n)
                  AS DECIMAL(18,9)) AS DOUBLE)
-             AS DECIMAL(18,6)) AS DOUBLE) AS logloss_prior,
-           CAST(CAST(1.0 - (sll / n)
+             AS DECIMAL(18,6)) AS DOUBLE) END AS logloss_prior,
+           CASE WHEN npos = 0 OR npos = n THEN NULL
+           ELSE CAST(CAST(1.0 - (sll / n)
              / (-(CAST(npos AS DOUBLE) / n)
                   * CAST(CAST(ln(CAST(npos AS DOUBLE) / n)
                     AS DECIMAL(18,9)) AS DOUBLE)
                 - (1.0 - CAST(npos AS DOUBLE) / n)
                   * CAST(CAST(ln(1.0 - CAST(npos AS DOUBLE) / n)
                     AS DECIMAL(18,9)) AS DOUBLE))
-             AS DECIMAL(18,6)) AS DOUBLE) AS skill
+             AS DECIMAL(18,6)) AS DOUBLE) END AS skill
     FROM agg
     """
 
@@ -1824,10 +1838,16 @@ def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     lnr1 = F.log(1.0 - rate).cast("decimal(18,9)").cast("double")
     prior = -rate * lnr - (1.0 - rate) * lnr1
     ll = F.col("sll") / n
+    # Constant label (rate 0 or 1): the prior predictor is perfect,
+    # ln(0) is undefined, and the skill ratio divides by zero — NULL.
+    const_label = (F.col("npos") == 0) | (F.col("npos") == n)
     return agg.select(
         n.cast("bigint").alias("n_docs"),
         F.col("npos").cast("bigint").alias("n_pos"),
         ll.cast("decimal(18,6)").cast("double").alias("logloss"),
-        prior.cast("decimal(18,6)").cast("double").alias("logloss_prior"),
-        (1.0 - ll / prior).cast("decimal(18,6)").cast("double")
-        .alias("skill"))
+        F.when(const_label, F.lit(None).cast("double"))
+        .otherwise(prior.cast("decimal(18,6)").cast("double"))
+        .alias("logloss_prior"),
+        F.when(const_label, F.lit(None).cast("double"))
+        .otherwise((1.0 - ll / prior).cast("decimal(18,6)")
+                   .cast("double")).alias("skill"))

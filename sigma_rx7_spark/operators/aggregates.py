@@ -5584,6 +5584,7 @@ def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (r.r / CAST(t.t AS DOUBLE))
                   AS DECIMAL(27,9)) AS h
       FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+      WHERE t.t <> 0
     )
     SELECT t.s_nationkey,
            CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
@@ -5629,6 +5630,7 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"))
     share = F.col("r") / F.col("t").cast("double")
     terms = (rev.join(F.broadcast(tot), "s_nationkey")
+             .where(F.col("t") != 0)
              .select("s_nationkey", "n_suppliers",
                      (10000.0 * share * share).cast("decimal(27,9)")
                      .alias("h")))

@@ -2430,12 +2430,14 @@ def _hurst_oracle() -> str:
     )
     SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
            CAST(k AS BIGINT) AS n_scales,
-           CAST(CAST(
+           CASE WHEN k < 2 OR (k * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
+           ELSE CAST(CAST(
              (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
               * CAST(sy AS DOUBLE))
              / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
                 * CAST(sx AS DOUBLE))
-             AS DECIMAL(18,6)) AS DOUBLE) AS hurst
+             AS DECIMAL(18,6)) AS DOUBLE) END AS hurst
     FROM fit
     """
 
@@ -2513,15 +2515,19 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(27,9)"))
         .alias("sxx"))
     k = F.col("k")
+    den = (k * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
     slope = ((k * F.col("sxy").cast("double")
               - F.col("sx").cast("double") * F.col("sy").cast("double"))
-             / (k * F.col("sxx").cast("double")
-                - F.col("sx").cast("double")
-                * F.col("sx").cast("double")))
+             / den)
+    # Fewer than 2 surviving scales (a constant series drops blocks
+    # with S = 0): the regression is undefined — NULL, not an ANSI 0/0.
     return fit.select(
         F.lit(n_days).cast("bigint").alias("n_days"),
         k.cast("bigint").alias("n_scales"),
-        slope.cast("decimal(18,6)").cast("double").alias("hurst"))
+        F.when((k < 2) | (den == 0), F.lit(None).cast("double"))
+        .otherwise(slope.cast("decimal(18,6)").cast("double"))
+        .alias("hurst"))
 
 
 # ---- EWMA control chart (W47) ------------------------------------------------
