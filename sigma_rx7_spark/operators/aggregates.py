@@ -629,9 +629,11 @@ def q_agg_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       CAST(n AS BIGINT) AS n_rows,
-      CAST(CAST((sxy - sx * sy / n)
+      CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) <= 0
+           THEN NULL
+      ELSE CAST(CAST((sxy - sx * sy / n)
                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
-                AS DECIMAL(20,6)) AS DOUBLE) AS corr_qty_price,
+                AS DECIMAL(20,6)) AS DOUBLE) END AS corr_qty_price,
       CAST(CAST((sxy - sx * sy / n) / (n - 1)
                 AS DECIMAL(20,6)) AS DOUBLE) AS covar_qty_price
     FROM s
@@ -669,12 +671,17 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # Zero variance on either leg (a constant column — the stuck-feed
+    # shape the degenerate sweep forces) leaves Pearson undefined:
+    # NULL, not an ANSI 0/0 crash.
+    varprod = (sxx - sx * sx / n) * (syy - sy * sy / n)
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
-        ((sxy - sx * sy / n)
-         / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
-        .cast("decimal(20,6)").cast("double").alias("corr_qty_price"),
+        F.when(varprod <= 0, F.lit(None).cast("double"))
+        .otherwise(((sxy - sx * sy / n) / F.sqrt(varprod))
+                   .cast("decimal(20,6)").cast("double"))
+        .alias("corr_qty_price"),
         ((sxy - sx * sy / n) / (n - F.lit(1)))
         .cast("decimal(20,6)").cast("double").alias("covar_qty_price"),
     )
@@ -832,11 +839,13 @@ MAD_OUTLIER_Z = 3.5        # conventional robust-z cutoff
            COUNT(*) AS n_events,
            ROUND(CAST(d.med AS DOUBLE), 6) AS median_value,
            ROUND(CAST(m.mad AS DOUBLE), 6) AS mad_value,
-           CAST(SUM(CASE WHEN CAST({MAD_CONSISTENCY} * d.ad / m.mad
+           CAST(SUM(CASE WHEN m.mad <> 0
+                          AND CAST({MAD_CONSISTENCY} * d.ad / m.mad
                               AS DECIMAL(20,6)) > {MAD_OUTLIER_Z}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           CAST(CAST(MAX({MAD_CONSISTENCY} * d.ad / m.mad)
-                AS DECIMAL(20,6)) AS DOUBLE) AS max_robust_z
+           CASE WHEN m.mad = 0 THEN NULL
+           ELSE CAST(CAST(MAX({MAD_CONSISTENCY} * d.ad / m.mad)
+                AS DECIMAL(20,6)) AS DOUBLE) END AS max_robust_z
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     GROUP BY d.event_type, d.med, m.mad
     """,
@@ -864,8 +873,12 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("ad"))
     mad = dev.groupBy("event_type").agg(
         F.percentile("ad", F.lit(0.5)).alias("mad"))
-    z = (F.lit(MAD_CONSISTENCY) * F.col("ad") / F.col("mad")) \
-        .cast("decimal(20,6)")
+    # MAD = 0 (the majority of the group AT the median — a constant
+    # feed) leaves the robust z undefined: no outliers flaggable, NULL
+    # max (degenerate-sweep finding; ANSI would crash on the division).
+    z = F.when(F.col("mad") == 0, F.lit(None).cast("decimal(20,6)")) \
+        .otherwise((F.lit(MAD_CONSISTENCY) * F.col("ad")
+                    / F.col("mad")).cast("decimal(20,6)"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")
@@ -1175,13 +1188,16 @@ def q_window_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       CAST(n AS BIGINT) AS n_rows,
-      CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
-                AS DECIMAL(20,6)) AS DOUBLE) AS slope,
-      CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-                AS DECIMAL(20,6)) AS DOUBLE) AS intercept,
-      CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      ELSE CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                AS DECIMAL(20,6)) AS DOUBLE) END AS slope,
+      CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      ELSE CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS DECIMAL(20,6)) AS DOUBLE) END AS intercept,
+      CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      ELSE CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-                AS DECIMAL(20,6)) AS DOUBLE) AS r2
+                AS DECIMAL(20,6)) AS DOUBLE) END AS r2
     FROM s
     """,
     tags=("A22", "stats", "regression"),
@@ -1212,16 +1228,26 @@ def q_agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Constant regressor (n·Σx² = (Σx)²) leaves the fit undefined —
+    # NULL row, not an ANSI 0/0 crash (degenerate-sweep finding); R²
+    # additionally needs response variance.
+    xden = n * sxx - sx * sx
+    yden = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / xden
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
-        slope.cast("decimal(20,6)").cast("double").alias("slope"),
-        ((sy - slope * sx) / n)
-        .cast("decimal(20,6)").cast("double").alias("intercept"),
-        ((n * sxy - sx * sy) * (n * sxy - sx * sy)
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
-        .cast("decimal(20,6)").cast("double").alias("r2"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(slope.cast("decimal(20,6)").cast("double"))
+        .alias("slope"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(((sy - slope * sx) / n)
+                   .cast("decimal(20,6)").cast("double"))
+        .alias("intercept"),
+        F.when((xden == 0) | (yden == 0), F.lit(None).cast("double"))
+        .otherwise(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / (xden * yden))
+                   .cast("decimal(20,6)").cast("double")).alias("r2"),
     )
 
 
@@ -2629,11 +2655,13 @@ WELCH_EVENT = "purchase"
       FROM wide
     )
     SELECT n_a, n_b, mean_a, mean_b,
-           CAST(CAST((mean_a - mean_b) / sqrt(va + vb)
-                AS DECIMAL(18,6)) AS DOUBLE) AS t_welch,
-           CAST(CAST((va + vb) * (va + vb)
+           CASE WHEN va + vb <= 0 THEN NULL
+           ELSE CAST(CAST((mean_a - mean_b) / sqrt(va + vb)
+                AS DECIMAL(18,6)) AS DOUBLE) END AS t_welch,
+           CASE WHEN va + vb <= 0 THEN NULL
+           ELSE CAST(CAST((va + vb) * (va + vb)
                 / (va * va / (n_a - 1) + vb * vb / (n_b - 1))
-                AS DECIMAL(18,6)) AS DOUBLE) AS df_welch
+                AS DECIMAL(18,6)) AS DOUBLE) END AS df_welch
     FROM mom
     """,
     tags=("A43", "abtest", "inference"),
@@ -2675,9 +2703,14 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / n_b) \
         / (n_b - 1) / n_b
     from ..compat import QDEC
-    t = (mean_a - mean_b) / F.sqrt(va + vb)
-    df = (va + vb) * (va + vb) / (va * va / (n_a - 1)
-                                  + vb * vb / (n_b - 1))
+    # Both arms constant (zero sample variance — the stuck-feed shape
+    # the degenerate sweep forces) leaves t and the Welch-Satterthwaite
+    # df undefined: NULL, not an ANSI 0/0 crash.
+    t = F.when(va + vb <= 0, F.lit(None).cast("double")) \
+        .otherwise((mean_a - mean_b) / F.sqrt(va + vb))
+    df = F.when(va + vb <= 0, F.lit(None).cast("double")) \
+        .otherwise((va + vb) * (va + vb) / (va * va / (n_a - 1)
+                                            + vb * vb / (n_b - 1)))
     return wide.select(
         n_a.cast("bigint").alias("n_a"), n_b.cast("bigint").alias("n_b"),
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
