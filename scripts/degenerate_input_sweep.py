@@ -11,10 +11,12 @@ a hard DIVIDE_BY_ZERO crash, not a quiet NaN. tests/test_degenerate_r11b.py
 pins a handful of these shapes for the round-11 operators; this sweep
 is the registry-wide version.
 
-Two profiles, both schema-faithful copies of sf0.001:
+Three profiles, all schema-faithful copies of sf0.001:
 - `tied`:  l_quantity = 7.0 everywhere, p_retailprice = 950.0, p_size = 5
 - `stuck`: events.value = 42.0 everywhere (the stuck-sensor day),
            l_discount = 0.04 everywhere
+- `nulls`: events.value and customer.c_acctbal all-NULL (the
+           failed-extractor day — columns present, meaning gone)
 
 Pass = the query executes end-to-end through the noop sink (any row
 count; NULL statistics are the CONTRACT). Fail = any raised exception.
@@ -50,6 +52,10 @@ PROFILES = {
         "events": {"value": 42.0},
         "lineitem": {"l_discount": 0.04},
     },
+    "nulls": {
+        "events": {"value": None},
+        "customer": {"c_acctbal": None},
+    },
 }
 
 
@@ -61,7 +67,8 @@ def build(spark, profile: str) -> str:
     for t in io.TABLES:
         df = io.load(spark, SRC_SF, t)
         for col, val in overrides.get(t, {}).items():
-            df = df.withColumn(col, F.lit(val))
+            typ = dict(df.dtypes)[col]
+            df = df.withColumn(col, F.lit(val).cast(typ))
         df.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
     return dest
 
@@ -70,7 +77,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", default=None)
     ap.add_argument("--profile", default="all",
-                    choices=["tied", "stuck", "all"])
+                    choices=["tied", "stuck", "nulls", "all"])
     args = ap.parse_args()
     spark = get_spark(app_name="sigma-degen-sweep")
     spark.sparkContext.setLogLevel("ERROR")

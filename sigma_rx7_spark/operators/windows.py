@@ -278,9 +278,10 @@ def _ema_oracle() -> str:
     return f"""
     SELECT user_id, event_id,
            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-           CAST(CAST(
+           CASE WHEN CAST(({norm}) AS DOUBLE) = 0 THEN NULL
+           ELSE CAST(CAST(
              CAST(({terms}) AS DOUBLE) / CAST(({norm}) AS DOUBLE)
-             AS DECIMAL(20,6)) AS DOUBLE) AS ema_value
+             AS DECIMAL(20,6)) AS DOUBLE) END AS ema_value
     FROM events
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
@@ -320,10 +321,15 @@ def q_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
          for lag, wk in zip(lags, _EMA_W)),
         start=F.lit(0).cast("decimal(24,12)"),
     )
-    ema = (terms.cast("double") / norm.cast("double"))
+    # Every lag NULL inside the horizon (an all-NULL value stream — the
+    # failed-extractor day the degenerate sweep forces): the weight
+    # normalizer is 0 and the EMA is undefined — NULL, not an ANSI 0/0.
+    ema = F.when(norm.cast("double") == 0, F.lit(None).cast("double")) \
+        .otherwise((terms.cast("double") / norm.cast("double"))
+                   .cast("decimal(20,6)").cast("double"))
     return base.select(
         "user_id", "event_id", "ts_us",
-        ema.cast("decimal(20,6)").cast("double").alias("ema_value"),
+        ema.alias("ema_value"),
     )
 
 
@@ -335,7 +341,7 @@ ROLLMED_FRAME = 25  # trailing rows per frame (24 preceding + current)
     oracle=f"""
     WITH framed AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             list_sort(list(value) OVER (
+             list_sort(list(value) FILTER (value IS NOT NULL) OVER (
                PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP), event_id
                ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW
@@ -343,7 +349,8 @@ ROLLMED_FRAME = 25  # trailing rows per frame (24 preceding + current)
       FROM events
     )
     SELECT user_id, event_id, ts,
-           CASE WHEN len(vals) % 2 = 1
+           CASE WHEN len(vals) = 0 THEN NULL
+                WHEN len(vals) % 2 = 1
                 THEN vals[(len(vals) + 1) // 2]
                 ELSE (vals[len(vals) // 2] + vals[len(vals) // 2 + 1]) / 2.0
            END AS rolling_median
@@ -372,10 +379,14 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-(ROLLMED_FRAME - 1), 0))
     vals = F.array_sort(F.collect_list("value").over(w))
     n = F.size(vals)
+    # collect_list DROPS NULLs, so an all-NULL frame (failed-extractor
+    # day) is EMPTY and element_at(…, 0) is an error under ANSI — the
+    # median of no observations is NULL.
     return ev.select(
         "user_id", "event_id", "ts",
-        F.when(n % 2 == 1,
-               F.element_at(vals, ((n + 1) / 2).cast("int")))
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1,
+              F.element_at(vals, ((n + 1) / 2).cast("int")))
         .otherwise((F.element_at(vals, (n / 2).cast("int"))
                     + F.element_at(vals, (n / 2).cast("int") + 1)) / 2.0)
         .alias("rolling_median"),
