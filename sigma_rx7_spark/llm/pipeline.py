@@ -1656,8 +1656,8 @@ def _mcc_oracle() -> str:
                     + fn) * (CAST(tn AS DOUBLE) + fp)
                     * (CAST(tn AS DOUBLE) + fn))
                   AS DECIMAL(18,6)) AS DOUBLE) END AS mcc,
-           CASE WHEN (tp + fp) * (tp + fn) = 0
-                  OR (tn + fp) * (tn + fn) = 0 THEN NULL
+           CASE WHEN (tp + fp = 0 OR fn + tn = 0)
+                 AND (tp + fn = 0 OR fp + tn = 0) THEN NULL
            ELSE CAST(CAST(
              (CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
               - ((CAST(tp AS DOUBLE) + fp) * (tp + fn)
@@ -1729,15 +1729,22 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (F.col("tp") + F.col("fn")) == 0)
                   | ((F.col("tn") + F.col("fp"))
                      * (F.col("tn") + F.col("fn")) == 0))
-    # pe = 1 exactly when prediction AND label are both constant — the
-    # chance-agreement denominator vanishes and kappa is undefined
-    # (NULL, not an ANSI 0/0); same row is degenerate for MCC and for
-    # one of the per-class recalls.
+    # kappa's guard is STRICTLY NARROWER than MCC's: pe = 1 (kappa's
+    # 0/0) only when prediction AND label are BOTH constant, whereas
+    # MCC's sqrt denominator vanishes when EITHER margin is constant.
+    # An all-positive classifier against varying labels (fn = tn = 0)
+    # has pe < 1 and kappa ≈ 0 — exactly the imbalance artifact this
+    # op exists to expose — so it must NOT be NULLed with MCC.
+    pred_const = (F.col("tp") + F.col("fp") == 0) \
+        | (F.col("fn") + F.col("tn") == 0)
+    label_const = (F.col("tp") + F.col("fn") == 0) \
+        | (F.col("fp") + F.col("tn") == 0)
+    pe_one = pred_const & label_const
     return cm.select(
         "tp", "fp", "fn", "tn",
         F.when(degenerate, F.lit(None).cast("double"))
         .otherwise(mcc.cast("decimal(18,6)").cast("double")).alias("mcc"),
-        F.when(degenerate, F.lit(None).cast("double"))
+        F.when(pe_one, F.lit(None).cast("double"))
         .otherwise(((po - pe) / (1.0 - pe))
                    .cast("decimal(18,6)").cast("double")).alias("kappa"),
         F.when((F.col("tp") + F.col("fn") == 0)

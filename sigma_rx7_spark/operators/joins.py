@@ -620,11 +620,14 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tolerance-based reconciliation. The naive plan is a per-type
     CROSS join with an abs() filter (the oracle states exactly that,
     and at 10⁹ parts it is 10¹⁸ comparisons); the engine plan buckets
-    each row into ε-width cells and EQUI-joins each probe row's three
-    adjacent cells — candidate volume is OUTPUT-bound (density per
-    cell), not n² — then dedups structurally: the build side emits ONE
-    cell, the probe side explodes {{pi−1, pi, pi+1}}, so a qualifying
-    pair meets on exactly one (cell) key and no distinct is needed.
+    each row into ε-width cells (cell = floor(pi / ε), the standard
+    ε-cell construction: |Δ| ≤ ε ⇒ the two cells differ by at most 1
+    for ANY ε ≥ 1, not just ε = 1) and EQUI-joins each probe row's
+    three adjacent cells — candidate volume is OUTPUT-bound (density
+    per cell), not n² — then dedups structurally: the build side emits
+    ONE cell, the probe side explodes {{c−1, c, c+1}} (three distinct
+    keys), so a qualifying pair meets on exactly one (cell) key and no
+    distinct is needed.
 
     Determinism discipline: prices are quantized onto their native
     0.1 grid as exact BIGINTs FIRST (round(x·10) — the banding and the
@@ -635,13 +638,13 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.select(
         "p_partkey", "p_type",
         F.round(F.col("p_retailprice") * 10).cast("bigint").alias("pi"))
+    cell = F.floor(F.col("pi") / BAND_EPS_DECI)
     a = g.select(F.col("p_type"), F.col("p_partkey").alias("ka"),
-                 F.col("pi").alias("pa"), F.col("pi").alias("cell"))
+                 F.col("pi").alias("pa"), cell.alias("cell"))
     b = g.select(F.col("p_type"), F.col("p_partkey").alias("kb"),
                  F.col("pi").alias("pb"),
                  F.explode(F.array(
-                     F.col("pi") - BAND_EPS_DECI, F.col("pi"),
-                     F.col("pi") + BAND_EPS_DECI)).alias("cell"))
+                     cell - 1, cell, cell + 1)).alias("cell"))
     pairs = (a.join(b, ["p_type", "cell"])
              .where((F.col("ka") < F.col("kb"))
                     & (F.abs(F.col("pa") - F.col("pb"))

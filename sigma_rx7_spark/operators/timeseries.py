@@ -2211,8 +2211,9 @@ LB_CRIT_5PCT_DF7 = 14.067140  # chi-square 95th percentile, df = 7
            CAST(h AS BIGINT) AS n_lags,
            CAST(CAST(n * (n + 2.0) * srho AS DECIMAL(18,6)) AS DOUBLE)
              AS lb_q,
-           CAST(n * (n + 2.0) * srho AS DECIMAL(18,6))
-             > {LB_CRIT_5PCT_DF7} AS reject_5pct
+           CASE WHEN h < {LB_MAX_LAG} THEN NULL
+                ELSE CAST(n * (n + 2.0) * srho AS DECIMAL(18,6))
+                     > {LB_CRIT_5PCT_DF7} END AS reject_5pct
     FROM q
     """,
     tags=("W44", "timeseries", "ljung-box"),
@@ -2275,11 +2276,16 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("decimal(27,9)")).cast("double").alias("srho"))
     lbq = (F.col("n") * (F.col("n") + 2.0) * F.col("srho")) \
         .cast("decimal(18,6)")
+    # the critical value is chi-square(df = LB_MAX_LAG); when short or
+    # degenerate series drop lags out of rho (m = 0 / zero variance),
+    # h < LB_MAX_LAG and that constant tests the WRONG df — emit NULL
+    # rather than a too-conservative flag.
     return qrel.select(
         F.col("n").cast("bigint").alias("n_days"),
         F.col("h").cast("bigint").alias("n_lags"),
         lbq.cast("double").alias("lb_q"),
-        (lbq > LB_CRIT_5PCT_DF7).alias("reject_5pct"))
+        F.when(F.col("h") < LB_MAX_LAG, F.lit(None).cast("boolean"))
+        .otherwise(lbq > LB_CRIT_5PCT_DF7).alias("reject_5pct"))
 
 
 # ---- Theil-Sen robust trend slope (W45) -------------------------------------

@@ -1493,13 +1493,21 @@ def q_stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     availableNow ⇒ equals batch COUNT(DISTINCT), which is the oracle;
     the dedup keys on the event-time hour (derived BEFORE the dedup,
-    so late events join their own hour, not arrival's)."""
+    so late events join their own hour, not arrival's). The dedup is
+    dropDuplicatesWithinWatermark, NOT plain dropDuplicates: the keys
+    (hour_start, user_id) carry no event-time metadata (date_trunc
+    strips it), so plain dedup state would never be watermark-evicted
+    and leak unboundedly in a real stream; the within-watermark form
+    expires each key once the watermark passes its last-seen event
+    time + delay, and is exact here because two same-hour events are
+    <1 h apart — inside the 1 h delay — so every true duplicate is
+    still caught (same recipe as q_stream_ingest_dedup below)."""
     ev = (read_events_stream(spark, sf_dir)
           .where(F.col("event_type") == "purchase")
           .withWatermark("ts", "1 hour"))
     deduped = (ev.withColumn("hour_start",
                              F.date_trunc("hour", F.col("ts")))
-               .dropDuplicates(["hour_start", "user_id"]))
+               .dropDuplicatesWithinWatermark(["hour_start", "user_id"]))
     agg = (deduped.groupBy(F.window("ts", "1 hour"))
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
            .select(F.col("window.start").alias("hour_start"),

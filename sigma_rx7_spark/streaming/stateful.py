@@ -207,15 +207,19 @@ def _attr_update(key, pdfs: Iterator[pd.DataFrame],
     """Per-user attribution state machine: touches buffer into state;
     each purchase is attributed against the buffered lookback window
     the moment it arrives. Rows inside a batch are processed in
-    (ts, event_id) order; the buffer is pruned to the lookback behind
-    the newest event seen (valid under the same in-order assumption a
-    watermark enforces for late data)."""
+    (ts, event_id) order across ALL Arrow chunks (one key's batch may
+    span several chunks in arbitrary order, so chunks concatenate
+    before the single sort); the buffer is pruned to the lookback
+    behind the newest event seen (valid under the same in-order
+    assumption a watermark enforces for late data)."""
     if state.exists:
         ts_buf, id_buf, ch_buf = (list(v) for v in state.get)
     else:
         ts_buf, id_buf, ch_buf = [], [], []
     out = []
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, eid, etype, value in zip(
                 pdf["ts_us"], pdf["event_id"], pdf["event_type"],
@@ -347,16 +351,20 @@ TRANS_OUTPUT_SCHEMA = T.StructType([
 def _trans_update(key, pdfs: Iterator[pd.DataFrame],
                   state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-user transition counter: state carries only the LAST event
-    seen; each batch is processed in (ts, id) order and every
-    consecutive pair increments its (from, to) cell. Emits this
-    batch's cell increments (append): the sink-side aggregate sums
-    them — the same additive-state discipline as mv_fold."""
+    seen; each batch is processed in (ts, id) order across ALL Arrow
+    chunks (concatenated before the single sort — one key's batch may
+    span several chunks in arbitrary order) and every consecutive pair
+    increments its (from, to) cell. Emits this batch's cell increments
+    (append): the sink-side aggregate sums them — the same
+    additive-state discipline as mv_fold."""
     if state.exists:
         last_type, last_ts, last_id = state.get
     else:
         last_type, last_ts, last_id = None, None, None
     counts: dict[tuple, int] = {}
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, eid, etype in zip(pdf["ts_us"], pdf["event_id"],
                                      pdf["event_type"]):
@@ -499,12 +507,19 @@ def _funnel_update(key, pdfs: Iterator[pd.DataFrame],
     """Per-user funnel state machine: three timestamps, each set at
     most once — first view, first qualifying click (inside 24 h after
     the view), first qualifying purchase (inside 24 h after that
-    click). Events are replayed in (ts, id) order inside each batch;
-    cross-batch order rides on the source's append order (the same
-    watermark-order assumption q_stream_transitions carries)."""
+    click). Events are replayed in (ts, id) order across the WHOLE
+    batch: one key's rows can be split over several Arrow chunks in
+    arbitrary order, so every chunk is concatenated BEFORE the single
+    sort — sorting chunk-by-chunk would replay an early view that
+    landed in a later chunk out of order and diverge the stage machine
+    from the batch oracle. Cross-batch order rides on the source's
+    append order (the same watermark-order assumption
+    q_stream_transitions carries)."""
     (user_id,) = key
     t1, t2, t3 = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
