@@ -633,10 +633,49 @@ def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- SRP-LSH embedding near-dup (the bucketed scale path) ----------------
 
-SRP_BITS = 32    # signed-random-projection hyperplanes (signature bits)
-SRP_BANDS = 8    # 8 bands x 4 bits: the band size tunes the cosine
-                 # threshold the bucketing targets (see docstring)
+SRP_BITS = 32    # library-default signature width (the executed dedup op
+SRP_BANDS = 8    # derives its own geometry from the corpus size — see
+                 # srp_planned_geometry; 8x4 remains the documented
+                 # fixed-width default for ad-hoc library callers)
 EMB_DIM = 64     # harness embedding width (FIXTURES.md; asserted in tests)
+
+# Planner operating point for the EXECUTED near-dup geometry: hold 0.9
+# recall at the production near-dup threshold (cos >= 0.9 — the regime
+# banded LSH is designed to serve; q_dedup_lsh_plan's sweep shows that
+# holding 0.9 recall at the harness's adversarial cos-0.45 threshold
+# costs either ~n^1.63 candidates or hundreds of bands, i.e. LSH's
+# documented failure mode near the random-pair noise floor).
+SRP_PLAN_THRESHOLD = 0.9
+SRP_PLAN_MISS = 0.1  # 1 - recall target (the planner's ln(0.1) numerator)
+
+
+def srp_planned_geometry(n: int) -> tuple[int, int]:
+    """(bits_per_band, bands) for a corpus of ``n`` vectors, from
+    q_dedup_lsh_plan's closed forms at the production operating point.
+
+    bits_per_band r = the smallest r with 4^r >= n (integer-exact: no
+    float log at a boundary) — i.e. 2^r ~ sqrt(n), so a band's
+    random-pair collision rate 2^-r shrinks as the corpus grows and the
+    expected random candidate volume bands*(n choose 2)/2^r is
+    ~bands*n^1.5: SUB-QUADRATIC by construction, where any FIXED band
+    width degrades to n^2 (the r10 decade finding the planner exists
+    to prevent). bands = ceil(ln(0.1)/ln(1 - p^r)) holds 0.9 recall at
+    SRP_PLAN_THRESHOLD (p = 1 - acos(s)/pi, Charikar). One shared
+    derivation: the operator AND its DuckDB oracle both call this
+    helper, so the executed geometry and the gate's geometry can never
+    drift (the cross-engine arithmetic of the closed forms themselves
+    is separately gated by q_dedup_lsh_plan). Quantization mirrors the
+    planner: probabilities at 9 dp, the ceil boundary at 6 dp."""
+    import math
+
+    r = 1
+    while 4 ** r < max(n, 2):
+        r += 1
+    p = round(1.0 - math.acos(SRP_PLAN_THRESHOLD) / math.pi, 9)
+    pband = round(p ** r, 9)
+    bands = math.ceil(round(math.log(SRP_PLAN_MISS)
+                            / math.log(1.0 - pband), 6))
+    return r, bands
 
 
 def _srp_weights(h: int, dim: int = EMB_DIM) -> list[float]:
@@ -780,68 +819,82 @@ def _srp_oracle(bits: int = SRP_BITS, bands: int = SRP_BANDS,
     """
 
 
+def _srp_planned_oracle(sf_dir: str) -> str:
+    """The SRP mirror at the SAME planned geometry the engine executes:
+    corpus size from the parquet footer (no scan), (bits, bands) from
+    the shared srp_planned_geometry helper."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    r, bands = srp_planned_geometry(n)
+    return _srp_oracle(bits=r * bands, bands=bands)
+
+
 @query(
     "q_dedup_cosine_lsh",
-    oracle=_srp_oracle(),
+    oracle=_srp_planned_oracle,
     tags=("L1", "dedup", "embedding", "lsh"),
 )
 def q_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUCKETED embedding near-dup — signed-random-projection LSH
-    (Charikar's SimHash for vectors): hash each unit vector to
-    ``sign(<v, w_h>)`` over {SRP_BITS} md5-derived hyperplanes, band the
-    bits {SRP_BANDS}×{SRP_BITS // SRP_BANDS}, generate candidate pairs
-    per shared band bucket, then verify with the exact single-dot cosine
-    scorer — q_dedup_cosine's all-pairs crossJoin replaced by a bucket
-    join, completing the LSH→verify composition for the embedding family
-    the same way q_dedup_lsh_verified does for text.
+    (Charikar's SimHash for vectors) at PLANNER-DERIVED geometry: hash
+    each unit vector to ``sign(<v, w_h>)`` over r·bands md5-derived
+    hyperplanes where (r, bands) = srp_planned_geometry(N) — the
+    r ~ log2(sqrt N) / recall-0.9 closed forms q_dedup_lsh_plan gates
+    cross-engine — band the bits, generate candidate pairs per shared
+    band bucket, then verify with the exact single-dot cosine scorer at
+    the corpus dup threshold. Replaces the r3-r11 FIXED 8×4 geometry,
+    whose per-band random admission 2⁻⁴ was corpus-size-blind: the r10
+    decade rung measured its candidate volume going quadratic. With
+    2^r >= sqrt(N) the expected random candidate volume is
+    bands·(N choose 2)/2^r ≲ bands·N^1.5 — sub-quadratic by
+    construction, and the signature stays narrow (20 bits at N=500,
+    30 at 2k, 56 at 20k, 132 at 2M).
 
-    Oracle-checkable end to end: the hyperplanes come from md5 (both
-    engines derive bit-identical doubles — exact uint32/2^32 - 0.5
-    arithmetic), projections are sequential-fold dots (bit-equal, the
-    q_dedup_cosine precedent), so signatures, buckets, candidates, and
-    survivors all hash-match a full DuckDB mirror.
+    Oracle-checkable end to end AT THE SAME GEOMETRY: the oracle is
+    sf-templated — it reads N from the parquet footer and calls the
+    same geometry helper, so engine and gate can never band differently
+    — and the hyperplanes come from md5 (both engines derive
+    bit-identical doubles — exact uint32/2^32 - 0.5 arithmetic) with
+    sequential-fold dots (the q_dedup_cosine precedent), so signatures,
+    buckets, candidates, and survivors all hash-match the full DuckDB
+    mirror.
 
-    Scale shape: signatures are per-row JVM folds (no shuffle); the only
-    shuffles carry (vec_id, 4-char band key) and the verify join carries
-    candidate ids + unit vectors — never n² pairs. Recall tracks the
-    band S-curve (1-(1-p^r)^b, p = 1 - θ/π): the harness corpus's dup
-    threshold (cos 0.45, p≈0.65) sits near the random-pair noise floor
-    — theory ~0.79 recall, measured 8/14 dup pairs at sf0.01 with 2.5×
-    candidate pruning; at a production near-dup threshold (cos≥0.9,
-    p≈0.86) the same 8×4 config yields ~0.998 recall while pruning
-    random pairs ~30×. The oracle mirrors the buckets, so the driver
-    gate checks the LSH pipeline itself, not its recall. Measured at
-    sf0.1 (2000 vectors): 3.0 s (deferred-dedup + pre-join
-    repartition, down from 5.4 s) vs 17.4 s for q_dedup_cosine's
-    all-pairs scorer — 5.8× even on the adversarial corpus, and the gap
-    widens quadratically with n.
-
-    Round-6 tail sweep (warm min-of-4 at sf0.1, one session): the
-    remaining ~2.3-2.5 s is candidate-volume-bound — at threshold 0.45
-    the 8×4 S-curve admits 52% of all pairs (1.04M candidate rows for
-    2000 vectors), and the verify dot is the cost. Every lever was
-    measured and declined: an unrolled 64-term codegen dot ran 5.0 s
-    vs the interpreted HOF fold's 3.1 s (64 element_at null checks
-    outweigh escaping CodegenFallback); distinct-before-verify was
-    noise (2.33 vs 2.37 median — deferral stays for the documented
-    shuffle reason); 16×2 banding 5.8 s (r=2 admits ~98% of pairs);
-    larger r collapses recall at p≈0.65 faster than it prunes
-    (0.79 → 0.23 at r=8). cand.persist() serves repeat calls at
-    0.73 s but is REJECTED: it caches this query's own output across
-    bench reps — unlike the staged IVF/PQ artifacts a dedup pass has
-    no build-vs-serve split, so the honest per-call number stands."""
+    Scale shape: signatures are per-row JVM folds (no shuffle); the
+    only shuffles carry (vec_id, r-char band key) and the verify join
+    carries candidate ids + unit vectors — never n² pairs. The recall
+    trade is PLANNED, not accidental: bands holds 0.9 recall at the
+    production near-dup threshold (cos≥0.9, p≈0.856); at the harness's
+    adversarial cos-0.45 threshold (p≈0.65, the random-pair noise
+    floor) the S-curve 1-(1-p^r)^bands admits ~32% of true pairs
+    (theory; measured 50/144 at sf0.1, 5/14 at sf0.01), which
+    q_dedup_recall_lsh publishes as a gated number; the planner's
+    sweep shows holding 0.9 recall THERE costs ~N^1.63 candidates
+    (ρ = ln(1/p)/ln 2 ≈ 0.63), which is the exact scorer's regime
+    (q_dedup_cosine on a sample, or the staged IVF route). Measured at
+    sf0.1: candidate rows 1.04M (old 8×4) → 174k (6×5), wall 2.15 s →
+    1.85 s warm; decade rung g10 = 3.27 (was candidate-quadratic at
+    fixed width)."""
     e = load(spark, sf_dir, "embeddings")
+    # Corpus size: one count() — bounded metadata, the same scalar the
+    # IVF build collects; drives the planned geometry.
+    n = e.count()
+    r, bands = srp_planned_geometry(n)
     # nv is deliberately NOT persisted despite three consumers (the
     # signature pass and both verify-join sides): normalization is a
     # cheap per-row fold, and caching it pins the single-input-file
     # partitioning onto the verify joins (measured 3.3 -> 4.2 s) where
     # the re-derived branches parallelize after their exchanges.
     nv = e.select("vec_id", normalized("embedding").alias("nv"))
-    sig = srp_signature_bits(nv)
+    sig = srp_signature_bits(nv, bits=r * bands)
     # dedup deferred past the verify filter: the selective threshold
-    # keeps ~1e-4 of candidates, so distinct runs on survivors instead
+    # keeps few candidates, so distinct runs on survivors instead
     # of shuffling the full candidate volume (see srp_candidate_pairs).
-    cand = srp_candidate_pairs(sig, dedup=False)
+    cand = srp_candidate_pairs(sig, bits=r * bands, bands=bands,
+                               dedup=False)
     a = nv.select(F.col("vec_id").alias("a_vec_id"), F.col("nv").alias("na"))
     b = nv.select(F.col("vec_id").alias("b_vec_id"), F.col("nv").alias("nb"))
     return (
@@ -1534,14 +1587,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- LSH quality audit ---------------------------------------------------
 
-def _lsh_recall_oracle() -> str:
+def _lsh_recall_oracle(sf_dir: str) -> str:
     """Compose the already-registered exact and SRP-LSH oracles into the
     recall statement — the texts come from the registry entries defined
-    above, so the audit can never drift from what it audits."""
+    above (the LSH side sf-templated, so this audit mirrors the SAME
+    planned geometry), so the audit can never drift from what it
+    audits."""
     from ..registry import _REGISTRY
 
-    exact = _REGISTRY["q_dedup_cosine"].oracle
-    lsh = _REGISTRY["q_dedup_cosine_lsh"].oracle
+    exact = _REGISTRY["q_dedup_cosine"].oracle_for(sf_dir)
+    lsh = _REGISTRY["q_dedup_cosine_lsh"].oracle_for(sf_dir)
     return f"""
     WITH exact_pairs AS ({exact}),
     lsh_pairs AS ({lsh})
@@ -1560,7 +1615,7 @@ def _lsh_recall_oracle() -> str:
     """
 
 
-@query("q_dedup_recall_lsh", oracle=_lsh_recall_oracle(),
+@query("q_dedup_recall_lsh", oracle=_lsh_recall_oracle,
        tags=("L1", "audit", "lsh"))
 def q_dedup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH QUALITY AUDIT: recall of the SRP-LSH near-dup pipeline
