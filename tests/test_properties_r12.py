@@ -70,3 +70,41 @@ def test_ljung_box_reject_nullable_on_short_series(spark):
         row = q_ts_ljung_box(spark, d).collect()[0]
     assert row["n_lags"] < 7
     assert row["reject_5pct"] is None
+
+
+def test_lpa_modularity_beats_brand_partition(spark, sf_dir):
+    # The maximization half must beat the evaluation half's reference
+    # labeling on its own objective: Q(LPA partition) >= Q(brand
+    # partition) on the same co-purchase graph, both scored by an
+    # independently-coded naive Python model.
+    import collections
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.operators.graph import (
+        copurchase_edges,
+        q_graph_communities,
+    )
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    und = sorted({(a, b) for a, b in
+                  ((r["src"], r["dst"]) for r in edges.collect())
+                  if a < b})
+    m = len(und)
+    assert m > 0
+
+    def q_of(lab):
+        ec = collections.Counter()
+        dc = collections.Counter()
+        for a, b in und:
+            if lab[a] == lab[b]:
+                ec[lab[a]] += 1
+            dc[lab[a]] += 1
+            dc[lab[b]] += 1
+        return sum(ec.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc)
+
+    lpa = {r["node"]: r["community"]
+           for r in q_graph_communities(spark, sf_dir).collect()}
+    brand = {r["p_partkey"]: r["p_brand"]
+             for r in load_table(spark, sf_dir, "part")
+             .select("p_partkey", "p_brand").collect()}
+    assert q_of(lpa) >= q_of(brand) - 1e-12
