@@ -144,6 +144,9 @@ HEADLINE = [
     # exact-distinct.
     "q_mv_distinct_maintenance",
     "q_stream_hourly_distinct",
+    # Round 12: label-propagation communities (three edges-join rounds
+    # with per-node window picks — a real data term at sf0.1).
+    "q_graph_communities",
 ]
 
 # Timed and recorded in BENCH_DETAIL.json like every headline query,
@@ -170,6 +173,21 @@ HEADLINE_COMPACT_EXCLUDE = {
     "q_agg_pivot",
     "q_pipeline_pack",
     "q_join_bucketed",
+    # r12 (verdict item 4: hold the line <= 1700 bytes with headroom):
+    # eight more cheap-stable entries move to detail-only — all
+    # sub-0.45 s mins across r10+r11 with spreads inside the box's
+    # floor noise; every heavy family keeps a line representative
+    # (pipeline: near_dedup/quality_model/fates/perplexity_filter;
+    # window: rank/frame/rolling_dau; join: broadcast/multiway/asof/
+    # self_interval/band; timeseries: attribution/forecast_backtest).
+    "q_pipeline_corpus_curation",
+    "q_pipeline_incremental_dedup",
+    "q_window_twap",
+    "q_join_left",
+    "q_sessionize_batch",
+    "q_survival_km",
+    "q_text_tokens",
+    "q_agg_rollup",
 }
 
 # Queries whose recorded rep-to-rep spread exceeded 1 s in round 8

@@ -974,3 +974,132 @@ def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_chars").cast("bigint").alias("kept_chars"),
         F.col("kept_id_checksum").cast("bigint")
         .alias("kept_id_checksum"))
+
+
+# ---- Neyman-allocation stratified sampling plan (L5k) ------------------------
+
+NEYMAN_BUDGET = 500  # total sample budget to apportion across strata
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH strata AS (
+      SELECT o_orderpriority AS stratum,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6))
+                      * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE)
+               AS s2
+      FROM orders GROUP BY o_orderpriority
+    ),
+    sig AS (
+      SELECT stratum, n,
+             CASE WHEN n < 2
+                    OR s2 - n * (s1 / n) * (s1 / n) <= 0 THEN 0.0
+             ELSE CAST(CAST(sqrt((s2 - n * (s1 / n) * (s1 / n))
+                                 / (n - 1))
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS sigma
+      FROM strata
+    ),
+    wtd AS (
+      SELECT stratum, n, sigma,
+             CAST(CAST(n * sigma AS DECIMAL(27,6)) AS DOUBLE) AS w
+      FROM sig
+    ),
+    shared AS (
+      SELECT stratum, n, sigma, w,
+             w / (SELECT CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
+                  FROM wtd) * {NEYMAN_BUDGET} AS ideal
+      FROM wtd
+    ),
+    based AS (
+      SELECT stratum, n, sigma, ideal,
+             CAST(floor(ideal) AS BIGINT) AS base,
+             ideal - floor(ideal) AS rem
+      FROM shared
+    )
+    SELECT stratum,
+           CAST(n AS BIGINT) AS n_rows,
+           sigma,
+           CAST(CAST(ideal AS DECIMAL(18,6)) AS DOUBLE) AS ideal,
+           base + CASE WHEN ROW_NUMBER() OVER (
+                           ORDER BY rem DESC, stratum)
+                       <= {NEYMAN_BUDGET} - (SELECT SUM(base) FROM based)
+                  THEN 1 ELSE 0 END AS alloc,
+           (base + CASE WHEN ROW_NUMBER() OVER (
+                            ORDER BY rem DESC, stratum)
+                        <= {NEYMAN_BUDGET} - (SELECT SUM(base)
+                                              FROM based)
+                   THEN 1 ELSE 0 END) > n AS exceeds_stratum
+    FROM based
+    """,
+    tags=("L5k", "sampling", "neyman"),
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION sampling plan: split a fixed budget
+    (N={NEYMAN_BUDGET}) across strata (order priority) proportionally
+    to N_h·σ_h — the variance-MINIMIZING allocation for estimating the
+    population mean from a stratified sample (Neyman 1934), and the
+    planner L5i's proportional systematic draw should consult when
+    strata have very different spreads: a high-variance stratum earns
+    MORE than its headcount share, a constant stratum needs almost
+    none. The estimator-design half of the sampling family; L5's
+    digest draws are the execution half.
+
+    Determinism: σ_h from raw decimal moments with the one sqrt
+    quantized (the ln/sqrt rule) and n−1 in the denominator (sample
+    std); weights N_h·σ_h quantized before the shared-total division;
+    integer quotas by largest-remainder rounding (the L5 budget
+    recipe: floor + top-remainder bonus, ties to the stratum key), so
+    allocations SUM TO EXACTLY N on both engines. Zero-variance or
+    singleton strata weigh 0 (they need one row in practice — the
+    exceeds/zero reading is the analyst's signal, not hidden). Scale:
+    one fact-table aggregate to the 5-row stratum grain; everything
+    after is a 5-row fold."""
+    o = load(spark, sf_dir, "orders")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .cast("double").alias("s1"),
+        F.sum(F.col("o_totalprice").cast("decimal(19,6)")
+              * F.col("o_totalprice").cast("decimal(19,6)"))
+        .cast("double").alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    ss = F.col("s2") - F.col("n") * mean * mean
+    sig = strata.select(
+        "stratum", "n",
+        F.when((F.col("n") < 2) | (ss <= 0), F.lit(0.0))
+        .otherwise(F.sqrt(ss / (F.col("n") - 1))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("sigma"))
+    wtd = sig.select(
+        "stratum", "n", "sigma",
+        (F.col("n") * F.col("sigma")).cast("decimal(27,6)")
+        .cast("double").alias("w"))
+    tot = wtd.agg(F.sum(F.col("w").cast("decimal(27,6)"))
+                  .cast("double").alias("tw"))
+    based = (wtd.crossJoin(F.broadcast(tot))
+             .select("stratum", "n", "sigma",
+                     (F.col("w") / F.col("tw") * NEYMAN_BUDGET)
+                     .alias("ideal"))
+             .select("stratum", "n", "sigma", "ideal",
+                     F.floor("ideal").cast("bigint").alias("base"),
+                     (F.col("ideal") - F.floor("ideal")).alias("rem")))
+    spent = based.agg(F.sum("base").alias("spent"))
+    # the ranking window runs on the 5-row stratum relation — bounded
+    # by the priority vocabulary, never by the data
+    rn = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("stratum").asc()))
+    alloc = F.col("base") + F.when(
+        F.col("rn") <= NEYMAN_BUDGET - F.col("spent"), 1).otherwise(0)
+    return (based.withColumn("rn", rn)
+            .crossJoin(F.broadcast(spent))
+            .select("stratum",
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    "sigma",
+                    F.col("ideal").cast("decimal(18,6)").cast("double")
+                    .alias("ideal"),
+                    alloc.cast("bigint").alias("alloc"),
+                    (alloc > F.col("n")).alias("exceeds_stratum")))

@@ -5959,3 +5959,129 @@ def q_ab_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         jb.cast("double").alias("jb_stat"),
         (jb > JB_CRIT_5PCT).alias("reject_normal_5pct")
     ).orderBy("l_returnflag")
+
+
+# ---- Simpson's-paradox screen (A76) -----------------------------------------
+
+SIMPSON_DISCOUNT_CUT = "0.05"  # high-discount = l_discount >= this grid value
+
+
+@query(
+    "q_agg_simpson",
+    oracle=f"""
+    WITH cells AS (
+      SELECT n.n_name AS segment,
+             SUM(CASE WHEN l.l_discount >= {SIMPSON_DISCOUNT_CUT}
+                      THEN 1 ELSE 0 END) AS n_high,
+             SUM(CASE WHEN l.l_discount >= {SIMPSON_DISCOUNT_CUT}
+                       AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS r_high,
+             SUM(CASE WHEN l.l_discount < {SIMPSON_DISCOUNT_CUT}
+                      THEN 1 ELSE 0 END) AS n_low,
+             SUM(CASE WHEN l.l_discount < {SIMPSON_DISCOUNT_CUT}
+                       AND l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_low
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    ),
+    pooled AS (
+      SELECT SUM(n_high) AS n_high, SUM(r_high) AS r_high,
+             SUM(n_low) AS n_low, SUM(r_low) AS r_low
+      FROM cells
+    ),
+    allrows AS (
+      SELECT segment, n_high, r_high, n_low, r_low FROM cells
+      UNION ALL
+      SELECT '(pooled)', n_high, r_high, n_low, r_low FROM pooled
+    ),
+    rated AS (
+      SELECT segment,
+             CAST(n_high AS BIGINT) AS n_high,
+             CAST(n_low AS BIGINT) AS n_low,
+             CASE WHEN n_high = 0 THEN NULL
+                  ELSE CAST(CAST(CAST(r_high AS DOUBLE) / n_high
+                       AS DECIMAL(18,6)) AS DOUBLE) END AS rate_high,
+             CASE WHEN n_low = 0 THEN NULL
+                  ELSE CAST(CAST(CAST(r_low AS DOUBLE) / n_low
+                       AS DECIMAL(18,6)) AS DOUBLE) END AS rate_low
+      FROM allrows
+    ),
+    withdiff AS (
+      SELECT *, rate_high - rate_low AS diff FROM rated
+    )
+    SELECT w.segment, w.n_high, w.n_low, w.rate_high, w.rate_low,
+           w.diff,
+           w.segment <> '(pooled)'
+             AND w.diff IS NOT NULL AND p.diff IS NOT NULL
+             AND ((w.diff > 0 AND p.diff < 0)
+                  OR (w.diff < 0 AND p.diff > 0)) AS reversed
+    FROM withdiff w
+    CROSS JOIN (SELECT diff FROM withdiff
+                WHERE segment = '(pooled)') p
+    """,
+    tags=("A76", "aggregate", "simpson"),
+)
+def q_agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX SCREEN on the discount→return association:
+    return rate of high-discount vs low-discount lines, POOLED and PER
+    SEGMENT (supplier nation, via two broadcast dimension joins), with
+    a per-segment reversal flag — the
+    aggregation-trap audit every experiment readout and BI rollup
+    needs before anyone acts on a pooled rate (a pooled "discounts
+    reduce returns" can invert inside every segment when discount
+    propensity correlates with the segment mix; A45's CUPED and A71's
+    CMH are the corrections, THIS op is the detector that says one is
+    needed).
+
+    Everything is exact integer cells (one fact-table aggregate at the
+    segment grain, then a 25-row fold for the pooled margin — map-side
+    combinable, no second fact pass); rates are one quantized division
+    each, the diff subtracts identical quantized doubles, and the
+    reversal test compares SIGNS of quantized values (no epsilon).
+    NULL discipline: a segment missing either arm reports NULL rates;
+    the flag itself is never NULL — it asserts a PROVEN reversal, so
+    undefined diffs and the pooled row's self-comparison read FALSE."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg = (li.join(F.broadcast(sup),
+                   li.l_suppkey == sup.s_suppkey)
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey")))
+    hi = F.col("l_discount") >= float(SIMPSON_DISCOUNT_CUT)
+    ret = F.col("l_returnflag") == "R"
+    cells = seg.groupBy(F.col("n_name").alias("segment")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(hi & ret, 1).otherwise(0)).alias("r_high"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(~hi & ret, 1).otherwise(0)).alias("r_low"))
+    pooled = cells.agg(
+        F.sum("n_high").alias("n_high"), F.sum("r_high").alias("r_high"),
+        F.sum("n_low").alias("n_low"), F.sum("r_low").alias("r_low")) \
+        .select(F.lit("(pooled)").alias("segment"),
+                "n_high", "r_high", "n_low", "r_low")
+    allrows = cells.unionByName(pooled)
+    rate = lambda r, n: F.when(  # noqa: E731 — local rate quantizer
+        F.col(n) == 0, F.lit(None).cast("double")).otherwise(
+        (F.col(r).cast("double") / F.col(n))
+        .cast("decimal(18,6)").cast("double"))
+    rated = allrows.select(
+        "segment",
+        F.col("n_high").cast("bigint").alias("n_high"),
+        F.col("n_low").cast("bigint").alias("n_low"),
+        rate("r_high", "n_high").alias("rate_high"),
+        rate("r_low", "n_low").alias("rate_low"))
+    withdiff = rated.withColumn(
+        "diff", F.col("rate_high") - F.col("rate_low"))
+    pdiff = withdiff.where(F.col("segment") == "(pooled)") \
+        .select(F.col("diff").alias("p_diff"))
+    return (withdiff.crossJoin(F.broadcast(pdiff))
+            .select("segment", "n_high", "n_low", "rate_high", "rate_low",
+                    "diff",
+                    ((F.col("segment") != "(pooled)")
+                     & F.col("diff").isNotNull()
+                     & F.col("p_diff").isNotNull()
+                     & (((F.col("diff") > 0) & (F.col("p_diff") < 0))
+                        | ((F.col("diff") < 0) & (F.col("p_diff") > 0))))
+                    .alias("reversed")))

@@ -1995,3 +1995,130 @@ def q_quality_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (share > SENTINEL_ALERT_SHARE).alias("alert")))
         out = stacked if out is None else out.unionByName(stacked)
     return out.orderBy("column_name", "sentinel")
+
+
+# ---- Tukey-fence (IQR) outlier audit (Q25) ----------------------------------
+
+IQR_BINS = 1024  # histogram width for the two-pass exact quartiles
+IQR_K_NUM = 3    # fence multiplier 1.5 as the exact rational 3/2 —
+IQR_K_DEN = 2    # the fence compare is then exact decimal arithmetic
+
+
+@query(
+    "q_quality_iqr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS segment, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    quart AS (
+      SELECT segment,
+             MAX(n) AS n,
+             MAX(CASE WHEN rk = CEIL(0.25 * n) THEN v END) AS q1,
+             MAX(CASE WHEN rk = CEIL(0.75 * n) THEN v END) AS q3
+      FROM ranked GROUP BY segment
+    ),
+    fenced AS (
+      SELECT segment, n, q1, q3,
+             q1 - 3 * (q3 - q1) / 2 AS lo,
+             q3 + 3 * (q3 - q1) / 2 AS hi
+      FROM quart
+    )
+    SELECT f.segment,
+           CAST(f.n AS BIGINT) AS n_rows,
+           CAST(f.q1 AS DOUBLE) AS q1,
+           CAST(f.q3 AS DOUBLE) AS q3,
+           CAST(SUM(CASE WHEN r.v < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(SUM(CASE WHEN r.v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           CAST(CAST(CAST(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / f.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS outlier_rate
+    FROM fenced f
+    JOIN ranked r ON r.segment = f.segment
+    GROUP BY f.segment, f.n, f.q1, f.q3
+    ORDER BY f.segment
+    """,
+    tags=("Q25", "quality", "iqr", "two-pass"),
+)
+def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-FENCE OUTLIER AUDIT per segment: exact Q1/Q3 (discrete
+    inverse-CDF ranks, the A30 definition), fences at quartile ±
+    1.5·IQR, and the count/rate of rows outside them — the
+    distribution-free outlier screen that complements A14's z-score
+    (which assumes normality a heavy tail breaks) and A18's MAD
+    (robust, but a MAD of zero degenerates where quartiles don't);
+    1.5·IQR is the boxplot-whisker convention every data-quality
+    dashboard draws.
+
+    Exactness at scale: the quartiles come from the A27/A30 two-pass
+    binning — one histogram aggregate over {IQR_BINS} bins per
+    segment, rank-in-bin selection on only the target bins' rows — and
+    the fence comparison is EXACT decimal arithmetic (1.5 as the
+    rational 3/2: lo = q1 - 3·(q3-q1)/2 stays on the cent grid, so no
+    float fence can disagree across engines at a boundary row). The
+    outlier count is a second fact-table aggregate against the
+    broadcast 3-row fence relation; no global sort anywhere (the
+    oracle's ROW_NUMBER statement of the same ranks is the naive
+    form)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("segment"),
+        F.col("l_extendedprice").alias("v"))
+    stats = li.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_lo"), F.max("v").alias("v_hi"))
+    span = F.col("v_hi") - F.col("v_lo")
+    bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("v_lo")) * IQR_BINS / span),
+        F.lit(IQR_BINS - 1))).cast("int")
+    binned = li.join(F.broadcast(stats), "segment") \
+        .select("segment", "v", bin_of.alias("bin"))
+    targets = (stats.select(
+        "segment", "n",
+        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p"))
+        .select("segment", "p", "n",
+                F.ceil(F.col("p") * F.col("n")).cast("bigint")
+                .alias("rk")))
+    hist = binned.groupBy("segment", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("segment").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    located = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+               .join(F.broadcast(targets), "segment")
+               .where((F.col("cum") >= F.col("rk"))
+                      & (F.col("cum") - F.col("cnt") < F.col("rk")))
+               .select("segment", "p", "bin", "n",
+                       (F.col("rk") - (F.col("cum") - F.col("cnt")))
+                       .alias("offset")))
+    wbin = Window.partitionBy("segment", "p").orderBy("v")
+    hits = (binned.join(F.broadcast(located), ["segment", "bin"])
+            .withColumn("rk_in_bin", F.row_number().over(wbin))
+            .where(F.col("rk_in_bin") == F.col("offset")))
+    quart = hits.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("p") == 0.25, F.col("v"))).alias("q1"),
+        F.max(F.when(F.col("p") == 0.75, F.col("v"))).alias("q3"))
+    iqr32 = IQR_K_NUM * (F.col("q3") - F.col("q1")) / IQR_K_DEN
+    fenced = quart.select(
+        "segment", "n", "q1", "q3",
+        (F.col("q1") - iqr32).alias("lo"),
+        (F.col("q3") + iqr32).alias("hi"))
+    return (li.join(F.broadcast(fenced), "segment")
+            .groupBy("segment")
+            .agg(F.max("n").cast("bigint").alias("n_rows"),
+                 F.max("q1").cast("double").alias("q1"),
+                 F.max("q3").cast("double").alias("q3"),
+                 F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+                 .cast("bigint").alias("n_low"),
+                 F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+                 .cast("bigint").alias("n_high"),
+                 (F.sum(F.when((F.col("v") < F.col("lo"))
+                               | (F.col("v") > F.col("hi")), 1)
+                        .otherwise(0)).cast("double") / F.max("n"))
+                 .cast("decimal(18,6)").cast("double")
+                 .alias("outlier_rate"))
+            .orderBy("segment"))

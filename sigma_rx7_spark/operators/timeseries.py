@@ -2675,3 +2675,309 @@ def q_ts_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl6.cast("double").alias("lcl"),
         ((ewma6 > ucl6) | (ewma6 < lcl6)).alias("out_of_control")
     ).orderBy("day")
+
+
+# ---- Periodogram / dominant-cycle detection (W48) ---------------------------
+
+PGRAM_MIN_PERIOD = 2
+PGRAM_MAX_PERIOD = 14
+
+
+@query(
+    "q_ts_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT COUNT(*) AS n, MIN(day) AS d0,
+             CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM daily
+    ),
+    rel AS (
+      SELECT p.period,
+             CAST((CAST(d.v AS DOUBLE) - b.s1 / b.n)
+               * CAST(CAST(cos(2 * pi()
+                   * (date_diff('day', b.d0, d.day) % p.period)
+                   / p.period) AS DECIMAL(18,9)) AS DOUBLE)
+               AS DECIMAL(27,9)) AS tc,
+             CAST((CAST(d.v AS DOUBLE) - b.s1 / b.n)
+               * CAST(CAST(sin(2 * pi()
+                   * (date_diff('day', b.d0, d.day) % p.period)
+                   / p.period) AS DECIMAL(18,9)) AS DOUBLE)
+               AS DECIMAL(27,9)) AS ts
+      FROM daily d,
+           range({PGRAM_MIN_PERIOD}, {PGRAM_MAX_PERIOD} + 1) p(period),
+           base b
+    ),
+    g AS (
+      SELECT period,
+             CAST(SUM(tc) AS DOUBLE) AS c,
+             CAST(SUM(ts) AS DOUBLE) AS s
+      FROM rel GROUP BY period
+    ),
+    pw AS (
+      SELECT period,
+             CAST(c * c + s * s AS DECIMAL(27,6)) AS power
+      FROM g
+    ),
+    tot AS (SELECT SUM(power) AS tp FROM pw),
+    ranked AS (
+      SELECT period, power,
+             ROW_NUMBER() OVER (ORDER BY power DESC, period ASC) AS rn
+      FROM pw
+    )
+    SELECT CAST(r.period AS BIGINT) AS period,
+           CAST(r.power AS DOUBLE) AS power,
+           CASE WHEN t.tp = 0 THEN NULL
+                ELSE CAST(CAST(CAST(r.power AS DOUBLE)
+                     / CAST(t.tp AS DOUBLE) AS DECIMAL(18,6))
+                     AS DOUBLE) END AS power_share,
+           r.rn = 1 AS is_dominant
+    FROM ranked r CROSS JOIN tot t
+    """,
+    tags=("W48", "timeseries", "periodogram"),
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM over daily purchase revenue at candidate periods
+    {PGRAM_MIN_PERIOD}..{PGRAM_MAX_PERIOD} days — the frequency-domain
+    answer to "WHICH cycle?", where W41's ACF only says "some cycle":
+    power(P) = C² + S² with C = Σ(v_t − v̄)·cos(2πt/P),
+    S = Σ(v_t − v̄)·sin(2πt/P) — the squared DFT magnitude at each
+    period, plus each period's share of total power and a dominant-
+    period flag (the seasonal length W42/W43's day-of-week machinery
+    should be RUN AT, discovered instead of assumed).
+
+    Determinism discipline: the cos/sin argument is reduced to
+    2π·(t mod P)/P with t = integer calendar-day offset from the
+    series head — (t mod P) is exact integer arithmetic, so the
+    transcendental's argument is one of P small rationals, identical
+    in both engines — and every cos/sin output is 9-dp-quantized
+    BEFORE the multiply (the ln/sqrt rule), every product 9-dp-
+    quantized before the order-insensitive decimal sum. The mean
+    enters as s1/n from exact decimal sums (identical doubles).
+
+    Scale: one fact-table collapse to the day grain; the trig relation
+    is days × {PGRAM_MAX_PERIOD - PGRAM_MIN_PERIOD + 1} periods —
+    calendar-bounded, broadcast-joined, never a shuffle of the fact
+    table; the fold is a 13-row relation."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == ACF_EVENT)
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v"))
+             .select("day", F.col("v").cast("decimal(19,6)").alias("v")))
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.min("day").alias("d0"),
+        F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"))
+    periods = spark.range(PGRAM_MIN_PERIOD, PGRAM_MAX_PERIOD + 1) \
+        .select(F.col("id").cast("int").alias("period"))
+    t_mod = F.datediff(F.col("day"), F.col("d0")) % F.col("period")
+    import math
+    ang = 2 * math.pi * t_mod / F.col("period")
+    cq = F.cos(ang).cast("decimal(18,9)").cast("double")
+    sq = F.sin(ang).cast("decimal(18,9)").cast("double")
+    centered = F.col("v").cast("double") - F.col("s1") / F.col("n")
+    rel = (daily.crossJoin(F.broadcast(periods))
+           .crossJoin(F.broadcast(base))
+           .select("period",
+                   (centered * cq).cast("decimal(27,9)").alias("tc"),
+                   (centered * sq).cast("decimal(27,9)").alias("ts")))
+    g = rel.groupBy("period").agg(
+        F.sum("tc").cast("double").alias("c"),
+        F.sum("ts").cast("double").alias("s"))
+    pw = g.select(
+        "period",
+        (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+        .cast("decimal(27,6)").alias("power"))
+    tot = pw.agg(F.sum("power").alias("tp"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("power").desc(), F.col("period").asc()))
+    # the unpartitioned window runs on the 13-row period relation —
+    # bounded by the candidate-period list, never by the data
+    return (pw.withColumn("rn", rn)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("period").cast("bigint").alias("period"),
+                F.col("power").cast("double").alias("power"),
+                F.when(F.col("tp") == 0, F.lit(None).cast("double"))
+                .otherwise((F.col("power").cast("double")
+                            / F.col("tp").cast("double"))
+                           .cast("decimal(18,6)").cast("double"))
+                .alias("power_share"),
+                (F.col("rn") == 1).alias("is_dominant")))
+
+
+# ---- Lead-lag cross-correlation (W49) ---------------------------------------
+
+CCF_MAX_LAG = 7
+CCF_LEAD_EVENT = "click"  # does click volume LEAD purchase revenue?
+
+
+@query(
+    "q_ts_cross_corr",
+    oracle=f"""
+    WITH dv AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(20,6))) AS v
+      FROM events WHERE event_type = '{ACF_EVENT}'
+      GROUP BY 1
+    ),
+    dc AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(COUNT(*) AS DECIMAL(19,6)) AS c
+      FROM events WHERE event_type = '{CCF_LEAD_EVENT}'
+      GROUP BY 1
+    ),
+    bv AS (
+      SELECT COUNT(*) AS nv,
+             CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS s1v,
+             CAST(SUM(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS s2v
+      FROM dv
+    ),
+    bc AS (
+      SELECT COUNT(*) AS nc,
+             CAST(SUM(c) AS DOUBLE) AS s1c,
+             CAST(SUM(c * c) AS DOUBLE) AS s2c
+      FROM dc
+    ),
+    lagged AS (
+      SELECT l.lag, COUNT(*) AS m,
+             CAST(SUM(a.c * CAST(b.v AS DECIMAL(19,6))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(a.c) AS DOUBLE) AS sc,
+             CAST(SUM(CAST(b.v AS DECIMAL(20,6))) AS DOUBLE) AS sv
+      FROM range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1) l(lag)
+      JOIN dc a ON TRUE
+      JOIN dv b ON b.day = a.day + CAST(l.lag AS INT)
+      GROUP BY l.lag
+    ),
+    den AS (
+      SELECT CASE WHEN (bv.s2v - bv.nv * (bv.s1v / bv.nv)
+                          * (bv.s1v / bv.nv)) <= 0
+                    OR (bc.s2c - bc.nc * (bc.s1c / bc.nc)
+                          * (bc.s1c / bc.nc)) <= 0 THEN NULL
+             ELSE CAST(CAST(sqrt(
+               (bv.s2v - bv.nv * (bv.s1v / bv.nv) * (bv.s1v / bv.nv))
+               * (bc.s2c - bc.nc * (bc.s1c / bc.nc) * (bc.s1c / bc.nc)))
+               AS DECIMAL(18,6)) AS DOUBLE) END AS d,
+             bv.s1v / bv.nv AS mv, bc.s1c / bc.nc AS mc
+      FROM bv, bc
+    ),
+    ccf AS (
+      SELECT g.lag, g.m,
+             CASE WHEN den.d IS NULL OR g.m = 0 THEN NULL
+             ELSE CAST(CAST(
+               (g.sxy - den.mv * g.sc - den.mc * g.sv
+                + g.m * den.mc * den.mv) / den.d
+               AS DECIMAL(18,6)) AS DOUBLE) END AS r
+      FROM lagged g, den
+    ),
+    ranked AS (
+      SELECT lag, m, r,
+             ROW_NUMBER() OVER (
+               ORDER BY (CASE WHEN r IS NULL THEN -1
+                              ELSE abs(r) END) DESC, lag ASC) AS rn
+      FROM ccf
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(m AS BIGINT) AS n_pairs,
+           r AS ccf,
+           rn = 1 AS is_best_lag
+    FROM ranked
+    """,
+    tags=("W49", "timeseries", "cross-correlation"),
+)
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-LAG CROSS-CORRELATION between daily click volume and daily
+    purchase revenue at lags -{CCF_MAX_LAG}..+{CCF_MAX_LAG}: does
+    click traffic LEAD purchases (positive-lag peak = clicks today
+    correlate with revenue in ℓ days — the marketing-mix lead time),
+    or merely coincide (peak at 0)? W41's ACF is this op's diagonal
+    special case; the off-diagonal is what attribution models and
+    demand forecasts actually need. ccf(ℓ) =
+    Σ(c_t − c̄)(v_{{t+ℓ}} − v̄) / √(Σ(c−c̄)²·Σ(v−v̄)²) with full-series
+    means/variances and per-lag overlap sums (the standard sample CCF,
+    raw-moment-expanded exactly like W41 so every SUM is an exact
+    decimal and the one √ is quantized before use — the ln/sqrt rule).
+
+    Output: one row per lag with the pair count, the 6-dp-quantized
+    correlation, and a best-lag flag (max |ccf|, ties to the smallest
+    lag — a total order). Scale: both series collapse to the day grain
+    first; the lag relation is days × {2 * CCF_MAX_LAG + 1}, joined on
+    the calendar — the fact table is never shuffled past the first
+    aggregate."""
+    e = load(spark, sf_dir, "events")
+    dv = (e.where(F.col("event_type") == ACF_EVENT)
+          .groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                   .alias("day"))
+          .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("v"))
+          .select("day", F.col("v").cast("decimal(19,6)").alias("v")))
+    dc = (e.where(F.col("event_type") == CCF_LEAD_EVENT)
+          .groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                   .alias("day"))
+          .agg(F.count(F.lit(1)).cast("decimal(19,6)").alias("c")))
+    bv = dv.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias("s1v"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2v"))
+    bc = dc.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("c").cast("double").alias("s1c"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2c"))
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = dc.crossJoin(F.broadcast(lags)).select(
+        "lag", "c", F.date_add(F.col("day"), F.col("lag")).alias("day_b"))
+    b = dv.select(F.col("day").alias("day_b"), "v")
+    lagged = (a.join(b, "day_b")
+              .groupBy("lag")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum(F.col("c") * F.col("v").cast("decimal(19,6)"))
+                   .cast("double").alias("sxy"),
+                   F.sum("c").cast("double").alias("sc"),
+                   F.sum(F.col("v").cast("decimal(20,6)"))
+                   .cast("double").alias("sv")))
+    mv = F.col("s1v") / F.col("nv")
+    mc = F.col("s1c") / F.col("nc")
+    ssv = F.col("s2v") - F.col("nv") * mv * mv
+    ssc = F.col("s2c") - F.col("nc") * mc * mc
+    den = (bv.crossJoin(F.broadcast(bc))
+           .select(
+               F.when((ssv <= 0) | (ssc <= 0),
+                      F.lit(None).cast("double"))
+               .otherwise(F.sqrt(ssv * ssc)
+                          .cast("decimal(18,6)").cast("double"))
+               .alias("d"),
+               mv.alias("mv"), mc.alias("mc")))
+    ccf = (lagged.crossJoin(F.broadcast(den))
+           .select("lag", "m",
+                   F.when(F.col("d").isNull() | (F.col("m") == 0),
+                          F.lit(None).cast("double"))
+                   .otherwise(((F.col("sxy") - F.col("mv") * F.col("sc")
+                                - F.col("mc") * F.col("sv")
+                                + F.col("m") * F.col("mc") * F.col("mv"))
+                               / F.col("d"))
+                              .cast("decimal(18,6)").cast("double"))
+                   .alias("r")))
+    # the unpartitioned window ranks the 15-row lag relation — bounded
+    # by the lag list, never by the data
+    rn = F.row_number().over(Window.orderBy(
+        F.when(F.col("r").isNull(), F.lit(-1.0))
+        .otherwise(F.abs(F.col("r"))).desc(),
+        F.col("lag").asc()))
+    return (ccf.withColumn("rn", rn)
+            .select(F.col("lag").cast("bigint").alias("lag"),
+                    F.col("m").cast("bigint").alias("n_pairs"),
+                    F.col("r").alias("ccf"),
+                    (F.col("rn") == 1).alias("is_best_lag")))

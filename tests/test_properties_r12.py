@@ -108,3 +108,142 @@ def test_lpa_modularity_beats_brand_partition(spark, sf_dir):
              for r in load_table(spark, sf_dir, "part")
              .select("p_partkey", "p_brand").collect()}
     assert q_of(lpa) >= q_of(brand) - 1e-12
+
+
+def _daily_series(spark, sf_dir, event):
+    import pyspark.sql.functions as F
+
+    from sigma_rx7_spark.io import load as load_table
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == event)
+    rows = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                      .alias("day"))
+            .agg(F.sum("value").alias("v"),
+                 F.count(F.lit(1)).alias("c"))
+            .collect())
+    return sorted((r["day"], float(r["v"]), int(r["c"])) for r in rows)
+
+
+def test_periodogram_naive_model(spark, sf_dir):
+    # Independent numpy DFT-power model (no quantization): the gated
+    # values must track it to well under the quantization noise, and
+    # the dominant flag must pick the same period.
+    import math
+
+    from sigma_rx7_spark.operators.timeseries import q_ts_periodogram
+
+    daily = _daily_series(spark, sf_dir, "purchase")
+    d0 = daily[0][0]
+    vs = [(int((d - d0).days), v) for d, v, _ in daily]
+    vbar = sum(v for _, v in vs) / len(vs)
+    got = {r["period"]: r for r in q_ts_periodogram(spark, sf_dir).collect()}
+    best = None
+    for P in range(2, 15):
+        C = sum((v - vbar) * math.cos(2 * math.pi * (t % P) / P)
+                for t, v in vs)
+        S = sum((v - vbar) * math.sin(2 * math.pi * (t % P) / P)
+                for t, v in vs)
+        power = C * C + S * S
+        rel = abs(got[P]["power"] - power) / max(power, 1.0)
+        assert rel < 1e-6, (P, got[P]["power"], power)
+        if best is None or power > best[1] + 1e-9:
+            best = (P, power)
+    assert got[best[0]]["is_dominant"]
+
+
+def test_cross_corr_naive_model(spark, sf_dir):
+    # Independent CCF model: full-series moments, per-lag overlap sums.
+    import math
+
+    from sigma_rx7_spark.operators.timeseries import q_ts_cross_corr
+
+    dv = {d: v for d, v, _ in _daily_series(spark, sf_dir, "purchase")}
+    dc = {d: c for d, _, c in _daily_series(spark, sf_dir, "click")}
+    nv, nc = len(dv), len(dc)
+    mv = sum(dv.values()) / nv
+    mc = sum(dc.values()) / nc
+    ssv = sum((v - mv) ** 2 for v in dv.values())
+    ssc = sum((c - mc) ** 2 for c in dc.values())
+    den = math.sqrt(ssv * ssc)
+    got = {r["lag"]: r for r in q_ts_cross_corr(spark, sf_dir).collect()}
+    import datetime
+    for lag in range(-7, 8):
+        num = sum((c - mc) * (dv[d + datetime.timedelta(days=lag)] - mv)
+                  for d, c in dc.items()
+                  if d + datetime.timedelta(days=lag) in dv)
+        want = num / den
+        assert abs(got[lag]["ccf"] - want) < 1e-4, (lag, got[lag]["ccf"],
+                                                    want)
+
+
+def test_neyman_allocation_naive_model(spark, sf_dir):
+    # Quotas sum to the budget exactly and match a naive Neyman +
+    # largest-remainder model within rounding.
+    import math
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.llm.sampling import NEYMAN_BUDGET, q_sample_neyman
+
+    rows = q_sample_neyman(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == NEYMAN_BUDGET
+    data = (load_table(spark, sf_dir, "orders")
+            .select("o_orderpriority", "o_totalprice").collect())
+    import collections
+    vals = collections.defaultdict(list)
+    for r in data:
+        vals[r["o_orderpriority"]].append(float(r["o_totalprice"]))
+    w = {}
+    for k, v in vals.items():
+        n = len(v)
+        m = sum(v) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in v) / (n - 1)) \
+            if n > 1 else 0.0
+        w[k] = n * sd
+    tw = sum(w.values())
+    for r in rows:
+        ideal = w[r["stratum"]] / tw * NEYMAN_BUDGET
+        assert abs(r["alloc"] - ideal) <= 1.0 + 1e-6, (r, ideal)
+
+
+def test_iqr_fences_naive_model(spark, sf_dir):
+    # Quartiles equal the k-th smallest (k = ceil(p n)) and the outlier
+    # counts match a naive fence scan.
+    import math
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.operators.quality import q_quality_iqr
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice").collect())
+    import collections
+    seg = collections.defaultdict(list)
+    for r in li:
+        seg[r["l_returnflag"]].append(float(r["l_extendedprice"]))
+    for r in q_quality_iqr(spark, sf_dir).collect():
+        v = sorted(seg[r["segment"]])
+        n = len(v)
+        q1 = v[math.ceil(0.25 * n) - 1]
+        q3 = v[math.ceil(0.75 * n) - 1]
+        assert abs(r["q1"] - q1) < 1e-9 and abs(r["q3"] - q3) < 1e-9
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        assert r["n_low"] == sum(1 for x in v if x < lo)
+        assert r["n_high"] == sum(1 for x in v if x > hi)
+
+
+def test_simpson_reversal_flag_naive(spark, sf_dir):
+    # The reversal flag matches a naive per-segment sign comparison.
+    from sigma_rx7_spark.operators.aggregates import q_agg_simpson
+
+    rows = {r["segment"]: r for r in q_agg_simpson(spark, sf_dir).collect()}
+    pooled = rows["(pooled)"]
+    assert pooled["reversed"] is False
+    for seg, r in rows.items():
+        if seg == "(pooled)":
+            continue
+        if r["diff"] is None or pooled["diff"] is None:
+            assert r["reversed"] is False
+        else:
+            want = (r["diff"] > 0 > pooled["diff"]) \
+                or (r["diff"] < 0 < pooled["diff"])
+            assert r["reversed"] == want
