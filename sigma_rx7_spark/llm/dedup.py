@@ -2050,3 +2050,101 @@ def q_dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("candidates_linear"),
         ((F.col("two_r") >= F.col("n"))
          & (F.col("two_r") < 2 * F.col("n"))).alias("log2n_bits"))
+
+
+# ---- MinHash estimator-error audit (L1w) -------------------------------------
+
+
+def _minhash_error_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MD5_MINHASH_K))
+    return f"""
+    WITH {_oracle_minhash_sig()},
+    {_oracle_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT c.a_doc_id, c.b_doc_id,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST(({agree}) AS DOUBLE) / {MD5_MINHASH_K} AS jaccard_est,
+           CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+             / greatest(len(wa.w) + len(wb.w)
+                        - len(list_intersect(wa.w, wb.w)), 1)
+             AS jaccard_exact,
+           CAST(CAST(abs(
+             CAST(({agree}) AS DOUBLE) / {MD5_MINHASH_K}
+             - CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+               / greatest(len(wa.w) + len(wb.w)
+                          - len(list_intersect(wa.w, wb.w)), 1))
+             AS DECIMAL(18,6)) AS DOUBLE) AS abs_err
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_doc_id
+    JOIN sig sb ON sb.doc_id = c.b_doc_id
+    JOIN words wa ON wa.doc_id = c.a_doc_id
+    JOIN words wb ON wb.doc_id = c.b_doc_id
+    """
+
+
+@query("q_dedup_minhash_error", oracle=_minhash_error_oracle(),
+       tags=("L1w", "dedup", "audit", "minhash"))
+def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR-ERROR AUDIT: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (agreeing positions / k — the
+    number the banding DECIDES with) next to the exact word-set Jaccard
+    (the number the verify stage PAYS for), and their absolute error —
+    the measured answer to "is k={MD5_MINHASH_K} enough?", whose
+    theoretical bound (sd ≈ √(J(1−J)/k) ≤ 0.125 at k=16) this audit
+    makes checkable per corpus. q_dedup_recall_lsh audits WHICH pairs
+    the bucketing finds; this audits HOW WELL the sketch values track
+    truth on them — together they are the full sketch-quality story
+    (the A4/A21 tolerance-audit discipline applied to MinHash).
+
+    Engine-exact, not tolerance-gated: the md5-hex MinHash family is
+    bit-identical across engines, agreement counts are integers,
+    /{MD5_MINHASH_K} is exact binary scaling, and the exact Jaccard is
+    one rational division — only the final abs-difference is quantized.
+    Scale: candidates track true duplicates (banded, never n²); the
+    audit joins signatures and word sets only for candidate rows."""
+    d = load(spark, sf_dir, "documents")
+    sig = md5_minhash_signatures(d)
+    cand = md5_lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("a_doc_id"),
+                    *[F.col(f"m{i}").alias(f"a{i}")
+                      for i in range(MD5_MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("b_doc_id"),
+                    *[F.col(f"m{i}").alias(f"b{i}")
+                      for i in range(MD5_MINHASH_K)])
+    words = d.select("doc_id",
+                     F.array_distinct(tokens(F.col("text"))).alias("w"))
+    wa = words.select(F.col("doc_id").alias("a_doc_id"),
+                      F.col("w").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("w").alias("wb"))
+    agree = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+         for i in range(MD5_MINHASH_K)),
+        start=F.lit(0),
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.greatest(
+        F.size("wa") + F.size("wb") - inter, F.lit(1))
+    est = agree.cast("double") / MD5_MINHASH_K
+    exact = inter.cast("double") / union
+    return (cand.join(sa, "a_doc_id").join(sb, "b_doc_id")
+            .join(wa, "a_doc_id").join(wb, "b_doc_id")
+            .select("a_doc_id", "b_doc_id",
+                    agree.cast("bigint").alias("n_agree"),
+                    est.alias("jaccard_est"),
+                    exact.alias("jaccard_exact"),
+                    F.abs(est - exact).cast("decimal(18,6)")
+                    .cast("double").alias("abs_err")))

@@ -1858,3 +1858,128 @@ def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(const_label, F.lit(None).cast("double"))
         .otherwise((1.0 - ll / prior).cast("decimal(18,6)")
                    .cast("double")).alias("skill"))
+
+
+# ---- Operating-point chooser (L6s) -------------------------------------------
+
+
+def _op_point_oracle() -> str:
+    ctes, p = _gd_ctes_and_p()
+    return f"""
+    WITH {', '.join(ctes)},
+    sc AS (SELECT y, {p} AS p FROM f),
+    per_value AS (
+      SELECT p,
+             SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS c0
+      FROM sc GROUP BY p
+    ),
+    cum AS (
+      SELECT p,
+             SUM(c1) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(c0) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             SUM(c1) OVER () AS n_pos,
+             SUM(c0) OVER () AS n_neg
+      FROM per_value
+    ),
+    scoredpts AS (
+      SELECT p, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn,
+             CASE WHEN n_pos = 0 OR tp = 0 THEN NULL
+                  ELSE CAST(CAST(2.0 * CAST(tp AS DOUBLE)
+                       / (CAST(tp + fp AS DOUBLE) + n_pos)
+                       AS DECIMAL(18,6)) AS DOUBLE) END AS f1,
+             CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                  ELSE CAST(CAST(CAST(tp AS DOUBLE) / n_pos
+                       - CAST(fp AS DOUBLE) / n_neg
+                       AS DECIMAL(18,6)) AS DOUBLE) END AS youden_j
+      FROM cum
+    )
+    SELECT criterion, CAST(p AS DOUBLE) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           f1, youden_j
+    FROM (
+      SELECT 'max_f1' AS criterion, s.*,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(f1, -1.0) DESC,
+                                p DESC) AS rn
+      FROM scoredpts s
+      UNION ALL
+      SELECT 'max_youden' AS criterion, s.*,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(youden_j, -1.0) DESC,
+                                p DESC) AS rn
+      FROM scoredpts s
+    ) ranked
+    WHERE rn = 1
+    """
+
+
+@query("q_ml_operating_point", oracle=_op_point_oracle(),
+       tags=("L6s", "ml-eval", "operating-point"))
+def q_ml_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING-POINT CHOOSER for the fitted quality gate: the
+    max-F1 threshold (the precision/recall compromise a curation
+    pipeline ships) and the max-Youden-J threshold (tpr − fpr, the
+    prevalence-free screening point) — the two standard answers to
+    "WHERE on L6m's curve do we actually cut?", computed from the same
+    distinct-score sweep so the chosen thresholds are actual observed
+    scores, not grid points. q_ml_eval scores the mean-threshold
+    convention; this op says what the threshold SHOULD be and what
+    confusion it buys (full tp/fp/fn/tn at each winner).
+
+    Ties break toward the HIGHER threshold (the conservative cut that
+    admits fewer positives) — a total order, both engines. The sweep
+    relation is the L6m distinct-score collapse (value-cardinality-
+    bounded, one cumulative window, no per-row corpus ranking); the
+    two argmax picks are row_number over that bounded relation."""
+    from pyspark.sql import Window
+
+    from ..compat import QDEC
+
+    feats = quality_features(load(spark, sf_dir, "documents"))
+    w = fit_quality_weights(feats)
+    p = _sigmoid_q(F.col("w0") + F.col("w1") * F.col("x1")
+                   + F.col("w2") * F.col("x2"))
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    per_value = scored.groupBy("p").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("c0"))
+    wc = Window.orderBy(F.desc("p")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = per_value.select(
+        "p",
+        F.sum("c1").over(wc).alias("tp"),
+        F.sum("c0").over(wc).alias("fp"),
+        F.sum("c1").over(wall).alias("n_pos"),
+        F.sum("c0").over(wall).alias("n_neg"))
+    tp, fp = F.col("tp"), F.col("fp")
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    null_d = F.lit(None).cast("double")
+    pts = cum.select(
+        "p", tp.alias("tp"), fp.alias("fp"),
+        (n_pos - tp).alias("fn"), (n_neg - fp).alias("tn"),
+        F.when((n_pos == 0) | (tp == 0), null_d)
+        .otherwise((2.0 * tp.cast("double")
+                    / ((tp + fp).cast("double") + n_pos))
+                   .cast(QDEC).cast("double")).alias("f1"),
+        F.when((n_pos == 0) | (n_neg == 0), null_d)
+        .otherwise((tp.cast("double") / n_pos
+                    - fp.cast("double") / n_neg)
+                   .cast(QDEC).cast("double")).alias("youden_j"))
+    out = None
+    for crit, col in (("max_f1", "f1"), ("max_youden", "youden_j")):
+        rn = F.row_number().over(Window.orderBy(
+            F.coalesce(F.col(col), F.lit(-1.0)).desc(),
+            F.col("p").desc()))
+        pick = (pts.withColumn("rn", rn).where(F.col("rn") == 1)
+                .select(F.lit(crit).alias("criterion"),
+                        F.col("p").cast("double").alias("threshold"),
+                        F.col("tp").cast("bigint").alias("tp"),
+                        F.col("fp").cast("bigint").alias("fp"),
+                        F.col("fn").cast("bigint").alias("fn"),
+                        F.col("tn").cast("bigint").alias("tn"),
+                        "f1", "youden_j"))
+        out = pick if out is None else out.unionByName(pick)
+    return out

@@ -660,3 +660,86 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("decimal(18,6)").cast("double")
                  .alias("avg_abs_diff"))
             .orderBy("p_type"))
+
+
+# ---- Binned forward-window range join (J17) ----------------------------------
+
+REPEAT_WINDOW_DAYS = 30     # repeat purchase = next order within 30 days
+RANGE_BIN_EPOCH = "1992-01-01"  # fixed epoch for the day-number grid
+
+
+@query(
+    "q_join_range_bin",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             date_diff('day', DATE '{RANGE_BIN_EPOCH}', o_orderdate) AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey,
+             CAST(date_trunc('month', a.o_orderdate) AS DATE) AS month,
+             b.d - a.d AS gap
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey
+       AND b.d > a.d AND b.d <= a.d + {REPEAT_WINDOW_DAYS}
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(CAST(CAST(SUM(gap) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS avg_gap_days
+    FROM pairs
+    GROUP BY month
+    ORDER BY month
+    """,
+    tags=("J17", "join", "range-bin"),
+)
+def q_join_range_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED FORWARD-WINDOW RANGE JOIN: per customer, order pairs
+    where the second order lands within {REPEAT_WINDOW_DAYS} days of
+    the first — the repeat-purchase join behind retention and
+    reorder-rate reports, and the ASYMMETRIC date sibling of J16's
+    symmetric ε-band (J8's as-of keeps one match per probe; this keeps
+    ALL matches in the window). The naive plan is the per-key theta
+    join the oracle states — fine when keys are selective, quadratic
+    on a hot key. The engine plan applies the standard range-bin
+    decomposition ON TOP of the equi key: day numbers on a fixed epoch
+    grid, bins exactly {REPEAT_WINDOW_DAYS} days wide, the build side
+    emits its own (custkey, bin), the probe side explodes
+    {{bin−1, bin}} (a forward window one bin long can only reach back
+    into the previous bin) — the join is pure EQUI on (custkey, bin),
+    candidates are bounded by per-key-per-bin density, and a
+    qualifying pair meets on exactly one key (the two probe bins are
+    distinct), so no dedup stage exists.
+
+    All-integer determinism: day numbers and bins are exact integer
+    arithmetic from a fixed epoch DATE (both engines count calendar
+    days between DATEs identically — no time component, no timezone);
+    the window filter and gap are integer compares; one quantized
+    division in the report. Same-date reorders are excluded by the
+    strict lower bound (documented, deterministic)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.datediff(F.col("o_orderdate"),
+                   F.lit(RANGE_BIN_EPOCH).cast("date")).alias("d"))
+    bin_c = F.floor(F.col("d") / REPEAT_WINDOW_DAYS)
+    a = o.select("o_custkey", F.col("o_orderdate").alias("a_date"),
+                 F.col("d").alias("a_d"), bin_c.alias("bin"))
+    b = o.select("o_custkey", F.col("d").alias("b_d"),
+                 F.explode(F.array(bin_c - 1, bin_c)).alias("bin"))
+    pairs = (a.join(b, ["o_custkey", "bin"])
+             .where((F.col("b_d") > F.col("a_d"))
+                    & (F.col("b_d") <= F.col("a_d") + REPEAT_WINDOW_DAYS))
+             .select("o_custkey",
+                     F.to_date(F.date_trunc("month", F.col("a_date")))
+                     .alias("month"),
+                     (F.col("b_d") - F.col("a_d")).alias("gap")))
+    return (pairs.groupBy("month")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.countDistinct("o_custkey").cast("bigint")
+                 .alias("n_customers"),
+                 (F.sum("gap").cast("double") / F.count(F.lit(1)))
+                 .cast("decimal(18,6)").cast("double")
+                 .alias("avg_gap_days"))
+            .orderBy("month"))

@@ -247,3 +247,76 @@ def test_simpson_reversal_flag_naive(spark, sf_dir):
             want = (r["diff"] > 0 > pooled["diff"]) \
                 or (r["diff"] < 0 < pooled["diff"])
             assert r["reversed"] == want
+
+
+def test_minhash_error_naive_model(spark, sf_dir):
+    # The estimate is agreement/k and exact Jaccard matches a naive
+    # set model on every audited pair; the mean error respects ~3x the
+    # theoretical sd bound sqrt(J(1-J)/k) <= 0.125 on average.
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.llm.dedup import MD5_MINHASH_K, q_dedup_minhash_error
+
+    docs = {r["doc_id"]: set(x for x in r["text"].split(" ") if x)
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect()}
+    rows = q_dedup_minhash_error(spark, sf_dir).collect()
+    assert rows, "banded candidates must exist on the harness corpus"
+    errs = []
+    for r in rows:
+        wa, wb = docs[r["a_doc_id"]], docs[r["b_doc_id"]]
+        inter = len(wa & wb)
+        union = max(len(wa | wb), 1)
+        assert abs(r["jaccard_exact"] - inter / union) < 1e-12
+        assert r["jaccard_est"] == r["n_agree"] / MD5_MINHASH_K
+        errs.append(r["abs_err"])
+    assert sum(errs) / len(errs) <= 3 * 0.125
+
+
+def test_operating_point_dominates_sweep(spark, sf_dir):
+    # Each chosen point's criterion value is the max over the full
+    # distinct-score sweep (re-derived from labels/scores naively).
+    from sigma_rx7_spark.llm.pipeline import (
+        q_ml_operating_point,
+        q_ml_pr_curve,
+    )
+
+    curve = q_ml_pr_curve(spark, sf_dir).collect()
+    best_f1 = max((r["f1"] for r in curve if r["f1"] is not None),
+                  default=None)
+    picks = {r["criterion"]: r
+             for r in q_ml_operating_point(spark, sf_dir).collect()}
+    assert picks["max_f1"]["f1"] == best_f1
+    j = picks["max_youden"]
+    # Youden from its own confusion counts is internally consistent
+    tpr = j["tp"] / (j["tp"] + j["fn"])
+    fpr = j["fp"] / (j["fp"] + j["tn"])
+    assert abs(j["youden_j"] - round(tpr - fpr, 6)) < 2e-6
+
+
+def test_range_bin_join_naive_model(spark, sf_dir):
+    # The binned plan equals a naive per-customer window scan.
+    import collections
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.operators.joins import (
+        REPEAT_WINDOW_DAYS,
+        q_join_range_bin,
+    )
+
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_custkey", "o_orderdate").collect())
+    by_cust = collections.defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append(r["o_orderdate"])
+    want = collections.Counter()
+    for k, dates in by_cust.items():
+        dates = sorted(d.date() if hasattr(d, "date") else d
+                       for d in dates)
+        for i, da in enumerate(dates):
+            for db in dates[i + 1:]:
+                gap = (db - da).days
+                if 0 < gap <= REPEAT_WINDOW_DAYS:
+                    want[da.replace(day=1)] += 1
+    got = {r["month"]: r["n_pairs"]
+           for r in q_join_range_bin(spark, sf_dir).collect()}
+    assert got == dict(want)
