@@ -89,74 +89,74 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 11 window, recomposed after the session-2 additions. The
-    # r10 window banked green for every name in it (CORRECTNESS_r10
-    # 50/50). Composition: (a) the 18 round-11 batch-1 additions and
-    # (b) the 27 session-2 additions, all on first exposure; (c) the
-    # five queries whose implementation changed this round (spearman,
-    # link-pred, RFM, pagerank, the IVF staging stamp). First exposure
-    # outranks re-banking: a never-checked oracle-gated query is a hole
-    # in the correctness ledger, a stale green is not — ALL 31 displaced
-    # r3-cohort names (q_agg_argmax .. q_domain_fhir_export, listed by
-    # rotation_candidates.py --age) were instead re-proven by the
-    # in-repo sf0.01 mirror this session (SCALE.md round-11 notes) and
-    # head the r12 re-bank queue.
+    # Round 12 window. Composition (VERDICT r11 item 1 — the re-bank
+    # round): (a) the 9 round-12 additions on first exposure; (b) the
+    # 9 queries whose implementation or oracle changed this round
+    # (ADVICE fixes: funnel/attribution/transitions chunk-order
+    # concat, hourly-distinct within-watermark dedup, MCC kappa
+    # guard, band-join eps-cells, Ljung-Box df gate; the planner-
+    # derived SRP geometry + its composed recall audit); (c) ALL 31
+    # displaced r3-cohort names (rotation_candidates.py --age) whose
+    # newest external rows dated to r3, plus the stalest r4 name
+    # (q_agg_corr) in the one spare slot. After this round no
+    # registered query's latest external row is older than r4.
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # round-11 batch-1 additions — first-exposure proof
-    "q_sim_knn_classify",
-    "q_ml_score_drift",
-    "q_ts_seasonal_strength",
-    "q_ab_wilson",
-    "q_text_langid_audit",
-    "q_dedup_lsh_plan",
-    "q_agg_kendall_tau",
-    "q_agg_benford",
-    "q_ab_trend",
-    "q_agg_trimmed_mean",
-    "q_graph_clustering",
-    "q_graph_assortativity",
-    "q_ts_acf",
-    "q_ts_seasonality",
-    "q_join_bloom_filtered",
-    "q_drift_cvm",
-    "q_ml_ks",
-    "q_mv_join_maintenance",
-    # round-11 session-2 additions — first-exposure proof
-    "q_ab_cmh",
-    "q_ab_kruskal",
-    "q_drift_ad",
-    "q_quality_fd",
-    "q_quality_patterns",
-    "q_ts_ljung_box",
-    "q_ts_theil_sen",
-    "q_ml_mcc",
-    "q_ml_logloss",
-    "q_text_ndcg",
-    "q_graph_modularity",
-    "q_feature_hashing",
-    "q_join_band",
-    "q_stream_funnel",
-    "q_cluster_silhouette",
-    "q_agg_hhi",
-    "q_ts_hurst",
-    "q_quality_checksum",
-    "q_ab_fisher",
-    "q_stream_ohlc",
-    "q_sim_mips",
-    "q_quality_dup_txn",
-    "q_mv_distinct_maintenance",
-    "q_ts_ewma_chart",
-    "q_ab_jarque_bera",
-    "q_quality_sentinels",
-    "q_stream_hourly_distinct",
+    # round-12 additions — first-exposure proof
+    "q_graph_communities",
+    "q_ts_periodogram",
+    "q_ts_cross_corr",
+    "q_agg_simpson",
+    "q_quality_iqr",
+    "q_sample_neyman",
+    "q_dedup_minhash_error",
+    "q_ml_operating_point",
+    "q_join_range_bin",
     # changed this round — re-proof
-    "q_agg_spearman",
-    "q_graph_link_prediction",
-    "q_window_rfm",
-    "q_graph_pagerank",
-    "q_sim_index_incremental",
+    "q_stream_funnel",
+    "q_stream_attribution",
+    "q_stream_transitions",
+    "q_stream_hourly_distinct",
+    "q_ml_mcc",
+    "q_join_band",
+    "q_ts_ljung_box",
+    "q_dedup_cosine_lsh",
+    "q_dedup_recall_lsh",
+    # r3-cohort re-bank (31 names, displaced by the r11 window)
+    "q_agg_argmax",
+    "q_agg_pivot",
+    "q_agg_unpivot",
+    "q_agg_collect",
+    "q_agg_histogram",
+    "q_agg_anomaly",
+    "q_window_rank",
+    "q_window_latest",
+    "q_window_lag",
+    "q_window_frame",
+    "q_sort_topk",
+    "q_window_distribution",
+    "q_window_range_frame",
+    "q_resample_gapfill",
+    "q_fill_forward",
+    "q_sessionize_batch",
+    "q_rollup_timegrain",
+    "q_cohort_retention",
+    "q_funnel_steps",
+    "q_merge_upsert",
+    "q_set_union",
+    "q_set_except",
+    "q_set_intersect",
+    "q_nested_export",
+    "q_sim_topk_ivf",
+    "q_sim_topk_ivf_staged",
+    "q_dedup_simhash_md5",
+    "q_dedup_simhash_pairs",
+    "q_dedup_clusters_lsh",
+    "q_udtf_sentences",
+    "q_domain_fhir_export",
+    # stalest r4 name in the spare slot
+    "q_agg_corr",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
