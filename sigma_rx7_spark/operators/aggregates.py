@@ -2117,25 +2117,31 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     median misrepresents whenever line sizes vary (same statistic
     behind VWAP-style costing, next to W-family's TWAP). Defined as the
     smallest value whose running weight reaches half the total; weights
-    accumulate as exact decimals so the running sum is order-exact
-    (ties on price share a cum value; the (cum, price) row_number makes
-    the pick total-ordered). The running-weight window sorts per group
-    — the A27 binned recipe generalizes here too (bin by value, locate
-    the half-weight bin, rank only inside it) and is the documented
-    100 TB path; at harness scale the direct form IS the spec the
-    binned one must match."""
+    accumulate as exact decimals so the running sum is order-exact.
+
+    r12 rework (the Spearman/RFM distinct-value-grain collapse, third
+    application): the running-weight window no longer sorts the FACT
+    table per group — weights first collapse to the DISTINCT
+    (flag, price) grain with one hash aggregate (map-side combinable),
+    and the cumulative window runs over that value-cardinality-bounded
+    relation; at the distinct grain each price appears once, so "the
+    smallest value whose cum reaches half the total" is simply the
+    first ordered hit, identical to the per-row spec the oracle keeps
+    stating (same output, banked hash unchanged — re-proven at three
+    scales)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice",
         F.col("l_quantity").cast("decimal(18,6)").alias("wt"))
+    per_value = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("wt").alias("vwt"))
     wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice") \
         .rowsBetween(Window.unboundedPreceding, 0)
     wtot = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = per_value.select(
         "l_returnflag", "l_extendedprice",
-        F.sum("wt").over(wcum).alias("cum_wt"),
-        F.sum("wt").over(wtot).alias("tot_wt"))
-    whit = Window.partitionBy("l_returnflag").orderBy(
-        "cum_wt", "l_extendedprice")
+        F.sum("vwt").over(wcum).alias("cum_wt"),
+        F.sum("vwt").over(wtot).alias("tot_wt"))
+    whit = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     return (
         ranked.where(F.col("cum_wt") * 2 >= F.col("tot_wt"))
         .withColumn("rn", F.row_number().over(whit))
