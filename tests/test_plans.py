@@ -1322,3 +1322,46 @@ def test_sentinel_screen_one_scan_per_table(spark, sf_dir):
                     "part"})
     scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
     assert len(scans) <= n_tables, scans
+
+
+def test_lpa_rounds_have_no_cartesian_and_no_python(spark, sf_dir):
+    """L1v: every label-propagation round is an equi join + hash agg +
+    window pick — no cartesian pair space, no Python in the plan."""
+    p = plan(spark, sf_dir, "q_graph_communities")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_range_bin_join_is_equi_not_theta(spark, sf_dir):
+    """J17: the range-bin decomposition turns the date-window theta
+    join into a pure equi join — no nested-loop anywhere."""
+    p = plan(spark, sf_dir, "q_join_range_bin")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_minhash_error_audits_candidates_only(spark, sf_dir):
+    """L1w: the audit joins signatures/word sets onto BANDED candidate
+    pairs — no all-pairs stage."""
+    p = plan(spark, sf_dir, "q_dedup_minhash_error")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_median_windows_run_at_value_grain(spark, sf_dir):
+    """A36 r12 rework: the cumulative-weight window's input is the
+    DISTINCT (flag, price) relation — the aggregate runs BELOW the
+    window in the plan, so the window never sorts raw fact rows."""
+    import re
+
+    p = plan(spark, sf_dir, "q_agg_weighted_median")
+    # Window operators consume the per-value aggregate output — never
+    # the raw per-row weight source l_quantity or the per-row wt.
+    blocks = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert blocks, p
+    for cols in blocks:
+        assert "l_quantity#" not in cols, cols
+        assert not re.search(r"(?<![a-z_])wt#", cols), cols
