@@ -1041,15 +1041,42 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     aggregate map-side first (groupBy count), then one row_number
     window per node picks the winner; the edge relation itself is
     round-invariant and persisted once. All-integer labels: no
-    floating tie anywhere."""
+    floating tie anywhere.
+
+    Two plan specializations (r12 profiling: the general form cost
+    ~3.5 s/round at sf0.1 because every round shuffled the full 2.4M-
+    row vote relation): (1) ROUND 1 from identity labels degenerates
+    exactly — the edge list is distinct, so every (node, label) vote
+    counts exactly 1 and plurality-with-smallest-label-tie IS
+    min(neighbors ∪ self); a plain MIN aggregate combines map-side
+    and shuffles one row per (partition, node) instead of one per
+    edge, no window. (2) Later rounds BROADCAST the label relation —
+    it is node-grain (the part catalog here, the same relation the
+    modularity op broadcasts); votes then never shuffle raw edges,
+    and the post-round-1 label collapse makes the (node, label) count
+    partial-aggregate small. A graph whose NODE set outgrows a
+    broadcast would drop hint (2) and keep the shuffle — the
+    specializations change the plan, never the semantics (the oracle
+    keeps the general unrolled form; hashes re-proven at all three
+    scales). Measured: 10.9 s → 1.6 s warm at sf0.1 (with the
+    per-round label persist that stops the two-consumer lineage
+    re-execution)."""
     edges = _persist_tracked(edges)
     # src covers every node: the co-purchase edge list carries both
     # directions (general callers must symmetrize first).
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl")))
-    for _ in range(iters):
+    if iters > 0:
+        labels = _persist_tracked(
+            edges.select(F.col("dst").alias("node"),
+                         F.col("src").alias("lbl"))
+            .unionAll(labels)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+    for k in range(iters - 1):
         votes = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(
+                labels.withColumnRenamed("node", "src")), "src")
             .select(F.col("dst").alias("node"), "lbl")
             .unionAll(labels)
         )
@@ -1060,6 +1087,14 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
         labels = (counts.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") == 1)
                   .select("node", "lbl"))
+        if k < iters - 2:
+            # each later round consumes `labels` TWICE (the broadcast
+            # copy and the self-vote union branch): without a persist
+            # the prior round's lineage re-executes 2x per consumer —
+            # exponential in round count (measured: round 3 alone
+            # added 3.5 s). The relation is node-grain-tiny; the last
+            # round's output is the query result and needs no pin.
+            labels = _persist_tracked(labels)
     return labels
 
 
