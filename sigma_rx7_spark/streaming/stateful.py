@@ -219,7 +219,9 @@ def _attr_update(key, pdfs: Iterator[pd.DataFrame],
     out = []
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True)
+        # single-chunk keys (the common case) skip the concat copy
+        pdf = chunks[0] if len(chunks) == 1 \
+            else pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, eid, etype, value in zip(
                 pdf["ts_us"], pdf["event_id"], pdf["event_type"],
@@ -364,7 +366,9 @@ def _trans_update(key, pdfs: Iterator[pd.DataFrame],
     counts: dict[tuple, int] = {}
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True)
+        # single-chunk keys (the common case) skip the concat copy
+        pdf = chunks[0] if len(chunks) == 1 \
+            else pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, eid, etype in zip(pdf["ts_us"], pdf["event_id"],
                                      pdf["event_type"]):
@@ -519,7 +523,9 @@ def _funnel_update(key, pdfs: Iterator[pd.DataFrame],
     t1, t2, t3 = state.get if state.exists else (None, None, None)
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True)
+        # single-chunk keys (the common case) skip the concat copy
+        pdf = chunks[0] if len(chunks) == 1 \
+            else pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
