@@ -320,3 +320,46 @@ def test_range_bin_join_naive_model(spark, sf_dir):
     got = {r["month"]: r["n_pairs"]
            for r in q_join_range_bin(spark, sf_dir).collect()}
     assert got == dict(want)
+
+
+def test_stream_funnel_replays_across_arrow_chunks(spark, tmp_path):
+    # ADVICE r11 (medium): one key's batch can arrive split across
+    # several Arrow chunks in arbitrary order. Force 1-row chunks and
+    # feed the funnel a user whose events are stored purchase-first:
+    # per-chunk sorting would replay purchase before view (stage 1);
+    # the whole-batch concat+sort must reach stage 3.
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from sigma_rx7_spark.streaming.stateful import q_stream_funnel
+
+    rows = [
+        # stored in REVERSE event-time order
+        (3, 7, "purchase", 30.0, "{}", "2024-01-01 02:00:00"),
+        (2, 7, "click", 0.0, "{}", "2024-01-01 01:00:00"),
+        (1, 7, "view", 0.0, "{}", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+        " value double, props string, ts_s string"
+    ).select("event_id", "user_id", "event_type", "value", "props",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    tmp = str(tmp_path / "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        out = {r["stage_reached"]: r["n_users"]
+               for r in q_stream_funnel(spark, str(tmp_path)).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert out == {3: 1}, out
