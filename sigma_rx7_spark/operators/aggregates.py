@@ -6062,6 +6062,11 @@ def q_agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(hi & ret, 1).otherwise(0)).alias("r_high"),
         F.sum(F.when(~hi, 1).otherwise(0)).alias("n_low"),
         F.sum(F.when(~hi & ret, 1).otherwise(0)).alias("r_low"))
+    # the pooled-diff reference branch re-executes this relation's plan
+    # (plan audit: the '(pooled)' filter was pushed into a SECOND fact
+    # scan); the 25-row cell relation is persisted so the fact table is
+    # scanned exactly once per call.
+    cells = cells.persist()
     pooled = cells.agg(
         F.sum("n_high").alias("n_high"), F.sum("r_high").alias("r_high"),
         F.sum("n_low").alias("n_low"), F.sum("r_low").alias("r_low")) \
