@@ -363,3 +363,36 @@ def test_stream_funnel_replays_across_arrow_chunks(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert out == {3: 1}, out
+
+
+def test_stream_hourly_distinct_collapses_duplicates(spark, tmp_path):
+    # ADVICE r11 (medium): the dedup must both evict state at the
+    # watermark (dropDuplicatesWithinWatermark) AND still collapse
+    # same-hour duplicates exactly. Feed one user purchasing twice in
+    # the same hour and once in the next: expect counts 1 and 1.
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from sigma_rx7_spark.streaming.jobs import q_stream_hourly_distinct
+
+    rows = [
+        (1, 7, "purchase", 1.0, "{}", "2024-01-01 10:05:00"),
+        (2, 7, "purchase", 2.0, "{}", "2024-01-01 10:55:00"),  # dup hour
+        (3, 7, "purchase", 3.0, "{}", "2024-01-01 11:05:00"),
+        (4, 8, "click", 1.0, "{}", "2024-01-01 10:10:00"),  # not counted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+        " value double, props string, ts_s string"
+    ).select("event_id", "user_id", "event_type", "value", "props",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    tmp = str(tmp_path / "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    out = {str(r["hour_start"]): r["n_users"]
+           for r in q_stream_hourly_distinct(spark, str(tmp_path))
+           .collect()}
+    assert out == {"2024-01-01 10:00:00": 1, "2024-01-01 11:00:00": 1}, out
