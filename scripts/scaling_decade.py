@@ -60,6 +60,10 @@ NAMES = [
     # (lineitem/events/documents only — orders/customer aren't synthed)
     "q_agg_spearman", "q_agg_kendall_tau", "q_agg_trimmed_mean",
     "q_graph_clustering", "q_graph_link_prediction", "q_drift_cvm",
+    # r12: the new data-heavy ops (r12 measured: LPA g10 1.01 flat,
+    # range-bin 4.11, minhash-error 8.13 — candidate-volume-bound by
+    # design)
+    "q_graph_communities", "q_join_range_bin", "q_dedup_minhash_error",
 ]
 
 VOWELS = "aeiou"
