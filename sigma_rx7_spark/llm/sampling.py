@@ -1010,8 +1010,11 @@ NEYMAN_BUDGET = 500  # total sample budget to apportion across strata
     ),
     shared AS (
       SELECT stratum, n, sigma, w,
-             w / (SELECT CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
-                  FROM wtd) * {NEYMAN_BUDGET} AS ideal
+             CASE WHEN (SELECT CAST(SUM(CAST(w AS DECIMAL(27,6)))
+                        AS DOUBLE) FROM wtd) = 0 THEN NULL
+                  ELSE w / (SELECT CAST(SUM(CAST(w AS DECIMAL(27,6)))
+                            AS DOUBLE) FROM wtd) * {NEYMAN_BUDGET}
+             END AS ideal
       FROM wtd
     ),
     based AS (
@@ -1080,9 +1083,14 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("w"))
     tot = wtd.agg(F.sum(F.col("w").cast("decimal(27,6)"))
                   .cast("double").alias("tw"))
+    # every-stratum-degenerate corpus (all prices constant): the weight
+    # total is 0 and the shares are undefined — NULL plan rows on BOTH
+    # engines (an unguarded decimal division is an ANSI crash here),
+    # the analyst's signal to fall back to proportional allocation.
     based = (wtd.crossJoin(F.broadcast(tot))
              .select("stratum", "n", "sigma",
-                     (F.col("w") / F.col("tw") * NEYMAN_BUDGET)
+                     F.when(F.col("tw") == 0, F.lit(None).cast("double"))
+                     .otherwise(F.col("w") / F.col("tw") * NEYMAN_BUDGET)
                      .alias("ideal"))
              .select("stratum", "n", "sigma", "ideal",
                      F.floor("ideal").cast("bigint").alias("base"),

@@ -396,3 +396,31 @@ def test_stream_hourly_distinct_collapses_duplicates(spark, tmp_path):
            for r in q_stream_hourly_distinct(spark, str(tmp_path))
            .collect()}
     assert out == {"2024-01-01 10:00:00": 1, "2024-01-01 11:00:00": 1}, out
+
+
+def test_neyman_all_degenerate_strata_null_plan(spark, tmp_path):
+    # Every stratum zero-variance (constant prices): the weight total
+    # is 0 and the plan is undefined — typed NULL rows, not an ANSI
+    # DIVIDE_BY_ZERO (caught as a real crash on first probe, r12).
+    import pyspark.sql.functions as F
+
+    from sigma_rx7_spark.llm.sampling import q_sample_neyman
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "P", 100.0, f"{i % 5 + 1}-X", "1995-01-01",
+          "c", 0, "x") for i in range(20)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderpriority string,"
+        " o_orderdate_s string, o_clerk string, o_shippriority int,"
+        " o_comment string"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority",
+             F.col("o_orderdate_s").cast("date").alias("o_orderdate"),
+             "o_clerk", "o_shippriority", "o_comment")
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = q_sample_neyman(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sigma"] == 0.0
+        assert r["ideal"] is None and r["alloc"] is None
+        assert r["exceeds_stratum"] is None
