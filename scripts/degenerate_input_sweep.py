@@ -45,8 +45,12 @@ BASE = "/tmp/sigma_degen_sweep"
 
 PROFILES = {
     "tied": {
-        "lineitem": {"l_quantity": 7.0},
+        "lineitem": {"l_quantity": 7.0, "l_extendedprice": 1000.0},
         "part": {"p_retailprice": 950.0, "p_size": 5},
+        # r12: the orders table was uncovered — a constant o_totalprice
+        # (zero variance in EVERY stratum) crashed the Neyman planner's
+        # share division on first crafted probe; keep it in the sweep.
+        "orders": {"o_totalprice": 1000.0},
     },
     "stuck": {
         "events": {"value": 42.0},
