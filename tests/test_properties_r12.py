@@ -424,3 +424,37 @@ def test_neyman_all_degenerate_strata_null_plan(spark, tmp_path):
         assert r["sigma"] == 0.0
         assert r["ideal"] is None and r["alloc"] is None
         assert r["exceeds_stratum"] is None
+
+
+def test_lpa_assignments_match_naive_model(spark, sf_dir):
+    # Full independent replay of the synchronous LPA semantics
+    # (self-vote, plurality, smallest-label ties, 3 rounds) in plain
+    # Python — catches a both-sides-wrong vote rule the oracle mirror
+    # cannot (engine and oracle share the round structure).
+    import collections
+
+    from sigma_rx7_spark.io import load as load_table
+    from sigma_rx7_spark.operators.graph import (
+        LP_ITERS,
+        copurchase_edges,
+        q_graph_communities,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in
+             copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+             .collect()]
+    nodes = sorted({a for a, _ in edges})
+    inbound = collections.defaultdict(list)
+    for a, b in edges:
+        inbound[b].append(a)
+    lab = {v: v for v in nodes}
+    for _ in range(LP_ITERS):
+        new = {}
+        for v in nodes:
+            cnt = collections.Counter(lab[u] for u in inbound[v])
+            cnt[lab[v]] += 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    got = {r["node"]: r["community"]
+           for r in q_graph_communities(spark, sf_dir).collect()}
+    assert got == lab
