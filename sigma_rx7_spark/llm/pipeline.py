@@ -1656,8 +1656,8 @@ def _mcc_oracle() -> str:
                     + fn) * (CAST(tn AS DOUBLE) + fp)
                     * (CAST(tn AS DOUBLE) + fn))
                   AS DECIMAL(18,6)) AS DOUBLE) END AS mcc,
-           CASE WHEN (tp + fp = 0 OR fn + tn = 0)
-                 AND (tp + fn = 0 OR fp + tn = 0) THEN NULL
+           CASE WHEN (tp + fp = 0 AND tp + fn = 0)
+                  OR (fn + tn = 0 AND fp + tn = 0) THEN NULL
            ELSE CAST(CAST(
              (CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
               - ((CAST(tp AS DOUBLE) + fp) * (tp + fn)
@@ -1718,6 +1718,14 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fn"),
         F.sum(F.when(~pos & ~y1, 1).otherwise(0)).cast("bigint")
         .alias("tn"))
+    return mcc_kappa_summary(cm)
+
+
+def mcc_kappa_summary(cm: DataFrame) -> DataFrame:
+    """Closed-form MCC / kappa / balanced-accuracy select over a 1-row
+    confusion relation (tp/fp/fn/tn bigint) — module-level so the
+    degenerate-table guards are property-testable on crafted
+    confusions, not just the fitted model's (tests/test_properties_r13)."""
     tp, fp, fn, tn = (F.col(c).cast("double")
                       for c in ("tp", "fp", "fn", "tn"))
     n = tp + fp + fn + tn
@@ -1730,16 +1738,20 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   | ((F.col("tn") + F.col("fp"))
                      * (F.col("tn") + F.col("fn")) == 0))
     # kappa's guard is STRICTLY NARROWER than MCC's: pe = 1 (kappa's
-    # 0/0) only when prediction AND label are BOTH constant, whereas
-    # MCC's sqrt denominator vanishes when EITHER margin is constant.
-    # An all-positive classifier against varying labels (fn = tn = 0)
-    # has pe < 1 and kappa ≈ 0 — exactly the imbalance artifact this
-    # op exists to expose — so it must NOT be NULLed with MCC.
-    pred_const = (F.col("tp") + F.col("fp") == 0) \
-        | (F.col("fn") + F.col("tn") == 0)
-    label_const = (F.col("tp") + F.col("fn") == 0) \
-        | (F.col("fp") + F.col("tn") == 0)
-    pe_one = pred_const & label_const
+    # 0/0) only when prediction and label are constant AND AGREE (all
+    # mass in tn: both all-negative, or all mass in tp: both
+    # all-positive), whereas MCC's sqrt denominator vanishes when
+    # EITHER margin is constant. An all-positive classifier against
+    # varying labels (fn = tn = 0) has pe < 1 and kappa ≈ 0 — exactly
+    # the imbalance artifact this op exists to expose — and even the
+    # constant-but-DISAGREEING table (predict all negative on
+    # all-positive labels: fn = n) has pe = 0, kappa = 0 well defined
+    # (r12 advice: the pred_const AND label_const form over-masked it).
+    all_tn = (F.col("tp") + F.col("fp") == 0) \
+        & (F.col("tp") + F.col("fn") == 0)
+    all_tp = (F.col("fn") + F.col("tn") == 0) \
+        & (F.col("fp") + F.col("tn") == 0)
+    pe_one = all_tn | all_tp
     return cm.select(
         "tp", "fp", "fn", "tn",
         F.when(degenerate, F.lit(None).cast("double"))

@@ -1022,7 +1022,8 @@ LP_ITERS = 3  # fixed synchronous rounds; round 4 collapses the harness
               # at sf0.01), the classic sync-LPA over-merge
 
 
-def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
+def label_propagation(edges: DataFrame, iters: int = LP_ITERS,
+                      broadcast_labels: bool = True) -> DataFrame:
     """Synchronous label propagation over a SYMMETRIC directed edge
     list: every node starts as its own community (label = node id);
     each round every node adopts the most frequent label among its
@@ -1055,7 +1056,9 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     modularity op broadcasts); votes then never shuffle raw edges,
     and the post-round-1 label collapse makes the (node, label) count
     partial-aggregate small. A graph whose NODE set outgrows a
-    broadcast would drop hint (2) and keep the shuffle — the
+    broadcast passes ``broadcast_labels=False`` to drop hint (2) and
+    keep the shuffle join (assignments identical either way —
+    property-tested) — the
     specializations change the plan, never the semantics (the oracle
     keeps the general unrolled form; hashes re-proven at all three
     scales). Measured: 10.9 s → 1.6 s warm at sf0.1 (with the
@@ -1074,9 +1077,17 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
             .groupBy("node").agg(F.min("lbl").alias("lbl"))
         )
     for k in range(iters - 1):
+        # the label relation is node-grain — broadcast-safe for the
+        # part-catalog caller, but a graph whose NODE set outgrows the
+        # broadcast threshold must pass broadcast_labels=False to keep
+        # the shuffle join instead of a silent driver/executor OOM
+        # (same escape hatch as pagerank_fixedpoint's `symmetric`;
+        # the hint changes the plan, never the semantics).
+        lbl_rel = labels.withColumnRenamed("node", "src")
+        if broadcast_labels:
+            lbl_rel = F.broadcast(lbl_rel)
         votes = (
-            edges.join(F.broadcast(
-                labels.withColumnRenamed("node", "src")), "src")
+            edges.join(lbl_rel, "src")
             .select(F.col("dst").alias("node"), "lbl")
             .unionAll(labels)
         )

@@ -2023,19 +2023,21 @@ IQR_K_DEN = 2    # the fence compare is then exact decimal arithmetic
     ),
     fenced AS (
       SELECT segment, n, q1, q3,
-             q1 - 3 * (q3 - q1) / 2 AS lo,
-             q3 + 3 * (q3 - q1) / 2 AS hi
+             3 * (q3 - q1) AS iqr3
       FROM quart
     )
     SELECT f.segment,
            CAST(f.n AS BIGINT) AS n_rows,
            CAST(f.q1 AS DOUBLE) AS q1,
            CAST(f.q3 AS DOUBLE) AS q3,
-           CAST(SUM(CASE WHEN r.v < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN 2 * (f.q1 - r.v) > f.iqr3
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_low,
-           CAST(SUM(CASE WHEN r.v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN 2 * (r.v - f.q3) > f.iqr3
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high,
-           CAST(CAST(CAST(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi
+           CAST(CAST(CAST(SUM(CASE WHEN 2 * (f.q1 - r.v) > f.iqr3
+                                     OR 2 * (r.v - f.q3) > f.iqr3
                                    THEN 1 ELSE 0 END) AS DOUBLE) / f.n
                 AS DECIMAL(18,6)) AS DOUBLE) AS outlier_rate
     FROM fenced f
@@ -2058,9 +2060,11 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness at scale: the quartiles come from the A27/A30 two-pass
     binning — one histogram aggregate over {IQR_BINS} bins per
     segment, rank-in-bin selection on only the target bins' rows — and
-    the fence comparison is EXACT decimal arithmetic (1.5 as the
-    rational 3/2: lo = q1 - 3·(q3-q1)/2 stays on the cent grid, so no
-    float fence can disagree across engines at a boundary row). The
+    the fence comparison is EXACT decimal arithmetic with NO division
+    anywhere (1.5 as the rational 3/2 cross-multiplied: v is low iff
+    2·(q1−v) > 3·(q3−q1), identically in the oracle SQL, so neither
+    engine ever materializes a float fence — DuckDB types decimal
+    division as DOUBLE, which the divide-free form sidesteps). The
     outlier count is a second fact-table aggregate against the
     broadcast 3-row fence relation; no global sort anywhere (the
     oracle's ROW_NUMBER statement of the same ranks is the naive
@@ -2102,22 +2106,27 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max(F.when(F.col("p") == 0.25, F.col("v"))).alias("q1"),
         F.max(F.when(F.col("p") == 0.75, F.col("v"))).alias("q3"))
-    iqr32 = IQR_K_NUM * (F.col("q3") - F.col("q1")) / IQR_K_DEN
     fenced = quart.select(
         "segment", "n", "q1", "q3",
-        (F.col("q1") - iqr32).alias("lo"),
-        (F.col("q3") + iqr32).alias("hi"))
+        (IQR_K_NUM * (F.col("q3") - F.col("q1"))).alias("iqr3"))
+    # fence classification stays in +/-/* decimal arithmetic on BOTH
+    # sides: v is low iff 2*(q1-v) > 3*(q3-q1) — the division-free form
+    # of v < q1 - 1.5*IQR, so neither engine ever types a fence as a
+    # float (DuckDB types decimal division DOUBLE; r12 advice)
+    is_low = (IQR_K_DEN * (F.col("q1") - F.col("v"))
+              > F.col("iqr3"))
+    is_high = (IQR_K_DEN * (F.col("v") - F.col("q3"))
+               > F.col("iqr3"))
     return (li.join(F.broadcast(fenced), "segment")
             .groupBy("segment")
             .agg(F.max("n").cast("bigint").alias("n_rows"),
                  F.max("q1").cast("double").alias("q1"),
                  F.max("q3").cast("double").alias("q3"),
-                 F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+                 F.sum(F.when(is_low, 1).otherwise(0))
                  .cast("bigint").alias("n_low"),
-                 F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+                 F.sum(F.when(is_high, 1).otherwise(0))
                  .cast("bigint").alias("n_high"),
-                 (F.sum(F.when((F.col("v") < F.col("lo"))
-                               | (F.col("v") > F.col("hi")), 1)
+                 (F.sum(F.when(is_low | is_high, 1)
                         .otherwise(0)).cast("double") / F.max("n"))
                  .cast("decimal(18,6)").cast("double")
                  .alias("outlier_rate"))

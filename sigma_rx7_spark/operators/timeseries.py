@@ -2851,7 +2851,7 @@ CCF_LEAD_EVENT = "click"  # does click volume LEAD purchase revenue?
              CAST(SUM(c * c) AS DOUBLE) AS s2c
       FROM dc
     ),
-    lagged AS (
+    lagged0 AS (
       SELECT l.lag, COUNT(*) AS m,
              CAST(SUM(a.c * CAST(b.v AS DECIMAL(19,6))) AS DOUBLE)
                AS sxy,
@@ -2861,6 +2861,11 @@ CCF_LEAD_EVENT = "click"  # does click volume LEAD purchase revenue?
       JOIN dc a ON TRUE
       JOIN dv b ON b.day = a.day + CAST(l.lag AS INT)
       GROUP BY l.lag
+    ),
+    lagged AS (
+      SELECT l.lag, COALESCE(g.m, 0) AS m, g.sxy, g.sc, g.sv
+      FROM range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1) l(lag)
+      LEFT JOIN lagged0 g ON g.lag = l.lag
     ),
     den AS (
       SELECT CASE WHEN (bv.s2v - bv.nv * (bv.s1v / bv.nv)
@@ -2940,14 +2945,23 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = dc.crossJoin(F.broadcast(lags)).select(
         "lag", "c", F.date_add(F.col("day"), F.col("lag")).alias("day_b"))
     b = dv.select(F.col("day").alias("day_b"), "v")
-    lagged = (a.join(b, "day_b")
-              .groupBy("lag")
-              .agg(F.count(F.lit(1)).alias("m"),
-                   F.sum(F.col("c") * F.col("v").cast("decimal(19,6)"))
-                   .cast("double").alias("sxy"),
-                   F.sum("c").cast("double").alias("sc"),
-                   F.sum(F.col("v").cast("decimal(20,6)"))
-                   .cast("double").alias("sv")))
+    lagged0 = (a.join(b, "day_b")
+               .groupBy("lag")
+               .agg(F.count(F.lit(1)).alias("m"),
+                    F.sum(F.col("c") * F.col("v").cast("decimal(19,6)"))
+                    .cast("double").alias("sxy"),
+                    F.sum("c").cast("double").alias("sc"),
+                    F.sum(F.col("v").cast("decimal(20,6)"))
+                    .cast("double").alias("sv")))
+    # a lag whose shifted window overlaps NOTHING (short or gappy
+    # series) must still emit its row (n_pairs = 0, ccf NULL) — the
+    # inner-join aggregate alone would silently drop it from both the
+    # output and the best-lag ranking (r12 advice); rejoining the lag
+    # relation keeps the "one row per lag" contract unconditional.
+    lagged = (lags.join(lagged0, "lag", "left")
+              .select("lag",
+                      F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+                      "sxy", "sc", "sv"))
     mv = F.col("s1v") / F.col("nv")
     mc = F.col("s1c") / F.col("nc")
     ssv = F.col("s2v") - F.col("nv") * mv * mv

@@ -1,0 +1,122 @@
+"""Round-13 property tests: the r12 ADVICE latents (decimal IQR fence,
+kappa pe=1 guard, zero-overlap CCF lags) and the LPA broadcast guard."""
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+
+
+def _stage_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+        " value double, props string, ts_s string"
+    ).select("event_id", "user_id", "event_type", "value", "props",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    tmp = str(tmp_path / "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_lpa_broadcast_flag_equivalent(spark):
+    # ADVICE-class latent (VERDICT r12 #5): the label relation is
+    # broadcast every round — correct at node-grain, an OOM on a huge
+    # node set. broadcast_labels=False must keep the shuffle join with
+    # IDENTICAL assignments (the hint changes the plan, never the
+    # semantics).
+    from sigma_rx7_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge, symmetrized
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long")
+    hinted = sorted(
+        (r["node"], r["lbl"])
+        for r in label_propagation(edges, broadcast_labels=True).collect())
+    shuffled = sorted(
+        (r["node"], r["lbl"])
+        for r in label_propagation(edges, broadcast_labels=False).collect())
+    assert hinted == shuffled
+    assert len(hinted) == 6
+
+
+def test_kappa_guard_masks_only_agreeing_constant_tables(spark):
+    # ADVICE r12 (low): pe = 1 requires prediction and label constant
+    # AND agreeing. The constant-but-disagreeing table has pe = 0 and
+    # kappa = 0 well defined; the all-positive classifier against
+    # varying labels keeps its honest kappa ~ 0.
+    from sigma_rx7_spark.llm.pipeline import mcc_kappa_summary
+
+    def kappa_of(tp, fp, fn, tn):
+        cm = spark.createDataFrame(
+            [(tp, fp, fn, tn)], "tp long, fp long, fn long, tn long")
+        return mcc_kappa_summary(cm).collect()[0]["kappa"]
+
+    # all mass in fn: predict all-negative on all-positive labels
+    assert kappa_of(0, 0, 5, 0) == 0.0
+    # all mass in fp: predict all-positive on all-negative labels
+    assert kappa_of(0, 5, 0, 0) == 0.0
+    # agreeing constants: pe = 1, kappa genuinely undefined
+    assert kappa_of(5, 0, 0, 0) is None
+    assert kappa_of(0, 0, 0, 5) is None
+    # all-positive classifier, varying labels: defined and ~0
+    got = kappa_of(3, 2, 0, 0)
+    assert got is not None and abs(got) < 1e-9
+
+
+def test_cross_corr_emits_zero_overlap_lags(spark, tmp_path):
+    # ADVICE r12 (low): a lag whose shifted window overlaps nothing
+    # must still emit its row (n_pairs = 0, ccf NULL) instead of
+    # silently dropping out of the output and the best-lag ranking.
+    from sigma_rx7_spark.operators.timeseries import (
+        CCF_MAX_LAG, q_ts_cross_corr)
+
+    # clicks on Jan 1-2, purchases on Feb 1-2: every lag in the +/-7
+    # band has zero overlapping day pairs
+    rows = [
+        (1, 1, "click", 0.0, "{}", "2024-01-01 10:00:00"),
+        (2, 1, "click", 0.0, "{}", "2024-01-02 10:00:00"),
+        (3, 1, "purchase", 5.0, "{}", "2024-02-01 10:00:00"),
+        (4, 1, "purchase", 7.0, "{}", "2024-02-02 10:00:00"),
+    ]
+    out = q_ts_cross_corr(spark, _stage_events(spark, tmp_path, rows)) \
+        .collect()
+    assert len(out) == 2 * CCF_MAX_LAG + 1
+    assert all(r["n_pairs"] == 0 and r["ccf"] is None for r in out)
+    # the ranking still picks exactly one total-order winner (all-NULL
+    # ties break to the smallest lag)
+    best = [r["lag"] for r in out if r["is_best_lag"]]
+    assert best == [-CCF_MAX_LAG]
+
+
+def test_iqr_fence_division_free_boundary(spark, sf_dir):
+    # ADVICE r12 (medium): the fence compare must be divide-free exact
+    # decimal on BOTH sides. Cross-check the engine's n_low/n_high on
+    # harness data against an independent Python decimal replay.
+    from decimal import Decimal
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.operators.quality import q_quality_iqr
+
+    got = {r["segment"]: r for r in q_quality_iqr(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice").collect()
+    by_seg: dict[str, list] = {}
+    for r in li:
+        by_seg.setdefault(r["l_returnflag"], []).append(
+            Decimal(str(r["l_extendedprice"])))
+    import math
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[math.ceil(0.25 * n) - 1]
+        q3 = vals[math.ceil(0.75 * n) - 1]
+        iqr3 = 3 * (q3 - q1)
+        n_low = sum(1 for v in vals if 2 * (q1 - v) > iqr3)
+        n_high = sum(1 for v in vals if 2 * (v - q3) > iqr3)
+        assert got[seg]["n_low"] == n_low, seg
+        assert got[seg]["n_high"] == n_high, seg
