@@ -147,6 +147,18 @@ HEADLINE = [
     # Round 12: label-propagation communities (three edges-join rounds
     # with per-node window picks — a real data term at sf0.1).
     "q_graph_communities",
+    # Round 13: the TPC-H suite's five heaviest shapes (VERDICT r12
+    # item 2 — Q1 full-scan agg, Q5 6-way reordering, Q9 partsupp CBO
+    # trap, Q18 semi-vs-aggregate, Q21 double-correlated anti), plus
+    # the STAGED IVF serve path replacing the inline-build variant on
+    # the line (VERDICT r12 item 4 — the inline build's g10 14.63 is
+    # training cost, not serve cost; it stays timed in BENCH_DETAIL).
+    "q_tpch_q01",
+    "q_tpch_q05",
+    "q_tpch_q09",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_sim_topk_ivf_staged",
 ]
 
 # Timed and recorded in BENCH_DETAIL.json like every headline query,
@@ -188,6 +200,11 @@ HEADLINE_COMPACT_EXCLUDE = {
     "q_survival_km",
     "q_text_tokens",
     "q_agg_rollup",
+    # r13 (verdict item 4): the inline IVF BUILD variant leaves the
+    # parsed line — its N·√N centroid training is a build cost the
+    # staged twin amortizes; q_sim_topk_ivf_staged is the line's
+    # similarity-serve representative now. Still timed in detail.
+    "q_sim_topk_ivf",
 }
 
 # Queries whose recorded rep-to-rep spread exceeded 1 s in round 8

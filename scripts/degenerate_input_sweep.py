@@ -60,6 +60,17 @@ PROFILES = {
         "events": {"value": None},
         "customer": {"c_acctbal": None},
     },
+    # r13 (VERDICT r12 item 7): the text/embedding corpus was
+    # unprofiled — the L3/L2 families have per-op guards (zero-vector
+    # quantization, empty-text lang-ID) but no standing proof the WHOLE
+    # registry survives a degenerate corpus: every document empty,
+    # every embedding the zero vector (norm 0 ⇒ cosine 0/0), every
+    # n_chars 0. Values given as ("expr", sql) evaluate per-row.
+    "flat_corpus": {
+        "documents": {"text": "", "n_chars": 0},
+        "embeddings": {"embedding": ("expr",
+                                     "array_repeat(CAST(0.0 AS FLOAT), 64)")},
+    },
 }
 
 
@@ -72,7 +83,10 @@ def build(spark, profile: str) -> str:
         df = io.load(spark, SRC_SF, t)
         for col, val in overrides.get(t, {}).items():
             typ = dict(df.dtypes)[col]
-            df = df.withColumn(col, F.lit(val).cast(typ))
+            if isinstance(val, tuple) and val[0] == "expr":
+                df = df.withColumn(col, F.expr(val[1]).cast(typ))
+            else:
+                df = df.withColumn(col, F.lit(val).cast(typ))
         df.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
     return dest
 
@@ -81,7 +95,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", default=None)
     ap.add_argument("--profile", default="all",
-                    choices=["tied", "stuck", "nulls", "all"])
+                    choices=["tied", "stuck", "nulls", "flat_corpus",
+                             "all"])
     args = ap.parse_args()
     spark = get_spark(app_name="sigma-degen-sweep")
     spark.sparkContext.setLogLevel("ERROR")

@@ -67,9 +67,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
       length(replace(text, ' ', '')) AS n_chars_nospace,
-      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+           THEN NULL
+      ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
         / len(list_filter(string_split(text, ' '), x -> x <> ''))
-        AS avg_token_len,
+        END AS avg_token_len,
       length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
         AS n_digits,
       len(list_filter(string_split(text, ' '), x -> x <> '')) < 30
@@ -89,7 +91,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         nospace.cast("bigint").alias("n_chars_nospace"),
-        (nospace.cast("double") / n_tokens).alias("avg_token_len"),
+        # empty document: no tokens, no mean token length — NULL, not
+        # an ANSI crash (flat_corpus profile, r13; dead on harness)
+        F.when(n_tokens == 0, F.lit(None).cast("double"))
+        .otherwise(nospace.cast("double") / n_tokens)
+        .alias("avg_token_len"),
         (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
         .cast("bigint").alias("n_digits"),
         (n_tokens < 30).alias("is_short"),
@@ -104,14 +110,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       lang,
       len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS en_stop_hits,
-      CAST(len(list_filter(string_split(text, ' '),
+      CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+           THEN CAST(0.0 AS DOUBLE)
+      ELSE CAST(len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
         / len(list_filter(string_split(text, ' '), x -> x <> ''))
-        AS en_stop_ratio,
-      CAST(len(list_filter(string_split(text, ' '),
+        END AS en_stop_ratio,
+      CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+           THEN FALSE
+      ELSE CAST(len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
         / len(list_filter(string_split(text, ' '), x -> x <> '')) > 0.12
-        AS pred_en
+        END AS pred_en
     FROM documents
     """,
     tags=("L3", "langid"),
@@ -125,7 +135,10 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS))
     ).cast("bigint")
-    ratio = stop_hits.cast("double") / F.size(toks)
+    # empty document: ratio 0 (and pred_en stays a never-NULL boolean —
+    # the pandas NaN-boolean gate hazard), not an ANSI crash
+    ratio = F.when(F.size(toks) == 0, F.lit(0.0)) \
+        .otherwise(stop_hits.cast("double") / F.size(toks))
     return d.select(
         "doc_id",
         "lang",
@@ -1492,7 +1505,8 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS)))
-    pred = (stop_hits.cast("double") / F.size(toks)) > 0.12
+    pred = F.when(F.size(toks) == 0, F.lit(False)) \
+        .otherwise((stop_hits.cast("double") / F.size(toks)) > 0.12)
     return (
         d.select("lang", pred.alias("pred_en"))
         .groupBy("lang")
@@ -1812,8 +1826,14 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in EN_STOPWORDS:
         term = F.when(F.array_contains(toks, w), 1).otherwise(0)
         stop_hits = term if stop_hits is None else stop_hits + term
-    wl = nospace.cast("double") / n_tokens
-    dr = n_digits.cast("double") / nospace
+    # Spark's OR does not short-circuit ANSI errors in the other
+    # operand: the (n_tokens == 0) | (wl < ...) guards below still
+    # evaluated the division on empty docs (flat_corpus profile, r13),
+    # so the ratios carry their own lazy CASE guards
+    wl = F.when(n_tokens == 0, F.lit(None).cast("double")) \
+        .otherwise(nospace.cast("double") / n_tokens)
+    dr = F.when(nospace == 0, F.lit(None).cast("double")) \
+        .otherwise(n_digits.cast("double") / nospace)
     f1 = F.when(n_tokens < GOPHER_MIN_WORDS, 1).otherwise(0)
     f2 = F.when(n_tokens > GOPHER_MAX_WORDS, 1).otherwise(0)
     f3 = F.when((n_tokens == 0) | (wl < GOPHER_WL_MIN)
@@ -1985,7 +2005,8 @@ def q_text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS)))
-    pred_en = (stop_hits.cast("double") / F.size(toks)) > 0.12
+    pred_en = F.when(F.size(toks) == 0, F.lit(False)) \
+        .otherwise((stop_hits.cast("double") / F.size(toks)) > 0.12)
     pred = d.select("lang", pred_en.alias("pred_en"))
     agg = pred.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

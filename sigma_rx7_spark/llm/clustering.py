@@ -439,8 +439,15 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = (
             w.crossJoin(F.broadcast(norm))  # 1-row norm relation
             .select(F.col("i").alias("pos"),
-                    (F.col("w") / F.col("nrm")).cast(_PCA_Q.lower())
-                    .cast("double").alias("vk"))
+                    # a zero-covariance corpus (all-constant embeddings)
+                    # has no principal direction: NULL components, not
+                    # an ANSI crash (flat_corpus profile, r13; dead on
+                    # harness data where nrm > 0)
+                    F.when(F.col("nrm") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise((F.col("w") / F.col("nrm"))
+                               .cast(_PCA_Q.lower()).cast("double"))
+                    .alias("vk"))
         )
     return (
         v.crossJoin(F.broadcast(norm))  # 1-row norm relation

@@ -199,10 +199,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("source").alias("b_source"),
                  F.array_distinct(tokens(F.col("text"))).alias("b_words"))
     n_common = F.size(F.array_intersect("a_words", "b_words")).cast("bigint")
-    jaccard = n_common.cast("double") / (
-        F.size("a_words") + F.size("b_words")
-        - F.size(F.array_intersect("a_words", "b_words"))
-    )
+    union_sz = (F.size("a_words") + F.size("b_words")
+                - F.size(F.array_intersect("a_words", "b_words")))
+    # two EMPTY word sets are identical texts: J(∅,∅) = 1 by contract,
+    # not an ANSI 0/0 crash (flat_corpus profile, r13; dead on harness)
+    jaccard = F.when(union_sz == 0, F.lit(1.0)) \
+        .otherwise(n_common.cast("double") / union_sz)
     return (
         a.join(
             b,
@@ -1239,9 +1241,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("source").alias("b_source"),
                  F.array_distinct(tokens(F.col("text"))).alias("b_words"))
     n_common = F.size(F.array_intersect("a_words", "b_words"))
-    jaccard = n_common.cast("double") / (
-        F.size("a_words") + F.size("b_words") - n_common
-    )
+    union_sz = F.size("a_words") + F.size("b_words") - n_common
+    # J(∅,∅) = 1 (identical empty texts cluster together), mirroring
+    # q_dedup_ngram's contract — not an ANSI 0/0 crash
+    jaccard = F.when(union_sz == 0, F.lit(1.0)) \
+        .otherwise(n_common.cast("double") / union_sz)
     edges = (
         a.join(
             b,

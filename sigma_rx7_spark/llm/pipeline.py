@@ -427,11 +427,13 @@ _QF_NTOK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
 _QF_FEATURES = f"""
     f AS (
       SELECT doc_id, source, n_chars,
-             CAST(len(list_filter(string_split(text, ' '),
+             CASE WHEN {_QF_NTOK} = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(len(list_filter(string_split(text, ' '),
                   x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-               / {_QF_NTOK} AS x1,
-             CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / {_QF_NTOK} / 10.0 AS x2,
+               / {_QF_NTOK} END AS x1,
+             CASE WHEN {_QF_NTOK} = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / {_QF_NTOK} / 10.0 END AS x2,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM documents
     )"""
@@ -513,11 +515,17 @@ def quality_features(d: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     ntok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    # an EMPTY document (ntok = 0) gets zero features instead of an
+    # ANSI DIVIDE_BY_ZERO — it stays in the fit as an uninformative
+    # row, mirrored in the oracle CTE; dead on harness data (min text
+    # length 48) and proven live by the flat_corpus degenerate profile
     return d.select(
         "doc_id", "source", "n_chars",
-        (stop_hits.cast("double") / ntok).alias("x1"),
-        (F.length(F.regexp_replace("text", " ", "")).cast("double")
-         / ntok / F.lit(10.0)).alias("x2"),
+        F.when(ntok == 0, F.lit(0.0))
+        .otherwise(stop_hits.cast("double") / ntok).alias("x1"),
+        F.when(ntok == 0, F.lit(0.0))
+        .otherwise(F.length(F.regexp_replace("text", " ", ""))
+                   .cast("double") / ntok / F.lit(10.0)).alias("x2"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
 

@@ -327,7 +327,13 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
         16, 10).cast("bigint")
     u = (raw + 1) / F.lit(float(_U_DENOM))
-    score = (F.log(u) / F.col("n_chars")).cast("decimal(18,9)")
+    # zero-weight documents (n_chars = 0) get a NULL score — they sort
+    # NULLS LAST under the desc rank, i.e. are drawn only after every
+    # positive-weight doc, the Efraimidis-Spirakis limit behavior —
+    # instead of an ANSI crash (flat_corpus profile, r13)
+    score = F.when(F.col("n_chars") == 0,
+                   F.lit(None).cast("decimal(18,9)")) \
+        .otherwise((F.log(u) / F.col("n_chars")).cast("decimal(18,9)"))
     w = Window.partitionBy("source").orderBy(score.desc(), "doc_id")
     return (
         d.select("source", "doc_id", "n_chars",
@@ -825,7 +831,10 @@ def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sum_w = F.sum("n_chars")
     sum_w2 = F.sum(F.col("n_chars") * F.col("n_chars"))
-    ess = sum_w.cast("double") * sum_w / sum_w2
+    # all-zero weights in a source: ESS undefined (0/0) -> NULL, not an
+    # ANSI crash (flat_corpus profile, r13; dead on harness data)
+    ess = F.when(sum_w2 == 0, F.lit(None).cast("double")) \
+        .otherwise(sum_w.cast("double") * sum_w / sum_w2)
     return (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -108,7 +108,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # a zero vector has no direction: its cosine to anything is 0 by
+    # contract, not an ANSI DIVIDE_BY_ZERO (flat_corpus profile, r13) —
+    # dead on harness data (q_embed_audit pins norm_min > 0)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def normalized(a: Column | str) -> Column:
@@ -120,9 +124,15 @@ def normalized(a: Column | str) -> Column:
     The norm rides in via ``array_repeat`` + ``zip_with`` rather than a
     closure over the lambda: HOF *arguments* evaluate once per row, while
     anything inside the lambda body re-evaluates per element — a nested
-    norm would cost O(dim²) per row (measured, not hypothetical)."""
+    norm would cost O(dim²) per row (measured, not hypothetical).
+
+    A zero vector normalizes to ITSELF (all zeros — divisor coalesced
+    to 1): it then scores 0 against everything downstream, matching
+    cosine()'s zero-vector contract instead of crashing ANSI division
+    (flat_corpus profile, r13)."""
     c = F.col(a) if isinstance(a, str) else a
-    rep = F.array_repeat(l2_norm(c), F.size(c))
+    safe = F.when(l2_norm(c) == 0, F.lit(1.0)).otherwise(l2_norm(c))
+    rep = F.array_repeat(safe, F.size(c))
     return F.zip_with(c, rep, lambda x, n: x.cast("double") / n)
 
 

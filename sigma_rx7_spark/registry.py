@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "sigma_rx7_spark.operators.graph",
     "sigma_rx7_spark.operators.linkage",
     "sigma_rx7_spark.operators.quality",
+    "sigma_rx7_spark.operators.tpch",
     "sigma_rx7_spark.sources.formats",
     "sigma_rx7_spark.sources.layout",
     "sigma_rx7_spark.sources.pydatasource",
@@ -89,74 +90,71 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 12 window. Composition (VERDICT r11 item 1 — the re-bank
-    # round): (a) the 9 round-12 additions on first exposure; (b) the
-    # 9 queries whose implementation or oracle changed this round
-    # (ADVICE fixes: funnel/attribution/transitions chunk-order
-    # concat, hourly-distinct within-watermark dedup, MCC kappa
-    # guard, band-join eps-cells, Ljung-Box df gate; the planner-
-    # derived SRP geometry + its composed recall audit); (c) ALL 31
-    # displaced r3-cohort names (rotation_candidates.py --age) whose
-    # newest external rows dated to r3, plus the stalest r4 name
-    # (q_agg_corr) in the one spare slot. After this round no
-    # registered query's latest external row is older than r4.
+    # Round 13 window. Composition (VERDICT r12 items 2/3): (a) the 22
+    # TPC-H suite additions on first exposure; (b) the 5 queries whose
+    # implementation or oracle changed this round (ADVICE fixes:
+    # divide-free IQR fences, kappa pe=1 guard, zero-overlap CCF lags;
+    # the LPA broadcast_labels guard; hourly-distinct state-store
+    # sizing); (c) the 23 stalest r4-cohort names
+    # (rotation_candidates.py --age). After this round the r4 re-bank
+    # debt is 24 names deep (the remaining r4 cohort heads the r14
+    # queue).
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # round-12 additions — first-exposure proof
-    "q_graph_communities",
-    "q_ts_periodogram",
-    "q_ts_cross_corr",
-    "q_agg_simpson",
-    "q_quality_iqr",
-    "q_sample_neyman",
-    "q_dedup_minhash_error",
-    "q_ml_operating_point",
-    "q_join_range_bin",
+    # round-13 additions — first-exposure proof (H1-H22)
+    "q_tpch_q01",
+    "q_tpch_q02",
+    "q_tpch_q03",
+    "q_tpch_q04",
+    "q_tpch_q05",
+    "q_tpch_q06",
+    "q_tpch_q07",
+    "q_tpch_q08",
+    "q_tpch_q09",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     # changed this round — re-proof
-    "q_stream_funnel",
-    "q_stream_attribution",
-    "q_stream_transitions",
-    "q_stream_hourly_distinct",
+    "q_quality_iqr",
     "q_ml_mcc",
-    "q_join_band",
-    "q_ts_ljung_box",
-    "q_dedup_cosine_lsh",
-    "q_dedup_recall_lsh",
-    # r3-cohort re-bank (31 names, displaced by the r11 window)
-    "q_agg_argmax",
-    "q_agg_pivot",
-    "q_agg_unpivot",
-    "q_agg_collect",
-    "q_agg_histogram",
-    "q_agg_anomaly",
-    "q_window_rank",
-    "q_window_latest",
-    "q_window_lag",
-    "q_window_frame",
-    "q_sort_topk",
-    "q_window_distribution",
-    "q_window_range_frame",
-    "q_resample_gapfill",
-    "q_fill_forward",
-    "q_sessionize_batch",
-    "q_rollup_timegrain",
-    "q_cohort_retention",
-    "q_funnel_steps",
-    "q_merge_upsert",
-    "q_set_union",
-    "q_set_except",
-    "q_set_intersect",
-    "q_nested_export",
-    "q_sim_topk_ivf",
-    "q_sim_topk_ivf_staged",
-    "q_dedup_simhash_md5",
-    "q_dedup_simhash_pairs",
-    "q_dedup_clusters_lsh",
-    "q_udtf_sentences",
-    "q_domain_fhir_export",
-    # stalest r4 name in the spare slot
-    "q_agg_corr",
+    "q_ts_cross_corr",
+    "q_graph_communities",
+    "q_stream_hourly_distinct",
+    # r4-cohort re-bank (23 stalest names)
+    "q_agg_mode",
+    "q_agg_keyskew",
+    "q_agg_cube",
+    "q_agg_mad",
+    "q_agg_cooccurrence",
+    "q_agg_histogram_eqdepth",
+    "q_agg_kmv_distinct",
+    "q_window_rolling_dau",
+    "q_graph_triangles",
+    "q_graph_reachability",
+    "q_window_ema",
+    "q_window_rolling_median",
+    "q_interp_linear",
+    "q_window_twap",
+    "q_merge_agg_incremental",
+    "q_merge_snapshot_diff",
+    "q_merge_scd2",
+    "q_merge_cdc_apply",
+    "q_join_scd2_asof",
+    "q_quality_audit",
+    "q_join_bucketed",
+    "q_join_dpp",
+    "q_source_schema_merge",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -1365,3 +1365,47 @@ def test_weighted_median_windows_run_at_value_grain(spark, sf_dir):
     for cols in blocks:
         assert "l_quantity#" not in cols, cols
         assert not re.search(r"(?<![a-z_])wt#", cols), cols
+
+
+def test_tpch_q19_extracts_common_equi_conjunct(spark, sf_dir):
+    """H19: the disjunction-of-conjunctions predicate shares the
+    p_partkey = l_partkey equi-conjunct across all three OR arms —
+    Catalyst must extract it into a hash join, not degrade to a
+    nested-loop cross over lineitem x part."""
+    p = plan(spark, sf_dir, "q_tpch_q19")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
+        or "ShuffledHashJoin" in p
+
+
+def test_tpch_q06_pushes_every_predicate_to_the_scan(spark, sf_dir):
+    """H6 is the pushdown benchmark: the ship-date window, discount
+    band, and quantity cap must all reach the parquet scan, and the
+    scan must read only the four referenced columns."""
+    p = plan(spark, sf_dir, "q_tpch_q06")
+    head = p.split("ReadSchema")[0]
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in head
+    schema = p.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"):
+        assert col in schema
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_tpch_q05_joins_without_cartesian(spark, sf_dir):
+    """H5: the 6-way join with the non-tree c_nationkey = s_nationkey
+    edge must plan as pure equi joins (dimension legs broadcast)."""
+    p = plan(spark, sf_dir, "q_tpch_q05")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q21_anti_join_is_hashable(spark, sf_dir):
+    """H21: the CTE-factored lateness relation keeps both correlated
+    probes equality-only, so EXISTS/NOT EXISTS plan as semi/anti hash
+    joins, never nested loops."""
+    p = plan(spark, sf_dir, "q_tpch_q21")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

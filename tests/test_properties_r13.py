@@ -120,3 +120,19 @@ def test_iqr_fence_division_free_boundary(spark, sf_dir):
         n_high = sum(1 for v in vals if 2 * (v - q3) > iqr3)
         assert got[seg]["n_low"] == n_low, seg
         assert got[seg]["n_high"] == n_high, seg
+
+
+def test_tpch_texts_never_alias_table_tokens():
+    # The engine runner rewrites bare table tokens into sf-keyed view
+    # names; a text that ALSO uses a table name as a column alias gets
+    # its output schema mangled (caught live: Q9's "AS nation").
+    import re
+
+    from sigma_rx7_spark.operators import tpch
+
+    texts = {k: v for k, v in vars(tpch).items()
+             if re.fullmatch(r"_Q\d\d", k)}
+    assert len(texts) == 22
+    for qname, sql in texts.items():
+        for t in tpch._TPCH_TABLES:
+            assert not re.search(rf"\bAS\s+{t}\b", sql, re.I), (qname, t)
