@@ -205,6 +205,12 @@ HEADLINE_COMPACT_EXCLUDE = {
     # staged twin amortizes; q_sim_topk_ivf_staged is the line's
     # similarity-serve representative now. Still timed in detail.
     "q_sim_topk_ivf",
+    # r13: two more cheap-stable entries (sub-0.5 s mins, floor-noise
+    # spreads across r11-r13) to detail-only, holding the line ~1670
+    # of the 1900-byte cap after the 6 TPC-H/staged-IVF additions;
+    # merge keeps q_merge_upsert on the line, drift keeps q_drift_cvm.
+    "q_merge_scd2",
+    "q_drift_wasserstein",
 }
 
 # Queries whose recorded rep-to-rep spread exceeded 1 s in round 8

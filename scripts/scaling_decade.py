@@ -64,6 +64,11 @@ NAMES = [
     # range-bin 4.11, minhash-error 8.13 — candidate-volume-bound by
     # design)
     "q_graph_communities", "q_join_range_bin", "q_dedup_minhash_error",
+    # r13: the TPC-H headline shapes over the v4 relational synth
+    # (orders/customer 10x, catalog verbatim — Q5/Q9/Q18/Q21 exercise
+    # the synthesized fact side; Q1 is the pure-scan anchor)
+    "q_tpch_q01", "q_tpch_q05", "q_tpch_q09", "q_tpch_q18",
+    "q_tpch_q21",
 ]
 
 VOWELS = "aeiou"
