@@ -2029,10 +2029,45 @@ NDCG_REL_CAP = 3  # graded relevance = min(raw tf, cap)
 NDCG_TERMS = (SEARCH_TERM_A, SEARCH_TERM_B, "data")
 
 
-def _ndcg_oracle() -> str:
+def bm25_graded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, rel, s): the BM25-scored candidate relation with
+    graded weak labels — ONE builder shared by every ranked-retrieval
+    eval (q_text_ndcg, q_text_mrr), the q_ml_eval-family discipline
+    (evals that share a core can never score different rankings).
+    Scale shape: tokenize once, query-term filter pushed below the tf
+    aggregate, 1-3-row df/corpus relations broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    tf = (toks.where(F.col("term").isin(*NDCG_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5)).cast(QDEC).cast("double"))
+    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+             + BM25_B * F.col("dl") / F.col("avgdl")))
+    s = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    return (tf.join(dl, "doc_id")
+            .join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(corpus))
+            .select("term", "doc_id",
+                    F.least(F.col("tf"), F.lit(NDCG_REL_CAP))
+                    .alias("rel"),
+                    s.alias("s")))
+
+
+def _bm25_scored_ctes() -> str:
+    """The shared tokenize→tf→df→BM25-score CTE chain up to `scored`
+    (term, doc_id, rel, s) — ONE text for every ranked-retrieval-eval
+    oracle (NDCG, MRR) so the evals can never score different
+    rankings."""
     terms = ", ".join(f"'{t}'" for t in NDCG_TERMS)
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, u.word AS term
       FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
       WHERE u.word <> ''
@@ -2061,7 +2096,12 @@ def _ndcg_oracle() -> str:
       JOIN dl ON tf.doc_id = dl.doc_id
       JOIN df ON tf.term = df.term
       CROSS JOIN corpus
-    ), ranked AS (
+    )"""
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_ctes()}, ranked AS (
       SELECT term, rel,
              ROW_NUMBER() OVER (PARTITION BY term
                ORDER BY CAST(s AS DECIMAL(20,6)) DESC, doc_id) AS pos,
@@ -2118,29 +2158,7 @@ def q_text_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal grid so both engines agree on ties. Per-position gain
     terms pass through ln twice → 9-dp-quantized before the per-term
     fold; NDCG itself is one 6-dp division."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
-    tf = (toks.where(F.col("term").isin(*NDCG_TERMS))
-          .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-                 / (F.col("df") + 0.5)).cast(QDEC).cast("double"))
-    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
-             + BM25_B * F.col("dl") / F.col("avgdl")))
-    s = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
-    scored = (tf.join(dl, "doc_id")
-              .join(F.broadcast(df), "term")
-              .crossJoin(F.broadcast(corpus))
-              .select("term", "doc_id",
-                      F.least(F.col("tf"), F.lit(NDCG_REL_CAP))
-                      .alias("rel"),
-                      s.alias("s")))
+    scored = bm25_graded_candidates(spark, sf_dir)
     wrank = Window.partitionBy("term").orderBy(
         F.col("s").cast("decimal(20,6)").desc(), "doc_id")
     wideal = Window.partitionBy("term").orderBy(
@@ -2174,3 +2192,79 @@ def q_text_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("idcg").cast("double"))
                    .cast("decimal(18,6)").cast("double")).alias("ndcg")
     ).orderBy("term")
+
+
+# ---- MRR / hit-rate ranked-retrieval evaluation (L3x) ------------------------
+
+MRR_K = 10
+MRR_REL_MIN = 2  # binary relevance = graded rel >= 2 (tf >= 2)
+
+
+def _mrr_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_ctes()}, ranked AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY CAST(s AS DECIMAL(20,6)) DESC, doc_id) AS pos,
+             COUNT(*) OVER (PARTITION BY term) AS n_candidates
+      FROM scored
+    )
+    SELECT term,
+           CAST(MAX(n_candidates) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN rel >= {MRR_REL_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_relevant,
+           CAST(MIN(CASE WHEN rel >= {MRR_REL_MIN} THEN pos END)
+                AS BIGINT) AS first_rel_pos,
+           CASE WHEN MIN(CASE WHEN rel >= {MRR_REL_MIN} THEN pos END)
+                  IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(CAST(1.0 / MIN(CASE WHEN rel >= {MRR_REL_MIN}
+                                         THEN pos END)
+                AS DECIMAL(18,6)) AS DOUBLE) END AS reciprocal_rank,
+           COALESCE(MIN(CASE WHEN rel >= {MRR_REL_MIN} THEN pos END)
+                    <= {MRR_K}, FALSE) AS hit_at_k
+    FROM ranked
+    GROUP BY term
+    ORDER BY term
+    """
+
+
+@query("q_text_mrr", oracle=_mrr_oracle(), tags=("L3x", "search", "mrr"))
+def q_text_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + HIT@{MRR_K} OF THE BM25 RANKER, per query term — the
+    first-relevant-result member of the retrieval-eval family: NDCG
+    (L3w) scores the whole top-{NDCG_K} ordering, MRR scores only how
+    FAST the ranking reaches something relevant (the navigational /
+    RAG-retrieval number: a context builder that takes the first hit
+    cares about rank-of-first-hit, not graded ordering below it), and
+    hit@{MRR_K} is the recall-style boolean a retrieval SLA alerts on.
+    Binary relevance = graded rel ≥ {MRR_REL_MIN} (the same weak tf
+    labels as NDCG, thresholded).
+
+    Same scored relation as q_text_ndcg via bm25_graded_candidates —
+    one builder, the evals can never rank differently. A term with no
+    relevant candidate reports first_rel_pos NULL, reciprocal_rank 0.0
+    and hit FALSE (never-NULL boolean, the pandas NaN-boolean gate
+    hazard). Scale: the ranking window runs per term over term-filtered
+    candidates; the fold is |terms| rows."""
+    scored = bm25_graded_candidates(spark, sf_dir)
+    wrank = Window.partitionBy("term").orderBy(
+        F.col("s").cast("decimal(20,6)").desc(), "doc_id")
+    wterm = Window.partitionBy("term")
+    ranked = scored.select(
+        "term", "rel",
+        F.row_number().over(wrank).alias("pos"),
+        F.count(F.lit(1)).over(wterm).alias("n_candidates"))
+    rel_pos = F.min(F.when(F.col("rel") >= MRR_REL_MIN, F.col("pos")))
+    return (ranked.groupBy("term")
+            .agg(F.max("n_candidates").cast("bigint")
+                 .alias("n_candidates"),
+                 F.sum(F.when(F.col("rel") >= MRR_REL_MIN, 1)
+                       .otherwise(0)).cast("bigint").alias("n_relevant"),
+                 rel_pos.cast("bigint").alias("first_rel_pos"),
+                 F.when(rel_pos.isNull(), F.lit(0.0))
+                 .otherwise((F.lit(1.0) / rel_pos)
+                            .cast("decimal(18,6)").cast("double"))
+                 .alias("reciprocal_rank"),
+                 F.coalesce(rel_pos <= MRR_K, F.lit(False))
+                 .alias("hit_at_k"))
+            .orderBy("term"))

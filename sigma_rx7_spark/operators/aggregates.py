@@ -6096,3 +6096,161 @@ def q_agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (((F.col("diff") > 0) & (F.col("p_diff") < 0))
                         | ((F.col("diff") < 0) & (F.col("p_diff") > 0))))
                     .alias("reversed")))
+
+
+# ---- Second frequency moment / exact self-join size (A77) -------------------
+
+
+@query(
+    "q_agg_f2",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                AS BIGINT) AS self_join_size,
+           CAST(CAST(
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                  AS DOUBLE) * COUNT(*)
+             / (CAST(SUM(c) AS DOUBLE) * SUM(c))
+             AS DECIMAL(18,6)) AS DOUBLE) AS amplification
+    FROM counts
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A77", "sketch-family", "self-join-size"),
+)
+def q_agg_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND FREQUENCY MOMENT F₂ = Σ c_k² per event_type — the EXACT
+    self-join size on user_id, the number a join planner needs before
+    committing a self-join or a key-equality shuffle (A17's keyskew
+    profile reads the top keys; F₂ is the one-number integral of the
+    whole skew curve, and the quantity the AMS sketch estimates when
+    exact counting is too dear). amplification = F₂·d / n² is the
+    blow-up factor vs a uniform key distribution (1.0 = uniform;
+    10× means the self-join output is 10× what uniform keys would
+    produce — the salting trigger).
+
+    Exactness at scale: one partial/final count aggregate to the
+    (type, key) grain, then an edge-count-bounded fold; c² multiplies
+    in DECIMAL(19,0) (exact int128 path in both engines — a bigint c²
+    sum overflows at ~3·10⁹ rows/key, decimal never does at any
+    realistic corpus). One quantized division for the amplification."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("decimal(19,0)")
+    return (counts.groupBy("event_type")
+            .agg(F.sum("c").cast("bigint").alias("n_rows"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.sum(cd * cd).cast("bigint").alias("self_join_size"))
+            .select("event_type", "n_rows", "n_keys", "self_join_size",
+                    (F.col("self_join_size").cast("double")
+                     * F.col("n_keys")
+                     / (F.col("n_rows").cast("double")
+                        * F.col("n_rows")))
+                    .cast("decimal(18,6)").cast("double")
+                    .alias("amplification"))
+            .orderBy("event_type"))
+
+
+# ---- Value-at-risk / conditional tail expectation (A78) ----------------------
+
+CVAR_P_NUM = 95   # tail quantile as the exact rational 95/100 —
+CVAR_P_DEN = 100  # rank = ceil(p*n) stays in integer arithmetic
+
+
+@query(
+    "q_agg_cvar",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS segment, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    var AS (
+      SELECT segment, MAX(n) AS n,
+             MAX(CASE WHEN rk * {CVAR_P_DEN} >= {CVAR_P_NUM} * n
+                       AND (rk - 1) * {CVAR_P_DEN} < {CVAR_P_NUM} * n
+                      THEN v END) AS var_p
+      FROM ranked GROUP BY segment
+    )
+    SELECT v.segment,
+           CAST(v.n AS BIGINT) AS n_rows,
+           CAST(v.var_p AS DOUBLE) AS var95,
+           CAST(COUNT(*) AS BIGINT) AS tail_n,
+           CAST(SUM(CAST(r.v AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+             AS cvar95
+    FROM var v JOIN ranked r
+      ON r.segment = v.segment AND r.v >= v.var_p
+    GROUP BY v.segment, v.n, v.var_p
+    ORDER BY v.segment
+    """,
+    tags=("A78", "risk", "two-pass"),
+)
+def q_agg_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-AT-RISK + CONDITIONAL VaR (expected shortfall) per
+    segment: the exact {CVAR_P_NUM}th-percentile price (discrete
+    inverse-CDF rank, the A27/A30 definition) and the mean of the tail
+    at or above it — the pair every risk/SLA dashboard draws (VaR says
+    where the tail STARTS, CVaR says how bad it is ON AVERAGE once
+    entered; quantile alone under-states a heavy tail, which is CVaR's
+    whole reason to exist as the coherent risk measure).
+
+    Exactness at scale: the percentile comes from the A27/A30 two-pass
+    binning (one {{IQR_BINS}}-bin histogram per segment, rank-in-bin
+    selection on only the target bin's rows — no global sort); the
+    rank compare rk·{CVAR_P_DEN} ≥ {CVAR_P_NUM}·n stays in integer
+    arithmetic (no float quantile index). The tail mean is a second
+    fact aggregate against the broadcast 3-row VaR relation with the
+    standing decimal-sum discipline."""
+    from .quality import IQR_BINS
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("segment"),
+        F.col("l_extendedprice").alias("v"))
+    stats = li.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_lo"), F.max("v").alias("v_hi"))
+    span = F.col("v_hi") - F.col("v_lo")
+    bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("v_lo")) * IQR_BINS / span),
+        F.lit(IQR_BINS - 1))).cast("int")
+    binned = li.join(F.broadcast(stats), "segment") \
+        .select("segment", "v", bin_of.alias("bin"))
+    targets = stats.select(
+        "segment", "n",
+        F.ceil(F.col("n") * CVAR_P_NUM / CVAR_P_DEN).cast("bigint")
+        .alias("rk"))
+    hist = binned.groupBy("segment", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("segment").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    located = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+               .join(F.broadcast(targets), "segment")
+               .where((F.col("cum") >= F.col("rk"))
+                      & (F.col("cum") - F.col("cnt") < F.col("rk")))
+               .select("segment", "bin", "n",
+                       (F.col("rk") - (F.col("cum") - F.col("cnt")))
+                       .alias("offset")))
+    wbin = Window.partitionBy("segment").orderBy("v")
+    var_rel = (binned.join(F.broadcast(located), ["segment", "bin"])
+               .withColumn("rk_in_bin", F.row_number().over(wbin))
+               .where(F.col("rk_in_bin") == F.col("offset"))
+               .select("segment", "n", F.col("v").alias("var_p")))
+    return (li.join(F.broadcast(var_rel), "segment")
+            .where(F.col("v") >= F.col("var_p"))
+            .groupBy("segment")
+            .agg(F.max("n").cast("bigint").alias("n_rows"),
+                 F.max("var_p").cast("double").alias("var95"),
+                 F.count(F.lit(1)).cast("bigint").alias("tail_n"),
+                 (F.sum(F.col("v").cast("decimal(20,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("cvar95"))
+            .select("segment", "n_rows", "var95", "tail_n", "cvar95")
+            .orderBy("segment"))

@@ -2131,3 +2131,91 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("decimal(18,6)").cast("double")
                  .alias("outlier_rate"))
             .orderBy("segment"))
+
+
+# ---- Referential-integrity orphan audit (Q26) --------------------------------
+
+# The schema's FK edges: (edge name, child table, child key, parent
+# table, parent key). Adding an edge = one tuple; the audit shape is
+# edge-count-bounded, never data-shaped.
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def _orphan_oracle() -> str:
+    parts = []
+    for edge, child, ck, parent, pk in FK_EDGES:
+        parts.append(f"""
+    SELECT '{edge}' AS edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{ck})) AS n_orphans""")
+    return f"""
+    WITH per_edge AS ({' UNION ALL '.join(parts)})
+    SELECT edge, n_child, n_orphans,
+           CASE WHEN n_child = 0 THEN NULL
+                ELSE CAST(CAST(CAST(n_orphans AS DOUBLE) / n_child
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS orphan_rate,
+           n_orphans > 0 AS alert
+    FROM per_edge
+    ORDER BY edge
+    """
+
+
+@query("q_quality_orphans", oracle=_orphan_oracle(),
+       tags=("Q26", "quality", "referential-integrity"))
+def q_quality_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY ORPHAN AUDIT over every FK edge in the
+    schema: child rows whose key has no parent (the broken-ingest
+    signature a failed dimension load leaves behind — facts arrive,
+    their dimension doesn't, every downstream inner join silently
+    DROPS the orphans and the totals just quietly shrink). One row per
+    edge with the orphan count/rate and an alert flag; the audit that
+    belongs BEFORE the join-shaped queries this schema feeds (Q10/Q11
+    reconcile totals within a table; this checks the edges BETWEEN
+    tables).
+
+    Scale: per edge, one LEFT ANTI join of the child keys against the
+    (dimension-sized, broadcastable) parent key relation, pre-collapsed
+    to DISTINCT child keys so the anti join moves keys, not fact rows;
+    orphan counts then rejoin the per-key multiplicity. All seven edges
+    fold into one union of edge-count-bounded 1-row aggregates. The
+    alert boolean is never-NULL (the pandas NaN-boolean gate hazard);
+    the rate carries the n_child = 0 ANSI guard."""
+    out = None
+    for edge, child, ck, parent, pk in FK_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")) \
+            .distinct()
+        keys = c.groupBy("k").agg(F.count(F.lit(1)).alias("mult"))
+        orphans = (keys.join(F.broadcast(p), "k", "left_anti")
+                   .agg(F.coalesce(F.sum("mult"), F.lit(0))
+                        .cast("bigint").alias("n_orphans")))
+        total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        row = (total.crossJoin(orphans)
+               .select(F.lit(edge).alias("edge"), "n_child",
+                       "n_orphans"))
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "edge", "n_child", "n_orphans",
+        F.when(F.col("n_child") == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("n_orphans").cast("double")
+                    / F.col("n_child"))
+                   .cast("decimal(18,6)").cast("double"))
+        .alias("orphan_rate"),
+        (F.col("n_orphans") > 0).alias("alert")).orderBy("edge")

@@ -125,13 +125,22 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    # changed this round — re-proof
+    # round-13 additions, second batch — first exposure
+    "q_quality_orphans",
+    "q_agg_f2",
+    "q_agg_cvar",
+    "q_stream_hourly_distinct_approx",
+    "q_text_mrr",
+    # changed this round — re-proof (ndcg: scored relation extracted
+    # into the shared bm25_graded_candidates builder)
     "q_quality_iqr",
     "q_ml_mcc",
     "q_ts_cross_corr",
     "q_graph_communities",
     "q_stream_hourly_distinct",
-    # r4-cohort re-bank (23 stalest names)
+    "q_text_ndcg",
+    # r4-cohort re-bank (17 stalest names; the remaining r4 cohort
+    # heads the r14 queue — rotation_candidates.py --age)
     "q_agg_mode",
     "q_agg_keyskew",
     "q_agg_cube",
@@ -149,12 +158,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_merge_agg_incremental",
     "q_merge_snapshot_diff",
     "q_merge_scd2",
-    "q_merge_cdc_apply",
-    "q_join_scd2_asof",
-    "q_quality_audit",
-    "q_join_bucketed",
-    "q_join_dpp",
-    "q_source_schema_merge",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -1550,3 +1550,68 @@ def q_stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("window.start").alias("hour_start"),
                        "n_users"))
         return run_to_memory(agg, "stream_hourly_distinct")
+
+
+# ---- T19: streaming approximate distinct per window (T18's sketch twin) ----
+
+HLL_RSD = 0.05       # approx_count_distinct relative standard deviation
+HLL_TOL_PCT = 15     # relative gate term: 15% of exact (3 rsd)
+HLL_TOL_ABS = 2      # additive slack: a single sparse-mode hash
+                     # collision at n=4 is a 25% relative error
+                     # (measured 3 hours of 673 at sf0.01) — tiny
+                     # cardinalities need an absolute term, the
+                     # standard sketch-gate shape |a-e| <= abs + rel*e
+
+
+@query(
+    "q_stream_hourly_distinct_approx",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS approx_ok
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("T19", "streaming", "sketch-family", "hll"),
+)
+def q_stream_hourly_distinct_approx(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """STREAMING HOURLY DISTINCT PURCHASERS, SKETCH PATH — the
+    relaxation T18's honest-exact cost note keeps pointing at: ONE
+    watermarked windowed aggregate carrying an HLL++ sketch
+    (approx_count_distinct, rsd {HLL_RSD}) instead of T18's two state
+    stores — state is one fixed-size sketch per open window (KB,
+    independent of key cardinality) versus one row per distinct key,
+    which is the entire trade at 10⁹ keys/hour.
+
+    Oracle-gated by the sketch convention (A4/A21 precedent): the
+    output carries the EXACT count (batch-recomputed — HLL++ is
+    hash-based and order/partition-insensitive, so the streamed sketch
+    equals the batch sketch on the same rows) plus a deterministic
+    tolerance boolean |approx − exact| ≤ {HLL_TOL_ABS} +
+    {HLL_TOL_PCT}%·exact (relative = 3 rsd; the absolute term covers
+    sparse-mode hash collisions at tiny per-window cardinalities);
+    the oracle asserts TRUE. The boolean is never-NULL and exact > 0
+    by construction (a window exists only if a row arrived), so the
+    gate is ANSI-safe."""
+    with stream_state_partitions(spark):
+        ev = (read_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "purchase")
+              .withWatermark("ts", "1 hour"))
+        agg = (ev.groupBy(F.window("ts", "1 hour"))
+               .agg(F.approx_count_distinct("user_id", HLL_RSD)
+                    .alias("n_approx"))
+               .select(F.col("window.start").alias("hour_start"),
+                       "n_approx"))
+        streamed = run_to_memory(agg, "stream_hourly_distinct_approx")
+    exact = (load(spark, sf_dir, "events")
+             .where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("hour", F.col("ts"))
+                      .alias("hour_start"))
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("n_users")))
+    err100 = 100 * F.abs(F.col("n_approx") - F.col("n_users"))
+    bound = 100 * HLL_TOL_ABS + HLL_TOL_PCT * F.col("n_users")
+    return (exact.join(streamed, "hour_start")
+            .select("hour_start", "n_users",
+                    (err100 <= bound).alias("approx_ok")))

@@ -136,3 +136,122 @@ def test_tpch_texts_never_alias_table_tokens():
     for qname, sql in texts.items():
         for t in tpch._TPCH_TABLES:
             assert not re.search(rf"\bAS\s+{t}\b", sql, re.I), (qname, t)
+
+
+def test_f2_matches_python_counter_replay(spark, sf_dir):
+    # A77: naive-model check — F2 per event_type recomputed with a
+    # plain Counter; amplification recomputed from the same integers.
+    from collections import Counter
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.operators.aggregates import q_agg_f2
+
+    got = {r["event_type"]: r for r in q_agg_f2(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "events") \
+        .select("event_type", "user_id").collect()
+    per_type: dict[str, Counter] = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], Counter())[r["user_id"]] += 1
+    assert set(got) == set(per_type)
+    for et, cnt in per_type.items():
+        n = sum(cnt.values())
+        f2 = sum(c * c for c in cnt.values())
+        assert got[et]["n_rows"] == n
+        assert got[et]["n_keys"] == len(cnt)
+        assert got[et]["self_join_size"] == f2
+        amp = f2 * len(cnt) / (n * n)
+        assert abs(got[et]["amplification"] - amp) < 1e-5, et
+        assert got[et]["amplification"] >= 0.999999  # >= uniform
+
+
+def test_cvar_matches_decimal_replay(spark, sf_dir):
+    # A78: exact VaR rank + tail mean replayed in Python decimal.
+    from decimal import Decimal
+
+    import math
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.operators.aggregates import q_agg_cvar
+
+    got = {r["segment"]: r for r in q_agg_cvar(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice").collect()
+    by_seg: dict[str, list] = {}
+    for r in li:
+        by_seg.setdefault(r["l_returnflag"], []).append(
+            Decimal(str(r["l_extendedprice"])))
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        var = vals[math.ceil(0.95 * n) - 1]
+        tail = [v for v in vals if v >= var]
+        assert got[seg]["n_rows"] == n
+        assert Decimal(str(got[seg]["var95"])) == var
+        assert got[seg]["tail_n"] == len(tail)
+        cvar = float(sum(tail)) / len(tail)
+        assert abs(got[seg]["cvar95"] - cvar) < 1e-6, seg
+        # CVaR dominates VaR by construction (tail mean >= its floor)
+        assert got[seg]["cvar95"] >= got[seg]["var95"]
+
+
+def test_mrr_consistent_with_ndcg_candidates(spark, sf_dir):
+    # L3x: same candidate relation as NDCG (one-builder discipline),
+    # and the per-term outputs are internally consistent.
+    from sigma_rx7_spark.functions.text import (
+        MRR_K, q_text_mrr, q_text_ndcg)
+
+    mrr = {r["term"]: r for r in q_text_mrr(spark, sf_dir).collect()}
+    ndcg = {r["term"]: r for r in q_text_ndcg(spark, sf_dir).collect()}
+    assert set(mrr) == set(ndcg)
+    for t, r in mrr.items():
+        assert r["n_candidates"] == ndcg[t]["n_candidates"], t
+        assert r["hit_at_k"] is not None  # never-NULL boolean
+        if r["first_rel_pos"] is None:
+            assert r["reciprocal_rank"] == 0.0 and not r["hit_at_k"]
+        else:
+            assert r["n_relevant"] >= 1
+            assert abs(r["reciprocal_rank"]
+                       - 1.0 / r["first_rel_pos"]) < 1e-6
+            assert r["hit_at_k"] == (r["first_rel_pos"] <= MRR_K)
+
+
+def test_orphan_audit_counts_injected_orphans(spark, sf_dir, tmp_path):
+    # Q26: inject two lineitem rows pointing at a nonexistent order and
+    # one at a nonexistent part; every other edge stays clean.
+    import glob
+    import shutil
+
+    from sigma_rx7_spark.io import TABLES, load
+    from sigma_rx7_spark.operators.quality import q_quality_orphans
+
+    for t in TABLES:
+        if t == "lineitem":
+            continue
+        shutil.copy(f"{sf_dir}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    li = load(spark, sf_dir, "lineitem")
+    base = li.limit(1).collect()[0].asDict()
+    crafted = []
+    for i, (ok, pk) in enumerate([(10**9, base["l_partkey"]),
+                                  (10**9, base["l_partkey"]),
+                                  (base["l_orderkey"], 10**9)]):
+        row = dict(base)
+        row.update(l_orderkey=ok, l_partkey=pk,
+                   l_linenumber=900 + i)
+        crafted.append(row)
+    patched = li.unionByName(spark.createDataFrame(crafted, li.schema))
+    stage = str(tmp_path / "_li")
+    patched.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "lineitem.parquet"))
+
+    got = {r["edge"]: r
+           for r in q_quality_orphans(spark, str(tmp_path)).collect()}
+    assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 2
+    assert got["lineitem.l_orderkey->orders"]["alert"]
+    assert got["lineitem.l_partkey->part"]["n_orphans"] == 1
+    assert got["orders.o_custkey->customer"]["n_orphans"] == 0
+    assert not got["orders.o_custkey->customer"]["alert"]
+    clean = {r["edge"]: r
+             for r in q_quality_orphans(spark, sf_dir).collect()}
+    assert all(v["n_orphans"] == 0 and not v["alert"]
+               for v in clean.values())
