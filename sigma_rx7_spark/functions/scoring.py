@@ -17,7 +17,7 @@ and DuckDB), so any aggregated score goes through decimal quantization
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import o_davg, q
@@ -492,3 +492,124 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_distinct_tokens"),
                  F.sum("sgn").cast("bigint").alias("signed_sum"))
             .orderBy("bucket"))
+
+
+# ---- Information-gain feature ranking (A79) ----------------------------------
+
+IG_BANDS = (200, 350, 500)  # n_chars band edges (probed quartile-ish)
+
+
+def _ig_ent_sql(p: str) -> str:
+    """-(p·ln p + (1-p)·ln(1-p)) with each libm ln 9-dp-quantized
+    (compat hazard 2) and the p∈{0,1} limits hard-zeroed."""
+    return f"""CASE WHEN ({p}) <= 0.0 OR ({p}) >= 1.0 THEN 0.0
+           ELSE -(({p}) * CAST(CAST(ln({p}) AS DECIMAL(18,9)) AS DOUBLE)
+                  + (1.0 - ({p}))
+                    * CAST(CAST(ln(1.0 - ({p})) AS DECIMAL(18,9))
+                           AS DOUBLE)) END"""
+
+
+def _ig_oracle() -> str:
+    lo, mid, hi = IG_BANDS
+    band = (f"CASE WHEN n_chars < {lo} THEN 'lt{lo}' "
+            f"WHEN n_chars < {mid} THEN 'lt{mid}' "
+            f"WHEN n_chars < {hi} THEN 'lt{hi}' ELSE 'ge{hi}' END")
+    p_b = "CAST(pos_b AS DOUBLE) / n_b"
+    p_g = "CAST(SUM(pos_b) AS DOUBLE) / SUM(n_b)"
+    per_feature = []
+    for fname, expr in (("n_chars_band", band), ("source", "source")):
+        per_feature.append(f"""
+    SELECT '{fname}' AS feature, n_bands, h_label, h_cond,
+           CAST(CAST(h_label - h_cond AS DECIMAL(18,6)) AS DOUBLE)
+             AS info_gain,
+           CASE WHEN h_label = 0.0 THEN NULL
+                ELSE CAST(CAST((h_label - h_cond) / h_label
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS ig_ratio
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bands,
+             CAST(CAST({_ig_ent_sql(p_g)}
+                  AS DECIMAL(18,6)) AS DOUBLE) AS h_label,
+             CAST(CAST(CAST(SUM(CAST(
+               (CAST(n_b AS DOUBLE) / n)
+               * ({_ig_ent_sql(p_b)}) AS DECIMAL(27,9))) AS DOUBLE)
+               AS DECIMAL(18,6)) AS DOUBLE) AS h_cond
+      FROM (
+        SELECT b, n_b, pos_b, SUM(n_b) OVER () AS n
+        FROM (
+          SELECT {expr} AS b, COUNT(*) AS n_b,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_b
+          FROM documents GROUP BY 1
+        ) bands0
+      ) bands
+    ) folded""")
+    return f"""
+    SELECT * FROM ({' UNION ALL '.join(per_feature)})
+    ORDER BY feature
+    """
+
+
+@query("q_feature_infogain", oracle=_ig_oracle(),
+       tags=("A79", "ml-feature", "information-gain"))
+def q_feature_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION GAIN of two candidate features against the binary
+    language label — the decision-stump feature ranking that complements
+    X7's WOE/IV (monotone evidence weight) with the ENTROPY view a tree
+    split uses: IG = H(y) − Σ_b (n_b/n)·H(y|b), plus the normalized
+    ratio IG/H(y) so features compare across label skews. Features:
+    the banded n_chars length (edges {IG_BANDS}) and the source
+    column — length should carry signal (quality_features' x2 is its
+    continuous twin), source is the leakage check (a high IG on source
+    means the label is confounded with provenance, the split-leakage
+    hazard L5d audits).
+
+    Determinism: every libm ln is 9-dp-quantized before use (compat
+    hazard 2); the per-band conditional-entropy terms quantize to
+    DECIMAL(27,9) BEFORE the band fold so the sum is order-insensitive;
+    band probabilities are exact-integer divisions (deterministic
+    IEEE). Scale: one conditional-aggregate scan per feature to ≤
+    |bands| rows, a window-free fold, catalog-bounded union. The
+    p∈{{0,1}} entropy limits are hard zeros (ANSI ln(0) guard, the
+    flat-corpus discipline)."""
+    lo, mid, hi = IG_BANDS
+    d = load(spark, sf_dir, "documents")
+    band = (F.when(F.col("n_chars") < lo, f"lt{lo}")
+            .when(F.col("n_chars") < mid, f"lt{mid}")
+            .when(F.col("n_chars") < hi, f"lt{hi}")
+            .otherwise(f"ge{hi}"))
+
+    def ent(p):
+        q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+        return F.when((p <= 0.0) | (p >= 1.0), F.lit(0.0)) \
+            .otherwise(-(p * q9(F.log(p))
+                         + (F.lit(1.0) - p) * q9(F.log(F.lit(1.0) - p))))
+
+    out = None
+    for fname, expr in (("n_chars_band", band), ("source", F.col("source"))):
+        bands = d.groupBy(expr.alias("b")).agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .alias("pos_b"))
+        wall = Window.partitionBy()
+        p_b = F.col("pos_b").cast("double") / F.col("n_b")
+        term = ((F.col("n_b").cast("double")
+                 / F.sum("n_b").over(wall)) * ent(p_b)) \
+            .cast("decimal(27,9)")
+        folded = (bands.select("n_b", "pos_b", term.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+                       ent(F.sum("pos_b").cast("double") / F.sum("n_b"))
+                       .cast("decimal(18,6)").cast("double")
+                       .alias("h_label"),
+                       F.sum("t").cast("double")
+                       .cast("decimal(18,6)").cast("double")
+                       .alias("h_cond")))
+        row = folded.select(
+            F.lit(fname).alias("feature"), "n_bands", "h_label", "h_cond",
+            (F.col("h_label") - F.col("h_cond"))
+            .cast("decimal(18,6)").cast("double").alias("info_gain"),
+            F.when(F.col("h_label") == 0.0, F.lit(None).cast("double"))
+            .otherwise(((F.col("h_label") - F.col("h_cond"))
+                        / F.col("h_label"))
+                       .cast("decimal(18,6)").cast("double"))
+            .alias("ig_ratio"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("feature")

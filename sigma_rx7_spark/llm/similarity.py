@@ -1237,3 +1237,64 @@ def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= TOP_K))
+
+
+# ---- Exact cosine radius search (L2o) ---------------------------------------
+
+RADIUS_TAU = 0.25  # dyadic literal: bit-identical as double in both engines
+
+
+@query(
+    "q_sim_radius",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS nv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS c_id, nv AS c_nv FROM n WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT q_id, c_id,
+           list_inner_product(q_nv, c_nv) AS cos_sim
+    FROM q CROSS JOIN c
+    WHERE list_inner_product(q_nv, c_nv) >= {RADIUS_TAU}
+    ORDER BY q_id, c_id
+    """,
+    tags=("L2o", "similarity", "radius"),
+)
+def q_sim_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COSINE RADIUS SEARCH: every corpus vector within
+    cos ≥ {RADIUS_TAU} of each probe — the RANGE-QUERY member of the
+    similarity family (top-k answers "the 10 nearest whatever their
+    quality"; radius answers "everything actually similar", the shape
+    semantic dedup, near-duplicate retrieval, and RAG filtering
+    actually want when match COUNT is unknown a priori). Unlike top-k
+    the result size is data-driven, so the per-probe match count is
+    the capacity signal an index planner reads before choosing k.
+
+    Exactness: the same bit-equal normalized-dot construction as
+    q_sim_topk (one engine-identical fold per pair), and the threshold
+    {RADIUS_TAU} is dyadic — no float literal can straddle the engines
+    (r8 lesson). Scale: corpus never shuffles (probes broadcast,
+    threshold applied task-side so only matches leave the scan);
+    output bounded by the match set, no window, no sort at the fact
+    grain. The IVF-pruned variant of this predicate is the staged
+    index's cell filter; this exact form is its recall anchor."""
+    e = load(spark, sf_dir, "embeddings")
+    qn = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        normalized("embedding").alias("q_nv"))
+    cn = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        normalized("embedding").alias("c_nv"))
+    return (cn.crossJoin(F.broadcast(qn))
+            .select("q_id", "c_id",
+                    dot("q_nv", "c_nv").alias("cos_sim"))
+            .where(F.col("cos_sim") >= RADIUS_TAU)
+            .orderBy("q_id", "c_id"))

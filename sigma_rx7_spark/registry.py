@@ -132,6 +132,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_cvar",
     "q_stream_hourly_distinct_approx",
     "q_text_mrr",
+    "q_sim_radius",
+    "q_feature_infogain",
     # changed this round — re-proof (ndcg: scored relation extracted
     # into the shared bm25_graded_candidates builder)
     "q_quality_iqr",
@@ -140,8 +142,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_graph_communities",
     "q_stream_hourly_distinct",
     "q_text_ndcg",
-    # r4-cohort re-bank (17 stalest names; the remaining r4 cohort
-    # heads the r14 queue — rotation_candidates.py --age)
+    # r4-cohort re-bank (the 14 stalest names that fit after the
+    # round's 28 first-exposure + 6 changed slots; the remaining r4
+    # cohort heads the r14 queue — rotation_candidates.py --age)
     "q_agg_mode",
     "q_agg_keyskew",
     "q_agg_cube",
@@ -156,8 +159,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_rolling_median",
     "q_interp_linear",
     "q_window_twap",
-    "q_merge_agg_incremental",
-    "q_merge_snapshot_diff",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

@@ -299,3 +299,85 @@ def test_pk_audit_counts_injected_duplicates(spark, sf_dir, tmp_path):
     # every single-column key passes on clean data
     assert all(v["is_unique"] for t, v in clean.items()
                if t != "lineitem")
+
+
+def test_radius_matches_python_replay_and_topk(spark, sf_dir):
+    # L2o: naive replay of the radius set, plus family consistency —
+    # any top-k hit scoring >= tau must appear in the radius set.
+    import math
+
+    from sigma_rx7_spark.io import load
+    from sigma_rx7_spark.llm.similarity import (
+        N_QUERIES, RADIUS_TAU, q_sim_radius, q_sim_topk)
+
+    got = {(r["q_id"], r["c_id"]): r["cos_sim"]
+           for r in q_sim_radius(spark, sf_dir).collect()}
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in load(spark, sf_dir, "embeddings").collect()}
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    qs = {i: unit(vecs[i]) for i in vecs if i < N_QUERIES}
+    cs = {i: unit(vecs[i]) for i in vecs if i >= N_QUERIES}
+    want = {}
+    for qi, qv in qs.items():
+        for ci, cv in cs.items():
+            s = sum(a * b for a, b in zip(qv, cv))
+            if s >= RADIUS_TAU - 1e-9:
+                want[(qi, ci)] = s
+    # float-fold order differs between the replay and the engine, so
+    # compare sets with a tolerance band around tau and values loosely
+    sure = {k for k, v in want.items() if v >= RADIUS_TAU + 1e-9}
+    assert sure <= set(got)
+    for k in got:
+        assert k in want, k
+        assert abs(got[k] - want[k]) < 1e-9
+    topk = q_sim_topk(spark, sf_dir).collect()
+    for r in topk:
+        if r["cos_sim"] >= RADIUS_TAU:
+            assert (r["q_id"], r["c_id"]) in got
+
+
+def test_infogain_matches_python_replay(spark, sf_dir):
+    # A79: recompute H(y), H(y|b), IG with plain math on Counters.
+    import math
+    from collections import Counter
+
+    from sigma_rx7_spark.functions.scoring import (
+        IG_BANDS, q_feature_infogain)
+    from sigma_rx7_spark.io import load
+
+    lo, mid, hi = IG_BANDS
+    rows = load(spark, sf_dir, "documents") \
+        .select("n_chars", "source", "lang").collect()
+
+    def band(nc):
+        return ("lt%d" % lo if nc < lo else "lt%d" % mid if nc < mid
+                else "lt%d" % hi if nc < hi else "ge%d" % hi)
+
+    def ent(p):
+        if p <= 0.0 or p >= 1.0:
+            return 0.0
+        return -(p * math.log(p) + (1 - p) * math.log(1 - p))
+
+    got = {r["feature"]: r
+           for r in q_feature_infogain(spark, sf_dir).collect()}
+    for fname, key in (("n_chars_band", lambda r: band(r["n_chars"])),
+                       ("source", lambda r: r["source"])):
+        n_b: Counter = Counter()
+        pos_b: Counter = Counter()
+        for r in rows:
+            b = key(r)
+            n_b[b] += 1
+            pos_b[b] += 1 if r["lang"] == "en" else 0
+        n = sum(n_b.values())
+        h = ent(sum(pos_b.values()) / n)
+        h_cond = sum((n_b[b] / n) * ent(pos_b[b] / n_b[b]) for b in n_b)
+        r = got[fname]
+        assert r["n_bands"] == len(n_b)
+        assert abs(r["h_label"] - h) < 1e-5, fname
+        assert abs(r["h_cond"] - h_cond) < 1e-5, fname
+        assert abs(r["info_gain"] - (h - h_cond)) < 1e-5, fname
+        assert r["info_gain"] >= -1e-6  # IG is non-negative
