@@ -110,9 +110,15 @@ def l2_norm(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     # a zero vector has no direction: its cosine to anything is 0 by
     # contract, not an ANSI DIVIDE_BY_ZERO (flat_corpus profile, r13) —
-    # dead on harness data (q_embed_audit pins norm_min > 0)
-    den = l2_norm(a) * l2_norm(b)
-    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
+    # dead on harness data (q_embed_audit pins norm_min > 0). The guard
+    # is a greatest() floor rather than when(den==0).otherwise(...):
+    # the CASE form textually references each O(dim) norm fold twice
+    # and only codegen subexpression elimination saves it (A/B showed
+    # CSE does fire here, but the floor needs no such rescue and reads
+    # one fold per side by construction); bit-exact for every nonzero
+    # den (greatest returns den itself; a zero dot over 1e-300 is +0.0)
+    den = F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-300))
+    return dot(a, b) / den
 
 
 def normalized(a: Column | str) -> Column:
@@ -126,13 +132,16 @@ def normalized(a: Column | str) -> Column:
     anything inside the lambda body re-evaluates per element — a nested
     norm would cost O(dim²) per row (measured, not hypothetical).
 
-    A zero vector normalizes to ITSELF (all zeros — divisor coalesced
-    to 1): it then scores 0 against everything downstream, matching
-    cosine()'s zero-vector contract instead of crashing ANSI division
-    (flat_corpus profile, r13)."""
+    A zero vector normalizes to ITSELF (all zeros): the divisor is
+    floored at 1e-300 with greatest() — preferred over a
+    when/otherwise whose condition would textually re-reference the
+    O(dim) norm fold and lean on codegen subexpression elimination to
+    dedupe it — so nonzero vectors divide by their exact norm
+    bit-identically and zero components stay +0.0 instead of crashing
+    ANSI division (flat_corpus profile, r13)."""
     c = F.col(a) if isinstance(a, str) else a
-    safe = F.when(l2_norm(c) == 0, F.lit(1.0)).otherwise(l2_norm(c))
-    rep = F.array_repeat(safe, F.size(c))
+    rep = F.array_repeat(F.greatest(l2_norm(c), F.lit(1e-300)),
+                         F.size(c))
     return F.zip_with(c, rep, lambda x, n: x.cast("double") / n)
 
 
