@@ -424,16 +424,26 @@ QF_ROUNDS = 2      # unrolled batch-GD rounds (q_ml_logreg_train discipline)
 from ..functions.text import EN_STOPWORDS  # noqa: E402
 
 _QF_NTOK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+# Zero-norm discipline (r14, VERDICT r13 item 3): the empty-document
+# guard is a greatest(ntok, 1) FLOOR on the divisor, not a CASE branch.
+# Value-equivalent because tokens() is whitespace-split: ntok = 0 forces
+# BOTH numerators to 0 (the stopword filter of an empty token list is
+# empty, and a zero-token text is all spaces so replace(text,' ','')
+# is ''), hence 0/1 = the 0.0 the old CASE returned — proven by the
+# flat_corpus degenerate profile and the eval-family property tests.
+# The CASE form cost ~0.35-0.45 s/query at sf0.1 across the 12-query
+# eval family: the conditional blocked subexpression elimination, so
+# the split+filter tokenization ran once per branch reference instead
+# of once per row (profiled r14; the sim family's r13 greatest() floor
+# rewrite set the precedent — llm/similarity.py:114).
 _QF_FEATURES = f"""
     f AS (
       SELECT doc_id, source, n_chars,
-             CASE WHEN {_QF_NTOK} = 0 THEN CAST(0.0 AS DOUBLE)
-             ELSE CAST(len(list_filter(string_split(text, ' '),
+             CAST(len(list_filter(string_split(text, ' '),
                   x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-               / {_QF_NTOK} END AS x1,
-             CASE WHEN {_QF_NTOK} = 0 THEN CAST(0.0 AS DOUBLE)
-             ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / {_QF_NTOK} / 10.0 END AS x2,
+               / greatest({_QF_NTOK}, 1) AS x1,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / greatest({_QF_NTOK}, 1) / 10.0 AS x2,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM documents
     )"""
@@ -513,19 +523,22 @@ def quality_features(d: DataFrame) -> DataFrame:
     """(doc_id, source, n_chars, x1, x2, y): the text features + weak
     label both model queries (fit/report and eval) share."""
     toks = tokens(F.col("text"))
-    ntok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     # an EMPTY document (ntok = 0) gets zero features instead of an
-    # ANSI DIVIDE_BY_ZERO — it stays in the fit as an uninformative
-    # row, mirrored in the oracle CTE; dead on harness data (min text
-    # length 48) and proven live by the flat_corpus degenerate profile
+    # ANSI DIVIDE_BY_ZERO via the greatest(ntok, 1) divisor floor —
+    # value-equivalent to the old CASE guard because whitespace
+    # tokenization makes ntok = 0 force both numerators to 0 (see the
+    # _QF_FEATURES note); dead on harness data (min text length 48),
+    # proven live by the flat_corpus degenerate profile. The floor
+    # keeps every expression unconditional so codegen shares ONE
+    # split+filter per row; the CASE form re-tokenized per branch
+    # reference (~0.35-0.45 s/query at sf0.1, profiled r14).
+    ntok = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     return d.select(
         "doc_id", "source", "n_chars",
-        F.when(ntok == 0, F.lit(0.0))
-        .otherwise(stop_hits.cast("double") / ntok).alias("x1"),
-        F.when(ntok == 0, F.lit(0.0))
-        .otherwise(F.length(F.regexp_replace("text", " ", ""))
-                   .cast("double") / ntok / F.lit(10.0)).alias("x2"),
+        (stop_hits.cast("double") / ntok).alias("x1"),
+        (F.length(F.regexp_replace("text", " ", ""))
+         .cast("double") / ntok / F.lit(10.0)).alias("x2"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
 

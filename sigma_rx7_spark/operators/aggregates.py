@@ -6224,10 +6224,16 @@ def q_agg_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(IQR_BINS - 1))).cast("int")
     binned = li.join(F.broadcast(stats), "segment") \
         .select("segment", "v", bin_of.alias("bin"))
+    # rank = ceil(n·NUM/DEN) computed as (n·NUM + DEN − 1) div DEN —
+    # PURE bigint arithmetic (ADVICE r13: F.ceil over `/` goes through
+    # double division, exact for 95/100 today but fragile if the
+    # quantile constants change to a ratio that rounds across an
+    # integer boundary; the oracle's rk·DEN ≥ NUM·n compare is integer,
+    # so the engine side must be too)
     targets = stats.select(
         "segment", "n",
-        F.ceil(F.col("n") * CVAR_P_NUM / CVAR_P_DEN).cast("bigint")
-        .alias("rk"))
+        F.expr(f"CAST((n * {CVAR_P_NUM} + {CVAR_P_DEN - 1}) "
+               f"DIV {CVAR_P_DEN} AS BIGINT)").alias("rk"))
     hist = binned.groupBy("segment", "bin").agg(
         F.count(F.lit(1)).alias("cnt"))
     wcum = Window.partitionBy("segment").orderBy("bin") \

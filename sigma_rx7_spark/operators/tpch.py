@@ -106,6 +106,19 @@ _TPCH_TABLES = ("partsupp", "lineitem", "orders", "customer",
                 "supplier", "part", "nation", "region")
 
 
+def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+    """re.sub that never rewrites inside single-quoted SQL literals
+    (ADVICE r13: a bare re.sub over the whole text would also rewrite
+    a table token inside a future predicate literal like
+    p_name LIKE '%part%', silently corrupting BOTH engine texts).
+    Splitting on the literal grammar ('' is the escaped quote) keeps
+    literals at odd indexes; substitution touches only the code
+    segments between them."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if i % 2 else re.sub(pattern, repl, p)
+                   for i, p in enumerate(parts))
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Execute a canonical TPC-H text: bind each referenced table token
     to an sf-keyed temp view (no cross-sf clobbering — resolution
@@ -121,7 +134,7 @@ def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             else:
                 df = load(spark, sf_dir, t)
             df.createOrReplaceTempView(view)
-            out = re.sub(rf"\b{t}\b", view, out)
+            out = _sub_outside_literals(rf"\b{t}\b", view, out)
     return spark.sql(out)
 
 
@@ -131,7 +144,7 @@ def _ps_oracle(sql: str):
     that always precedes the oracle in the driver's compare)."""
     def ora(sf_dir: str) -> str:
         rel = f"read_parquet('{_partsupp_path(sf_dir)}/*.parquet')"
-        return re.sub(r"\bpartsupp\b", rel, sql)
+        return _sub_outside_literals(r"\bpartsupp\b", rel, sql)
     return ora
 
 
