@@ -565,16 +565,22 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q14)
 
 
-# H15 / Q15 — top supplier (view + scalar max)
-_Q15 = """
-WITH revenue AS (
-    SELECT l_suppkey AS supplier_no,
+# H15 / Q15 — top supplier (view + scalar max). The revenue CTE body
+# is a shared constant: the inline query, the materialized twin's
+# BUILD, and the staging stamp all derive from this ONE text, so the
+# twin can never materialize a different relation than the view the
+# verbatim query consumes.
+_Q15_REVENUE = """SELECT l_suppkey AS supplier_no,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                 AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'
-    GROUP BY l_suppkey
+    GROUP BY l_suppkey"""
+
+_Q15 = f"""
+WITH revenue AS (
+    {_Q15_REVENUE}
 )
 SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM supplier s, revenue r
@@ -819,3 +825,71 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed 6/29/305 lapsed); the AVG cutoff is decimal-exact with a
     COUNT=0 ANSI guard."""
     return _run(spark, sf_dir, _Q22)
+
+
+# H15m — Q15 with the spec's CREATE VIEW made REAL (VERDICT r13 item 6)
+
+
+def _revenue_path(sf_dir: str) -> str:
+    return os.path.join(_STAGING_ROOT, "tpch_revenue",
+                        f"rev_{_sf_key(sf_dir)}")
+
+
+def _build_q15_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q15 revenue view, built from the SAME text constant the
+    verbatim query inlines (_Q15_REVENUE) — one source of truth, so
+    the staged artifact and the CTE can never compute different
+    relations."""
+    return _run(spark, sf_dir, _Q15_REVENUE)
+
+
+_STAGED_REV: set[str] = set()
+
+
+def _stage_q15_revenue(spark: SparkSession, sf_dir: str) -> str:
+    path = _revenue_path(sf_dir)
+    if sf_dir not in _STAGED_REV:
+        stamp = src_stamp(_build_q15_revenue, extra=_Q15_REVENUE)
+        if not staging_ok(path, stamp):
+            rev = _build_q15_revenue(spark, sf_dir)
+            begin_staging(path)
+            rev.coalesce(1).write.mode("overwrite").parquet(path)
+            mark_staged(path, stamp)
+        _STAGED_REV.add(sf_dir)
+    return path
+
+
+@query("q_tpch_q15_materialized", oracle=_Q15, tags=("H15m", "tpch", "mv"))
+def q_tpch_q15_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 answered from a MATERIALIZED revenue view — the way a
+    100 TB deployment closes the documented Q15 double-scan (SCALE.md
+    r13: Spark inlines WITH-CTEs and ReusedExchange does not fire
+    across the scalar-subquery boundary, so the verbatim q_tpch_q15
+    scans lineitem twice; the spec's CREATE VIEW is exactly a
+    materialization license). The revenue relation is staged once per
+    sf from the SAME _Q15_REVENUE text the inline query uses (stamped,
+    _SUCCESS-guarded, rebuilt only when the text or builder changes),
+    then the serve plan reads the tiny per-supplier artifact ONCE:
+    scalar max and tie filter come from a single empty-frame window
+    pass (no second revenue scan), the supplier join broadcasts.
+    Lineitem is scanned ZERO times at serve (plan-asserted:
+    tests/test_plans.py::test_tpch_q15_materialized_serves_without_lineitem),
+    once at build — vs twice per query inline. Oracle: the verbatim
+    Q15 text, so the gate proves materialize-then-serve ==
+    compute-inline exactly (total_revenue quantized at 6 dp BEFORE
+    the max compare, both paths)."""
+    from pyspark.sql import Window
+
+    from ..io import read_staged
+
+    path = _stage_q15_revenue(spark, sf_dir)
+    rev = read_staged(
+        spark, path, "supplier_no bigint, total_revenue double")
+    wall = Window.partitionBy()
+    top = (rev
+           .withColumn("mx", F.max("total_revenue").over(wall))
+           .where(F.col("total_revenue") == F.col("mx")))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sup.join(top, sup.s_suppkey == top.supplier_no)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))

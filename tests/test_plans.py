@@ -1409,3 +1409,17 @@ def test_tpch_q21_anti_join_is_hashable(spark, sf_dir):
     p = plan(spark, sf_dir, "q_tpch_q21")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q15_materialized_serves_without_lineitem(spark, sf_dir):
+    """H15m: the materialized twin's SERVE plan reads the staged
+    revenue artifact, never lineitem (the verbatim Q15 scans lineitem
+    twice — the CTE inline + the scalar-subquery rescan; the twin
+    moves that to ONE build-time scan), and reads the tiny artifact
+    once: the scalar max comes from a window pass, not a second scan."""
+    p = plan(spark, sf_dir, "q_tpch_q15_materialized")
+    assert "lineitem" not in p
+    assert p.count("tpch_revenue") == 1
+    # supplier side broadcasts against the 1-row-per-supplier artifact
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
