@@ -121,6 +121,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events" and not os.path.exists(path):
+        # A stream directory holds events as SUFFIXED drop files
+        # (events_000.parquet …, the multi-batch arrival layout the
+        # streaming source globs); the batch reader accepts the same
+        # layout so exact-side recomputes work there too. The harness
+        # layout always has the exact file, so this branch never runs
+        # on harness data — plan and bytes unchanged.
+        path = f"{sf_dir.rstrip('/')}/events*.parquet"
     df = spark.read.parquet(path)
     if name == "events":
         # The bootstrap has shipped events.ts under two physical types:

@@ -36,8 +36,10 @@ def _events_physical(spark: SparkSession, sf_dir: str) -> T.StructType:
     TIMESTAMP(NANOS) (reads as long under nanosAsLong) and timestamp[us]
     (reads as TIMESTAMP_NTZ); probe the footer with a metadata-only batch
     read so the stream declares whichever is actually on disk."""
-    path = f"{sf_dir.rstrip('/')}/events.parquet"
-    return spark.read.parquet(path).schema
+    # the probe globs like the stream source does, so a stream dir of
+    # suffixed drop files (events_000.parquet …) probes identically
+    return (spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir.rstrip("/")).schema)
 
 
 STREAM_STATE_PARTITIONS = 8
@@ -69,18 +71,38 @@ def stream_state_partitions(spark: SparkSession,
         spark.conf.set(key, old)
 
 
+# Session-conf seam for the file source's per-micro-batch rate limit.
+# Unset (the default and the harness posture) the source drains in one
+# availableNow batch; a deployment — or the two-chunk replay tests —
+# sets it so availableNow chops the backlog into bounded micro-batches
+# (at 100 TB you ALWAYS bound micro-batch size: an unbounded first
+# batch after downtime is an OOM, and replaying through bounded batches
+# is exactly the crash-recovery path). Like stream_state_partitions,
+# this is a deployment knob, not a semantic one: the windowed results
+# must be chop-invariant, which tests/test_streaming_replay.py proves
+# against each job's own batch oracle.
+STREAM_MAX_FILES_CONF = "sigma.stream.max_files_per_trigger"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 streaming source: the events table as an append stream with the
     same ts normalization as the batch loader (io.load)."""
     ensure_session_conf(spark)
     physical = _events_physical(spark, sf_dir)
     # The file source needs a directory; pathGlobFilter narrows it to the
-    # events table inside the shared sf_dir.
-    raw = (
+    # events table inside the shared sf_dir. The glob admits suffixed
+    # file names (events_000.parquet …) so a stream directory can
+    # receive MANY drop files, the production arrival shape — the
+    # harness layout ships exactly one match (events.parquet), so batch
+    # parity there is unchanged.
+    src = (
         spark.readStream.schema(physical)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        .option("pathGlobFilter", "events*.parquet")
     )
+    mft = spark.conf.get(STREAM_MAX_FILES_CONF, None)
+    if mft is not None:
+        src = src.option("maxFilesPerTrigger", mft)
+    raw = src.parquet(sf_dir.rstrip("/"))
     if isinstance(physical["ts"].dataType, T.LongType):
         ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     else:
