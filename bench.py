@@ -296,6 +296,38 @@ def main() -> None:
     compact = {k: v for k, v in timings.items()
                if k not in HEADLINE_COMPACT_EXCLUDE}
     total = round(sum(compact.values()), 3)
+    # Drift anchor (VERDICT r13 item 2): three rounds running, the
+    # artifact's absolute level was dominated by box state and every
+    # verdict re-adjudicated it by hand. Normalize in-process against
+    # the pinned per-query reference (BENCH_ANCHOR.json — the r13
+    # driver recording): the MEDIAN per-query ratio estimates the
+    # box-state multiplier (robust: one code regression cannot move a
+    # median over ~40 common queries), and queries deviating >1.5x
+    # from that median are named movers — the code-attributed residue.
+    # One division separates code from box: mover ratios are already
+    # box-normalized.
+    drift = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_ANCHOR.json")) as fh:
+            anchor = json.load(fh)
+        ratios = {k: timings[k] / v for k, v in anchor["queries"].items()
+                  if k in timings and v > 0}
+        if ratios:
+            rs = sorted(ratios.values())
+            box = rs[len(rs) // 2]
+            movers = {k: round(r / box, 2) for k, r in ratios.items()
+                      if r > 1.5 * box or r < box / 1.5}
+            # cap the on-line mover list (full ratios land in
+            # BENCH_DETAIL via queries/anchor anyway) — the parsed
+            # line must stay under the ~1900-byte tail capture
+            movers = dict(sorted(movers.items(),
+                                 key=lambda kv: -abs(kv[1] - 1.0))[:4])
+            drift = {"anchor_round": anchor["anchor_round"],
+                     "n_common": len(ratios), "box": round(box, 3),
+                     "movers": movers}
+    except OSError:
+        pass
     # The external bench harness captures only the LAST ~2000 bytes of
     # stdout and parses the final JSON line, so the headline object must
     # stay compact AND last: medians go on an earlier line (and to a
@@ -322,6 +354,8 @@ def main() -> None:
         "queries_reps": all_reps,
         "sf": sf,
     }
+    if drift:
+        detail["drift"] = drift
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)

@@ -71,6 +71,20 @@ PROFILES = {
         "embeddings": {"embedding": ("expr",
                                      "array_repeat(CAST(0.0 AS FLOAT), 64)")},
     },
+    # r14 (VERDICT r13 item 7): TOTAL KEY COLLAPSE — every event from
+    # one user at one instant, every order from one customer on one
+    # day. The windowed/sessionize/funnel/cohort/streak family had
+    # never faced it: every window lands in one partition, every
+    # lag/lead chain degenerates to same-timestamp ties, inter-arrival
+    # gaps are all zero, retention collapses to a single cohort. The
+    # constant ts is deliberately harsher than "same hour": it also
+    # forces the total-order tiebreaks (event_id) to carry ALL ordering.
+    "single_key": {
+        "events": {"user_id": 7,
+                   "ts": ("expr", "TIMESTAMP '1997-06-15 10:30:00'")},
+        "orders": {"o_custkey": 1,
+                   "o_orderdate": ("expr", "TIMESTAMP '1997-06-15'")},
+    },
 }
 
 
@@ -96,7 +110,7 @@ def main() -> int:
     ap.add_argument("--names", default=None)
     ap.add_argument("--profile", default="all",
                     choices=["tied", "stuck", "nulls", "flat_corpus",
-                             "all"])
+                             "single_key", "all"])
     args = ap.parse_args()
     spark = get_spark(app_name="sigma-degen-sweep")
     spark.sparkContext.setLogLevel("ERROR")

@@ -2448,8 +2448,10 @@ AB_BASELINE_EVENT = "click"
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
            CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-           CAST(conv_a AS DOUBLE) / n_a AS p_a,
-           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           CASE WHEN n_a = 0 THEN NULL
+                ELSE CAST(conv_a AS DOUBLE) / n_a END AS p_a,
+           CASE WHEN n_b = 0 THEN NULL
+                ELSE CAST(conv_b AS DOUBLE) / n_b END AS p_b,
            CASE WHEN n_a = 0 OR n_b = 0
                      OR conv_a + conv_b = 0
                      OR conv_a + conv_b = n_a + n_b
@@ -2504,8 +2506,13 @@ def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_a, conv_a = F.col("n_a"), F.col("conv_a")
     n_b, conv_b = F.col("n_b"), F.col("conv_b")
-    p_a = conv_a.cast("double") / n_a
-    p_b = conv_b.cast("double") / n_b
+    # an EMPTY arm (every user on one parity — the single_key
+    # degenerate profile) has no conversion rate: NULL, not an ANSI
+    # crash. Per-arm guards on the 1-row aggregate; dead on harness
+    # data (both parities populated); mirrored in the oracle.
+    null_d = F.lit(None).cast("double")
+    p_a = F.when(n_a == 0, null_d).otherwise(conv_a.cast("double") / n_a)
+    p_b = F.when(n_b == 0, null_d).otherwise(conv_b.cast("double") / n_b)
     pooled = (conv_a + conv_b).cast("double") / (n_a + n_b)
     degenerate = (
         (n_a == 0) | (n_b == 0) | (conv_a + conv_b == 0)
@@ -2889,20 +2896,22 @@ CUPED_EVENT = "purchase"
              / COUNT(*) AS mean_y,
            CAST(SUM(CAST(y_adj AS DECIMAL(20,6))) AS DOUBLE)
              / COUNT(*) AS mean_y_adj,
-           CAST(CAST(
+           CASE WHEN COUNT(*) = 1 THEN NULL
+           ELSE CAST(CAST(
              (CAST(SUM(CAST(CAST(y AS DECIMAL(20,6))
                             * CAST(y AS DECIMAL(20,6))
                             AS DECIMAL(38,12))) AS DOUBLE)
               - CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) ** 2
                 / COUNT(*)) / (COUNT(*) - 1)
-             AS DECIMAL(18,6)) AS DOUBLE) AS var_y,
-           CAST(CAST(
+             AS DECIMAL(18,6)) AS DOUBLE) END AS var_y,
+           CASE WHEN COUNT(*) = 1 THEN NULL
+           ELSE CAST(CAST(
              (CAST(SUM(CAST(CAST(y_adj AS DECIMAL(20,6))
                             * CAST(y_adj AS DECIMAL(20,6))
                             AS DECIMAL(38,12))) AS DOUBLE)
               - CAST(SUM(CAST(y_adj AS DECIMAL(20,6))) AS DOUBLE) ** 2
                 / COUNT(*)) / (COUNT(*) - 1)
-             AS DECIMAL(18,6)) AS DOUBLE) AS var_y_adj
+             AS DECIMAL(18,6)) AS DOUBLE) END AS var_y_adj
     FROM adj
     GROUP BY arm
     """,
@@ -2960,12 +2969,17 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y_adj"))
 
     def var_of(col: str):
+        # a single-user arm (total key collapse — the single_key
+        # degenerate profile) has no sample variance: NULL, not an
+        # ANSI crash on the n-1 divisor. Per-arm aggregate row, dead
+        # on harness data; mirrored in the oracle.
         qy = F.col(col).cast("decimal(20,6)")
         s1 = F.sum(qy).cast("double")
         s2 = F.sum((qy * qy).cast("decimal(38,12)")).cast("double")
         cnt = F.count(F.lit(1))
-        return (((s2 - s1 * s1 / cnt) / (cnt - F.lit(1)))
-                .cast("decimal(18,6)").cast("double"))
+        return F.when(cnt == 1, F.lit(None).cast("double")).otherwise(
+            ((s2 - s1 * s1 / cnt) / (cnt - F.lit(1)))
+            .cast("decimal(18,6)").cast("double"))
 
     return (
         adj.groupBy("arm")

@@ -429,7 +429,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN p_v IS NOT NULL AND n_v IS NOT NULL THEN
                  p_v + (n_v - p_v)
                      * (CAST(ts_us - p_ts AS DOUBLE)
-                        / CAST(n_ts - p_ts AS DOUBLE))
+                        / CAST(greatest(n_ts - p_ts, 1) AS DOUBLE))
                WHEN p_v IS NOT NULL THEN p_v
                ELSE n_v
              END AS DECIMAL(20,6)) AS DOUBLE) AS value_interp
@@ -473,8 +473,15 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("obs", ignorenulls=True).over(wn).alias("n_v"),
     )
     p_v, n_v = F.col("p_v"), F.col("n_v")
+    # greatest(span, 1) divisor floor: neighbors at the SAME microsecond
+    # (total key collapse — the single_key degenerate profile) make the
+    # span 0, but then the numerator is 0 too (p_ts <= ts_us <= n_ts),
+    # so frac = 0 and the interpolation lands exactly on p_v — the LOCF
+    # limit — instead of an ANSI DIVIDE_BY_ZERO. Dead on harness data
+    # (distinct event timestamps); mirrored in the oracle.
     frac = ((F.col("ts_us") - F.col("p_ts")).cast("double")
-            / (F.col("n_ts") - F.col("p_ts")).cast("double"))
+            / F.greatest(F.col("n_ts") - F.col("p_ts"), F.lit(1))
+            .cast("double"))
     interp = (
         F.when(F.col("obs").isNotNull(), F.col("obs"))
         .when(p_v.isNotNull() & n_v.isNotNull(),
@@ -503,11 +510,12 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_obs,
            CAST(SUM(next_us - t_us) AS BIGINT) AS span_us,
-           CAST(CAST(
+           CASE WHEN SUM(next_us - t_us) = 0 THEN NULL
+           ELSE CAST(CAST(
              CAST(SUM(CAST(value AS DECIMAL(18,6))
                       * CAST(next_us - t_us AS DECIMAL(20,0))) AS DOUBLE)
              / CAST(SUM(next_us - t_us) AS DOUBLE)
-             AS DECIMAL(18,6)) AS DOUBLE) AS twap
+             AS DECIMAL(18,6)) AS DOUBLE) END AS twap
     FROM stepped
     WHERE next_us IS NOT NULL
     GROUP BY user_id
@@ -544,11 +552,18 @@ def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.col("next_us") - F.col("t_us")
     wsum = F.sum(F.col("value").cast("decimal(18,6)")
                  * gap.cast("decimal(20,0)"))
+    # zero total span (every observation at one instant — the
+    # single_key degenerate profile): the step-function mean is 0/0,
+    # undefined — NULL is the contract, not an ANSI crash. Dead on
+    # harness data; the lazy CASE sits on a per-key AGGREGATE row
+    # (not the per-row hot path), so the eval-family guard-cost
+    # lesson does not apply. Mirrored in the oracle.
     return stepped.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.sum(gap).cast("bigint").alias("span_us"),
-        (wsum.cast("double") / F.sum(gap).cast("double"))
-        .cast("decimal(18,6)").cast("double").alias("twap"),
+        F.when(F.sum(gap) == 0, F.lit(None).cast("double"))
+        .otherwise((wsum.cast("double") / F.sum(gap).cast("double"))
+                   .cast("decimal(18,6)").cast("double")).alias("twap"),
     )
 
 
