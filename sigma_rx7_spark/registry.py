@@ -90,75 +90,81 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 13 window. Composition (VERDICT r12 items 2/3): (a) the 22
-    # TPC-H suite additions on first exposure; (b) the 5 queries whose
-    # implementation or oracle changed this round (ADVICE fixes:
-    # divide-free IQR fences, kappa pe=1 guard, zero-overlap CCF lags;
-    # the LPA broadcast_labels guard; hourly-distinct state-store
-    # sizing); (c) the 23 stalest r4-cohort names
-    # (rotation_candidates.py --age). After this round the r4 re-bank
-    # debt is 24 names deep (the remaining r4 cohort heads the r14
-    # queue).
+    # Round 14 window. Composition (VERDICT r13 items 1/8): (a) the 17
+    # queries whose implementation or oracle changed this round — the
+    # 11 GD-eval-family names sharing the quality_features/_QF_FEATURES
+    # greatest()-floor rewrite (q_ml_mcc, the family's 12th sharer and
+    # its freshest name — green r13 — defers to r15: the other 11 run
+    # the IDENTICAL builder + oracle core, so any rewrite defect has 11
+    # sentinels), the CVaR integer-rank fix, and the 4 single_key-
+    # profile guard fixes (interp/twap/proportions/cuped); (b) the new
+    # materialized-Q15 twin on first exposure (also the TPC-H runner's
+    # representative for the quote-aware rewrite — its staging build
+    # executes _run and its oracle is the verbatim Q15 text); (c) the
+    # FULL 33-name r4 re-bank cohort (rotation_candidates.py --age) —
+    # r13's tracking comment said 24, the tool says 33; paying all of
+    # it closes the freshness debt (after this round no gated query's
+    # latest external green predates r5). The streaming-source seam
+    # (events*.parquet glob + maxFilesPerTrigger conf) is represented
+    # by the cohort's q_stream_sliding_counts/q_stream_cdc_apply plus
+    # the full local streaming mirror at both gate scales.
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # round-13 additions — first-exposure proof (H1-H22)
-    "q_tpch_q01",
-    "q_tpch_q02",
-    "q_tpch_q03",
-    "q_tpch_q04",
-    "q_tpch_q05",
-    "q_tpch_q06",
-    "q_tpch_q07",
-    "q_tpch_q08",
-    "q_tpch_q09",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # round-13 additions, second batch — first exposure
-    "q_quality_orphans",
-    "q_quality_pk",
-    "q_agg_f2",
+    # changed this round — GD-eval family (greatest()-floor rewrite)
+    "q_pipeline_quality_model",
+    "q_ml_eval",
+    "q_ml_lift",
+    "q_ml_calibration",
+    "q_ml_auc",
+    "q_ml_pr_curve",
+    "q_ml_brier",
+    "q_ml_ks",
+    "q_ml_score_drift",
+    "q_ml_logloss",
+    "q_ml_operating_point",
+    # changed this round — ADVICE integer rank + single_key guards
     "q_agg_cvar",
-    "q_stream_hourly_distinct_approx",
-    "q_text_mrr",
-    "q_sim_radius",
-    "q_feature_infogain",
-    # changed this round — re-proof (ndcg: scored relation extracted
-    # into the shared bm25_graded_candidates builder)
-    "q_quality_iqr",
-    "q_ml_mcc",
-    "q_ts_cross_corr",
-    "q_graph_communities",
-    "q_stream_hourly_distinct",
-    "q_text_ndcg",
-    # r4-cohort re-bank (the 14 stalest names that fit after the
-    # round's 28 first-exposure + 6 changed slots; the remaining r4
-    # cohort heads the r14 queue — rotation_candidates.py --age)
-    "q_agg_mode",
-    "q_agg_keyskew",
-    "q_agg_cube",
-    "q_agg_mad",
-    "q_agg_cooccurrence",
-    "q_agg_histogram_eqdepth",
-    "q_agg_kmv_distinct",
-    "q_window_rolling_dau",
-    "q_graph_triangles",
-    "q_graph_reachability",
-    "q_window_ema",
-    "q_window_rolling_median",
     "q_interp_linear",
     "q_window_twap",
+    "q_ab_proportions",
+    "q_ab_cuped",
+    # round-14 addition — first exposure
+    "q_tpch_q15_materialized",
+    # r4-cohort re-bank: the complete 33-name debt
+    "q_merge_agg_incremental",
+    "q_merge_snapshot_diff",
+    "q_merge_scd2",
+    "q_merge_cdc_apply",
+    "q_join_scd2_asof",
+    "q_quality_audit",
+    "q_join_bucketed",
+    "q_join_dpp",
+    "q_source_schema_merge",
+    "q_source_pydatasource",
+    "q_text_unigram_logprob",
+    "q_text_langid_trigram",
+    "q_text_vocab",
+    "q_text_bigram_logprob",
+    "q_sample_weighted",
+    "q_embed_cov",
+    "q_sim_recall_ivf",
+    "q_sim_topk_ivfpq",
+    "q_dedup_containment",
+    "q_dedup_semantic",
+    "q_pipeline_canonical",
+    "q_pipeline_pack",
+    "q_pipeline_chunk",
+    "q_stream_sliding_counts",
+    "q_stream_cdc_apply",
+    "q_multimodal_fingerprint",
+    "q_source_binaryfile",
+    "q_domain_hl7_roundtrip",
+    "q_domain_hl7_udtf",
+    "q_domain_allergy_alerts",
+    "q_domain_polypharmacy",
+    "q_domain_adherence",
+    "q_domain_treatment_gap",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
