@@ -122,6 +122,13 @@ def _assert_equal(got, want, name):
     "q_stream_topk",
     "q_stream_hourly_distinct",
     "q_stream_hourly_distinct_approx",
+    # session windows: chunk B's 10:55/11:10 rows EXTEND the 10:45
+    # session opened in batch 1 (a state-store session merge), while
+    # 10:05 stays its own island — the T4 cross-batch case
+    "q_stream_sessions",
+    # dedup: (user 1, 'view') appears in BOTH chunks; the first-seen
+    # state must survive the batch hop so append mode emits it once
+    "q_stream_dedup",
 ])
 def test_windowed_stream_equals_batch_oracle_over_two_chunks(
         spark, chunked_dir, name):
