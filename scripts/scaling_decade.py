@@ -69,6 +69,11 @@ NAMES = [
     # the synthesized fact side; Q1 is the pure-scan anchor)
     "q_tpch_q01", "q_tpch_q05", "q_tpch_q09", "q_tpch_q18",
     "q_tpch_q21",
+    # r14: the GD-eval representative after the greatest()-floor
+    # rewrite of quality_features — 3 tokenizing passes (2 GD rounds +
+    # scoring) over the synthesized 10x corpus, then the value-
+    # cardinality-bounded PR sweep; growth should be ~linear in rows
+    "q_ml_pr_curve",
 ]
 
 VOWELS = "aeiou"
