@@ -326,8 +326,13 @@ def main() -> None:
             drift = {"anchor_round": anchor["anchor_round"],
                      "n_common": len(ratios), "box": round(box, 3),
                      "movers": movers}
-    except OSError:
-        pass
+    except Exception as exc:  # noqa: BLE001 - drift is best-effort
+        # The anchor is an enrichment: a missing, truncated, or
+        # hand-regenerated-with-a-typo BENCH_ANCHOR.json must never
+        # cost the round its bench artifact (the multi-minute run has
+        # already happened by this point), so ANY anchor failure
+        # degrades to a line without the drift field, loudly.
+        print(f"drift anchor unusable: {exc!r}", file=sys.stderr)
     # The external bench harness captures only the LAST ~2000 bytes of
     # stdout and parses the final JSON line, so the headline object must
     # stay compact AND last: medians go on an earlier line (and to a
@@ -370,6 +375,16 @@ def main() -> None:
     # stays self-consistent.
     headline["queries"] = compact
     line = json.dumps(headline)
+    # Graceful degradation under the ~1900-byte tail cap: the drift
+    # movers are the first ballast overboard (full ratios live in
+    # BENCH_DETAIL.json via queries + the anchor), the box scalar
+    # stays; only then the original whole-dict fallback. Four
+    # long-named movers (~+100 bytes vs today's three) must not cost
+    # the per-query dict the drift feature exists to protect.
+    if len(line) > 1900 and "drift" in headline:
+        headline["drift"] = {k: v for k, v in headline["drift"].items()
+                             if k != "movers"}
+        line = json.dumps(headline)
     if len(line) > 1900:  # belt-and-braces: never overflow the tail again
         headline["queries"] = {"see": "BENCH_DETAIL.json"}
         line = json.dumps(headline)

@@ -115,20 +115,31 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def events_data_path(sf_dir: str) -> str:
+    """THE resolver for the events table's physical layout — the one
+    place that knows events may be (a) the exact events.parquet file
+    (harness layout), (b) a directory of part files named
+    events.parquet (sweep-built fixtures), or (c) SUFFIXED drop files
+    (events_000.parquet …, the multi-batch arrival layout the
+    streaming source drains). The batch loader and the streaming
+    schema probe both route through here so the two can never read
+    different file sets (r14 review item). The harness layout always
+    has the exact path, so plans and bytes there are unchanged."""
+    exact = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.exists(exact):
+        return exact
+    return f"{sf_dir.rstrip('/')}/events*.parquet"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table as a DataFrame with its logical schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_conf(spark)
-    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if name == "events" and not os.path.exists(path):
-        # A stream directory holds events as SUFFIXED drop files
-        # (events_000.parquet …, the multi-batch arrival layout the
-        # streaming source globs); the batch reader accepts the same
-        # layout so exact-side recomputes work there too. The harness
-        # layout always has the exact file, so this branch never runs
-        # on harness data — plan and bytes unchanged.
-        path = f"{sf_dir.rstrip('/')}/events*.parquet"
+    if name == "events":
+        path = events_data_path(sf_dir)
+    else:
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
         # The bootstrap has shipped events.ts under two physical types:

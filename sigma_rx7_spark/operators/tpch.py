@@ -51,6 +51,30 @@ def _sf_key(sf_dir: str) -> str:
     return "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/"))
 
 
+def _data_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap source-DATA fingerprint (total bytes + newest mtime of the
+    table's parquet) folded into this module's staging stamps: a code-
+    only stamp serves STALE derived artifacts when the sf_dir is
+    regenerated in place (r14 review item — the bootstrap has rewritten
+    testdata between rounds before, and the degenerate sweep rebuilds
+    its fixture dirs every run). Size+mtime is not content-proof, but
+    every regeneration path here rewrites the files (new mtime), and a
+    fingerprint MISS only costs one rebuild of a cheap artifact."""
+    import glob as _glob
+    base = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    if os.path.isfile(base):
+        paths = [base]
+    else:
+        paths = sorted(_glob.glob(os.path.join(base, "*.parquet"))) \
+            or sorted(_glob.glob(f"{sf_dir.rstrip('/')}/{table}*.parquet"))
+    total, mt = 0, 0
+    for p in paths:
+        st = os.stat(p)
+        total += st.st_size
+        mt = max(mt, st.st_mtime_ns)
+    return f"{table}:{total}:{mt}"
+
+
 def _partsupp_path(sf_dir: str) -> str:
     # 'ps_' prefix: _sf_key output starts with '_', and Spark's file
     # index treats underscore-prefixed path names as hidden metadata
@@ -92,7 +116,11 @@ def _stage_partsupp(spark: SparkSession, sf_dir: str) -> str:
     Spark plan consumed."""
     path = _partsupp_path(sf_dir)
     if sf_dir not in _STAGED_PS:
-        stamp = src_stamp(_build_partsupp)
+        # partsupp derives from part (keys) and supplier (count):
+        # stamp code AND source data
+        stamp = src_stamp(_build_partsupp,
+                          extra=_data_fingerprint(sf_dir, "part") + "|"
+                          + _data_fingerprint(sf_dir, "supplier"))
         if not staging_ok(path, stamp):
             ps = _build_partsupp(spark, sf_dir)
             begin_staging(path)
@@ -849,7 +877,11 @@ _STAGED_REV: set[str] = set()
 def _stage_q15_revenue(spark: SparkSession, sf_dir: str) -> str:
     path = _revenue_path(sf_dir)
     if sf_dir not in _STAGED_REV:
-        stamp = src_stamp(_build_q15_revenue, extra=_Q15_REVENUE)
+        # revenue derives from lineitem: stamp the SQL text, the
+        # builder, and the source data
+        stamp = src_stamp(_build_q15_revenue,
+                          extra=_Q15_REVENUE + "|"
+                          + _data_fingerprint(sf_dir, "lineitem"))
         if not staging_ok(path, stamp):
             rev = _build_q15_revenue(spark, sf_dir)
             begin_staging(path)

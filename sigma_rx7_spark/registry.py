@@ -90,9 +90,10 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 14 window. Composition (VERDICT r13 items 1/8): (a) the 17
-    # queries whose implementation or oracle changed this round — the
-    # 11 GD-eval-family names sharing the quality_features/_QF_FEATURES
+    # Round 14 window (16 changed + 1 first-exposure + 33 re-bank =
+    # 50). Composition (VERDICT r13 items 1/8): (a) the 16 queries
+    # whose implementation or oracle changed this round — the 11
+    # GD-eval-family names sharing the quality_features/_QF_FEATURES
     # greatest()-floor rewrite (q_ml_mcc, the family's 12th sharer and
     # its freshest name — green r13 — defers to r15: the other 11 run
     # the IDENTICAL builder + oracle core, so any rewrite defect has 11

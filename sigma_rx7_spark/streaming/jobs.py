@@ -17,7 +17,6 @@ Structured Streaming API.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 from contextlib import contextmanager
@@ -37,16 +36,12 @@ def _events_physical(spark: SparkSession, sf_dir: str) -> T.StructType:
     TIMESTAMP(NANOS) (reads as long under nanosAsLong) and timestamp[us]
     (reads as TIMESTAMP_NTZ); probe the footer with a metadata-only batch
     read so the stream declares whichever is actually on disk."""
-    # exact path first — events.parquet may be a FILE (harness layout)
-    # or a DIRECTORY of part files (sweep-built fixtures), and a direct
-    # read handles both; the glob fallback covers stream directories of
-    # suffixed drop files (events_000.parquet …) where no exact path
-    # exists, matching how the stream source lists them
-    exact = f"{sf_dir.rstrip('/')}/events.parquet"
-    if os.path.exists(exact):
-        return spark.read.parquet(exact).schema
-    return (spark.read.option("pathGlobFilter", "events*.parquet")
-            .parquet(sf_dir.rstrip("/")).schema)
+    # one layout decision, one resolver: io.events_data_path handles
+    # the exact-file, directory-shaped, and suffixed-drop-file layouts
+    # identically for the batch loader and this probe (r14 review item
+    # — two parallel encodings of the layout rule would drift)
+    from ..io import events_data_path
+    return spark.read.parquet(events_data_path(sf_dir)).schema
 
 
 STREAM_STATE_PARTITIONS = 8

@@ -46,6 +46,9 @@ _CHUNK_B = [
     (10, 2, "purchase", 1.0, "{}", "2024-01-01 11:40:00"),
     (8, 4, "purchase", 9.0, "{}", "2024-01-01 12:30:00"),
     (9, 1, "purchase", 3.0, "{}", "2024-01-01 12:40:00"),
+    # sixth row: the chunks MUST have different sizes or the
+    # batch-order guard below is vacuous (5 == 5 under any ordering)
+    (11, 3, "view", 4.0, "{}", "2024-01-01 12:45:00"),
 ]
 
 
