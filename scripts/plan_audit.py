@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit: the scale-killer sweep (r14).
+
+Builds the physical plan of EVERY registered query (no execution — the
+sweep compiles all 419 plans in ~3 min at sf0.001) and enforces the
+shape invariants that decide whether a plan survives a 100 TB
+scale-up:
+
+1. **Zero CartesianProduct, anywhere — hard fail, no whitelist.**
+   A cartesian between two non-broadcast relations is quadratic in
+   partitions and data; there is no input size at which it is the
+   right plan for this repo's operators. (Registry-wide count at the
+   r14 audit: 0.)
+
+2. **No NEW BroadcastNestedLoopJoin beyond the checked-in baseline**
+   (`scripts/plan_audit_baseline.json`: per query, the adjudicated
+   (cross, non-cross) BNLJ node counts). A BNLJ is only safe when its
+   BROADCAST side is bounded by construction — which a plan string
+   cannot prove — so the baseline encodes a HUMAN adjudication of
+   every BNLJ in the registry and the sweep fails the moment a query
+   grows one it did not have. The r14 adjudication of all 218 BNLJ
+   nodes across 95 queries found three families, all bounded:
+   (a) 1-row/scalar broadcast relations (fitted weights, thresholds,
+   cutoffs, hash parameters, 'today') joined with a residual compare —
+   the repo's standing crossJoin(broadcast(tiny)) discipline, which
+   Catalyst sometimes types Inner instead of Cross;
+   (b) value-cardinality-bounded broadcast relations (day grids for
+   ACF/Ljung-Box lags, event-type pairs for KMV set ops, per-class
+   keep-counts) — the build side grows with DISTINCT VALUES, not rows;
+   (c) deliberately bounded pair spaces (the all-pairs cosine DEMO
+   twin, recall-audit samples, broadcast probe sets, J9's theta join).
+   None joins two row-scaled relations. A count INCREASE means a new
+   nested loop appeared: adjudicate it, then re-run with
+   --write-baseline if (and only if) its build side is bounded.
+
+Run:    python scripts/plan_audit.py [--sf-dir D] [--names a,b]
+        python scripts/plan_audit.py --write-baseline   (re-pin)
+Prints one JSON line; exits nonzero on any violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sigma_rx7_spark import registry  # noqa: E402
+from sigma_rx7_spark.session import get_spark  # noqa: E402
+
+BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "plan_audit_baseline.json")
+
+
+def formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def audit_plan(plan: str):
+    """Return (n_cartesian, n_cross_bnlj, n_noncross_bnlj)."""
+    n_cart = plan.count("CartesianProduct")
+    n_cross = n_noncross = 0
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if "BroadcastNestedLoopJoin" not in block.split("\n", 1)[0]:
+            continue
+        jt = re.search(r"Join type: ([^\n]*)", block)
+        cond = re.search(r"Join condition: ([^\n]*)", block)
+        jt = jt.group(1).strip() if jt else "?"
+        cond = cond.group(1).strip() if cond else "?"
+        if jt == "Cross" and cond == "None":
+            n_cross += 1
+        else:
+            n_noncross += 1
+    return n_cart, n_cross, n_noncross
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--names", default=None)
+    ap.add_argument("--write-baseline", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark(app_name="sigma-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+    names = args.names.split(",") if args.names else list(specs)
+    counts: dict[str, list[int]] = {}
+    cartesian: dict[str, int] = {}
+    errs: dict[str, str] = {}
+    for name in names:
+        try:
+            plan = formatted(specs[name].fn(spark, args.sf_dir))
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errs[name] = str(exc).split("\n", 1)[0][:200]
+            continue
+        n_cart, n_cross, n_noncross = audit_plan(plan)
+        if n_cart:
+            cartesian[name] = n_cart
+        if n_cross or n_noncross:
+            counts[name] = [n_cross, n_noncross]
+    spark.stop()
+
+    if args.write_baseline:
+        with open(BASELINE, "w") as fh:
+            json.dump({"note": ("Adjudicated per-query BNLJ node counts "
+                                "[cross, non-cross] — see plan_audit.py "
+                                "docstring for the adjudication; re-pin "
+                                "only after adjudicating any increase."),
+                       "queries": counts}, fh, indent=1, sort_keys=True)
+        print(json.dumps({"wrote_baseline": len(counts),
+                          "cartesian": cartesian, "errors": errs}))
+        return 1 if (cartesian or errs) else 0
+
+    try:
+        with open(BASELINE) as fh:
+            base = json.load(fh)["queries"]
+    except OSError:
+        base = {}
+    grew = {}
+    for name, (c, nc) in counts.items():
+        bc, bnc = base.get(name, [0, 0])
+        if c > bc or nc > bnc:
+            grew[name] = {"now": [c, nc], "baseline": [bc, bnc]}
+    census = collections.Counter()
+    for c, nc in counts.values():
+        census["cross"] += c
+        census["non_cross"] += nc
+    report = {
+        "n_queries": len(names),
+        "n_errors": len(errs),
+        "cartesian": cartesian,
+        "bnlj_grew_vs_baseline": grew,
+        "bnlj_census": dict(census),
+        "errors": errs,
+    }
+    print(json.dumps(report))
+    return 1 if (cartesian or grew or errs) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
