@@ -67,6 +67,17 @@ def _data_fingerprint(sf_dir: str, table: str) -> str:
     else:
         paths = sorted(_glob.glob(os.path.join(base, "*.parquet"))) \
             or sorted(_glob.glob(f"{sf_dir.rstrip('/')}/{table}*.parquet"))
+    if not paths:
+        # An unmatched layout must INVALIDATE the staging, not freeze
+        # it: returning a constant 'table:0:0' here would pin the stamp
+        # and re-enable the stale-artifact bug the fingerprint exists
+        # to prevent, precisely in the unanticipated-layout case (r14
+        # ADVICE). The staged builders read the same table right after
+        # this, so failing loudly here just moves an inevitable read
+        # error to the place that can name the cause.
+        raise FileNotFoundError(
+            f"no parquet files for table {table!r} under {sf_dir!r} — "
+            "cannot fingerprint source data for the staging stamp")
     total, mt = 0, 0
     for p in paths:
         st = os.stat(p)

@@ -89,22 +89,36 @@ STREAM_MAX_FILES_CONF = "sigma.stream.max_files_per_trigger"
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 streaming source: the events table as an append stream with the
     same ts normalization as the batch loader (io.load)."""
+    import os
+
+    from ..io import events_data_path
     ensure_session_conf(spark)
     physical = _events_physical(spark, sf_dir)
-    # The file source needs a directory; pathGlobFilter narrows it to the
-    # events table inside the shared sf_dir. The glob admits suffixed
-    # file names (events_000.parquet …) so a stream directory can
-    # receive MANY drop files, the production arrival shape — the
-    # harness layout ships exactly one match (events.parquet), so batch
-    # parity there is unchanged.
-    src = (
-        spark.readStream.schema(physical)
-        .option("pathGlobFilter", "events*.parquet")
-    )
+    # The file source needs a directory; pathGlobFilter narrows it to
+    # the events table inside the shared sf_dir. The FILE-SET RULE is
+    # derived from io.events_data_path — the same resolver the batch
+    # loader uses — so batch and stream can never consume different
+    # file sets (r14 ADVICE: a fixed 'events*.parquet' glob here would
+    # silently admit suffixed drop files that the batch loader ignores
+    # whenever the exact events.parquet also exists). Three layouts:
+    # exact file -> filter to exactly that name; directory-shaped
+    # events.parquet -> stream the directory itself (part files inside
+    # carry part-* names no events* glob would match); suffixed drop
+    # files -> the multi-batch arrival glob.
+    resolved = events_data_path(sf_dir)
+    if os.path.isdir(resolved):
+        src_dir, name_filter = resolved, None
+    elif resolved.endswith("/events.parquet"):
+        src_dir, name_filter = sf_dir.rstrip("/"), "events.parquet"
+    else:
+        src_dir, name_filter = sf_dir.rstrip("/"), "events*.parquet"
+    src = spark.readStream.schema(physical)
+    if name_filter is not None:
+        src = src.option("pathGlobFilter", name_filter)
     mft = spark.conf.get(STREAM_MAX_FILES_CONF, None)
     if mft is not None:
         src = src.option("maxFilesPerTrigger", mft)
-    raw = src.parquet(sf_dir.rstrip("/"))
+    raw = src.parquet(src_dir)
     if isinstance(physical["ts"].dataType, T.LongType):
         ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     else:
