@@ -110,18 +110,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       lang,
       len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS en_stop_hits,
-      CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
-           THEN CAST(0.0 AS DOUBLE)
-      ELSE CAST(len(list_filter(string_split(text, ' '),
+      CAST(len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-        / len(list_filter(string_split(text, ' '), x -> x <> ''))
-        END AS en_stop_ratio,
-      CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
-           THEN FALSE
-      ELSE CAST(len(list_filter(string_split(text, ' '),
+        / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')),
+                   1) AS en_stop_ratio,
+      CAST(len(list_filter(string_split(text, ' '),
           x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-        / len(list_filter(string_split(text, ' '), x -> x <> '')) > 0.12
-        END AS pred_en
+        / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')),
+                   1) > 0.12 AS pred_en
     FROM documents
     """,
     tags=("L3", "langid"),
@@ -135,10 +131,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS))
     ).cast("bigint")
-    # empty document: ratio 0 (and pred_en stays a never-NULL boolean —
-    # the pandas NaN-boolean gate hazard), not an ANSI crash
-    ratio = F.when(F.size(toks) == 0, F.lit(0.0)) \
-        .otherwise(stop_hits.cast("double") / F.size(toks))
+    # empty document: stop_hits is provably 0 (an empty token is never a
+    # stopword), so flooring the denominator at 1 yields ratio 0.0 and
+    # pred_en FALSE — value-identical to the r13 CASE guard on every
+    # input, but unconditional, so codegen subexpression elimination
+    # shares ONE tokenize across the ratio's references where the CASE
+    # re-ran split+filter per branch (SCALE.md r14 queue item: 0.36-0.41 s
+    # CASE vs 0.23-0.28 s floored, warm min at sf0.1). Same rewrite as
+    # the r14 GD-eval quality_features floor; per-KEY aggregate guards
+    # keep lazy CASE, only per-ROW guards earn the floor.
+    ratio = stop_hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
     return d.select(
         "doc_id",
         "lang",
@@ -1476,7 +1478,8 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(len(list_filter(string_split(text, ' '),
                  x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               / greatest(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')), 1)
                > 0.12 AS pred_en
       FROM documents
     )
@@ -1505,8 +1508,12 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS)))
-    pred = F.when(F.size(toks) == 0, F.lit(False)) \
-        .otherwise((stop_hits.cast("double") / F.size(toks)) > 0.12)
+    # greatest(ntok, 1) floor, not CASE: empty doc forces stop_hits to
+    # 0, so ratio 0 > 0.12 is FALSE exactly like the old guard, and the
+    # unconditional form lets codegen share one tokenize (r15 rewrite,
+    # same evidence as q_text_langid)
+    pred = (stop_hits.cast("double")
+            / F.greatest(F.size(toks), F.lit(1))) > 0.12
     return (
         d.select("lang", pred.alias("pred_en"))
         .groupBy("lang")
@@ -1968,7 +1975,8 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(len(list_filter(string_split(text, ' '),
                  x -> x IN {tuple(EN_STOPWORDS)!r})) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               / greatest(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')), 1)
                > 0.12 AS pred_en
       FROM documents
     )
@@ -2005,8 +2013,11 @@ def q_text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(F.split(F.col("text"), " "),
                  lambda x: x.isin(*EN_STOPWORDS)))
-    pred_en = F.when(F.size(toks) == 0, F.lit(False)) \
-        .otherwise((stop_hits.cast("double") / F.size(toks)) > 0.12)
+    # floor rewrite (r15): identical contract to the CASE it replaces —
+    # ntok = 0 forces stop_hits 0, ratio 0, pred FALSE — without the
+    # per-branch re-tokenize the CASE form costs
+    pred_en = (stop_hits.cast("double")
+               / F.greatest(F.size(toks), F.lit(1))) > 0.12
     pred = d.select("lang", pred_en.alias("pred_en"))
     agg = pred.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
