@@ -763,9 +763,9 @@ def _rp_proj_sql(src: str) -> str:
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     ),
     bfq AS (SELECT vec_id AS q_id, nv AS q_nv FROM n2

@@ -591,9 +591,9 @@ COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     )
     SELECT
@@ -792,9 +792,9 @@ def _srp_oracle(bits: int = SRP_BITS, bands: int = SRP_BANDS,
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     ), bits AS (
       SELECT vec_id, h,
@@ -1513,9 +1513,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     )
     SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,

@@ -174,9 +174,9 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame,
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     ), q AS (
       SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
@@ -416,9 +416,9 @@ WITH cent AS (
   SELECT vec_id,
          list_transform(
            CAST(embedding AS DOUBLE[]),
-           x -> x / sqrt(list_inner_product(
+           x -> x / greatest(sqrt(list_inner_product(
                   CAST(embedding AS DOUBLE[]),
-                  CAST(embedding AS DOUBLE[])))) AS nv
+                  CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
   FROM embeddings
 ), q AS (
   SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
@@ -725,9 +725,9 @@ WITH ivf AS ({_IVF_ORACLE}
   SELECT vec_id,
          list_transform(
            CAST(embedding AS DOUBLE[]),
-           x -> x / sqrt(list_inner_product(
+           x -> x / greatest(sqrt(list_inner_product(
                   CAST(embedding AS DOUBLE[]),
-                  CAST(embedding AS DOUBLE[])))) AS nv
+                  CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
   FROM embeddings
 ), bfq AS (
   SELECT vec_id AS q_id, nv AS q_nv FROM n2 WHERE vec_id < {N_QUERIES}
@@ -797,9 +797,9 @@ WITH cent AS (
   SELECT vec_id,
          list_transform(
            CAST(embedding AS DOUBLE[]),
-           x -> x / sqrt(list_inner_product(
+           x -> x / greatest(sqrt(list_inner_product(
                   CAST(embedding AS DOUBLE[]),
-                  CAST(embedding AS DOUBLE[])))) AS nv
+                  CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
   FROM embeddings
 ), q AS (
   SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
@@ -1126,9 +1126,9 @@ def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     ), q AS (
       SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
@@ -1260,9 +1260,9 @@ RADIUS_TAU = 0.25  # dyadic literal: bit-identical as double in both engines
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_inner_product(
+               x -> x / greatest(sqrt(list_inner_product(
                       CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[])))) AS nv
+                      CAST(embedding AS DOUBLE[]))), 1e-300)) AS nv
       FROM embeddings
     ), q AS (
       SELECT vec_id AS q_id, nv AS q_nv FROM n WHERE vec_id < {N_QUERIES}
