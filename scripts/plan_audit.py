@@ -33,6 +33,37 @@ scale-up:
    nested loop appeared: adjudicate it, then re-run with
    --write-baseline if (and only if) its build side is bounded.
 
+3. **No NEW global (unpartitioned) Window beyond the baseline** (r15,
+   VERDICT r14 item 6). An empty ``partitionBy`` compiles to Exchange
+   SinglePartition + a single-task WindowExec — the one scale-killer
+   class the BNLJ/cartesian gates cannot see. Whether it is safe is
+   again a boundedness question a plan string cannot answer: the
+   repo's existing ones run over VALUE-CARDINALITY-BOUNDED relations
+   (q_ml_pr_curve's distinct-6dp-score sweep, H15m's per-supplier
+   revenue artifact, cumulative sweeps over per-day/per-bucket
+   aggregates), never over a row-scaled relation. The baseline
+   encodes that adjudication per query; the sweep fails the moment a
+   query grows a global window it did not have. Detection: in a
+   formatted plan a Window node's ``Arguments:`` line carries
+   ``[exprs], [partition], [order]`` — three top-level bracket groups
+   — while a global window has only ``[exprs], [order]``; counting
+   depth-0 ``[...]`` groups is robust to brackets nested inside the
+   expression list.
+
+   The r15 adjudication of all 108 global-window nodes across 59
+   queries found three families: (a) value-cardinality-bounded sweeps
+   — cumulative/ranked windows over DISTINCT quantized score levels,
+   per-day series, per-term vocabularies, per-bucket CDFs, category
+   levels (the drift/ml-curve/ts/text families); (b) post-LIMIT or
+   k-sample rankers — the window runs after a top-N limit or over a
+   fixed-size audit sample (link_prediction, recall audits); (c) the
+   exact-rank contract of the ml-eval deciles (ml_lift /
+   operating_point ntile over the scored doc relation — the one
+   row-scaled member, a DOCUMENTED trade: exact ntile semantics are
+   the oracle contract at gate scale; a 100 TB deployment swaps in
+   approxQuantile decile boundaries, which the exact gate then
+   validates at small sf). None of (a)/(b) grows with fact rows.
+
 Run:    python scripts/plan_audit.py [--sf-dir D] [--names a,b]
         python scripts/plan_audit.py --write-baseline   (re-pin)
 Prints one JSON line; exits nonzero on any violation.
@@ -63,22 +94,45 @@ def formatted(df) -> str:
         .fromString("formatted"))
 
 
+def _top_level_groups(line: str) -> int:
+    """Count depth-0 ``[...]`` groups in a formatted Arguments line."""
+    depth = groups = 0
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
 def audit_plan(plan: str):
-    """Return (n_cartesian, n_cross_bnlj, n_noncross_bnlj)."""
+    """Return (n_cartesian, n_cross_bnlj, n_noncross_bnlj, n_global_win)."""
     n_cart = plan.count("CartesianProduct")
-    n_cross = n_noncross = 0
+    n_cross = n_noncross = n_gwin = 0
     for block in re.split(r"\n(?=\(\d+\) )", plan):
-        if "BroadcastNestedLoopJoin" not in block.split("\n", 1)[0]:
-            continue
-        jt = re.search(r"Join type: ([^\n]*)", block)
-        cond = re.search(r"Join condition: ([^\n]*)", block)
-        jt = jt.group(1).strip() if jt else "?"
-        cond = cond.group(1).strip() if cond else "?"
-        if jt == "Cross" and cond == "None":
-            n_cross += 1
-        else:
-            n_noncross += 1
-    return n_cart, n_cross, n_noncross
+        head = block.split("\n", 1)[0]
+        if "BroadcastNestedLoopJoin" in head:
+            jt = re.search(r"Join type: ([^\n]*)", block)
+            cond = re.search(r"Join condition: ([^\n]*)", block)
+            jt = jt.group(1).strip() if jt else "?"
+            cond = cond.group(1).strip() if cond else "?"
+            if jt == "Cross" and cond == "None":
+                n_cross += 1
+            else:
+                n_noncross += 1
+        elif re.match(r"\(\d+\) Window(GroupLimit)?\b", head):
+            arg = re.search(r"Arguments: ([^\n]*)", block)
+            # Window: 3 groups = partitioned, 2 = global.
+            # WindowGroupLimit: [partition], [order], fn, k — a global
+            # one leads with an EMPTY partition list '[], ...'.
+            if "WindowGroupLimit" in head:
+                if arg and arg.group(1).lstrip().startswith("[],"):
+                    n_gwin += 1
+            elif arg and _top_level_groups(arg.group(1)) < 3:
+                n_gwin += 1
+    return n_cart, n_cross, n_noncross, n_gwin
 
 
 def main() -> int:
@@ -92,6 +146,7 @@ def main() -> int:
     specs = registry.load_all()
     names = args.names.split(",") if args.names else list(specs)
     counts: dict[str, list[int]] = {}
+    gwins: dict[str, int] = {}
     cartesian: dict[str, int] = {}
     errs: dict[str, str] = {}
     for name in names:
@@ -100,34 +155,46 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report, don't die
             errs[name] = str(exc).split("\n", 1)[0][:200]
             continue
-        n_cart, n_cross, n_noncross = audit_plan(plan)
+        n_cart, n_cross, n_noncross, n_gwin = audit_plan(plan)
         if n_cart:
             cartesian[name] = n_cart
         if n_cross or n_noncross:
             counts[name] = [n_cross, n_noncross]
+        if n_gwin:
+            gwins[name] = n_gwin
     spark.stop()
 
     if args.write_baseline:
         with open(BASELINE, "w") as fh:
             json.dump({"note": ("Adjudicated per-query BNLJ node counts "
-                                "[cross, non-cross] — see plan_audit.py "
+                                "[cross, non-cross] and global-window "
+                                "node counts — see plan_audit.py "
                                 "docstring for the adjudication; re-pin "
                                 "only after adjudicating any increase."),
-                       "queries": counts}, fh, indent=1, sort_keys=True)
+                       "queries": counts,
+                       "global_windows": gwins}, fh, indent=1,
+                      sort_keys=True)
         print(json.dumps({"wrote_baseline": len(counts),
+                          "wrote_global_windows": len(gwins),
                           "cartesian": cartesian, "errors": errs}))
         return 1 if (cartesian or errs) else 0
 
     try:
         with open(BASELINE) as fh:
-            base = json.load(fh)["queries"]
+            raw = json.load(fh)
+            base = raw["queries"]
+            gbase = raw.get("global_windows", {})
     except OSError:
-        base = {}
+        base, gbase = {}, {}
     grew = {}
     for name, (c, nc) in counts.items():
         bc, bnc = base.get(name, [0, 0])
         if c > bc or nc > bnc:
             grew[name] = {"now": [c, nc], "baseline": [bc, bnc]}
+    gw_grew = {}
+    for name, g in gwins.items():
+        if g > gbase.get(name, 0):
+            gw_grew[name] = {"now": g, "baseline": gbase.get(name, 0)}
     census = collections.Counter()
     for c, nc in counts.values():
         census["cross"] += c
@@ -137,11 +204,13 @@ def main() -> int:
         "n_errors": len(errs),
         "cartesian": cartesian,
         "bnlj_grew_vs_baseline": grew,
+        "global_window_grew_vs_baseline": gw_grew,
         "bnlj_census": dict(census),
+        "global_window_census": sum(gwins.values()),
         "errors": errs,
     }
     print(json.dumps(report))
-    return 1 if (cartesian or grew or errs) else 0
+    return 1 if (cartesian or grew or gw_grew or errs) else 0
 
 
 if __name__ == "__main__":
