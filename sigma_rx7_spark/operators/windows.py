@@ -1038,3 +1038,70 @@ def q_window_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("int").alias("m_score"),
         (F.col("r_score") * 100 + F.col("f_score") * 10
          + F.col("m_score")).cast("int").alias("rfm_cell"))
+
+
+# ---- W50: 2-D Pareto skyline (dominance frontier) -------------------------
+
+
+@query(
+    "q_window_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_brand, p_retailprice AS price, p_size AS size
+      FROM part
+    )
+    SELECT a.p_brand,
+           a.price,
+           CAST(a.size AS BIGINT) AS size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_brand = a.p_brand
+        AND b.price <= a.price AND b.size >= a.size
+        AND (b.price < a.price OR b.size > a.size)
+    )
+    """,
+    tags=("W50", "window", "skyline"),
+)
+def q_window_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PARETO SKYLINE per brand: the distinct (price, size) points
+    no other same-brand part dominates (dominates = no-worse on both
+    dims, strictly better on one; price lower-is-better, size
+    higher-is-better) — the multi-objective shortlist operator
+    ("cheapest-and-largest frontier") classic OLAP ships as SKYLINE /
+    Pareto-optimal filters.
+
+    Spark-first shape: the textbook NOT EXISTS is a QUADRATIC
+    per-group self-anti-join; this plans the O(n log n) sweep instead
+    — sort each brand by (price ASC, size DESC), keep a point iff its
+    size strictly exceeds the running max over all preceding rows
+    (every preceding point has no-worse price, so a point is on the
+    frontier iff it beats all of them on size; the DESC size tiebreak
+    makes same-price groups keep exactly their largest). ONE
+    partitioned window over the distinct relation, no self-join — the
+    oracle keeps the quadratic NOT EXISTS, so the gate proves the
+    sweep and the definition agree point-for-point. Dominance is pure
+    comparison (no arithmetic), so double prices compare identically
+    in both engines.
+
+    Scale: distinct → one shuffle on p_brand for the window; at 100 TB
+    the frontier sweep stays n log n per brand while the NOT EXISTS
+    form would be n² per brand. Skew-safe for real catalogs (brands
+    bound partition width); a single-key degenerate corpus degrades to
+    one sorted partition, not a crash."""
+    pts = (
+        load(spark, sf_dir, "part")
+        .select("p_brand", F.col("p_retailprice").alias("price"),
+                F.col("p_size").alias("size"))
+        .distinct()
+    )
+    w = (Window.partitionBy("p_brand")
+         .orderBy(F.asc("price"), F.desc("size"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        pts.withColumn("prev_max", F.max("size").over(w))
+        .where(F.col("prev_max").isNull()
+               | (F.col("size") > F.col("prev_max")))
+        .select("p_brand", "price", F.col("size").cast("bigint")
+                .alias("size"))
+    )
