@@ -90,82 +90,87 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 14 window (16 changed + 1 first-exposure + 33 re-bank =
-    # 50). Composition (VERDICT r13 items 1/8): (a) the 16 queries
-    # whose implementation or oracle changed this round — the 11
-    # GD-eval-family names sharing the quality_features/_QF_FEATURES
-    # greatest()-floor rewrite (q_ml_mcc, the family's 12th sharer and
-    # its freshest name — green r13 — defers to r15: the other 11 run
-    # the IDENTICAL builder + oracle core, so any rewrite defect has 11
-    # sentinels), the CVaR integer-rank fix, and the 4 single_key-
-    # profile guard fixes (interp/twap/proportions/cuped); (b) the new
-    # materialized-Q15 twin on first exposure (also the TPC-H runner's
-    # representative for the quote-aware rewrite — its staging build
-    # executes _run and its oracle is the verbatim Q15 text); (c) the
-    # FULL 33-name r4 re-bank cohort (rotation_candidates.py --age) —
-    # r13's tracking comment said 24, the tool says 33; paying all of
-    # it closes the freshness debt (after this round no gated query's
-    # latest external green predates r5). The streaming-source seam
-    # (events*.parquet glob + maxFilesPerTrigger conf) is represented
-    # by the cohort's q_stream_sliding_counts/q_stream_cdc_apply plus
-    # the full local streaming mirror at both gate scales.
+    # Round 15 window (19 changed + 1 first-exposure + 30 r5 re-bank =
+    # 50). Composition (VERDICT r14 items 1/2/3/4): (a) q_ml_mcc — the
+    # deferred 12th sharer of the r14 quality_features greatest()-floor
+    # rewrite, first slot per the verdict; (b) the 3 per-ROW
+    # text-family floor rewrites (langid / lang_confusion /
+    # langid_audit — verdict item 2; q_text_quality's avg_token_len is
+    # a NULL-contract guard and stays CASE); (c) q_agg_kmv_distinct —
+    # the drift-residue adjudication landed as a single-pass rewrite
+    # (no persist, no self-join; verdict item 3); (d) one streaming
+    # representative for the events file-set resolver unification
+    # (ADVICE r14: stream glob now derives from io.events_data_path);
+    # (e) the 13 sim-family queries whose ORACLE texts now mirror the
+    # engine's greatest(norm, 1e-300) floor (verdict item 4 — hash-
+    # neutral by the pinned norm-positivity property, proven by the
+    # full local mirrors at both gate scales); (f) q_window_skyline on
+    # first exposure (the round's 1 new op, ≤8 cap honored); (g) the
+    # 30 OLDEST names of the 49-name r5 freshness cohort
+    # (rotation_candidates.py --age order) — the remaining 19 complete
+    # in r16 (the verdict's ≤10 done-bar assumed ~14 changed slots;
+    # the sim-oracle family alone is 13, so the honest arithmetic
+    # banks 30 now and the rest next round).
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # changed this round — GD-eval family (greatest()-floor rewrite)
-    "q_pipeline_quality_model",
-    "q_ml_eval",
-    "q_ml_lift",
-    "q_ml_calibration",
-    "q_ml_auc",
-    "q_ml_pr_curve",
-    "q_ml_brier",
-    "q_ml_ks",
-    "q_ml_score_drift",
-    "q_ml_logloss",
-    "q_ml_operating_point",
-    # changed this round — ADVICE integer rank + single_key guards
-    "q_agg_cvar",
-    "q_interp_linear",
-    "q_window_twap",
-    "q_ab_proportions",
-    "q_ab_cuped",
-    # round-14 addition — first exposure
-    "q_tpch_q15_materialized",
-    # r4-cohort re-bank: the complete 33-name debt
-    "q_merge_agg_incremental",
-    "q_merge_snapshot_diff",
-    "q_merge_scd2",
-    "q_merge_cdc_apply",
-    "q_join_scd2_asof",
-    "q_quality_audit",
-    "q_join_bucketed",
-    "q_join_dpp",
-    "q_source_schema_merge",
-    "q_source_pydatasource",
-    "q_text_unigram_logprob",
-    "q_text_langid_trigram",
-    "q_text_vocab",
-    "q_text_bigram_logprob",
-    "q_sample_weighted",
-    "q_embed_cov",
+    # changed this round — deferred GD-eval sharer (r14 floor rewrite)
+    "q_ml_mcc",
+    # changed this round — per-ROW text-family floor rewrites
+    "q_text_langid",
+    "q_text_lang_confusion",
+    "q_text_langid_audit",
+    # changed this round — KMV single-pass rewrite (drift adjudication)
+    "q_agg_kmv_distinct",
+    # changed this round — events stream/batch file-set resolver
+    "q_stream_hourly_counts",
+    # changed this round — sim-family oracle norm-guard mirrors
+    "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_sim_topk_ivf_staged",
+    "q_sim_index_incremental",
+    "q_sim_knn_classify",
+    "q_sim_radius",
     "q_sim_recall_ivf",
     "q_sim_topk_ivfpq",
-    "q_dedup_containment",
+    "q_sim_recall_rp",
+    "q_dedup_cosine",
+    "q_dedup_cosine_lsh",
+    "q_dedup_recall_lsh",
     "q_dedup_semantic",
-    "q_pipeline_canonical",
-    "q_pipeline_pack",
-    "q_pipeline_chunk",
-    "q_stream_sliding_counts",
-    "q_stream_cdc_apply",
-    "q_multimodal_fingerprint",
-    "q_source_binaryfile",
-    "q_domain_hl7_roundtrip",
-    "q_domain_hl7_udtf",
-    "q_domain_allergy_alerts",
-    "q_domain_polypharmacy",
-    "q_domain_adherence",
-    "q_domain_treatment_gap",
+    # round-15 addition — first exposure
+    "q_window_skyline",
+    # r5-cohort re-bank: the 30 oldest of the 49-name debt
+    "q_join_cardinality_audit",
+    "q_join_supplier_league",
+    "q_join_asof_nearest",
+    "q_agg_approx",
+    "q_agg_ols",
+    "q_agg_winsorized",
+    "q_agg_chisq",
+    "q_window_streak",
+    "q_agg_gini",
+    "q_agg_transpose",
+    "q_agg_kmv_setops",
+    "q_agg_exact_median",
+    "q_agg_state_merge",
+    "q_agg_exact_quantiles",
+    "q_null_semantics",
+    "q_agg_hierarchy_share",
+    "q_agg_weighted_median",
+    "q_agg_backlog_aging",
+    "q_agg_histogram2d",
+    "q_agg_discount_bands",
+    "q_graph_sssp",
+    "q_graph_degree_dist",
+    "q_agg_pareto",
+    "q_window_gap_quantiles",
+    "q_window_peer_zscore",
+    "q_attribution_multitouch",
+    "q_pattern_sessions",
+    "q_event_transitions",
+    "q_funnel_latency",
+    "q_percentile_bands_daily",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;
