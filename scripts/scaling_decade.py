@@ -74,6 +74,10 @@ NAMES = [
     # scoring) over the synthesized 10x corpus, then the value-
     # cardinality-bounded PR sweep; growth should be ~linear in rows
     "q_ml_pr_curve",
+    # r15: the per-ROW text-family representative after its own
+    # greatest(ntok, 1) floor rewrite (VERDICT r14 items 2/7) — one
+    # tokenizing scan, per-doc output; growth should be ~linear
+    "q_text_langid",
 ]
 
 VOWELS = "aeiou"
