@@ -41,18 +41,23 @@ def main() -> None:
 
     for name in args.names:
         spec = specs[name]
+        if not args.no_warm:
+            spark.sparkContext.setJobDescription(f"{name}: warm")
+            spec.fn(spark, args.sf_dir).write.mode("overwrite") \
+                .format("noop").save()
         if args.explain_dir:
+            # Execute THIS DataFrame object once so the dump shows the
+            # FINAL adaptive plan (AQE join rewrites, coalesced reads),
+            # not the pre-execution initial plan.
             df = spec.fn(spark, args.sf_dir)
+            spark.sparkContext.setJobDescription(f"{name}: explain run")
+            df.write.mode("overwrite").format("noop").save()
             os.makedirs(args.explain_dir, exist_ok=True)
             out = os.path.join(args.explain_dir,
                                f"{name}{args.suffix}.txt")
             with open(out, "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
-        if not args.no_warm:
-            spark.sparkContext.setJobDescription(f"{name}: warm")
-            spec.fn(spark, args.sf_dir).write.mode("overwrite") \
-                .format("noop").save()
         reps = []
         for i in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name}: rep {i}")

@@ -703,8 +703,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidates are enumerated per shared neighbor (the
     triangle-wedge join), so the blow-up bound is Σ deg² over the
     CAPPED adjacency (capped_order_lines upstream — a hot node is
-    structurally bounded, the r10 guard); non-adjacency is one
-    anti-join against the edge relation; the final top-N is
+    structurally bounded, the r10 guard); non-adjacency rides the
+    wedge aggregation itself (canonical edge rows carry an is_adj
+    flag through the same exchange — see the inline note); the
+    final top-N is
     orderBy().limit() — TakeOrderedAndProject, a per-partition heap of
     N rows + a driver merge of partition heads, NEVER a
     single-partition global sort of the candidate relation (r10
@@ -721,11 +723,32 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
     e1 = adj.select(F.col("src").alias("c"), F.col("dst").alias("a"))
     e2 = adj.select(F.col("src").alias("c"), F.col("dst").alias("b"))
-    cand = (e1.join(e2, "c").where(F.col("a") < F.col("b"))
-            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
-    nonadj = cand.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"], "left_anti")
+    wedge = (e1.join(e2, "c").where(F.col("a") < F.col("b"))
+             .select("a", "b", F.lit(0).alias("is_adj")))
+    # Adjacency removal folded INTO the wedge aggregation (r15 opt,
+    # guide §2.4 "remove shuffles outright"): instead of aggregating
+    # the wedge pairs and THEN anti-joining the result against the
+    # edge relation (which rebuilt a 2.4M-row broadcast hash table of
+    # every directed edge on every run), the canonical (src<dst) edge
+    # rows ride the SAME exchange as the wedge rows with an is_adj
+    # flag, and one aggregate produces both the common-neighbor count
+    # and the adjacency verdict. A pair is adjacent iff an edge row
+    # joined its group (max(is_adj)=1); its wedge count is the sum of
+    # the wedge contributions (edge rows contribute w=0) — exactly the
+    # left-anti semantics, one exchange and zero broadcast builds
+    # cheaper. Interleaved A/B at sf0.1 (same session, same caches):
+    # old 4.79/4.86/5.06 s vs new 2.42/2.57 s warm — ~2x; plan diff:
+    # BroadcastHashJoin LeftAnti (2.4M-row build) removed.
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.lit(1).alias("is_adj"))
+    nonadj = (wedge.unionAll(und)
+              .groupBy("a", "b")
+              .agg(F.count(F.when(F.col("is_adj") == 0, 1))
+                   .alias("common"),
+                   F.max("is_adj").alias("_adj"))
+              .where((F.col("_adj") == 0) & (F.col("common") > 0))
+              .drop("_adj"))
     da = deg.select(F.col("dst").alias("a"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("dst").alias("b"), F.col("d").alias("deg_b"))
     scored = (nonadj.join(da, "a").join(db, "b")
