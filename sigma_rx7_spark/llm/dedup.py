@@ -695,6 +695,21 @@ def _srp_weights(h: int, dim: int = EMB_DIM) -> list[float]:
     ]
 
 
+def _lit_double_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal from ONE parser call instead of one
+    py4j ``F.lit`` round trip per element: a bits×dim hyperplane matrix
+    is ~2k elements, and per-element construction costs ~1 s of pure
+    Python/py4j time on every query build (measured r15: litmat 0.9–1.3 s
+    vs 4 ms for the parsed form — construction time the bench counts).
+    Bit-exact: ``repr`` emits the shortest round-trip decimal and the
+    JVM parser's ``D``-suffixed double literal is correctly rounded, so
+    every element round-trips to the identical binary64 (asserted in
+    tests)."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(repr(w) + "D" for w in row) + ")"
+        for row in rows) + ")")
+
+
 def srp_signature_bits(vectors: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "nv",
                        bits: int = SRP_BITS) -> DataFrame:
@@ -707,10 +722,9 @@ def srp_signature_bits(vectors: DataFrame, id_col: str = "vec_id",
     bit-equal to the oracle), but a ~bits× smaller expression tree —
     measured 3.1 s → 1.1 s for the signature pass at sf0.1, where the
     unrolled form spent most of its time in codegen of the giant
-    projection list."""
-    mat = F.array(*[
-        F.array(*[F.lit(w) for w in _srp_weights(h)]) for h in range(bits)
-    ])
+    projection list. The matrix literal itself is built with
+    ``_lit_double_matrix`` (one parser call, not ~2k py4j lits)."""
+    mat = _lit_double_matrix([_srp_weights(h) for h in range(bits)])
     proj = F.transform(mat, lambda w: dot(F.col(vec_col), w))
     return vectors.select(
         F.col(id_col), F.col(vec_col), proj.alias("_pj")

@@ -121,3 +121,27 @@ def test_langid_floor_on_empty_and_stopword_free_docs(spark, tmp_path):
     assert got[2] == (0.0, False)
     assert got[3] == (0.0, False)
     assert got[4][0] > 0.12 and got[4][1] is True
+
+
+def test_lit_double_matrix_bit_exact_roundtrip(spark):
+    """_lit_double_matrix (one parsed D-suffixed literal) must produce
+    the IDENTICAL binary64 values as per-element F.lit construction —
+    the SRP signatures (and their oracle hashes) depend on it."""
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.llm.dedup import _lit_double_matrix, _srp_weights
+
+    rows = [_srp_weights(h) for h in range(8)]
+    # adversarial extras: values whose shortest repr stresses the parser
+    rows.append([0.1, -0.3, 1e-300, -4.9e-324, 2.0 ** -1074,
+                 0.30000000000000004, 1.7976931348623157e308, 0.0])
+    got = spark.range(1).select(
+        _lit_double_matrix(rows).alias("m")).collect()[0]["m"]
+    lit = spark.range(1).select(F.array(*[
+        F.array(*[F.lit(w) for w in row]) for row in rows
+    ]).alias("m")).collect()[0]["m"]
+    assert all(
+        a == b and repr(a) == repr(b)
+        for rg, rl in zip(got, lit) for a, b in zip(rg, rl))
+    assert got == [list(r) for r in rows] or all(
+        a == b for rg, rw in zip(got, rows) for a, b in zip(rg, rw))
