@@ -163,6 +163,71 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Footer-derived max scan parallelism per resolved file set, keyed by
+# (path, mtime, size) so a regenerated fixture invalidates the entry.
+# Metadata only — never query results.
+_SPLIT_CACHE: dict[tuple, int] = {}
+
+
+def scan_split_parallelism(sf_dir: str, name: str) -> int:
+    """Max achievable scan parallelism for a harness table's file set:
+    parquet ROW GROUPS summed over files. Spark splits files by byte
+    range (maxPartitionBytes), but a row group is the decode unit — a
+    single-row-group file yields exactly one non-empty scan partition
+    no matter how it is split, so row-group count (not file count or
+    bytes) bounds how many cores can ever touch the data. Footer-only
+    reads, cached by (path, mtime, size)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if name == "events":
+        path = events_data_path(sf_dir)
+    else:
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    files = sorted(_glob.glob(path)) if any(
+        c in path for c in "*?[") else [path]
+    total = 0
+    for f in files:
+        if os.path.isdir(f):
+            files.extend(sorted(_glob.glob(os.path.join(f, "*.parquet"))))
+            continue
+        st = os.stat(f)
+        key = (f, st.st_mtime_ns, st.st_size)
+        if key not in _SPLIT_CACHE:
+            _SPLIT_CACHE[key] = pq.ParquetFile(f).metadata.num_row_groups
+        total += _SPLIT_CACHE[key]
+    return max(total, 1)
+
+
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` plus INPUT-PARALLELISM REPAIR (optimization guide §2.5,
+    "input skew: one huge unsplittable file — repartition immediately
+    after the read"): when the table's physical layout cannot split to
+    the session's parallelism (fewer row groups than cores — the
+    single-file single-row-group harness fixture is the extreme case),
+    round-robin repartition right after the scan so downstream per-row
+    compute uses every core instead of one.
+
+    Scale-adaptive by construction: at warehouse scale the file set
+    carries orders of magnitude more row groups than the cluster has
+    cores, the condition is false, and this is byte-identical to
+    ``load`` — no extra exchange ever appears in a healthy-layout plan.
+
+    Deliberately OPT-IN per query site, not folded into ``load``: the
+    repair pays one full-data shuffle, which only wins when the scan
+    stage fuses heavy per-row compute (measured r15 at sf0.1: the
+    single-pass multi-decimal aggregates win 25-35%; multi-pass
+    scanners like the two-pass exact quantiles pay the shuffle per
+    pass and LOSE ~2x; join inputs just add an exchange below the join
+    exchange and lose; see OPTIMIZATION_r15.md for the full sweep)."""
+    df = load(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if scan_split_parallelism(sf_dir, name) < n:
+        df = df.repartition(n)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -113,3 +113,60 @@ def test_data_fingerprint_still_reads_exact_file(sf_dir):
     fp = _data_fingerprint(sf_dir, "lineitem")
     table, total, mt = fp.split(":")
     assert table == "lineitem" and int(total) > 0 and int(mt) > 0
+
+
+# ---- r15 optimization: input-parallelism repair (io.load_parallel) ----
+
+
+def test_load_parallel_repairs_single_row_group_fixture(spark, sf_dir):
+    """The harness fixture is one file / one row group, so the repair
+    must fire (scan parallelism 1 < session cores) and insert exactly
+    one round-robin exchange — and the rows must be the same multiset
+    as the plain load's."""
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.io import load, load_parallel, \
+        scan_split_parallelism
+
+    assert scan_split_parallelism(sf_dir, "lineitem") < \
+        spark.sparkContext.defaultParallelism
+    rep = load_parallel(spark, sf_dir, "lineitem")
+    plain = load(spark, sf_dir, "lineitem")
+    p = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted")
+    assert "RoundRobinPartitioning" in p, p
+    # column pruning + filter pushdown must still reach the scan
+    pruned = rep.where(F.col("l_quantity") > 49).select("l_orderkey")
+    pp = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" \
+        in pp, pp
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in pp, pp
+    # same multiset of rows (aggregate fingerprint, order-insensitive)
+    fp = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    assert tuple(fp(rep)) == tuple(fp(plain))
+
+
+def test_load_parallel_noop_when_layout_already_parallel(spark, sf_dir,
+                                                         tmp_path):
+    """A multi-row-group layout at or above session parallelism must NOT
+    gain the repair exchange — the scale posture (healthy layouts keep
+    byte-identical plans)."""
+    from sigma_rx7_spark.io import load
+
+    n = spark.sparkContext.defaultParallelism
+    dst = str(tmp_path / "sf_many" )
+    os.makedirs(dst)
+    # clone the fixture into >= n single-row-group files
+    li = load(spark, sf_dir, "lineitem")
+    li.repartition(n).write.mode("overwrite").parquet(
+        os.path.join(dst, "lineitem.parquet"))
+    from sigma_rx7_spark.io import load_parallel, scan_split_parallelism
+    assert scan_split_parallelism(dst, "lineitem") >= n
+    rep = load_parallel(spark, dst, "lineitem")
+    p = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted")
+    assert "RoundRobinPartitioning" not in p, p
