@@ -4237,6 +4237,17 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g", "x", "cx",
         (2 * F.coalesce(F.sum("cx").over(wx), F.lit(0))
          + F.col("cx") + 1).alias("rx2"))
+    # r15: materialize the tiny x-rank relation once (groups × ≤~50
+    # distinct quantities). Its TWO consumers (the x-marginal fold and
+    # the ycell broadcast) otherwise each re-derive the full lineitem
+    # scan + (g, x) aggregate behind it — 4 fact scans instead of 2.
+    # localCheckpoint, not persist: fresh lineage per call keeps bench
+    # reps honest (the BPE-merge discipline). Measured 1.75 -> 1.53 s
+    # warm min at sf0.1, value-identical; repairing the remaining two
+    # scans' input parallelism was also A/B'd here and LOSES
+    # (1.42 -> 1.64: the repair shuffle exceeds the fused-agg win on
+    # both the (g,x) and (g,y) passes).
+    xr = xr.localCheckpoint(eager=True)
     # The x-marginal moments need ONLY the tiny x-rank relation:
     # Σ_rows rx = Σ_cells cx·rx2/2, Σ_rows rx² = Σ_cells cx·rx2²/4.
     # decimal(20,0) products keep every fold exact past int64 range.

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_parallel
 from ..registry import query
 
 # Agreement weights (integer, engine-exact).
@@ -145,9 +145,18 @@ def q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def link_best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(a_id, b_id, score, lev): the resolved best match per left
-    record — the shared stage both linkage queries build on."""
+    record — the shared stage both linkage queries build on.
+
+    The left feed loads through the input-parallelism repair
+    (io.load_parallel, r15): the blocked join plans as a broadcast
+    hash join probed FROM the left scan, so every per-pair comparator
+    (levenshtein × ~block-size candidates per row) evaluates in the
+    scan stage — single-threaded on the one-row-group fixture.
+    Repairing only the probe side parallelizes the comparators without
+    putting an exchange under the broadcast build (measured
+    q_link_entities 1.39 -> 0.86 s warm min at sf0.1; no-op at scale)."""
     cust = load(spark, sf_dir, "customer")
-    a = cust.select(
+    a = load_parallel(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("a_id"),
         "c_nationkey", "c_mktsegment",
         F.regexp_extract("c_name", r"(\d+)$", 1).cast("bigint")
