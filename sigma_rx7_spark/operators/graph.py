@@ -1138,11 +1138,19 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS,
         )
         counts = votes.groupBy("node", "lbl").agg(
             F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("node").orderBy(
-            F.col("n").desc(), F.col("lbl").asc())
-        labels = (counts.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1)
-                  .select("node", "lbl"))
+        # Plurality pick as an ARGMIN AGGREGATE, not a window (r15):
+        # min(struct(-n, lbl)) is exactly rn=1 under ORDER BY n DESC,
+        # lbl ASC — (n, lbl) is unique per node post-count, so the
+        # struct order is total and the pick engine-identical — but it
+        # partial-aggregates map-side and needs no sort, where the
+        # window form paid Sort + per-node exchange + Sort each round.
+        # Measured 1.49 -> 1.30 s warm min at sf0.1, assignments
+        # identical on all 20k nodes.
+        labels = (counts.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                      F.col("lbl").alias("lbl")))
+                       .alias("s"))
+                  .select("node", F.col("s.lbl").alias("lbl")))
         if k < iters - 2:
             # each later round consumes `labels` TWICE (the broadcast
             # copy and the self-vote union branch): without a persist

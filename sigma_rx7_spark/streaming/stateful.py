@@ -593,9 +593,23 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any view is ignored because replay order is (ts, id) — the
     first view seen IS the min-ts view under the source's append-order
     assumption (same caveat as q_stream_transitions)."""
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "event_id", "event_type",
-        F.unix_micros(F.col("ts")).alias("ts_us"))
+    ev = (read_events_stream(spark, sf_dir)
+          # pre-shuffle slimming (r15, the streaming_attribution
+          # discipline + guide §4.1): signup/error rows can never move
+          # the three-stage machine, yet they were shuffled into state
+          # partitions and iterated row-by-row in Python — 40% of the
+          # feed. Filtering before the stateful exchange keeps them out
+          # of the Python boundary AND out of the state store; users
+          # with no funnel events emitted nothing before and now simply
+          # never reach the operator (output identical, gate-proven).
+          # Interleaved A/B at sf0.1: wall-FLAT (1.43 vs 1.40 s warm
+          # min — availableNow replay machinery dominates at this
+          # scale); the win is the 40% state/boundary volume, which is
+          # what matters at production event rates.
+          .where(F.col("event_type").isin("view", "click", "purchase"))
+          .select(
+              "user_id", "event_id", "event_type",
+              F.unix_micros(F.col("ts")).alias("ts_us")))
     upd = (
         ev.groupBy("user_id")
         .applyInPandasWithState(
