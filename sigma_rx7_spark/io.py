@@ -23,6 +23,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -131,11 +132,70 @@ def events_data_path(sf_dir: str) -> str:
     return f"{sf_dir.rstrip('/')}/events*.parquet"
 
 
+def _table_files(sf_dir: str, name: str) -> list[str]:
+    """The physical file set a ``load`` of this table reads (resolved
+    through the same ``events_data_path`` rule), globs and directories
+    expanded. Pure-Python filesystem metadata — no JVM traffic."""
+    if name == "events":
+        path = events_data_path(sf_dir)
+    else:
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    files = sorted(glob.glob(path)) if any(
+        c in path for c in "*?[") else [path]
+    out: list[str] = []
+    for f in files:
+        if os.path.isdir(f):
+            out.extend(sorted(glob.glob(os.path.join(f, "*.parquet"))))
+        else:
+            out.append(f)
+    return out
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, mtime_ns, size) per file — a regenerated or rewritten
+    fixture changes the fingerprint and invalidates any memo entry."""
+    fps = []
+    for f in _table_files(sf_dir, name):
+        try:
+            st = os.stat(f)
+            fps.append((f, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fps.append((f, -1, -1))
+    return tuple(fps)
+
+
+# Per-session memo of loaded table DataFrames (and the view-registration
+# stamp), keyed by (sf_dir, table) with the file fingerprint as guard.
+# A DataFrame is an immutable LOGICAL PLAN — reusing the object never
+# caches data or results; it only skips the spark.read.parquet footer
+# probe and schema branch that every construction repaid through py4j
+# (optimization guide §4: the Python boundary includes plan-building
+# round trips; measured r15 the re-probe cost 0.2-0.7 s of pure query
+# CONSTRUCTION on register_views-based queries). Single-session memo:
+# a different session object resets it (stopped sessions hold invalid
+# plans); a changed fingerprint (tests regenerating fixtures in place)
+# rebuilds the entry.
+_LOAD_MEMO: dict = {"spark": None, "dfs": {}, "views": None}
+
+
+def _session_memo(spark: SparkSession) -> dict:
+    if _LOAD_MEMO["spark"] is not spark:
+        _LOAD_MEMO["spark"] = spark
+        _LOAD_MEMO["dfs"] = {}
+        _LOAD_MEMO["views"] = None
+    return _LOAD_MEMO
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table as a DataFrame with its logical schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_conf(spark)
+    memo = _session_memo(spark)
+    fp = _table_fingerprint(sf_dir, name)
+    hit = memo["dfs"].get((sf_dir, name))
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     if name == "events":
         path = events_data_path(sf_dir)
     else:
@@ -160,6 +220,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ts = F.col("ts").cast("timestamp")
         df = df.withColumn("ts", ts).select(
             "event_id", "ts", "user_id", "event_type", "value", "props")
+    memo["dfs"][(sf_dir, name)] = (fp, df)
     return df
 
 
@@ -233,9 +294,40 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every harness table as a temp view for spark.sql use."""
+    """Register every harness table as a temp view for spark.sql use.
+
+    Memoized per (session, sf_dir, file fingerprints): the view names
+    are owned by this function alone (TPC-H and scratch views use
+    sf-keyed / underscore-prefixed names), so re-registering the same
+    DataFrames was 10 pure-overhead catalog round trips per query
+    construction. A different sf_dir, a regenerated fixture, or a new
+    session re-registers."""
+    memo = _session_memo(spark)
+    stamp = (sf_dir.rstrip("/"),
+             tuple(_table_fingerprint(sf_dir, t) for t in TABLES))
+    if memo["views"] == stamp:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    memo["views"] = stamp
+
+
+def _staging_fingerprint(path: str) -> tuple:
+    """Shallow change detector for a staged directory: the dir's own
+    (mtime, size) plus each immediate entry's (name, mtime). Every
+    restage in the repo goes through ``write.mode("overwrite")`` (delete
+    + recreate) or writes new entries under the path, both of which
+    touch this level. Pure filesystem metadata — no JVM traffic."""
+    fps = []
+    try:
+        st = os.stat(path)
+        fps.append((path, st.st_mtime_ns, st.st_size))
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda x: x.name):
+                fps.append((e.name, e.stat().st_mtime_ns))
+    except OSError:
+        fps.append((path, -1, -1))
+    return tuple(fps)
 
 
 def read_staged(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -248,8 +340,21 @@ def read_staged(spark: SparkSession, path: str, schema) -> DataFrame:
     partitioned stagings the partition column is simply part of the
     schema; Spark still resolves its values from directory names when
     files exist. (Empty-input posture proven by
-    scripts/empty_input_sweep.py.)"""
-    return spark.read.schema(schema).parquet(path)
+    scripts/empty_input_sweep.py.)
+
+    Memoized per (session, path, schema) with a directory fingerprint
+    guard: partitioned stagings pay their directory discovery once per
+    process instead of per query construction (the DataFrame is a plan,
+    never data — a restage or a new session rebuilds it)."""
+    memo = _session_memo(spark)
+    fp = _staging_fingerprint(path)
+    key = ("staged", path, str(schema))
+    hit = memo["dfs"].get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    df = spark.read.schema(schema).parquet(path)
+    memo["dfs"][key] = (fp, df)
+    return df
 
 
 def write_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:

@@ -10,6 +10,7 @@ runtime — this is what makes the same code valid on local[32] and on a
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -67,16 +68,28 @@ def get_spark(app_name: str = "sigma-rx7-spark", master: str | None = None,
     return spark
 
 
+# Sessions already carrying _REQUIRED_CONF. Weak references: a stopped
+# session is collectable, and a NEW session object (even at a reused
+# address) is a distinct referent, so the guard can never mistake one
+# session for another. Nothing in the repo mutates these two keys after
+# setup (they are correctness pins, not tunables), so set-once is
+# equivalent to set-per-call minus the per-load py4j round trips.
+_CONFED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
-    """Apply the runtime-settable required conf to ANY session.
+    """Apply the runtime-settable required conf to ANY session (once).
 
     The driver harness constructs its own SparkSession; every query entry
     point calls this so correctness does not depend on who built the
     session. All keys here are SQL confs (safe to set post-startup).
     """
+    if spark in _CONFED:
+        return spark
     for k, v in _REQUIRED_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - immutable conf on odd builds
             pass
+    _CONFED.add(spark)
     return spark
