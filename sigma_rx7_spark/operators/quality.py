@@ -115,41 +115,58 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 
-    o_profile = orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        _violations("null_cust", F.col("o_custkey").isNull()),
-        _violations("nonpos_price", F.col("o_totalprice") <= 0),
-        _violations("date_range",
+    # ONE orders pass for ALL orders checks (r15, guide §1.2 step 1 /
+    # §2.4): the per-row profile counters ride the SAME per-key
+    # aggregation the PK check needs — per-key conditional sums roll up
+    # to exactly the global conditional sums — and the key relation that
+    # feeds the RI join is this aggregation's key column. The profile,
+    # dup, and join-build subtrees all share one scan + one exchange
+    # (ReusedExchange; previously three separate orders scans), which at
+    # fact scale is the difference between auditing the table once and
+    # three times. Integer counts throughout — bit-identical to the
+    # flat-profile form by construction.
+    per_key = orders.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("c"),
+        _violations("v_null", F.col("o_custkey").isNull()),
+        _violations("v_price", F.col("o_totalprice") <= 0),
+        _violations("v_date",
                     (F.col("o_orderdate") > F.lit("2030-12-31").cast("date"))
                     | (F.col("o_orderdate")
                        < F.lit("1990-01-01").cast("date"))),
     )
-    l_profile = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        _violations("qty_range", (F.col("l_quantity") <= 0)
-                    | (F.col("l_quantity") > 50)),
-        _violations("neg_price", F.col("l_extendedprice") < 0),
-        _violations("discount_range", (F.col("l_discount") < 0)
-                    | (F.col("l_discount") > 1)),
+    o_profile = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.sum("v_null").alias("null_cust"),
+        F.sum("v_price").alias("nonpos_price"),
+        F.sum("v_date").alias("date_range"),
     )
-    dup = (
-        orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
-            .alias("n_dup_keys"),
-            F.sum("c").alias("n_rows"),  # total rows, same scan
-        )
+    dup = per_key.agg(
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.sum("c").alias("n_rows"),  # total rows, same scan
     )
-    orphan = (
-        li.select("l_orderkey")
-        .join(orders.select("o_orderkey").distinct(),
+    # ONE lineitem pass for ALL lineitem checks: the per-row domain
+    # profile rides the orphan join's aggregate (the join key relation
+    # broadcasts; the extra measure columns never shuffle), so lineitem
+    # is scanned once instead of twice.
+    orphan_profile = (
+        li.select("l_orderkey", "l_quantity", "l_extendedprice",
+                  "l_discount")
+        .join(per_key.select("o_orderkey"),
               F.col("l_orderkey") == F.col("o_orderkey"), "left")
         .agg(
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
             .alias("n_orphans"),
             F.count(F.lit(1)).alias("n_rows"),  # total + orphans, one pass
+            _violations("qty_range", (F.col("l_quantity") <= 0)
+                        | (F.col("l_quantity") > 50)),
+            _violations("neg_price", F.col("l_extendedprice") < 0),
+            _violations("discount_range", (F.col("l_discount") < 0)
+                        | (F.col("l_discount") > 1)),
         )
     )
+    l_profile = orphan_profile.select(
+        "n_rows", "qty_range", "neg_price", "discount_range")
+    orphan = orphan_profile.select("n_orphans", "n_rows")
 
     def unpivot(src: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
         """Explode the 1-row profile into (check, n_violations, n_rows)
