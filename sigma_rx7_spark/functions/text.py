@@ -2050,21 +2050,35 @@ def bm25_graded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    # ONE tokenize pass (r15, guide §1.2 step 1): doc length AND the
+    # per-term frequencies for the fixed query-term set ride the same
+    # per-doc aggregation — previously the corpus was tokenized twice
+    # (once unfiltered for dl, once term-filtered for tf) and tf⋈dl
+    # re-joined what one pass produces together. Counts are identical
+    # by construction (conditional sums = filtered counts), so every
+    # downstream score is bit-unchanged.
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .alias(f"tf_{i}") for i, t in enumerate(NDCG_TERMS)])
+    corpus = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
-    tf = (toks.where(F.col("term").isin(*NDCG_TERMS))
-          .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+    tf = (per_doc.select(
+        "doc_id", "dl",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("term"),
+                     F.col(f"tf_{i}").alias("tf"))
+            for i, t in enumerate(NDCG_TERMS)])).alias("kv"))
+        .select("doc_id", "dl", "kv.term", "kv.tf")
+        .where(F.col("tf") > 0))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                  / (F.col("df") + 0.5)).cast(QDEC).cast("double"))
     denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
              + BM25_B * F.col("dl") / F.col("avgdl")))
     s = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
-    return (tf.join(dl, "doc_id")
-            .join(F.broadcast(df), "term")
+    return (tf.join(F.broadcast(df), "term")
             .crossJoin(F.broadcast(corpus))
             .select("term", "doc_id",
                     F.least(F.col("tf"), F.lit(NDCG_REL_CAP))
@@ -2174,18 +2188,23 @@ def q_text_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("decimal(20,6)").desc(), "doc_id")
     wideal = Window.partitionBy("term").orderBy(
         F.col("rel").desc(), "doc_id")
-    wterm = Window.partitionBy("term")
     ranked = scored.select(
         "term", "rel",
         F.row_number().over(wrank).alias("pos"),
-        F.row_number().over(wideal).alias("ideal_pos"),
-        F.count(F.lit(1)).over(wterm).alias("n_candidates"))
+        F.row_number().over(wideal).alias("ideal_pos"))
     log2 = F.log(F.lit(2.0))
     gain_at = lambda pos_col: (  # noqa: E731
         (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
         / (F.log(pos_col + 1.0) / log2)).cast("decimal(27,9)")
+    # n_candidates = the per-term row count — it falls out of this
+    # aggregation directly; the unordered count-over-partition window
+    # it used to ride was a third window pass for a value the groupBy
+    # already knows (r15, guide §2.4).
     gains = ranked.groupBy("term").agg(
-        F.max("n_candidates").alias("n_candidates"),
+        # sum(1) not count(1): value-identical on non-empty groups while
+        # keeping the column NULLABLE like the max-over-window it
+        # replaces — the driver gates on result schema.
+        F.sum(F.lit(1)).alias("n_candidates"),
         F.sum(F.when(F.col("pos") <= NDCG_K, gain_at(F.col("pos")))
               .otherwise(F.lit(0).cast("decimal(27,9)"))).alias("dcg"),
         F.sum(F.when(F.col("ideal_pos") <= NDCG_K,
@@ -2260,14 +2279,15 @@ def q_text_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bm25_graded_candidates(spark, sf_dir)
     wrank = Window.partitionBy("term").orderBy(
         F.col("s").cast("decimal(20,6)").desc(), "doc_id")
-    wterm = Window.partitionBy("term")
     ranked = scored.select(
         "term", "rel",
-        F.row_number().over(wrank).alias("pos"),
-        F.count(F.lit(1)).over(wterm).alias("n_candidates"))
+        F.row_number().over(wrank).alias("pos"))
     rel_pos = F.min(F.when(F.col("rel") >= MRR_REL_MIN, F.col("pos")))
     return (ranked.groupBy("term")
-            .agg(F.max("n_candidates").cast("bigint")
+            # sum(1) = the per-term candidate count, value-identical to
+            # the count-over-partition window it replaces (one fewer
+            # window pass — r15, guide §2.4) and nullable like it.
+            .agg(F.sum(F.lit(1)).cast("bigint")
                  .alias("n_candidates"),
                  F.sum(F.when(F.col("rel") >= MRR_REL_MIN, 1)
                        .otherwise(0)).cast("bigint").alias("n_relevant"),
