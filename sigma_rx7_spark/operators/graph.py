@@ -1033,14 +1033,24 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("p_partkey").alias("dst"),
                    F.col("p_brand").alias("bb"))), "dst")
                .select("ba", "bb"))
-    labeled = _persist_tracked(labeled)
-    m = labeled.agg(F.count(F.lit(1)).alias("m"))
-    intra = (labeled.where(F.col("ba") == F.col("bb"))
-             .groupBy(F.col("ba").alias("brand"))
-             .agg(F.count(F.lit(1)).alias("ec")))
-    ends = labeled.select(F.col("ba").alias("brand")).unionAll(
-        labeled.select(F.col("bb").alias("brand")))
-    degsum = ends.groupBy("brand").agg(F.count(F.lit(1)).alias("dc"))
+    # ONE pass over the edge-scale relation (r15, guide §1.2 step 1):
+    # aggregate to the (ba, bb) cell grid (≤ |brands|² rows) and derive
+    # m, the intra-community counts, and the degree sums from the tiny
+    # cell relation — previously m, intra, and the ends union each
+    # re-read the labeled relation (4 edge-scale passes). All integer
+    # sums of integer cell counts: bit-identical by construction.
+    cells = labeled.groupBy("ba", "bb").agg(F.count(F.lit(1)).alias("n"))
+    cells = _persist_tracked(cells)
+    # coalesce keeps the aggregates NON-NULLABLE like the counts they
+    # replace (the driver gates on result schema); values are identical
+    # on the always-non-empty inputs.
+    m = cells.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("m"))
+    intra = (cells.where(F.col("ba") == F.col("bb"))
+             .select(F.col("ba").alias("brand"), F.col("n").alias("ec")))
+    ends = cells.select(F.col("ba").alias("brand"), "n").unionAll(
+        cells.select(F.col("bb").alias("brand"), "n"))
+    degsum = ends.groupBy("brand").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("dc"))
     terms = (degsum.join(intra, "brand", "left")
              .crossJoin(F.broadcast(m))
              .select(
