@@ -5254,9 +5254,20 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.col("l_extendedprice").alias("x"))
+    # localCheckpoint the two tiny relations (r15, guide §1.2 step 1 /
+    # §3.3 "materialise an intermediate to truncate the plan"): stats
+    # (<= |groups| rows) and spans (<= |groups|*bins rows) each feed
+    # multiple consumers; without a materialization point every
+    # broadcast(stats)/spans reference re-derived the whole fact-scan
+    # subtree (14 parquet hits in one plan) and the duplicated tree
+    # made query construction itself cost more than execution.
+    # localCheckpoint, not persist: fresh lineage per call keeps bench
+    # reps recomputing honestly. Values are bit-identical — the same
+    # aggregates, just computed once.
     stats = li.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("lo"), F.max("x").alias("hi"))
+    stats = stats.localCheckpoint(eager=True)
     span = F.col("hi") - F.col("lo")
     bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
         F.floor((F.col("x") - F.col("lo")) * TRIM_BINS / span),
@@ -5273,6 +5284,7 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g", "bin", "cnt", "s", "n",
         F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("off"),
         F.expr(f"n div {TRIM_DEN}").alias("k"))
+    spans = spans.localCheckpoint(eager=True)
     lo_keep, hi_keep = F.col("k") + 1, F.col("n") - F.col("k")
     start, end = F.col("off") + 1, F.col("off") + F.col("cnt")
     interior = spans.where((start >= lo_keep) & (end <= hi_keep)) \
