@@ -5600,6 +5600,15 @@ def q_ab_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = li.groupBy(F.col("l_returnflag").alias("g"),
                        F.col("l_quantity").alias("v")) \
         .agg(F.count(F.lit(1)).alias("cnt"))
+    # localCheckpoint the cell relation (r15, guide §1.2 step 1): it is
+    # bounded by |groups| x |distinct quantities| (~150 rows) but feeds
+    # a three-level diamond (vals -> ranked/ties, cells |x| ranked ->
+    # groups -> nrel/tot) whose expansion re-derived the fact scan +
+    # aggregate 5 times in one plan. One fact pass computes the cells;
+    # every statistic below is integer arithmetic over the tiny
+    # relation. localCheckpoint, not persist: fresh lineage per call
+    # keeps bench reps recomputing honestly.
+    cells = cells.localCheckpoint(eager=True)
     vals = cells.groupBy("v").agg(F.sum("cnt").alias("cv"))
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vals.select(
