@@ -534,13 +534,26 @@ def quality_features(d: DataFrame) -> DataFrame:
     # reference (~0.35-0.45 s/query at sf0.1, profiled r14).
     ntok = F.greatest(F.size(toks), F.lit(1))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
-    return d.select(
+    feats = d.select(
         "doc_id", "source", "n_chars",
         (stop_hits.cast("double") / ntok).alias("x1"),
         (F.length(F.regexp_replace("text", " ", ""))
          .cast("double") / ntok / F.lit(10.0)).alias("x2"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
+    # Materialize the NUMERIC feature relation once (r15, guide §1.2
+    # step 1): every GD-family consumer makes >= 3 passes over feats
+    # (QF_ROUNDS fit rounds + scoring), and without a materialization
+    # point each pass re-tokenized the whole corpus — stopword filter +
+    # regexp per document per pass. One tokenizing scan now feeds every
+    # round/score pass reading (doc_id, source, n_chars, x1, x2, y) —
+    # the staged feature table a real trainer materializes before GD.
+    # localCheckpoint, not persist: fresh lineage per call keeps bench
+    # reps recomputing honestly (lazy eager=False was A/B'd: no better
+    # at sf0.1 and it pushes the materialization into whichever
+    # consumer job happens to run first). Values bit-identical (same
+    # columns).
+    return feats.localCheckpoint(eager=True)
 
 
 def fit_quality_weights(feats: DataFrame) -> DataFrame:
@@ -603,7 +616,10 @@ def q_pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class prior shifts the whole distribution under imbalance). The
     # mean of the 6-dp-quantized scores is engine-exact; scored is
     # persisted because the threshold aggregate and the final report
-    # both consume it.
+    # both consume it (dropping the persist was A/B'd in r15: the final
+    # plan embeds scored twice — once under thr, once in the report —
+    # so without the cache the weight broadcast and sigmoid projection
+    # run twice; 1.40 vs 0.92 s warm min at sf0.1).
     scored = (
         feats.crossJoin(F.broadcast(w))  # 1-row weight relation
         .select("source", "n_chars", p.alias("p"))
