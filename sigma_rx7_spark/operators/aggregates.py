@@ -1743,6 +1743,14 @@ def q_agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").alias("v_lo"),
         F.max("l_extendedprice").alias("v_hi"))
+    # localCheckpoint the two tiny relations (r15, guide §1.2 step 1):
+    # stats (<= |groups| rows) feeds both binned references and the
+    # rank targets, and target (<= |groups| rows) re-embedded the whole
+    # binned subtree at the final join — 5 fact scans in one plan for a
+    # 3-pass algorithm. Materialized, the plan takes exactly the three
+    # passes the recipe needs (stats, histogram, bin-pick). Fresh
+    # lineage per call keeps bench reps recomputing honestly.
+    stats = stats.localCheckpoint(eager=True)
     span = F.col("v_hi") - F.col("v_lo")
     bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
         F.floor((F.col("l_extendedprice") - F.col("v_lo"))
@@ -1765,6 +1773,7 @@ def q_agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rk") - (F.col("cum") - F.col("cnt")))
                 .alias("offset"), "n")
     )
+    target = target.localCheckpoint(eager=True)
     wbin = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     return (
         binned.join(F.broadcast(target), ["l_returnflag", "bin"])
@@ -1909,6 +1918,10 @@ def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("l_extendedprice").alias("v_lo"),
         F.max("l_extendedprice").alias("v_hi"))
+    # Same materialization discipline as A27 above: stats and located
+    # are group-cardinality-bounded but each re-embedded a fact-scan
+    # subtree per consumer (5 scans in-plan for the 3-pass recipe).
+    stats = stats.localCheckpoint(eager=True)
     span = F.col("v_hi") - F.col("v_lo")
     bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
         F.floor((F.col("l_extendedprice") - F.col("v_lo"))
@@ -1937,6 +1950,7 @@ def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rk") - (F.col("cum") - F.col("cnt")))
                 .alias("offset"))
     )
+    located = located.localCheckpoint(eager=True)
     wbin = Window.partitionBy("l_returnflag", "p") \
         .orderBy("l_extendedprice")
     hits = (
