@@ -345,8 +345,14 @@ def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
     a_doc_id < b_doc_id. Engine-deterministic end to end."""
     sig = md5_minhash_signatures(docs)
     cand = md5_lsh_candidates(sig)
+    # persist: the verify join consumes the word-set relation on BOTH
+    # sides (wa, wb) and Catalyst does not exchange-reuse aliased
+    # branches — without it the corpus is tokenized twice more per
+    # call. Same measured pathology and fix as the banded relation in
+    # md5_lsh_candidates above. (doc_id, distinct-token array) — the
+    # word-set artifact a production verify stage materializes anyway.
     words = docs.select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w")).persist()
     wa = words.select(F.col("doc_id").alias("a_doc_id"),
                       F.col("w").alias("wa"))
     wb = words.select(F.col("doc_id").alias("b_doc_id"),
