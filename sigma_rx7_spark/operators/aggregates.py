@@ -3678,27 +3678,38 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     build_keys = o.select("o_custkey").distinct()
+    # localCheckpoint (r15, guide §1.2 step 1): the distinct build-key
+    # relation feeds BOTH the filter build and the exact-membership
+    # truth join; without a materialization point each consumer re-ran
+    # the orders scan + distinct (2 fact scans -> 1). It is broadcast
+    # downstream, so it is bounded by assumption already.
+    build_keys = build_keys.localCheckpoint(eager=True)
     built = (
         build_keys.select(
             F.explode(F.array(*bloom_pos(F.col("o_custkey"))))
             .alias("pos"))
         .distinct())
-    probe = c.select(
-        "c_custkey",
-        F.explode(F.array(*bloom_pos(F.col("c_custkey")))).alias("pos"))
-    verdicts = (
-        probe.join(F.broadcast(built.withColumn("hit", F.lit(1))),
-                   "pos", "left")
-        .groupBy("c_custkey")
-        .agg(F.when(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                    == BLOOM_HASHES, 1).otherwise(0).alias("bloom_pos")))
-    truth = (
+    # Exact membership rides the probe rows (r15): attach member BEFORE
+    # the position explode, so one customer scan serves both the Bloom
+    # verdict and the truth column and the former verdicts|x|truth join
+    # disappears. member is constant per c_custkey (max() restores it
+    # after the per-key aggregate); bloom_pos is unchanged.
+    cm = (
         c.select("c_custkey")
         .join(F.broadcast(build_keys.withColumn("m", F.lit(1))),
               F.col("c_custkey") == F.col("o_custkey"), "left")
         .select("c_custkey",
                 F.coalesce(F.col("m"), F.lit(0)).alias("member")))
-    joined = verdicts.join(truth, "c_custkey")
+    probe = cm.select(
+        "c_custkey", "member",
+        F.explode(F.array(*bloom_pos(F.col("c_custkey")))).alias("pos"))
+    joined = (
+        probe.join(F.broadcast(built.withColumn("hit", F.lit(1))),
+                   "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.max("member").alias("member"),
+             F.when(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    == BLOOM_HASHES, 1).otherwise(0).alias("bloom_pos")))
     from ..compat import QDEC
     n_nonmem = F.sum(1 - F.col("member"))
     n_fp = F.sum(F.when((F.col("bloom_pos") == 1)
