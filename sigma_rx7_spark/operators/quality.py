@@ -2220,13 +2220,23 @@ def q_quality_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")) \
             .distinct()
         keys = c.groupBy("k").agg(F.count(F.lit(1)).alias("mult"))
-        orphans = (keys.join(F.broadcast(p), "k", "left_anti")
-                   .agg(F.coalesce(F.sum("mult"), F.lit(0))
-                        .cast("bigint").alias("n_orphans")))
-        total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-        row = (total.crossJoin(orphans)
-               .select(F.lit(edge).alias("edge"), "n_child",
-                       "n_orphans"))
+        # One child pass per edge (r15, guide §1.2 step 1): n_child is
+        # the sum of per-key multiplicities the orphan check already
+        # aggregates, so the parent verdict rides a left join's hit
+        # flag and ONE aggregate emits both counts — the old shape
+        # scanned the child a second time for count(*) and anti-joined
+        # for the orphan sum (14 fact scans -> 7 across the edges).
+        # Integer sums of the same multiplicities: bit-identical.
+        flagged = keys.join(
+            F.broadcast(p.withColumn("hit", F.lit(1))), "k", "left")
+        row = flagged.agg(
+            F.coalesce(F.sum("mult"), F.lit(0))
+            .cast("bigint").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit").isNull(), F.col("mult"))
+                      .otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_orphans"),
+        ).select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
         out = row if out is None else out.unionByName(row)
     return out.select(
         "edge", "n_child", "n_orphans",
