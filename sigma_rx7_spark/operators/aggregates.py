@@ -4641,6 +4641,13 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", F.col("c_nationkey").alias("nation"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
              .cast("double").alias("x")))
+    # localCheckpoint (r15, guide §1.2 step 1): the per-customer spend
+    # relation feeds four consumers (tot, the T terms, the per-nation
+    # aggregate, n_customers via tot); without a materialization point
+    # each re-derived the orders|x|customer join + aggregate — 5 fact
+    # scans in one plan for a one-join algorithm. Customer-cardinality
+    # — the staging relation a real report would materialize anyway.
+    spend = spend.localCheckpoint(eager=True)
     tot = spend.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"))
