@@ -1733,13 +1733,17 @@ def q_quality_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.min("raw").alias("example"))
         out = g if out is None else out.unionByName(g)
-    tot = out.groupBy("column_name").agg(
-        F.sum("n_rows").alias("col_rows"))
-    return (out.join(F.broadcast(tot), "column_name")
-            .select("column_name", "mask", "n_rows",
-                    (F.col("n_rows").cast("double") / F.col("col_rows"))
-                    .cast("decimal(18,6)").cast("double").alias("share"),
-                    "example")
+    # Per-column totals ride a window over the O(#masks) relation
+    # (r15, guide §2.4): the former aggregate-and-join-back consumed
+    # the union twice, re-deriving every column scan (10 scans -> 5,
+    # one per profiled column — the floor). Same exact integer total,
+    # partitioned by the key the relation is already grouped on.
+    col_rows = F.sum("n_rows").over(
+        Window.partitionBy("column_name"))
+    return (out.select("column_name", "mask", "n_rows",
+                       (F.col("n_rows").cast("double") / col_rows)
+                       .cast("decimal(18,6)").cast("double").alias("share"),
+                       "example")
             .orderBy("column_name", "mask"))
 
 
