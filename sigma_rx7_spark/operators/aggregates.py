@@ -4874,6 +4874,13 @@ def q_agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import capped_order_lines
 
     li = capped_order_lines(load(spark, sf_dir, "lineitem"))
+    # localCheckpoint (r15, guide §1.2 step 1): the capped-basket
+    # relation feeds four consumers (order count, item supports, both
+    # self-join sides); without a materialization point each re-ran
+    # the distinct + per-order ranking window over the fact scan — the
+    # most expensive stage of the query, four times. Fresh lineage per
+    # call keeps bench reps recomputing honestly.
+    li = li.localCheckpoint(eager=True)
     n_orders = li.agg(F.countDistinct("o").alias("n"))
     item = li.groupBy("p").agg(F.count(F.lit(1)).alias("supp_i"))
     a = li.select("o", F.col("p").alias("ante"))
