@@ -837,6 +837,12 @@ def q_sim_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nn"))
     pn = (proj.join(norms, "vec_id").where(F.col("nn") > 0)
           .select("vec_id", "j", (F.col("y") / F.col("nn")).alias("yn")))
+    # localCheckpoint (r15, guide §1.2 step 1): the normalized
+    # projection feeds both cosine sides (qp, cp); without a
+    # materialization point each side re-ran the posexplode x 16
+    # projection aggregate and its norm join — the expensive stage of
+    # the audit, twice. (vec_id, j, yn) is N x RP_OUT_DIM doubles.
+    pn = pn.localCheckpoint(eager=True)
     qp = (pn.where(F.col("vec_id") < RP_QUERIES)
           .select(F.col("vec_id").alias("q_id"), "j",
                   F.col("yn").alias("qy")))
