@@ -2634,14 +2634,27 @@ def q_agg_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.least(raw.cast("bigint"),
                                    F.lit(HBOS_BINS - 1)))).alias(f"bin_{f}")
 
+    # localCheckpoint stats (1 row, lazy — it materializes inside the
+    # cells job below, avoiding a third blocking job) and the joint
+    # bin-cell grid (<= HBOS_BINS^3 rows, eager) — r15, guide §1.2
+    # step 1: the binned relation fed the probe pass AND the three
+    # marginal histograms, each re-deriving the fact scan + stats
+    # aggregate (8 scans in one plan). One fact pass now builds the
+    # joint cells; the marginals are integer sums of cell counts
+    # (bit-identical to the direct counts); the probe pass is the only
+    # other fact touch.
+    stats = stats.localCheckpoint(eager=False)
     binned = li.crossJoin(F.broadcast(stats)).select(
         "l_orderkey", "l_linenumber", "n",
         *[bin_col(f) for f in _HBOS_FEATS])
 
+    cells = (binned.groupBy(*[f"bin_{f}" for f in _HBOS_FEATS])
+             .agg(F.count(F.lit(1)).alias("cc"))
+             .localCheckpoint(eager=True))
     out = binned
     for f in _HBOS_FEATS:
-        hist = (binned.groupBy(f"bin_{f}")
-                .agg(F.count(F.lit(1)).alias(f"c_{f}")))
+        hist = (cells.groupBy(f"bin_{f}")
+                .agg(F.sum("cc").alias(f"c_{f}")))
         out = out.join(F.broadcast(hist), f"bin_{f}")
     score = None
     for f in _HBOS_FEATS:
