@@ -354,12 +354,34 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     oriented = _persist_tracked(oriented)
-    e1 = oriented.alias("e1")
-    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    tri = wedges.join(
-        oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"],
-        "left_semi")
+    # Wedge and closure counts WITHOUT enumerating wedges (r15, guide
+    # §1.2 step 1 — the q_graph_clustering array-census recipe):
+    # |wedges| = Σ_m indeg(m)·outdeg(m) over the oriented graph (every
+    # a→m pairs with every m→c), and each triangle is counted exactly
+    # once at its lowest oriented edge (a,b) as a common out-neighbor
+    # c ∈ N⁺(a) ∩ N⁺(b) — so the closure count is one O(outdeg)
+    # codegen array_intersect per edge instead of materializing the
+    # Σ outdeg² wedge relation and semi-probing each row against the
+    # full edge set. Orientation still caps outdeg at O(√m), so the
+    # collected int arrays are bounded. Exact integer identities —
+    # counts bit-identical.
+    outn = _persist_tracked(
+        oriented.groupBy("a").agg(F.collect_list("b").alias("nb"),
+                                  F.count(F.lit(1)).alias("dout")))
+    inn = oriented.groupBy("b").agg(F.count(F.lit(1)).alias("din"))
+    n_wedges = (
+        outn.select(F.col("a").alias("m"), "dout")
+        .join(inn.select(F.col("b").alias("m"), "din"), "m")
+        .agg(F.coalesce(F.sum(F.col("din") * F.col("dout")), F.lit(0))
+             .cast("bigint").alias("n_wedges")))
+    n_triangles = (
+        oriented
+        .join(outn.select("a", F.col("nb").alias("nb_a")), "a")
+        .join(outn.select(F.col("a").alias("b"),
+                          F.col("nb").alias("nb_b")), "b")
+        .agg(F.coalesce(
+            F.sum(F.size(F.array_intersect("nb_a", "nb_b"))), F.lit(0))
+            .cast("bigint").alias("n_triangles")))
 
     def one(df, alias):
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
@@ -367,8 +389,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four 1-row aggregates crossJoined: one declarative plan, each join
     # side broadcast-sized — no driver-side counting.
     return (one(deg, "n_nodes").crossJoin(one(und, "n_edges"))
-            .crossJoin(one(wedges, "n_wedges"))
-            .crossJoin(one(tri, "n_triangles")))
+            .crossJoin(n_wedges)
+            .crossJoin(n_triangles))
 
 
 # ---- Recursive-CTE BFS reachability (Spark 4 WITH RECURSIVE) -------------
