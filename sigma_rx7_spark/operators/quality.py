@@ -2096,6 +2096,12 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("v_lo"), F.max("v").alias("v_hi"))
+    # A27/A30 materialization discipline (r15, guide §1.2 step 1):
+    # stats, located and the 3-row fence relation each fed multiple
+    # consumers, re-embedding fact-scan subtrees; checkpointed, the
+    # plan takes exactly the algorithm's four passes (stats,
+    # histogram, rank-in-bin pick, fence aggregate).
+    stats = stats.localCheckpoint(eager=True)
     span = F.col("v_hi") - F.col("v_lo")
     bin_of = F.when(span == 0, F.lit(0)).otherwise(F.least(
         F.floor((F.col("v") - F.col("v_lo")) * IQR_BINS / span),
@@ -2119,6 +2125,7 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("segment", "p", "bin", "n",
                        (F.col("rk") - (F.col("cum") - F.col("cnt")))
                        .alias("offset")))
+    located = located.localCheckpoint(eager=True)
     wbin = Window.partitionBy("segment", "p").orderBy("v")
     hits = (binned.join(F.broadcast(located), ["segment", "bin"])
             .withColumn("rk_in_bin", F.row_number().over(wbin))
@@ -2130,6 +2137,7 @@ def q_quality_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     fenced = quart.select(
         "segment", "n", "q1", "q3",
         (IQR_K_NUM * (F.col("q3") - F.col("q1"))).alias("iqr3"))
+    fenced = fenced.localCheckpoint(eager=True)
     # fence classification stays in +/-/* decimal arithmetic on BOTH
     # sides: v is low iff 2*(q1-v) > 3*(q3-q1) — the division-free form
     # of v < q1 - 1.5*IQR, so neither engine ever types a fence as a
