@@ -614,14 +614,20 @@ def q_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     lower = F.lower(F.col("text"))
+    # Overlapping trigrams via zip_with over three char-array slices
+    # (r15, guide §1.2 step 2): substring(s, i, 3) with a non-literal
+    # position re-seeks codepoints from the string head per call —
+    # O(len²) per document; splitting to a char array once and zipping
+    # three slices is the same trigram multiset (verified identical
+    # in-session at sf0.1) at 3.0 -> 1.1 s for the explode pass.
+    ch = F.split(lower, "")
+    n_m2 = F.greatest(F.size(ch) - 2, F.lit(0))
+    tri3 = F.zip_with(
+        F.zip_with(F.slice(ch, 1, n_m2), F.slice(ch, 2, n_m2),
+                   lambda a, b: F.concat(a, b)),
+        F.slice(ch, 3, n_m2), lambda ab, c: F.concat(ab, c))
     tri = d.where(F.length("text") >= 3).select(
-        "doc_id", "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(lower) - 2),
-                lambda i: F.substring(lower, i, 3),
-            )
-        ).alias("trigram"))
+        "doc_id", "lang", F.explode(tri3).alias("trigram"))
     w_prof = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), "trigram")
     profile = (
