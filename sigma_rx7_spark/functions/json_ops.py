@@ -160,16 +160,30 @@ def q_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("estimatedCost"),
     )
     j = F.to_json(resource)
-    return o.select(
+    # One serialize, one top-level parse (r15, guide §1.2 step 2): the
+    # old shape referenced the to_json expression in all seven
+    # get_json_object extractions and Catalyst re-inlined it per
+    # reference — seven serializations and seven full-document parses
+    # per row (3.9 s at sf0.1). json_tuple is a generator, so its
+    # input is evaluated ONCE; the two nested leaves re-parse only the
+    # small sub-object strings. Leaf values identical (verified
+    # in-session); the construct→serialize→parse round-trip contract
+    # is unchanged — one serialization still feeds every extracted
+    # leaf. 3.9 -> 2.4 s.
+    base = o.select(
         "o_orderkey",
-        F.get_json_object(j, "$.resourceType").alias("resource_type"),
-        F.get_json_object(j, "$.id").alias("resource_id"),
-        F.get_json_object(j, "$.status").alias("status"),
-        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
-        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].system")
+        F.json_tuple(j, "resourceType", "id", "status", "subject",
+                     "medicationCodeableConcept", "estimatedCost")
+        .alias("rt", "rid", "st", "subj", "mcc", "ec"))
+    return base.select(
+        "o_orderkey",
+        F.col("rt").alias("resource_type"),
+        F.col("rid").alias("resource_id"),
+        F.col("st").alias("status"),
+        F.get_json_object("subj", "$.reference").alias("subject_ref"),
+        F.get_json_object("mcc", "$.coding[0].system")
         .alias("coding_system"),
-        F.get_json_object(j, "$.medicationCodeableConcept.coding[0].code")
-        .alias("coding_code"),
-        F.get_json_object(j, "$.estimatedCost").cast("decimal(12,2)")
-        .cast("double").alias("estimated_cost"),
+        F.get_json_object("mcc", "$.coding[0].code").alias("coding_code"),
+        F.col("ec").cast("decimal(12,2)").cast("double")
+        .alias("estimated_cost"),
     )
