@@ -1470,7 +1470,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_doc_id", "b_doc_id")
         .distinct()
     )
-    shsets = d.select("doc_id", _shingles().alias("w"))
+    # persist: the verify join consumes the shingle-set relation on
+    # BOTH sides and aliased branches do not exchange-reuse — without
+    # it the corpus is re-shingled twice more per call (the
+    # lsh_verified_pairs words pathology, r15).
+    shsets = d.select("doc_id", _shingles().alias("w")).persist()
     wa = shsets.select(F.col("doc_id").alias("a_doc_id"),
                        F.col("w").alias("wa"))
     wb = shsets.select(F.col("doc_id").alias("b_doc_id"),
