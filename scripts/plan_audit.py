@@ -94,17 +94,41 @@ def formatted(df) -> str:
         .fromString("formatted"))
 
 
-def _top_level_groups(line: str) -> int:
-    """Count depth-0 ``[...]`` groups in a formatted Arguments line."""
-    depth = groups = 0
-    for ch in line:
+def _top_level_groups(line: str) -> list:
+    """Depth-0 ``[...]`` group strings in a formatted Arguments line."""
+    depth = 0
+    start = -1
+    out = []
+    for i, ch in enumerate(line):
         if ch == "[":
             if depth == 0:
-                groups += 1
+                start = i
             depth += 1
         elif ch == "]":
             depth -= 1
-    return groups
+            if depth == 0:
+                out.append(line[start:i + 1])
+    return out
+
+
+def _is_global_window(arg_line: str) -> bool:
+    """True iff a Window node's Arguments line has NO partition group.
+
+    A partitioned+ordered window prints three top-level groups
+    ``[exprs], [partition], [order]``; a global (unpartitioned) one
+    prints ``[exprs], [order]``. A PARTITION-ONLY window (unordered
+    whole-partition frame, r15: q_quality_patterns' share total) ALSO
+    prints two groups — ``[exprs], [partition]`` — and is NOT global:
+    its exchange hash-partitions on the key. The two 2-group cases are
+    distinguished by the second group's content: an order spec always
+    carries a sort direction (``ASC``/``DESC``), a partition list never
+    does."""
+    groups = _top_level_groups(arg_line)
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return " ASC" in groups[1] or " DESC" in groups[1]
+    return True
 
 
 def audit_plan(plan: str):
@@ -124,13 +148,14 @@ def audit_plan(plan: str):
                 n_noncross += 1
         elif re.match(r"\(\d+\) Window(GroupLimit)?\b", head):
             arg = re.search(r"Arguments: ([^\n]*)", block)
-            # Window: 3 groups = partitioned, 2 = global.
+            # Window: no partition group = global (see _is_global_window
+            # for the 2-group partition-only vs global disambiguation).
             # WindowGroupLimit: [partition], [order], fn, k — a global
             # one leads with an EMPTY partition list '[], ...'.
             if "WindowGroupLimit" in head:
                 if arg and arg.group(1).lstrip().startswith("[],"):
                     n_gwin += 1
-            elif arg and _top_level_groups(arg.group(1)) < 3:
+            elif arg and _is_global_window(arg.group(1)):
                 n_gwin += 1
     return n_cart, n_cross, n_noncross, n_gwin
 
