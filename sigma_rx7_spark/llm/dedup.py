@@ -2144,7 +2144,13 @@ def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates track true duplicates (banded, never n²); the
     audit joins signatures and word sets only for candidate rows."""
     d = load(spark, sf_dir, "documents")
-    sig = md5_minhash_signatures(d)
+    # persist both audit inputs (r15): the signature relation feeds
+    # the banding AND both compare sides (sa, sb), the word-set
+    # relation both exact sides (wa, wb) — aliased branches do not
+    # exchange-reuse, so without the caches the shingle explode +
+    # 16-way min aggregation and the tokenize each ran twice more per
+    # call (the lsh_verified_pairs words pathology).
+    sig = md5_minhash_signatures(d).persist()
     cand = md5_lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("a_doc_id"),
                     *[F.col(f"m{i}").alias(f"a{i}")
@@ -2153,7 +2159,8 @@ def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[F.col(f"m{i}").alias(f"b{i}")
                       for i in range(MD5_MINHASH_K)])
     words = d.select("doc_id",
-                     F.array_distinct(tokens(F.col("text"))).alias("w"))
+                     F.array_distinct(tokens(F.col("text"))).alias("w")) \
+        .persist()
     wa = words.select(F.col("doc_id").alias("a_doc_id"),
                       F.col("w").alias("wa"))
     wb = words.select(F.col("doc_id").alias("b_doc_id"),
