@@ -662,17 +662,23 @@ def q_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             % GROUP_FOLDS).cast("int")
     assigned = li.select("l_orderkey", "l_linenumber",
                          fold.alias("fold"))
-    straddle = assigned.groupBy(F.col("l_orderkey").alias("k2")).agg(
-        F.countDistinct("fold").cast("int").alias("straddle"))
-    return (
-        assigned.join(straddle,
-                      assigned.l_orderkey == straddle.k2)
-        .groupBy("fold")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-             F.countDistinct("l_orderkey").cast("bigint")
-             .alias("n_groups"),
-             F.max("straddle").cast("int").alias("max_folds_per_group"))
-    )
+    # One fact pass (r15, guide §1.2 step 1): the old shape aggregated
+    # the straddle audit per order and joined it back onto the row
+    # relation — two fact derivations plus an orderkey-grain join.
+    # fold is a deterministic function of l_orderkey, so a single
+    # per-order aggregate carries the row count, the straddle audit
+    # (still COMPUTED via countDistinct, not assumed), and the group's
+    # fold; the per-fold report is a tiny second aggregate. Values
+    # identical by construction (every row of an order shares its
+    # fold).
+    per_order = assigned.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("fold").cast("int").alias("straddle"),
+        F.max("fold").alias("fold"))
+    return per_order.groupBy("fold").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("straddle").cast("int").alias("max_folds_per_group"))
 
 
 # ---- Temperature-sweep mixture audit -------------------------------------
