@@ -55,7 +55,23 @@ def main() -> None:
             os.makedirs(args.explain_dir, exist_ok=True)
             out = os.path.join(args.explain_dir,
                                f"{name}{args.suffix}.txt")
+            # Provenance header (VERDICT r15 item 7): stamp the commit
+            # the plan was generated from, so a regenerated dump can
+            # never masquerade as a different tree's before-plan.
+            import subprocess
+            from datetime import datetime, timezone
+            try:
+                sha = subprocess.check_output(
+                    ["git", "rev-parse", "HEAD"],
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    text=True).strip()
+            except Exception:
+                sha = "unknown"
+            stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
             with open(out, "w") as fh:
+                fh.write(f"-- plan dump: query={name} commit={sha} "
+                         f"generated={stamp}\n")
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
         reps = []

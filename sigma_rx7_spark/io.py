@@ -230,14 +230,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SPLIT_CACHE: dict[tuple, int] = {}
 
 
-def scan_split_parallelism(sf_dir: str, name: str) -> int:
+def scan_split_parallelism(sf_dir: str, name: str,
+                           limit: int | None = None) -> int:
     """Max achievable scan parallelism for a harness table's file set:
     parquet ROW GROUPS summed over files. Spark splits files by byte
     range (maxPartitionBytes), but a row group is the decode unit — a
     single-row-group file yields exactly one non-empty scan partition
     no matter how it is split, so row-group count (not file count or
     bytes) bounds how many cores can ever touch the data. Footer-only
-    reads, cached by (path, mtime, size)."""
+    reads, cached by (path, mtime, size).
+
+    ``limit`` (r16, VERDICT r15 item 4): the only caller gates on
+    ``< n`` — once the running total reaches ``limit`` the answer is
+    decided, so stop stat-ing/reading footers. At warehouse scale
+    (10^5 files) the healthy-layout fast path touches a handful of
+    footers instead of every file in the table."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -258,6 +265,8 @@ def scan_split_parallelism(sf_dir: str, name: str) -> int:
         if key not in _SPLIT_CACHE:
             _SPLIT_CACHE[key] = pq.ParquetFile(f).metadata.num_row_groups
         total += _SPLIT_CACHE[key]
+        if limit is not None and total >= limit:
+            return total
     return max(total, 1)
 
 
@@ -284,7 +293,7 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exchange and lose; see OPTIMIZATION_r15.md for the full sweep)."""
     df = load(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
-    if scan_split_parallelism(sf_dir, name) < n:
+    if scan_split_parallelism(sf_dir, name, limit=n) < n:
         df = df.repartition(n)
     return df
 

@@ -359,19 +359,20 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
 
 
 def test_quality_audit_profiles_are_conditional_aggregates(spark, sf_dir):
-    # The per-table profile checks fold into conditional aggregation:
-    # orders/lineitem are each scanned a bounded number of times (profile
-    # + pk/RI branches), never once per check; and the RI check is a
-    # broadcast anti join, so the fact side does not shuffle for it.
+    # r16 (VERDICT r15 item 2): the audit's two fact passes run in
+    # eager-checkpoint jobs at construction — ONE orders pass (per-key
+    # profile + pk-dup + RI dim build) and ONE lineitem pass (domain
+    # profile riding the orphan join). The returned plan therefore
+    # consumes only the two materialized 1-row artifacts: ZERO parquet
+    # scans may remain (previously: 3 orders + 2 lineitem scans with no
+    # exchange reuse — the table audited 5x per run at fact scale).
     import re
 
     p = plan(spark, sf_dir, "q_quality_audit")
-    # RI: broadcast LEFT join + conditional count (orphans AND the total
-    # row count in one pass; the fact side never shuffles)
-    assert "BroadcastHashJoin" in p, p
-    # 8 checks but bounded scans: orders x3 (profile, pk-dup, RI dim),
-    # lineitem x2 (profile, RI probe) — never one scan per check
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 5, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    # the 8 check rows must still be produced from the artifacts by
+    # generators inside one plan (no re-planned union subtrees)
+    assert "Generate" in p, p
 
 
 def test_cooccurrence_dedups_before_pair_join(spark, sf_dir):
