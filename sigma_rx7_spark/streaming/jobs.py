@@ -127,18 +127,44 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
-                  output_mode: str = "complete") -> DataFrame:
+                  output_mode: str = "complete",
+                  final_no_data_batch: bool = True) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink
-    and return the materialized result (T1 sink side, batch-verifiable)."""
+    and return the materialized result (T1 sink side, batch-verifiable).
+
+    ``final_no_data_batch=False`` (r16, VERDICT r15 item 4 — streaming
+    fixed cost): watermarked stateful queries run one TRAILING ZERO-ROW
+    micro-batch after the backlog drains, purely to advance the
+    watermark — measured 0.4–0.7 s of state-store open/commit and plan
+    work per query at sf0.1 (addBatch=401–675 ms for 0 input rows).
+    For a COMPLETE-mode sink that batch cannot change the table: the
+    last data batch already re-emitted the full aggregate state, no new
+    input exists, and complete mode never gates emission on the
+    watermark (eviction only bounds state size). Callers whose sink
+    content is provably watermark-independent pass False and skip it
+    via a scoped ``noDataMicroBatches`` conf (restored after the run,
+    so append-mode queries in the same session — where the trailing
+    batch IS what emits final windows / outer-join rows — keep it).
+    Measured: q_stream_hourly_distinct 1.67 → 1.00 s warm min, rows
+    identical; chop-invariance replay tests prove multi-batch equality.
+    """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    if not final_no_data_batch:
+        spark.conf.set(key, "false")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if not final_no_data_batch:
+            spark.conf.set(key, old)
     return spark.table(name)
 
 
@@ -172,7 +198,8 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
-    return run_to_memory(agg, "stream_hourly_counts")
+    return run_to_memory(agg, "stream_hourly_counts",
+                         final_no_data_batch=False)
 
 
 @query(
@@ -235,7 +262,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, "stream_sessions")
+    return run_to_memory(agg, "stream_sessions",
+                         final_no_data_batch=False)
 
 
 @query(
@@ -264,7 +292,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
         .alias("sum_value"),
     )
-    return run_to_memory(agg, "stream_static_join")
+    return run_to_memory(agg, "stream_static_join",
+                         final_no_data_batch=False)
 
 
 @query(
@@ -559,7 +588,8 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
-    return run_to_memory(agg, "stream_sliding_counts")
+    return run_to_memory(agg, "stream_sliding_counts",
+                         final_no_data_batch=False)
 
 
 @query(
@@ -906,7 +936,8 @@ def q_stream_dedup_watermarked(spark: SparkSession,
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
     )
     return run_to_memory(dedup, "stream_dedup_wm",
-                         output_mode="complete")
+                         output_mode="complete",
+                         final_no_data_batch=False)
 
 
 # ---- Streaming materialized-view refresh (T9 × A28) ----------------------
@@ -1029,7 +1060,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("day"),
                 "event_type", "n_events")
     )
-    mat = run_to_memory(agg, "stream_topk")
+    mat = run_to_memory(agg, "stream_topk", final_no_data_batch=False)
     w = Window.partitionBy("day").orderBy(
         F.col("n_events").desc(), "event_type")
     return (
@@ -1167,7 +1198,8 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").dropDuplicates(["user_id"]).select(
         F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
     counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
-    arms = run_to_memory(counts, "stream_srm", output_mode="complete")
+    arms = run_to_memory(counts, "stream_srm", output_mode="complete",
+                         final_no_data_batch=False)
     wide = arms.agg(
         F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("n"))),
                    F.lit(0)).alias("n_a"),
@@ -1323,7 +1355,8 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_b"))
         .select(F.to_date(F.col("w.start")).alias("day"), "bucket",
                 "n_b"))
-    served = run_to_memory(daily, "stream_psi", output_mode="complete")
+    served = run_to_memory(daily, "stream_psi", output_mode="complete",
+                           final_no_data_batch=False)
 
     nb = served.groupBy("day").agg(
         F.sum("n_b").cast("bigint").alias("n_day"))
@@ -1459,7 +1492,8 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.to_date(F.col("w.start")).alias("day"),
                      "event_type", "n_events", "n_anomalies", "max_az"))
     served = run_to_memory(daily, "stream_anomaly",
-                           output_mode="complete")
+                           output_mode="complete",
+                           final_no_data_batch=False)
     return served.select(
         "day", "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -1534,7 +1568,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trades", "volume",
         )
     )
-    return run_to_memory(agg, "stream_ohlc")
+    return run_to_memory(agg, "stream_ohlc", final_no_data_batch=False)
 
 
 @query(
@@ -1587,7 +1621,8 @@ def q_stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
                .select(F.col("window.start").alias("hour_start"),
                        "n_users"))
-        return run_to_memory(agg, "stream_hourly_distinct")
+        return run_to_memory(agg, "stream_hourly_distinct",
+                             final_no_data_batch=False)
 
 
 # ---- T19: streaming approximate distinct per window (T18's sketch twin) ----
@@ -1641,7 +1676,8 @@ def q_stream_hourly_distinct_approx(spark: SparkSession,
                     .alias("n_approx"))
                .select(F.col("window.start").alias("hour_start"),
                        "n_approx"))
-        streamed = run_to_memory(agg, "stream_hourly_distinct_approx")
+        streamed = run_to_memory(agg, "stream_hourly_distinct_approx",
+                                 final_no_data_batch=False)
     exact = (load(spark, sf_dir, "events")
              .where(F.col("event_type") == "purchase")
              .groupBy(F.date_trunc("hour", F.col("ts"))
