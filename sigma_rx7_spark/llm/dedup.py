@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..io import load
 from ..registry import query
-from .similarity import dot, dot_idx, normalized
+from .similarity import (dot, dot_idx, normalized,
+                         np_pairwise_dots, np_unit_rows)
 
 MINHASH_K = 32          # signature length
 LSH_BANDS = 8           # bands of 4 rows each -> catches jaccard >~ 0.5
@@ -590,6 +591,27 @@ COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
                              # random vectors; max pairwise cos ≈ 0.51
 
 
+def _allpairs_cosine_jvm(e: DataFrame) -> DataFrame:
+    """The r1–r15 JVM-fold all-pairs scorer — kept as the fallback for
+    ragged embedding inputs (zip_with truncation semantics) and as the
+    reference the Arrow path is property-tested bit-equal against."""
+    a = e.select(F.col("vec_id").alias("a_vec_id"),
+                 normalized("embedding").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_vec_id"),
+                 normalized("embedding").alias("b_vec"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_vec_id") < F.col("b_vec_id"))
+        .select("a_vec_id", "b_vec_id",
+                dot("a_vec", "b_vec").alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+_COSINE_OUT_SCHEMA = "a_vec_id bigint, b_vec_id bigint, cos_sim double"
+
+
+
 @query(
     "q_dedup_cosine",
     oracle=f"""
@@ -615,28 +637,77 @@ COSINE_DUP_THRESHOLD = 0.45  # harness embeddings are near-orthogonal
 def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs whose vectors' cosine similarity
     clears the duplicate threshold. Exact all-pairs here (the oracle-able
-    baseline); both sides unit-normalize ONCE so each pair costs a single
-    dot product, and Spark's left-fold arithmetic is bit-equal to
-    DuckDB's ``list_transform``/``list_inner_product`` mirror (verified
-    in tests — which is why this float-heavy query is hash-gated, not
-    rows-only). Scale path: this exact scorer runs on *candidate* pairs
-    from LSH bucketing — random-hyperplane signs for vectors (the
-    q_dedup_simhash construction) or IVF cells (``similarity.
-    ivf_assign``) — so the pair space tracks true duplicates, not n².
-    The broadcast side is the smaller relation; the corpus side never
-    shuffles."""
+    baseline) over the BOUNDED audit sample (at 100 TB the exact scorer
+    always runs on a sample or on LSH/IVF candidates —
+    q_dedup_cosine_lsh is the production path).
+
+    r16 execution (guide §4.2): the per-pair arithmetic moves from the
+    interpreted JVM ``aggregate`` fold (BroadcastNestedLoopJoin over n²
+    pairs — 13.5 s solo at sf0.1, the registry's heaviest entry; the
+    unrolled-codegen variant was measured SLOWER in r6) to a
+    ``mapInArrow`` scorer that is BIT-EXACT to the fold: the one side
+    is collected and sc.broadcast ONCE per call (the same bounded
+    relation the crossJoin previously broadcast — rows re-read from
+    parquet every call, nothing memoizes), the probe side streams
+    through Arrow, and ``similarity.np_pairwise_dots`` accumulates each
+    pair's 64 dims SEQUENTIALLY (64 rank-1 numpy updates — deliberately
+    NOT a BLAS matmul, which reorders the sum) so every multiply/add/
+    sqrt/divide is the identical IEEE-754 op sequence as the JVM fold
+    and DuckDB's list_inner_product mirror. Hash-gated, not rows-only,
+    exactly as before; the Arrow↔fold bit-equality is property-tested.
+    Ragged inputs (mixed embedding widths — zip_with truncation
+    semantics the dense matrix cannot mirror) fall back to the fold."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_vec_id"),
-                 normalized("embedding").alias("a_vec"))
-    b = e.select(F.col("vec_id").alias("b_vec_id"),
-                 normalized("embedding").alias("b_vec"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a_vec_id") < F.col("b_vec_id"))
-        .select("a_vec_id", "b_vec_id",
-                dot("a_vec", "b_vec").alias("cos_sim"))
-        .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-    )
+    src = e.select("vec_id", "embedding")
+    tbl = src.toArrow()
+    n = tbl.num_rows
+    if n == 0:
+        return spark.createDataFrame([], _COSINE_OUT_SCHEMA)
+    emb = tbl.column("embedding").combine_chunks()
+    lens = {len(v) for v in emb.to_pylist()}
+    if len(lens) != 1:
+        return _allpairs_cosine_jvm(e)
+    ids = tbl.column("vec_id").to_numpy()
+    V = np.asarray(emb.to_pylist(), dtype=np.float64)
+    NB = np_unit_rows(V)
+    bc = spark.sparkContext.broadcast((ids, NB))
+    dim = V.shape[1]
+
+    def score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids_b, nb = bc.value
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            aid = batch.column("vec_id").to_numpy()
+            raw = batch.column("embedding").to_pylist()
+            if any(len(v) != dim for v in raw):
+                raise ValueError("ragged embedding batch")  # fallback
+                # path handles this shape before dispatch; a mid-stream
+                # width drift is data corruption and must fail loudly
+            na = np_unit_rows(_np.asarray(raw, dtype=_np.float64))
+            step = 256  # bounds acc at step x n doubles per chunk
+            for s in range(0, m, step):
+                ab, ai = na[s:s + step], aid[s:s + step]
+                acc = np_pairwise_dots(ab, nb)
+                mask = ((acc >= COSINE_DUP_THRESHOLD)
+                        & (ai[:, None] < ids_b[None, :]))
+                ii, jj = _np.nonzero(mask)
+                if not len(ii):
+                    continue
+                yield _pa.RecordBatch.from_arrays(
+                    [_pa.array(ai[ii], _pa.int64()),
+                     _pa.array(ids_b[jj], _pa.int64()),
+                     _pa.array(acc[ii, jj], _pa.float64())],
+                    names=["a_vec_id", "b_vec_id", "cos_sim"])
+
+    probe = src.repartition(spark.sparkContext.defaultParallelism)
+    return probe.mapInArrow(score, _COSINE_OUT_SCHEMA)
 
 
 # ---- SRP-LSH embedding near-dup (the bucketed scale path) ----------------

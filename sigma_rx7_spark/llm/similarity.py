@@ -145,6 +145,52 @@ def normalized(a: Column | str) -> Column:
     return F.zip_with(c, rep, lambda x, n: x.cast("double") / n)
 
 
+def np_unit_rows(V):
+    """``normalized`` over the rows of a float64 matrix with EXACTLY
+    the engine's arithmetic — the numpy mirror the Arrow-vectorized
+    exact scorer uses (r16, guide §4.2 "hand whole batches to
+    vectorized native libraries").
+
+    Bit-exactness argument, term by term:
+    - squares accumulate in a SEQUENTIAL left fold over dimensions
+      (``acc = acc + x*x`` per dim, vectorized ACROSS rows, ordered
+      WITHIN each row, acc starting at +0.0) — the identical IEEE-754
+      multiply/add sequence as ``l2_norm``'s ``aggregate`` fold; numpy
+      multiply/add are separate ufunc calls, so no FMA contraction can
+      fuse them any more than the JVM does;
+    - ``np.sqrt`` and ``Math.sqrt`` are both IEEE-correctly-rounded
+      (hardware sqrt);
+    - the divisor floor ``maximum(nrm, 1e-300)`` mirrors
+      ``greatest(l2_norm, 1e-300)`` including NaN propagation (Spark
+      orders NaN greatest; np.maximum propagates NaN);
+    - the per-element division is one IEEE divide either way.
+    Pinned by a property test against ``normalized``/``dot`` output on
+    the harness fixture."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for d in range(V.shape[1]):
+        x = V[:, d]
+        acc = acc + x * x
+    nrm = np.maximum(np.sqrt(acc), 1e-300)
+    return V / nrm[:, None]
+
+
+def np_pairwise_dots(A, B):
+    """Pairwise dot products (rows of A × rows of B) with EXACTLY the
+    engine's fold order: one IEEE multiply + one IEEE add per
+    dimension, d ascending, acc starting at +0.0 — ``dot``'s
+    ``aggregate`` fold vectorized across pairs (64 rank-1 updates, NOT
+    a matmul: BLAS gemm reorders/blocks the accumulation and would
+    break the bit-equal hash gate vs DuckDB's list_inner_product)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d:d + 1] * B[:, d][None, :]
+    return acc
+
+
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame,
                     k: int = TOP_K) -> DataFrame:
     """Exact cosine top-k: broadcast the query side, rank per query.

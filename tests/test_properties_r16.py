@@ -1,0 +1,85 @@
+"""Round-16 optimization properties.
+
+The r16 rewrites must be BIT-EXACT re-expressions: the Arrow-vectorized
+exact cosine scorer replaces the JVM ``aggregate`` fold, so its doubles
+must equal the fold's doubles bit for bit (the query is hash-gated
+against DuckDB). These tests pin that equality on the real fixture,
+plus the numpy mirrors' arithmetic against the engine expressions.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from sigma_rx7_spark import registry
+from sigma_rx7_spark.io import load
+
+ALL = registry.load_all()
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def test_arrow_cosine_bit_equals_jvm_fold(spark, sf_dir):
+    # The mapInArrow scorer vs the r15 BroadcastNestedLoopJoin fold:
+    # same pairs, and every cos_sim IDENTICAL AT THE BIT LEVEL (the
+    # property the hash gate needs; == would also pass for -0.0/0.0
+    # and fail for NaN, so compare raw bit patterns).
+    from sigma_rx7_spark.llm.dedup import _allpairs_cosine_jvm
+
+    e = load(spark, sf_dir, "embeddings")
+    new = ALL["q_dedup_cosine"].fn(spark, sf_dir).collect()
+    old = _allpairs_cosine_jvm(e).collect()
+    new_m = {(r.a_vec_id, r.b_vec_id): r.cos_sim for r in new}
+    old_m = {(r.a_vec_id, r.b_vec_id): r.cos_sim for r in old}
+    assert set(new_m) == set(old_m)
+    assert len(new) == len(new_m)  # no duplicate pairs
+    for k, v in old_m.items():
+        assert _bits(new_m[k]) == _bits(v), (k, new_m[k], v)
+
+
+def test_np_unit_rows_matches_engine_normalized(spark, sf_dir):
+    # The numpy normalization mirror vs the engine expression, element
+    # by element at the bit level — including the 1e-300 zero floor.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.llm.similarity import normalized, np_unit_rows
+
+    e = load(spark, sf_dir, "embeddings").limit(200)
+    rows = e.select("vec_id", normalized("embedding").alias("nv"),
+                    "embedding").collect()
+    V = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+    N = np_unit_rows(V)
+    for i, r in enumerate(rows):
+        for j, x in enumerate(r.nv):
+            assert _bits(N[i, j]) == _bits(x), (r.vec_id, j)
+    # zero vector: floor divisor keeps +0.0 components
+    Z = np_unit_rows(np.zeros((1, 4)))
+    assert Z.tolist() == [[0.0, 0.0, 0.0, 0.0]]
+
+
+def test_np_pairwise_dots_is_sequential_fold():
+    # The rank-1-update accumulation must equal a scalar left fold (the
+    # definition the JVM aggregate implements), bit for bit, on values
+    # where a reordered/pairwise sum WOULD differ.
+    import numpy as np
+
+    from sigma_rx7_spark.llm.similarity import np_pairwise_dots
+
+    rng = [1e16, 1.0, -1e16, 3.0, 0.1, -7.25, 1e-9, 2.0]
+    A = np.asarray([rng, rng[::-1]], dtype=np.float64)
+    B = np.asarray([[0.3, -1.1, 0.3, 5.0, 1e10, 2.0, -0.5, 1.25],
+                    [1.0] * 8], dtype=np.float64)
+    got = np_pairwise_dots(A, B)
+    for i in range(A.shape[0]):
+        for j in range(B.shape[0]):
+            acc = 0.0
+            for d in range(A.shape[1]):
+                acc = acc + A[i, d] * B[j, d]
+            assert _bits(got[i, j]) == _bits(acc), (i, j)
