@@ -83,3 +83,45 @@ def test_np_pairwise_dots_is_sequential_fold():
             for d in range(A.shape[1]):
                 acc = acc + A[i, d] * B[j, d]
             assert _bits(got[i, j]) == _bits(acc), (i, j)
+
+
+def test_arrow_cov_bit_equals_explode_path(spark, sf_dir):
+    # The fixed-point mapInArrow covariance accumulator vs the r15
+    # double-explode plan: same (i, j) set, n_vecs equal, and every cov
+    # double IDENTICAL AT THE BIT LEVEL (hash-gate property), plus the
+    # result schemas (names, types, nullability) byte-equal.
+    from sigma_rx7_spark.llm.clustering import _embed_cov_jvm
+
+    e = load(spark, sf_dir, "embeddings")
+    new_df = ALL["q_embed_cov"].fn(spark, sf_dir)
+    old_df = _embed_cov_jvm(e)
+    assert new_df.schema == old_df.schema
+    new = {(r.i, r.j): (r.n_vecs, r.cov) for r in new_df.collect()}
+    old = {(r.i, r.j): (r.n_vecs, r.cov) for r in old_df.collect()}
+    assert set(new) == set(old) and len(new) > 0
+    for k, (n_o, c_o) in old.items():
+        n_n, c_n = new[k]
+        assert n_n == n_o, k
+        assert _bits(c_n) == _bits(c_o), (k, c_n, c_o)
+
+
+def test_scale9_int64_matches_engine_decimal_cast(spark):
+    # The vectorized double->DECIMAL(20,9) mirror vs Spark's cast, on
+    # adversarial float32 values: exact decimal halves (dyadic m/1024,
+    # where HALF_UP vs HALF_EVEN diverge), negatives, tiny magnitudes.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.llm.clustering import _scale9_int64
+
+    f32 = [3.0 / 1024, -3.0 / 1024, 5.0 / 1024, -1.5 / 1024, 0.1, -0.1,
+           1.0, -1.0, 0.0, 1e-30, -1e-30, 15.9999, -15.9999, 2.5e-9,
+           -2.5e-9, 7.5e-9]
+    vals = [float(np.float32(x)) for x in f32]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    eng = [r.d for r in df.select(
+        (F.col("x").cast("decimal(20,9)") * F.lit(10 ** 9))
+        .cast("bigint").alias("d")).collect()]
+    got = _scale9_int64(np.asarray(vals, dtype=np.float64)).tolist()
+    assert got == eng, list(zip(vals, got, eng))
