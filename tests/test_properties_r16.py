@@ -125,3 +125,40 @@ def test_scale9_int64_matches_engine_decimal_cast(spark):
         .cast("bigint").alias("d")).collect()]
     got = _scale9_int64(np.asarray(vals, dtype=np.float64)).tolist()
     assert got == eng, list(zip(vals, got, eng))
+
+
+def test_bitset_cluster_pairs_equal_join_pairs(spark, sf_dir):
+    # The mapInArrow bitset pair stage vs the r15 blocked self-join:
+    # identical (src, dst) edge sets (integer-exact contract), and the
+    # full clusters query row-identical to the join-built variant.
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.functions.text import tokens
+    from sigma_rx7_spark.llm.dedup import (CLUSTER_JACCARD,
+                                           _cluster_pair_batches)
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(tokens(F.col("text"))).alias("words"))
+    new = set((r.src, r.dst) for r in words.repartition("lang", "source")
+              .mapInArrow(_cluster_pair_batches, "src bigint, dst bigint")
+              .collect())
+    a = d.select(F.col("doc_id").alias("a_doc_id"), "lang", "source",
+                 F.array_distinct(tokens(F.col("text"))).alias("a_words"))
+    b = d.select(F.col("doc_id").alias("b_doc_id"),
+                 F.col("lang").alias("b_lang"),
+                 F.col("source").alias("b_source"),
+                 F.array_distinct(tokens(F.col("text"))).alias("b_words"))
+    n_common = F.size(F.array_intersect("a_words", "b_words"))
+    union_sz = F.size("a_words") + F.size("b_words") - n_common
+    jaccard = (F.when(union_sz == 0, F.lit(1.0))
+               .otherwise(n_common.cast("double") / union_sz))
+    old = set((r.src, r.dst) for r in a.join(
+        b, (F.col("lang") == F.col("b_lang"))
+        & (F.col("source") == F.col("b_source"))
+        & (F.col("a_doc_id") < F.col("b_doc_id")))
+        .where(jaccard >= CLUSTER_JACCARD)
+        .select(F.col("a_doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst")).collect())
+    assert new == old and len(new) > 0
