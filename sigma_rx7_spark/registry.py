@@ -90,87 +90,76 @@ _LOADED = False
 #      ever report "no oracle" for them, so they must not occupy checked
 #      slots.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 15 window (19 changed + 1 first-exposure + 30 r5 re-bank =
-    # 50). Composition (VERDICT r14 items 1/2/3/4): (a) q_ml_mcc — the
-    # deferred 12th sharer of the r14 quality_features greatest()-floor
-    # rewrite, first slot per the verdict; (b) the 3 per-ROW
-    # text-family floor rewrites (langid / lang_confusion /
-    # langid_audit — verdict item 2; q_text_quality's avg_token_len is
-    # a NULL-contract guard and stays CASE); (c) q_agg_kmv_distinct —
-    # the drift-residue adjudication landed as a single-pass rewrite
-    # (no persist, no self-join; verdict item 3); (d) one streaming
-    # representative for the events file-set resolver unification
-    # (ADVICE r14: stream glob now derives from io.events_data_path);
-    # (e) the 13 sim-family queries whose ORACLE texts now mirror the
-    # engine's greatest(norm, 1e-300) floor (verdict item 4 — hash-
-    # neutral by the pinned norm-positivity property, proven by the
-    # full local mirrors at both gate scales); (f) q_window_skyline on
-    # first exposure (the round's 1 new op, ≤8 cap honored); (g) the
-    # 30 OLDEST names of the 49-name r5 freshness cohort
-    # (rotation_candidates.py --age order) — the remaining 19 complete
-    # in r16 (the verdict's ≤10 done-bar assumed ~14 changed slots;
-    # the sim-oracle family alone is 13, so the honest arithmetic
-    # banks 30 now and the rest next round).
+    # Round 16 window (27 changed + 19 r5 cohort completion + 4 r6 =
+    # 50). Composition: (a) every query whose execution path changed in
+    # the r16 optimization round (results bit-identical by construction
+    # and local mirrors, but the driver should re-prove them): the
+    # quality-audit fold, the lazy-checkpoint adoptees, the Arrow/
+    # fixed-point rewrites (exact cosine, covariance, blocked Jaccard
+    # pair stage) and their composers, and the 13 streaming queries
+    # whose trailing no-data micro-batch is now skipped; (b) the 19
+    # REMAINING names of the r5 freshness cohort (rotation debt paid in
+    # full — VERDICT r15 item 8); (c) the 4 oldest r6 names fill the
+    # window.
     #
     # Pre-freeze discipline: before committing this list, run
     #   scripts/prefreeze_mirror.sh  (sf0.01 oracle mirror, this list)
-    # changed this round — deferred GD-eval sharer (r14 floor rewrite)
-    "q_ml_mcc",
-    # changed this round — per-ROW text-family floor rewrites
-    "q_text_langid",
-    "q_text_lang_confusion",
-    "q_text_langid_audit",
-    # changed this round — KMV single-pass rewrite (drift adjudication)
-    "q_agg_kmv_distinct",
-    # changed this round — events stream/batch file-set resolver
-    "q_stream_hourly_counts",
-    # changed this round — sim-family oracle norm-guard mirrors
-    "q_sim_topk",
-    "q_sim_topk_ivf",
-    "q_sim_topk_ivf_staged",
-    "q_sim_index_incremental",
-    "q_sim_knn_classify",
-    "q_sim_radius",
-    "q_sim_recall_ivf",
-    "q_sim_topk_ivfpq",
-    "q_sim_recall_rp",
+    # changed this round — quality-audit fold (one pass per fact table)
+    "q_quality_audit",
+    # changed this round — lazy-checkpoint adoptees
+    "q_agg_trimmed_mean",
+    "q_ab_kruskal",
+    "q_agg_spearman",
+    "q_text_bpe_merges",
+    "q_text_bpe_tokenize",
+    "q_pipeline_token_budget",
+    # changed this round — Arrow/fixed-point exact rewrites + composers
     "q_dedup_cosine",
-    "q_dedup_cosine_lsh",
     "q_dedup_recall_lsh",
-    "q_dedup_semantic",
-    # round-15 addition — first exposure
-    "q_window_skyline",
-    # r5-cohort re-bank: the 30 oldest of the 49-name debt
-    "q_join_cardinality_audit",
-    "q_join_supplier_league",
-    "q_join_asof_nearest",
-    "q_agg_approx",
-    "q_agg_ols",
-    "q_agg_winsorized",
-    "q_agg_chisq",
-    "q_window_streak",
-    "q_agg_gini",
-    "q_agg_transpose",
-    "q_agg_kmv_setops",
-    "q_agg_exact_median",
-    "q_agg_state_merge",
-    "q_agg_exact_quantiles",
-    "q_null_semantics",
-    "q_agg_hierarchy_share",
-    "q_agg_weighted_median",
-    "q_agg_backlog_aging",
-    "q_agg_histogram2d",
-    "q_agg_discount_bands",
-    "q_graph_sssp",
-    "q_graph_degree_dist",
-    "q_agg_pareto",
-    "q_window_gap_quantiles",
-    "q_window_peer_zscore",
-    "q_attribution_multitouch",
-    "q_pattern_sessions",
-    "q_event_transitions",
-    "q_funnel_latency",
-    "q_percentile_bands_daily",
+    "q_embed_cov",
+    "q_embed_pca_power",
+    "q_dedup_clusters",
+    # changed this round — trailing no-data micro-batch skipped
+    "q_stream_hourly_distinct",
+    "q_stream_hourly_distinct_approx",
+    "q_stream_hourly_counts",
+    "q_stream_sliding_counts",
+    "q_stream_ohlc",
+    "q_stream_topk",
+    "q_stream_dedup_watermarked",
+    "q_stream_srm",
+    "q_stream_psi",
+    "q_stream_anomaly",
+    "q_stream_sessions",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_funnel",
+    "q_stream_attribution",
+    # r5-cohort completion: the remaining 19 of the 49-name debt
+    "q_cohort_retention_rate",
+    "q_daily_autocorr",
+    "q_usage_heatmap",
+    "q_daily_runs_test",
+    "q_session_length_dist",
+    "q_mv_rollup_answer",
+    "q_join_lateral_topk",
+    "q_link_entities",
+    "q_link_survivorship",
+    "q_quality_freshness",
+    "q_quality_psi",
+    "q_anomaly_seasonal",
+    "q_quality_sequence",
+    "q_quality_benford",
+    "q_quality_profile",
+    "q_quality_temporal",
+    "q_quality_reconcile",
+    "q_sink_compaction",
+    "q_domain_fhir_bundle",
+    # r6 re-bank: oldest 4 fill the window
+    "q_source_json_dlq",
+    "q_sink_backfill",
+    "q_audit_file_layout",
+    "q_source_textlines",
 )
 
 # The external checker verifies exactly the first 50 load_all() entries;

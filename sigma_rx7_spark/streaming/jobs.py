@@ -351,7 +351,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "view_id", "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
-    return run_to_memory(out, "stream_stream_join", output_mode="append")
+    # INNER stream-stream join: matches emit during data batches (both
+    # sides buffered); the trailing no-data batch only EVICTS state,
+    # which for an inner join emits nothing — so the sink is provably
+    # watermark-independent and the 2-store eviction pass (measured
+    # 7.5 → 4.4 s warm min, rows identical) is skipped. The LEFT outer
+    # twin below MUST keep it: its unmatched-row emissions happen at
+    # eviction.
+    return run_to_memory(out, "stream_stream_join", output_mode="append",
+                         final_no_data_batch=False)
 
 
 # ---- Streaming incremental MERGE (T1 x M1) -------------------------------
