@@ -127,7 +127,12 @@ def _is_global_window(arg_line: str) -> bool:
     if len(groups) >= 3:
         return False
     if len(groups) == 2:
-        return " ASC" in groups[1] or " DESC" in groups[1]
+        # Anchor to the sort-spec grammar (r16, ADVICE r15): an order
+        # spec element ends "... ASC|DESC NULLS FIRST|LAST" — a plain
+        # substring test would misread a partition EXPRESSION whose
+        # text merely contains " ASC"/" DESC" (e.g. a column named so).
+        return re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)",
+                         groups[1]) is not None
     return True
 
 

@@ -30,6 +30,36 @@ from ..registry import query
 from .similarity import (dot, dot_idx, normalized,
                          np_pairwise_dots, np_unit_rows)
 
+# Scoped persist registry (r16, ADVICE r15): every relation this module
+# persists is registered so a library consumer running dedup queries
+# over many distinct corpora can release them; mirrors graph.py's
+# _GRAPH_CACHES pattern. CacheManager dedupes by logical plan, so
+# repeat calls on ONE corpus still reuse a single entry (the r5
+# unpersist lesson stands: do NOT release between repeat probes).
+_DEDUP_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for release_dedup_caches()."""
+    _DEDUP_CACHES.append(df)
+    return df.persist()
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every relation THIS MODULE persisted; return the
+    count. unpersist() on an evicted entry is a no-op — double release
+    is safe."""
+    n = 0
+    while _DEDUP_CACHES:
+        df = _DEDUP_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped: nothing left to release
+    return n
+
+
 MINHASH_K = 32          # signature length
 LSH_BANDS = 8           # bands of 4 rows each -> catches jaccard >~ 0.5
 SHINGLE_N = 3           # words per shingle
@@ -142,7 +172,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the verification join); persist so the shingle explode + 32-way
     # min aggregation runs once. At warehouse scale this is a staging
     # table write instead of an in-memory persist.
-    sig = minhash_signatures(d).persist()
+    sig = _persist_tracked(minhash_signatures(d))
     cand = lsh_candidate_pairs(sig)
     a_sig = sig.select(F.col("doc_id").alias("a_doc_id"),
                        F.col("sig").alias("a_sig"))
@@ -282,7 +312,8 @@ def md5_lsh_candidates(sig: DataFrame, bands: int = MD5_LSH_BANDS,
     # pathology and fix as the SRP band relation.
     banded = sig.select(
         "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_hash").persist()
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    banded = _persist_tracked(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -353,7 +384,8 @@ def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
     # md5_lsh_candidates above. (doc_id, distinct-token array) — the
     # word-set artifact a production verify stage materializes anyway.
     words = docs.select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w")).persist()
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+    words = _persist_tracked(words)
     wa = words.select(F.col("doc_id").alias("a_doc_id"),
                       F.col("w").alias("wa"))
     wb = words.select(F.col("doc_id").alias("b_doc_id"),
@@ -853,7 +885,8 @@ def srp_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bd")
     ).select(id_col, "bd.band_idx", "bd.band_key") \
-        .repartition(id_col).persist()
+        .repartition(id_col)
+    banded = _persist_tracked(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -1185,7 +1218,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the verify join); persist so the 64-aggregate pass
     # runs once — measured 10.4 s -> ~4 s at sf0.1. At warehouse scale
     # this is a staging-table write, same as the MinHash signatures.
-    sig = q_dedup_simhash_md5(spark, sf_dir).persist()
+    sig = _persist_tracked(q_dedup_simhash_md5(spark, sf_dir))
     quarters = None
     for j in range(4):
         q_j = sig.select(
@@ -1603,7 +1636,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("shingle"))
     # blocked feeds both sides of the candidate self-join — persist
     # (rare-filtered shingle relation, df<=10 survivors only).
-    blocked = sh.join(rare, "shingle").persist()
+    blocked = _persist_tracked(sh.join(rare, "shingle"))
     cand = (
         blocked.select(F.col("doc_id").alias("a_doc_id"), "shingle")
         .join(blocked.select(F.col("doc_id").alias("b_doc_id"), "shingle"),
@@ -1616,7 +1649,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides and aliased branches do not exchange-reuse — without
     # it the corpus is re-shingled twice more per call (the
     # lsh_verified_pairs words pathology, r15).
-    shsets = d.select("doc_id", _shingles().alias("w")).persist()
+    shsets = _persist_tracked(d.select("doc_id", _shingles().alias("w")))
     wa = shsets.select(F.col("doc_id").alias("a_doc_id"),
                        F.col("w").alias("wa"))
     wb = shsets.select(F.col("doc_id").alias("b_doc_id"),
@@ -1741,7 +1774,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation, and without it the exploded-assignment aggregation (the
     # expensive stage) runs twice — same measured pathology and same fix
     # as the SRP band relation above.
-    withcell = nv.join(assigned, "vec_id").persist()
+    withcell = _persist_tracked(nv.join(assigned, "vec_id"))
     a = withcell.select(F.col("vec_id").alias("a_vec_id"),
                         F.col("nv").alias("a_nv"), "cell")
     b = withcell.select(F.col("vec_id").alias("b_vec_id"),
@@ -1875,11 +1908,10 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     by corpus size). Output is the |sources|² upper triangle — bounded
     metadata. Jaccard is one double division of exact counts."""
     d = load(spark, sf_dir, "documents")
-    ss = (
+    ss = _persist_tracked(  # feeds the sizes aggregate and both join sides
         d.select("source", F.explode(_shingles()).alias("shingle"))
         .select("source", F.md5("shingle").alias("dig"))
         .distinct()
-        .persist()  # feeds the sizes aggregate and both join sides
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (
@@ -2292,7 +2324,7 @@ def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange-reuse, so without the caches the shingle explode +
     # 16-way min aggregation and the tokenize each ran twice more per
     # call (the lsh_verified_pairs words pathology).
-    sig = md5_minhash_signatures(d).persist()
+    sig = _persist_tracked(md5_minhash_signatures(d))
     cand = md5_lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("a_doc_id"),
                     *[F.col(f"m{i}").alias(f"a{i}")
@@ -2300,9 +2332,9 @@ def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sig.select(F.col("doc_id").alias("b_doc_id"),
                     *[F.col(f"m{i}").alias(f"b{i}")
                       for i in range(MD5_MINHASH_K)])
-    words = d.select("doc_id",
-                     F.array_distinct(tokens(F.col("text"))).alias("w")) \
-        .persist()
+    words = _persist_tracked(
+        d.select("doc_id",
+                 F.array_distinct(tokens(F.col("text"))).alias("w")))
     wa = words.select(F.col("doc_id").alias("a_doc_id"),
                       F.col("w").alias("wa"))
     wb = words.select(F.col("doc_id").alias("b_doc_id"),

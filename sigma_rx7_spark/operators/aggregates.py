@@ -166,7 +166,11 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01)
         .alias("_approx_orders"),
-        F.count(F.lit(1)).cast("bigint").alias("n_exact_orders"),
+        # count(key), not count(*): COUNT(DISTINCT) ignores NULL keys,
+        # so the cell-collapse must skip a NULL-key cell to stay
+        # equivalent on nullable inputs (ADVICE r15; no-op on TPC-H's
+        # non-null l_orderkey).
+        F.count("l_orderkey").cast("bigint").alias("n_exact_orders"),
         F.sum("c").cast("bigint").alias("n_rows"),
     ).select(
         "l_returnflag", "n_exact_orders", "n_rows",

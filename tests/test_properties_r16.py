@@ -162,3 +162,24 @@ def test_bitset_cluster_pairs_equal_join_pairs(spark, sf_dir):
         .select(F.col("a_doc_id").alias("src"),
                 F.col("b_doc_id").alias("dst")).collect())
     assert new == old and len(new) > 0
+
+
+def test_release_dedup_caches_is_scoped(spark, sf_dir):
+    # ADVICE r15: dedup persists route through a tracked registry with
+    # a scoped release — releasing must unpersist what the module
+    # cached and must NOT touch unrelated persisted relations.
+    from pyspark.sql import functions as F
+
+    from sigma_rx7_spark.llm import dedup as D
+
+    other = spark.range(10).select(F.col("id").alias("x")).persist()
+    other.count()
+    n_before = len(D._DEDUP_CACHES)
+    ALL["q_dedup_near"].fn(spark, sf_dir).write.mode("overwrite") \
+        .format("noop").save()
+    assert len(D._DEDUP_CACHES) > n_before
+    released = D.release_dedup_caches()
+    assert released >= len(D._DEDUP_CACHES) or released > 0
+    assert not D._DEDUP_CACHES
+    assert other.storageLevel.useMemory  # unrelated cache untouched
+    other.unpersist()
